@@ -1,0 +1,484 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+import graft.parse.Units
+import QueryDsl._
+
+/** The judged relational query inventory (SURVEY §7.3) — one named query per
+  * dataflow primitive the reference exercises (§2.A / §2.B), expressed
+  * Spark-first over the driver star schema. Every query ends in a full-key
+  * `orderBy` (oracle hash compare is order-sensitive) and uses decimal-exact
+  * sums so Spark and DuckDB agree bit-for-bit.
+  */
+object CoreQueries {
+
+  val all: Seq[NamedQuery] = Seq(
+
+    // A6/A8/A26/A28: projection + predicate pushdown. The filter and the
+    // 3-column projection both reach the parquet scan (PushedFilters +
+    // ReadSchema in explain) — at 100 TB this is the difference between
+    // reading 3 columns of a date range and the whole table.
+    NamedQuery(
+      "scan_project_filter",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .filter(col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1995-06-01 00:00:00"))
+            && col("l_discount") > lit(0.05))
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+          .orderBy(col("l_orderkey"), col("l_linenumber")),
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice
+             |FROM lineitem
+             |WHERE l_shipdate < TIMESTAMP '1995-06-01 00:00:00' AND l_discount > 0.05
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // A16: hash aggregation, partial+final (map-side combine is free via
+    // Catalyst). Grouping keys are low-cardinality → tiny shuffle.
+    NamedQuery(
+      "hash_agg_sum",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_price"),
+            dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+            count(lit(1)).as("n"))
+          .orderBy(col("l_returnflag"), col("l_linestatus")),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+              |  ${dsumSql("l_quantity")} AS sum_qty,
+              |  ${dsumSql("l_extendedprice")} AS sum_price,
+              |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+              |  CAST(COUNT(*) AS BIGINT) AS n
+              |FROM lineitem GROUP BY l_returnflag, l_linestatus
+              |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // A27: count-distinct metrics (exact here; approx_count_distinct is the
+    // 100 TB escape hatch — see Analyzers.metrics).
+    NamedQuery(
+      "hash_agg_count_distinct",
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy(col("event_type"))
+          .agg(
+            countDistinct(col("user_id")).as("users"),
+            count(lit(1)).as("n"))
+          .orderBy(col("event_type")),
+      Some("""SELECT event_type,
+             |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users,
+             |  CAST(COUNT(*) AS BIGINT) AS n
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // B1-B6 shape: event-time trend — date_trunc + aggregate.
+    NamedQuery(
+      "date_trunc_agg",
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+          .orderBy(col("day")),
+      Some(s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+              |  CAST(COUNT(*) AS BIGINT) AS n,
+              |  ${dsumSql("value")} AS total_value
+              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Top-k: orderBy+limit → TakeOrderedAndProject (no full sort at scale).
+    NamedQuery(
+      "topk_orderby_limit",
+      (s, d) =>
+        Tables.orders(s, d)
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .limit(10),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)),
+
+    // A17: pie_chart top-N + "All the rest" rollup (analyze.py:460-515):
+    // desc by value, keep first top-1=19 entries with share>0.1%, roll the
+    // rest up, 2-dp percents with the last row adjusted so they sum to 100.
+    NamedQuery(
+      "topn_rollup_rest",
+      (s, d) => {
+        val counts = Tables.events(s, d)
+          .groupBy(col("user_id").cast("string").as("key"))
+          .agg(count(lit(1)).as("value"))
+          .withColumn("total", sum(col("value")).over(Window.partitionBy()))
+          .withColumn("rn", row_number().over(Window.orderBy(col("value").desc, col("key"))))
+          .withColumn("is_top", col("rn") <= 19 && col("value") > col("total") * 0.001)
+        val top = counts.filter(col("is_top"))
+          .select(col("key"), col("value"), col("total"), col("rn"))
+        val rest = counts.filter(!col("is_top"))
+          .groupBy()
+          .agg(sum(col("value")).as("value"), max(col("total")).as("total"))
+          .filter(col("value").isNotNull)
+          .select(lit("All the rest").as("key"), col("value"), col("total"),
+            lit(1000000).as("rn"))
+        val lastW = Window.partitionBy()
+        top.unionAll(rest)
+          .withColumn("pct_raw", lit(100.0) * col("value") / col("total"))
+          .withColumn("is_last", col("rn") === max(col("rn")).over(lastW))
+          .withColumn("others",
+            sum(when(!col("is_last"), r2(col("pct_raw"))).otherwise(lit(0.0))).over(lastW))
+          .withColumn("pct",
+            when(col("is_last"), r2(lit(100.0) - col("others"))).otherwise(r2(col("pct_raw"))))
+          .orderBy(col("rn"))
+          .select(col("key"), col("value"), col("pct"))
+      },
+      Some(s"""WITH counts AS (
+              |  SELECT CAST(user_id AS VARCHAR) AS key, CAST(COUNT(*) AS BIGINT) AS value
+              |  FROM events GROUP BY 1
+              |), ranked AS (
+              |  SELECT key, value, SUM(value) OVER () AS total,
+              |    ROW_NUMBER() OVER (ORDER BY value DESC, key) AS rn
+              |  FROM counts
+              |), flagged AS (
+              |  SELECT *, (rn <= 19 AND value > total * 0.001) AS is_top FROM ranked
+              |), top AS (
+              |  SELECT key, value, total, rn FROM flagged WHERE is_top
+              |), rest AS (
+              |  SELECT 'All the rest' AS key, SUM(value) AS value, MAX(total) AS total,
+              |    1000000 AS rn
+              |  FROM flagged WHERE NOT is_top HAVING SUM(value) IS NOT NULL
+              |), unioned AS (
+              |  SELECT * FROM top UNION ALL SELECT * FROM rest
+              |), pcts AS (
+              |  SELECT key, CAST(value AS BIGINT) AS value, rn,
+              |    100.0 * value / total AS pct_raw,
+              |    (rn = MAX(rn) OVER ()) AS is_last
+              |  FROM unioned
+              |), adj AS (
+              |  SELECT key, value, rn, is_last,
+              |    SUM(CASE WHEN NOT is_last THEN ${r2Sql("pct_raw")} ELSE 0.0 END) OVER () AS others,
+              |    pct_raw
+              |  FROM pcts
+              |)
+              |SELECT key, value,
+              |  CASE WHEN is_last THEN ${r2Sql("100.0 - others")}
+              |       ELSE ${r2Sql("pct_raw")} END AS pct
+              |FROM adj ORDER BY rn""".stripMargin)),
+
+    // A18: histogram binning with the reference's 1-decimal quirk
+    // (analyze.py:640): bin = abs(round1(x - step/2)), padded so every bin
+    // exists, values as % of total. x = l_quantity/50 ∈ (0,1].
+    NamedQuery(
+      "histogram_bins",
+      (s, d) => {
+        val step = 0.1
+        val li = Tables.lineitem(s, d)
+          .select((col("l_quantity") / lit(50.0)).as("x"),
+            col("l_extendedprice").as("w"))
+          .withColumn("bin", abs(r1(col("x") - lit(step / 2))))
+        val binned = li.groupBy(col("bin")).agg(dsum(col("w")).as("w"))
+        // pad bins as id/10.0 — bit-identical to the floor(x*10+0.5)/10
+        // data-side bins (id*0.1 is NOT: 3*0.1 != 3/10.0 in doubles).
+        val pad = li.sparkSession.range(0, 11)
+          .select((col("id").cast("double") / lit(10.0)).as("bin"))
+          .withColumn("w", lit(0.0))
+          .join(binned.select(col("bin")), Seq("bin"), "left_anti")
+        binned.unionAll(pad)
+          .withColumn("pct", r2(lit(100.0) * col("w") / sum(col("w")).over(Window.partitionBy())))
+          .select(format_string("%.1f", col("bin")).as("bin_label"), col("pct"))
+          .orderBy(col("bin_label"))
+      },
+      Some(s"""WITH pts AS (
+              |  SELECT l_quantity / 50.0 AS x, l_extendedprice AS w FROM lineitem
+              |), binned AS (
+              |  SELECT ABS(${r1Sql("x - 0.05")}) AS bin,
+              |    ${dsumSql("w")} AS w
+              |  FROM pts GROUP BY 1
+              |), pad AS (
+              |  SELECT CAST(i AS DOUBLE) / 10.0 AS bin, 0.0 AS w
+              |  FROM generate_series(0, 10) AS t(i)
+              |  WHERE CAST(i AS DOUBLE) / 10.0 NOT IN (SELECT bin FROM binned)
+              |), unioned AS (
+              |  SELECT * FROM binned UNION ALL SELECT * FROM pad
+              |)
+              |SELECT format('{:.1f}', bin) AS bin_label,
+              |  ${r2Sql("100.0 * w / SUM(w) OVER ()")} AS pct
+              |FROM unioned ORDER BY bin_label""".stripMargin)),
+
+    // A23 shape: inner equi-join + aggregate. Both sides large at 100 TB →
+    // shuffle hash/sort-merge on the key; here Catalyst broadcasts customer.
+    NamedQuery(
+      "equi_join_inner",
+      (s, d) =>
+        Tables.orders(s, d)
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .orderBy(col("c_mktsegment")),
+      Some(s"""SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+              |  ${dsumSql("o_totalprice")} AS total
+              |FROM orders JOIN customer ON o_custkey = c_custkey
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Broadcast join: part is a dimension → explicit broadcast() keeps the
+    // fact-table scan shuffle-free (BroadcastHashJoin in explain).
+    NamedQuery(
+      "broadcast_join_small_dim",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(dsum(col("l_extendedprice")).as("revenue"), count(lit(1)).as("n"))
+          .orderBy(col("p_brand")),
+      Some(s"""SELECT p_brand, ${dsumSql("l_extendedprice")} AS revenue,
+              |  CAST(COUNT(*) AS BIGINT) AS n
+              |FROM lineitem JOIN part ON l_partkey = p_partkey
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // B22 shape: top-K membership via left-semi join (the top-5 side is tiny
+    // → broadcast semi join; no shuffle of the fact table).
+    NamedQuery(
+      "join_semi_topk",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val top5 = li.groupBy(col("l_partkey"))
+          .agg(dsum(col("l_extendedprice")).as("rev"))
+          .orderBy(col("rev").desc, col("l_partkey"))
+          .limit(5)
+          .select(col("l_partkey"))
+        li.join(broadcast(top5), Seq("l_partkey"), "left_semi")
+          .groupBy(col("l_partkey"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy(col("l_partkey"))
+      },
+      Some(s"""WITH top5 AS (
+              |  SELECT l_partkey FROM lineitem GROUP BY 1
+              |  ORDER BY ${dsumSql("l_extendedprice")} DESC, l_partkey LIMIT 5
+              |)
+              |SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n,
+              |  ${dsumSql("l_quantity")} AS sum_qty
+              |FROM lineitem WHERE l_partkey IN (SELECT l_partkey FROM top5)
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // A18 padding / set-op: calendar days with no events appear as zero rows
+    // (union of data with an anti-joined generated sequence).
+    NamedQuery(
+      "union_pad_bins",
+      (s, d) => {
+        val days = Tables.events(s, d)
+          .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+          .agg(count(lit(1)).as("n"))
+        val cal = Tables.events(s, d)
+          .agg(min(date_trunc("day", col("ts")).cast("date")).as("lo"),
+            max(date_trunc("day", col("ts")).cast("date")).as("hi"))
+          .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+        val missing = cal.join(days, Seq("day"), "left_anti")
+          .withColumn("n", lit(0L))
+        days.unionByName(missing).orderBy(col("day"))
+      },
+      Some("""WITH days AS (
+             |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             |    CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM events GROUP BY 1
+             |), cal AS (
+             |  SELECT CAST(UNNEST(generate_series(
+             |    (SELECT MIN(day) FROM days), (SELECT MAX(day) FROM days),
+             |    INTERVAL 1 DAY)) AS DATE) AS day
+             |), missing AS (
+             |  SELECT day, CAST(0 AS BIGINT) AS n FROM cal
+             |  WHERE day NOT IN (SELECT day FROM days)
+             |)
+             |SELECT * FROM days UNION ALL SELECT * FROM missing
+             |ORDER BY day""".stripMargin)),
+
+    // B12 shape: coalesce(update, 'SELECT') — null-producing CASE + default.
+    NamedQuery(
+      "coalesce_default",
+      (s, d) =>
+        Tables.events(s, d)
+          .select(coalesce(
+            when(col("value") < 50.0, lit(null).cast("string"))
+              .otherwise(col("event_type")),
+            lit("SELECT")).as("category"))
+          .groupBy(col("category"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("category")),
+      Some("""SELECT COALESCE(CASE WHEN value < 50.0 THEN NULL ELSE event_type END,
+             |  'SELECT') AS category, CAST(COUNT(*) AS BIGINT) AS n
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // A20: node-type normalization — FQCN → regex \.(\w+)Node$ → lowercase
+    // (analyze.py:999-1004), exercised on a synthesized FQCN.
+    NamedQuery(
+      "regexp_extract_normalize",
+      (s, d) =>
+        Tables.customer(s, d)
+          .select(concat(lit("io.engine.plan."), col("c_mktsegment"), lit("Node")).as("fqcn"))
+          .select(lower(regexp_extract(col("fqcn"), "\\.(\\w+)Node$", 1)).as("node_type"))
+          .groupBy(col("node_type"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("node_type")),
+      Some("""SELECT lower(regexp_extract('io.engine.plan.' || c_mktsegment || 'Node',
+             |  '\.(\w+)Node$', 1)) AS node_type, CAST(COUNT(*) AS BIGINT) AS n
+             |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // A5: unit-suffix parse — duration and size strings synthesized from
+    // lineitem, parsed back to seconds/bytes by the codegen'd Units exprs.
+    NamedQuery(
+      "unit_parse",
+      (s, d) => {
+        val suffix = element_at(
+          array(lit("ms"), lit("s"), lit("m"), lit("h")),
+          (col("l_linenumber") % 4 + 1).cast("int"))
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            concat(col("l_quantity").cast("string"), suffix).as("dur_str"),
+            concat(col("l_quantity").cast("string"), lit("MB")).as("size_str"))
+          .select(col("l_orderkey"), col("l_linenumber"),
+            Units.timeSeconds(col("dur_str")).as("dur_secs"),
+            Units.sizeBytes(col("size_str")).as("size_bytes"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  l_quantity * (CASE (l_linenumber % 4) WHEN 0 THEN 0.001
+             |    WHEN 1 THEN 1.0 WHEN 2 THEN 60.0 ELSE 3600.0 END) AS dur_secs,
+             |  l_quantity * 1000000.0 AS size_bytes
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // A21: table-name resolution — concat_ws over nullable parts (null parts
+    // dropped, exactly the reference's missing-handle behavior).
+    NamedQuery(
+      "concat_ws_table_name",
+      (s, d) => {
+        val sup = Tables.supplier(s, d)
+        val nat = Tables.nation(s, d)
+        val reg = Tables.region(s, d)
+        sup.join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+          .select(col("s_suppkey"),
+            concat_ws(".",
+              when(col("r_name") === "ASIA", lit(null).cast("string"))
+                .otherwise(lower(col("r_name"))),
+              lower(col("n_name")), col("s_name")).as("qualified_name"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""SELECT s_suppkey, concat_ws('.',
+             |  CASE WHEN r_name = 'ASIA' THEN NULL ELSE lower(r_name) END,
+             |  lower(n_name), s_name) AS qualified_name
+             |FROM supplier
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |ORDER BY s_suppkey""".stripMargin)),
+
+    // A26: substring predicates ("Scan" in type / endswith("join")).
+    NamedQuery(
+      "string_contains_filter",
+      (s, d) =>
+        Tables.documents(s, d)
+          .filter(col("text").contains("spark") && !col("text").endsWith("join"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("source")),
+      Some("""SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents
+             |WHERE contains(text, 'spark') AND NOT ends_with(text, 'join')
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // A17 shares: window sum-over-() percent (no rollup).
+    NamedQuery(
+      "window_share_pct",
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("pct",
+            col("n") * lit(100.0) / sum(col("n")).over(Window.partitionBy()))
+          .orderBy(col("event_type")),
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(COUNT(*) AS BIGINT) * 100.0 /
+             |    SUM(CAST(COUNT(*) AS BIGINT)) OVER () AS pct
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // A22: deepest-node lookup via row_number desc — latest event per user.
+    NamedQuery(
+      "window_rownum_deepest",
+      (s, d) =>
+        Tables.events(s, d)
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("user_id"))
+              .orderBy(col("ts_ns").desc, col("event_id").desc)))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_id"), col("event_type"))
+          .orderBy(col("user_id")),
+      Some("""SELECT user_id, event_id, event_type FROM (
+             |  SELECT user_id, event_id, event_type,
+             |    ROW_NUMBER() OVER (PARTITION BY user_id
+             |      ORDER BY ts DESC, event_id DESC) AS rn
+             |  FROM events
+             |) WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+
+    // B28 shape: greatest() of the two join-side magnitudes.
+    NamedQuery(
+      "greatest_pair",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy(col("l_orderkey"))
+          .agg(dsum(col("l_quantity")).as("qty"), count(lit(1)).as("n"))
+          .select(col("l_orderkey"),
+            greatest(col("qty"), col("n") * lit(7.0)).as("bigger_side"))
+          .orderBy(col("l_orderkey")),
+      Some(s"""SELECT l_orderkey,
+              |  GREATEST(${dsumSql("l_quantity")}, CAST(COUNT(*) AS BIGINT) * 7.0)
+              |    AS bigger_side
+              |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // A14: dictionary-encode obfuscation — first-seen order made
+    // deterministic as dense_rank over min(event_id) per user (SURVEY §7.4).
+    NamedQuery(
+      "dict_encode_obfuscate",
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy(col("user_id"))
+          .agg(min(col("event_id")).as("first_seen"))
+          .withColumn("token",
+            concat(lit("u"),
+              (dense_rank().over(Window.orderBy(col("first_seen"))) - 1).cast("string")))
+          .select(col("user_id"), col("token"))
+          .orderBy(col("user_id")),
+      Some("""SELECT user_id, 'u' || CAST(DENSE_RANK() OVER (ORDER BY first_seen) - 1
+             |  AS VARCHAR) AS token
+             |FROM (SELECT user_id, MIN(event_id) AS first_seen FROM events GROUP BY 1)
+             |ORDER BY user_id""".stripMargin)),
+
+    // A7: nested-array projection — explode word arrays, vocabulary counts.
+    NamedQuery(
+      "explode_array",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("word"))
+          .groupBy(col("word"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("word")),
+      Some("""SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+             |  SELECT UNNEST(string_split(text, ' ')) AS word FROM documents
+             |) GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // B7-B9 shape: per-query scatter points (pure projection, raw doubles).
+    NamedQuery(
+      "scatter_select",
+      (s, d) =>
+        Tables.events(s, d)
+          .filter(col("value") > lit(150.0))
+          .select(col("event_id"), col("user_id"), col("value"))
+          .orderBy(col("event_id")),
+      Some("""SELECT event_id, user_id, value FROM events
+             |WHERE value > 150.0 ORDER BY event_id""".stripMargin)),
+
+    // A8/A13 shape: JSON path extraction from a raw string column.
+    NamedQuery(
+      "json_extract_path",
+      (s, d) =>
+        Tables.events(s, d)
+          .select((get_json_object(col("props"), "$.k").cast("long") % 10).as("k_mod"),
+            col("event_id"))
+          .groupBy(col("k_mod"))
+          .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum"))
+          .orderBy(col("k_mod")),
+      Some("""SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+             |  CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(event_id) AS BIGINT) AS id_sum
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+  )
+}

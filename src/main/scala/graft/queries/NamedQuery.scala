@@ -1,0 +1,37 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** One judged query: a Spark program plus (where SQL-expressible) the
+  * equivalent DuckDB oracle SQL the driver cross-checks against.
+  */
+final case class NamedQuery(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object QueryDsl {
+  /** Exact double sum: sum in decimal (exact, order-independent), then one
+    * correctly-rounded cast to double. Spark and DuckDB produce bit-identical
+    * results, which plain double sums (fp-addition order) do not. Magnitudes
+    * here stay far below decimal(18,4)'s 10^14 capacity; at 100 TB the same
+    * pattern holds with decimal(38,6).
+    */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast("double")
+
+  /** Oracle-side twin of [[dsum]]. */
+  def dsumSql(expr: String): String =
+    s"CAST(SUM(CAST($expr AS DECIMAL(18,4))) AS DOUBLE)"
+
+  /** Deterministic 2-decimal rounding via explicit IEEE arithmetic — both
+    * engines evaluate floor(x*100 + 0.5)/100 identically, sidestepping any
+    * difference in native round() implementations.
+    */
+  def r2(c: Column): Column = floor(c * lit(100.0) + lit(0.5)) / lit(100.0)
+  def r2Sql(expr: String): String = s"FLOOR(($expr) * 100.0 + 0.5) / 100.0"
+
+  def r1(c: Column): Column = floor(c * lit(10.0) + lit(0.5)) / lit(10.0)
+  def r1Sql(expr: String): String = s"FLOOR(($expr) * 10.0 + 0.5) / 10.0"
+}
