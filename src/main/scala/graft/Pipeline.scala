@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.analyze.Analyzers
+import graft.ingest.{Extract, WorkloadViews}
+import graft.process.JsonlProcess
+
+/** CLI for the ported workload-analyzer pipeline — the engine-side
+  * equivalents of the reference's entry points:
+  *
+  *   extract <queryInfoDir> <outDir>   (extract.py: QueryInfo JSON → summary)
+  *   analyze <summaryPath> <outDir>    (analyze.py: 28 analyzer tables + metrics)
+  *   process <summaryPath> <outDir> [--rename-user] [--remove-query]
+  *           [--filter-user NAME]      (jsonl_process.py: obfuscate/filter)
+  *
+  * summaryPath accepts parquet (preferred at scale) or jsonl(.gz) written by
+  * `extract`. Analyzer results land as one parquet dir per analyzer.
+  */
+object Pipeline {
+
+  private def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.max(2, Runtime.getRuntime.availableProcessors() - 1).toString)
+    val s = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
+      .appName("graft-pipeline")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def readSummaries(spark: SparkSession, path: String) =
+    if (path.endsWith(".json") || path.endsWith(".jsonl") || path.contains("jsonl"))
+      Extract.readJsonl(spark, path).toDF()
+    else spark.read.parquet(path)
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "extract" :: in :: out :: rest =>
+      val spark = session()
+      val limit = rest match {
+        case "--limit" :: n :: _ => Some(n.toInt)
+        case _ => None
+      }
+      val ds = Extract.extract(spark, in, limit)
+      Extract.writeParquet(ds, s"$out/summary_parquet")
+      Extract.writeJsonl(Extract.readParquetAsSummaries(spark, s"$out/summary_parquet"),
+        s"$out/summary_jsonl")
+      println(s"extracted ${spark.read.parquet(s"$out/summary_parquet").count()} summaries to $out")
+      spark.stop()
+
+    case "analyze" :: in :: out :: _ =>
+      val spark = session()
+      val views = WorkloadViews(readSummaries(spark, in))
+      val m = Analyzers.metrics(views).collect()(0)
+      println(s"metrics: days=${m.getAs[Long]("days")} queries=${m.getAs[Long]("queries")} " +
+        f"cpu_days=${m.getAs[Double]("cpu_days")}%.4f users=${m.getAs[Long]("users")}")
+      var written = 0
+      Analyzers.all(views).toSeq.sortBy(_._1).foreach { case (name, f) =>
+        try {
+          val df = f()
+          df.coalesce(1).write.mode("overwrite").parquet(s"$out/$name")
+          written += 1
+        } catch { // per-analyzer isolation, like analyze.py:1269-1272
+          case e: Exception => System.err.println(s"[analyze] $name failed: ${e.getMessage}")
+        }
+      }
+      println(s"wrote $written/28 analyzer tables to $out")
+      spark.stop()
+
+    case "process" :: in :: out :: opts =>
+      val spark = session()
+      var df = readSummaries(spark, in)
+      if (opts.contains("--rename-user")) df = JsonlProcess.renameUsers(df)
+      if (opts.contains("--remove-query")) df = JsonlProcess.removeQuery(df)
+      opts.sliding(2).foreach {
+        case List("--filter-user", u) => df = JsonlProcess.filterByColumn(df, "user", u)
+        case _ =>
+      }
+      df.write.mode("overwrite").option("compression", "gzip").json(out)
+      println(s"processed ${spark.read.option("compression", "gzip").json(out).count()} records to $out")
+      spark.stop()
+
+    case _ =>
+      System.err.println("usage: Pipeline (extract|analyze|process) <in> <out> [opts]")
+      sys.exit(2)
+  }
+}

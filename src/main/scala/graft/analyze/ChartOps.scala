@@ -1,0 +1,78 @@
+package graft.analyze
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The two reusable chart-data reductions (SURVEY §2.A17/A18).
+  *
+  * Both end in tiny results (≤ a few dozen rows) but start from
+  * workload-sized inputs; everything before the final single-partition
+  * window is a distributed groupBy.
+  */
+object ChartOps {
+
+  /** `pie_chart` (`analyze.py:460-515`): input = (key, value) rows.
+    * Ranked desc by value (ties by key, matching Python's stable sort over
+    * the key-sorted groupby); keep the first `top-1` entries with share
+    * > 0.1%; roll the rest into "All the rest"; percents rounded to 2dp
+    * with the LAST row absorbing the rounding residual so Σ == 100
+    * (`analyze.py:474-476`).
+    *
+    * Output: (key, value, pct), kept rows first (desc), rest last.
+    */
+  def pie(counts: DataFrame, keyCol: String, valueCol: String, top: Int = 20): DataFrame = {
+    val all = Window.partitionBy()
+    val ranked = counts
+      .select(col(keyCol).cast("string").as("key"), col(valueCol).cast("double").as("value"))
+      .withColumn("total", sum(col("value")).over(all))
+      .filter(col("total") =!= 0.0)
+      .withColumn("rn", row_number().over(Window.orderBy(col("value").desc, col("key"))))
+      .withColumn("is_top", col("value") * 100.0 / col("total") > 0.1 && col("rn") < top)
+    val kept = ranked.filter(col("is_top")).select(col("key"), col("value"), col("rn"))
+    val rest = ranked.filter(!col("is_top"))
+      .groupBy().agg(sum(col("value")).as("value"))
+      .filter(col("value").isNotNull)
+      .select(lit("All the rest").as("key"), col("value"), lit(Int.MaxValue).as("rn"))
+    kept.unionAll(rest)
+      .withColumn("total", sum(col("value")).over(all))
+      .withColumn("pct_round", floor(col("value") * 100.0 / col("total") * 100.0 + 0.5) / 100.0)
+      .withColumn("pct",
+        when(col("rn") === max(col("rn")).over(all),
+          col("pct_round") + (lit(100.0) - sum(col("pct_round")).over(all)))
+          .otherwise(col("pct_round")))
+      .orderBy(col("rn"))
+      .select(col("key"), col("value"), col("pct"))
+  }
+
+  /** `wall_by_selectivity_bins` (`analyze.py:622-686`): values binned by
+    * `abs(round1(x - step/2))` — ALWAYS rounded to one decimal, even for
+    * the bins=100 variant (the reference quirk); weights become percent of
+    * total; every `arange(0, max, step)` bin is padded in (with its own
+    * 2-decimal label, NOT re-binned — so the 100-bin variant pads labels
+    * 0.01..0.19 that real data can never hit); bins beyond max+1e-9 are
+    * labeled "Above". Output: (bin_label, pct) sorted by label, "Above"
+    * last (string sort does that: digits < 'A' is false in ASCII, 'A' > '9').
+    */
+  def selectivityBins(points: DataFrame, selCol: String, weightCol: String,
+      bins: Int, maxSelectivity: Double): DataFrame = {
+    val spark = points.sparkSession
+    val step = 1.0 / bins
+    val all = Window.partitionBy()
+    val binned = points
+      .select(col(selCol).cast("double").as("x"), col(weightCol).cast("double").as("w"))
+      .withColumn("bin", abs(floor((col("x") - lit(step / 2)) * 10.0 + 0.5) / 10.0))
+      .withColumn("label",
+        when(col("bin") <= maxSelectivity + 1e-9, format_string("%.2f", col("bin")))
+          .otherwise(lit("Above")))
+    // pad: arange(0, max, step) labeled directly (not re-binned)
+    val nPad = math.ceil(maxSelectivity / step - 1e-9).toInt
+    val pad = spark.range(0, nPad)
+      .select(format_string("%.2f", col("id").cast("double") * lit(step)).as("label"),
+        lit(0.0).as("w"))
+    binned.select(col("label"), col("w")).unionAll(pad)
+      .withColumn("pct", col("w") * 100.0 / sum(col("w")).over(all))
+      .groupBy(col("label")).agg(sum(col("pct")).as("pct"))
+      .orderBy(col("label"))
+  }
+}

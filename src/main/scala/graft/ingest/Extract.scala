@@ -1,0 +1,150 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.QuerySummary
+
+/** Stage 2 of the pipeline (reference `extract.py`): a directory of
+  * QueryInfo JSON documents (plain or .gz) → `Dataset[QuerySummary]` →
+  * parquet / gzipped JSONL.
+  *
+  * Distribution model: `wholetext` text source gives one row per file, so
+  * parsing fans out across executors (the reference is a single-threaded
+  * loop). gzip per-file is fine — each file is small (50-200 kB) and the
+  * unit of parallelism is the file, not the split. At 100 TB of logs the
+  * same plan holds: the scan lists millions of files, Spark assigns them to
+  * tasks, and the output is written as partitioned parquet — analyzers then
+  * read columnar, pruned input instead of re-parsing JSON (SURVEY §4:
+  * "ingest→Parquet once, analyze from Parquet").
+  */
+object Extract {
+
+  /** Parse every `*.json` / `*.json.gz` under `inputDir`. */
+  def extract(spark: SparkSession, inputDir: String, limit: Option[Int] = None): Dataset[QuerySummary] = {
+    import spark.implicits._
+    val files = spark.read
+      .option("wholetext", "true")
+      .option("pathGlobFilter", "*.json*")
+      .text(inputDir)
+    val limited = limit.map(files.limit).getOrElse(files)
+    limited.as[String].flatMap(QueryInfoParser.parse _)
+  }
+
+  /** JSONL.gz sink (`extract.py:189-206`): one JSON object per line. */
+  def writeJsonl(ds: Dataset[QuerySummary], outPath: String): Unit =
+    ds.toDF().write.mode("overwrite")
+      .option("compression", "gzip").json(outPath)
+
+  /** Parquet sink — the preferred at-scale layout for the analyze stage. */
+  def writeParquet(ds: Dataset[QuerySummary], outPath: String): Unit =
+    ds.toDF().write.mode("overwrite").parquet(outPath)
+
+  /** Typed read of a parquet summary table written by [[writeParquet]]. */
+  def readParquetAsSummaries(spark: SparkSession, path: String): Dataset[QuerySummary] = {
+    import spark.implicits._
+    spark.read.parquet(path).as[QuerySummary]
+  }
+
+  /** Read back a summary table written by [[writeJsonl]] with the exact
+    * summary schema (never inferred — corrupt lines must drop, not poison
+    * the schema; PERMISSIVE + explicit schema does that).
+    */
+  def readJsonl(spark: SparkSession, path: String): Dataset[QuerySummary] = {
+    import spark.implicits._
+    spark.read
+      .schema(implicitly[org.apache.spark.sql.Encoder[QuerySummary]].schema)
+      .option("mode", "PERMISSIVE")
+      .json(path)
+      .as[QuerySummary]
+  }
+}
+
+/** The cached derived views every analyzer consumes (SURVEY §7.1): the
+  * summaries are scanned once; `operators` / `plan_nodes` / `scans` /
+  * `joins` are exploded/joined once and reused by all 28 analyzers instead
+  * of 28 rescans (the reference re-iterates its in-memory list per chart,
+  * `analyze.py:1241-1248`).
+  */
+final class WorkloadViews private (val summaries: DataFrame) {
+
+  import WorkloadViews._
+
+  /** FAILED-filtered base (A28 — analysis side only, `analyze.py:1231-1235`),
+    * with the query-id-derived event timestamp (`analyze.py:62-63`).
+    */
+  val base: DataFrame = summaries
+    .filter(col("state") =!= "FAILED")
+    .withColumn("ts", to_timestamp(substring(col("query_id"), 1, 15), "yyyyMMdd_HHmmss"))
+    .cache()
+
+  /** One row per operator occurrence (A7). */
+  val operators: DataFrame = base
+    .select(col("query_id"), col("ts"), explode(col("operators")).as("op"))
+    .select(col("query_id"), col("ts"), col("op.*"))
+    .withColumn("wall",
+      coalesce(col("input_wall"), lit(0.0))
+        + coalesce(col("output_wall"), lit(0.0))
+        + coalesce(col("finish_wall"), lit(0.0)))
+    .cache()
+
+  /** One row per plan node (A9/A19, flattened at ingest). */
+  val planNodes: DataFrame = base
+    .select(col("query_id"), explode(col("plan_nodes")).as("n"))
+    .select(col("query_id"), col("n.*"))
+    .cache()
+
+  /** Per (query, node_id): the reference's `{id: node}` dict keeps the last
+    * fragment's node on id collisions (`analyze.py:596,1028-1037`) — mirror
+    * with a max-fragment_idx row_number.
+    */
+  val nodesDeduped: DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    planNodes.withColumn("rn", row_number().over(
+      Window.partitionBy(col("query_id"), col("node_id"))
+        .orderBy(col("fragment_idx").desc, col("dfs_order").desc)))
+      .filter(col("rn") === 1).drop("rn")
+  }
+
+  /** Scan-ish operators joined to their plan node's deepest table (A21-A23,
+    * B18/B22-24). Broadcast hint: the deduped node side of one workload is
+    * small relative to operator occurrences.
+    */
+  def scanOps(typeSubstring: String): DataFrame =
+    operators.filter(col("operator_type").contains(typeSubstring))
+      .join(nodesDeduped.select(col("query_id"), col("node_id"), col("deepest_table")),
+        Seq("query_id", "node_id"), "left")
+      .withColumn("table_name", coalesce(col("deepest_table"), lit("")))
+
+  /** Classified join sites (A24, `analyze.py:1040-1080`): per join/semijoin
+    * plan node, the probe/build operator pair.
+    */
+  val joins: DataFrame = {
+    val joinNodes = nodesDeduped
+      .filter(col("node_type").endsWith("join"))
+      .withColumn("probe_type",
+        when(col("node_type") === "semijoin", lit("HashSemiJoinOperator"))
+          .when(col("has_criteria") || col("join_type") =!= "INNER", lit("LookupJoinOperator"))
+          .otherwise(lit("NestedLoopJoinOperator")))
+      .withColumn("build_type",
+        when(col("node_type") === "semijoin", lit("SetBuilderOperator"))
+          .when(col("has_criteria") || col("join_type") =!= "INNER", lit("HashBuilderOperator"))
+          .otherwise(lit("NestedLoopBuildOperator")))
+    val probe = operators.select(col("query_id"), col("node_id"),
+      col("operator_type").as("probe_type"),
+      col("input_size").as("probe_input_size"),
+      col("input_rows").as("probe_input_rows"),
+      col("output_rows").as("probe_output_rows"))
+    val build = operators.select(col("query_id"), col("node_id"),
+      col("operator_type").as("build_type"),
+      col("input_size").as("build_input_size"),
+      col("input_rows").as("build_input_rows"))
+    joinNodes
+      .join(probe, Seq("query_id", "node_id", "probe_type"))
+      .join(build, Seq("query_id", "node_id", "build_type"))
+      .cache()
+  }
+}
+
+object WorkloadViews {
+  def apply(summaries: DataFrame): WorkloadViews = new WorkloadViews(summaries)
+}

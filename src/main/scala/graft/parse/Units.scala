@@ -23,8 +23,10 @@ object Units {
     "ns" -> 1e-9, "ms" -> 1e-3, "us" -> 1e-6,
     "s" -> 1.0, "m" -> 60.0, "h" -> 3600.0, "d" -> 86400.0)
 
+  // 1024-based, matching the reference (extract.py:40-46)
   private val sizeFactors: Seq[(String, Double)] = Seq(
-    "TB" -> 1e12, "GB" -> 1e9, "MB" -> 1e6, "kB" -> 1e3, "B" -> 1.0)
+    "TB" -> math.pow(1024, 4), "GB" -> math.pow(1024, 3),
+    "MB" -> 1048576.0, "kB" -> 1024.0, "B" -> 1.0)
 
   /** `"1.5m"` → 90.0 seconds; `"7"` → 7.0; null-safe. */
   def timeSeconds(c: Column): Column = build(c, timeFactors)

@@ -1,0 +1,98 @@
+package graft
+
+import graft.ingest.{Extract, WorkloadViews}
+
+/** Golden end-to-end: fixture QueryInfo docs → summaries → derived views
+  * (FIXTURES.md §1; covers every plan-tree child rule and table-handle
+  * variant the reference handles).
+  */
+class ExtractSpec extends SparkSpec {
+
+  private lazy val summaries =
+    Extract.extract(spark, resourcePath("queryinfo")).cache()
+  private lazy val views = WorkloadViews(summaries.toDF())
+
+  test("internal and corrupt inputs drop; FINISHED and FAILED extract") {
+    val rows = summaries.collect().sortBy(_.query_id)
+    assert(rows.length === 3) // q4 (varada internal) and q5 (corrupt) dropped
+    assert(rows.map(_.state).toSeq === Seq("FINISHED", "FAILED", "FINISHED"))
+  }
+
+  test("unit parsing and falsy-coalescing on the summary grain") {
+    val q1 = summaries.collect().find(_.query_id.endsWith("abcde")).get
+    assert(q1.elapsed_time === Some(90.0))
+    assert(q1.cpu_time === Some(45.0))
+    assert(q1.scheduled_time === Some(120.0))
+    assert(q1.blocked_time === Some(0.5))
+    assert(q1.input_size === Some(math.pow(1024, 3)))
+    assert(q1.output_size === Some(10 * 1048576.0))
+    assert(q1.peak_mem === Some(512 * 1024.0))
+    assert(q1.input_rows === Some(1000000L))
+    // q3: rawInputDataSize "0B" is falsy → falls through to inputDataSize
+    val q3 = summaries.collect().find(_.query_id.endsWith("cdefg")).get
+    assert(q3.input_size === Some(200 * 1048576.0))
+    assert(q3.update === Some("INSERT"))
+  }
+
+  test("plan flatten: DFS order, child rules, FQCN normalize") {
+    val q1 = summaries.collect().find(_.query_id.endsWith("abcde")).get
+    val f0 = q1.plan_nodes.filter(_.fragment_idx == 0)
+    assert(f0.map(n => (n.node_type, n.dfs_order)) ===
+      Seq(("output", 0), ("exchange", 1), ("remotesource", 2)))
+    val f1 = q1.plan_nodes.filter(_.fragment_idx == 1)
+    assert(f1.map(_.node_type) ===
+      Seq("project", "join", "tablescan", "exchange", "remotesource"))
+    val join = f1.find(_.node_type == "join").get // FQCN JoinNode normalized
+    assert(join.has_criteria === Some(true))
+    assert(join.join_distribution === Some("PARTITIONED"))
+    val project = f1.find(_.node_type == "project").get
+    assert(project.subtree_end === 4)
+    assert(project.deepest_table === Some("hive.web.logs"))
+  }
+
+  test("table-handle variants resolve (analyze.py:564-584)") {
+    val q3 = summaries.collect().find(_.query_id.endsWith("cdefg")).get
+    val tables = q3.plan_nodes.filter(_.node_type == "tablescan")
+      .map(n => n.node_id -> n.table_name.get).toMap
+    assert(tables("4") === "iceberg.warehouse.m") // schemaName+tableName, catalogName
+    assert(tables("5") === "memory.memory:42") // MemoryTableHandle @type:id
+    assert(tables("6") === "jmx.java.lang.Memory") // JMX dict-shaped tableName
+  }
+
+  test("task tree flattens with stage paths") {
+    val q1 = summaries.collect().find(_.query_id.endsWith("abcde")).get
+    assert(q1.tasks.map(_.task_id).sorted === Seq("1.0.0", "1.0.1"))
+    assert(q1.tasks.forall(_.stage_path == "0"))
+    assert(q1.tasks.find(_.task_id == "1.0.0").get.scheduled_time === Some(30.0))
+  }
+
+  test("join classification (A24): equi vs cross vs semi") {
+    val joins = views.joins
+      .select("query_id", "node_id", "probe_type", "build_type", "join_distribution")
+      .collect().map(r => (r.getString(1), r.getString(2), r.getString(3))).toSet
+    assert(joins === Set(
+      ("11", "LookupJoinOperator", "HashBuilderOperator"), // criteria → hash join
+      ("3", "NestedLoopJoinOperator", "NestedLoopBuildOperator"), // INNER + no criteria
+      ("2", "HashSemiJoinOperator", "SetBuilderOperator"))) // semijoin
+  }
+
+  test("scan ops resolve to deepest table (A22/A23)") {
+    val scans = views.scanOps("Scan")
+      .select("node_id", "table_name").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(scans === Set(
+      ("12", "hive.web.logs"),
+      ("4", "iceberg.warehouse.m"),
+      ("5", "memory.memory:42")))
+  }
+
+  test("jsonl round-trip preserves the summary schema") {
+    val out = java.nio.file.Files.createTempDirectory("graft-jsonl").toString + "/summary"
+    Extract.writeJsonl(summaries, out)
+    val back = Extract.readJsonl(spark, out)
+    assert(back.count() === 3)
+    val q1 = back.collect().find(_.query_id.endsWith("abcde")).get
+    assert(q1.operators.length === 3)
+    assert(q1.plan_nodes.length === 8)
+  }
+}
