@@ -84,8 +84,36 @@ object Pipeline {
       println(s"processed ${spark.read.option("compression", "gzip").json(out).count()} records to $out")
       spark.stop()
 
+    case "stream" :: in :: out :: opts =>
+      // continuous equivalent of `collect.py --loop` + extract: ingest every
+      // QueryInfo file landing in `in` exactly once into parquet at `out`.
+      val spark = session()
+      val ds = graft.streaming.StreamingIngest.summaries(spark, in)
+      val writer = graft.streaming.StreamingIngest
+        .writer(ds, s"$out/data", s"$out/checkpoint")
+      val q =
+        if (opts.contains("--follow")) writer.start()
+        else writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      println(s"streamed ${spark.read.parquet(s"$out/data").count()} summaries to $out/data")
+      spark.stop()
+
+    case "featurize" :: in :: out :: _ =>
+      // multimodal demo: documents-as-media → stubbed decode → features
+      val spark = session()
+      val feats = graft.ml.Multimodal.featurize(
+        graft.ml.Multimodal.documentsAsMedia(spark, in), frames = 4,
+        coPartitions = Some(spark.sparkContext.defaultParallelism))
+      feats.toDF().write.mode("overwrite").parquet(out)
+      val sample = feats.filter(_.media_id == 7L).collect()(0)
+      println(s"featurized ${spark.read.parquet(out).count()} media records to $out; " +
+        s"sample id=7 kind=${sample.kind} bytes=${sample.n_bytes} " +
+        s"dim=${sample.features.length} offsets=${sample.frame_offsets.mkString(",")}")
+      spark.stop()
+
     case _ =>
-      System.err.println("usage: Pipeline (extract|analyze|process) <in> <out> [opts]")
+      System.err.println(
+        "usage: Pipeline (extract|analyze|process|stream|featurize) <in> <out> [opts]")
       sys.exit(2)
   }
 }
