@@ -336,7 +336,7 @@ object CoreQueries {
       Some("""SELECT l_orderkey, l_linenumber,
              |  l_quantity * (CASE (l_linenumber % 4) WHEN 0 THEN 0.001
              |    WHEN 1 THEN 1.0 WHEN 2 THEN 60.0 ELSE 3600.0 END) AS dur_secs,
-             |  l_quantity * 1000000.0 AS size_bytes
+             |  l_quantity * 1048576.0 AS size_bytes
              |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
     // A21: table-name resolution — concat_ws over nullable parts (null parts

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.tables.Tables
+import graft.functions.VectorOps.{vecDot, vecNorm}
 import QueryDsl._
 
 /** Training-data pipeline operators over `documents` / `embeddings`:
@@ -31,14 +32,6 @@ object MLQueries {
   private def r6(c: org.apache.spark.sql.Column) =
     floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
   private def r6Sql(e: String) = s"FLOOR(($e) * 1000000.0 + 0.5) / 1000000.0"
-
-  /** (vec_id, embedding) pairwise cosine via explicit double fold. */
-  private val dotSql =
-    "aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
-      "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-  private val normSql =
-    "sqrt(aggregate(transform(%s, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), " +
-      "CAST(0 AS DOUBLE), (acc, v) -> acc + v))"
 
   private def duckDot(a: String, b: String) =
     s"(SELECT SUM(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)) FROM generate_series(1,64) t(i))"
@@ -225,14 +218,13 @@ object MLQueries {
       "dedup_embedding_cosine",
       (s, d) => {
         val e = Tables.embeddings(s, d)
-          .select(col("vec_id"), col("embedding"),
-            expr(normSql.format("embedding")).as("norm"))
+          .select(col("vec_id"), col("embedding"), vecNorm(col("embedding")).as("norm"))
         val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
           col("norm").as("norm_a"))
         val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
           col("norm").as("norm_b"))
         a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
-          .withColumn("sim", r6(expr(dotSql) / (col("norm_a") * col("norm_b"))))
+          .withColumn("sim", r6(vecDot(col("ea"), col("eb")) / (col("norm_a") * col("norm_b"))))
           .select(col("vec_a"), col("vec_b"), col("sim"))
           .orderBy(col("sim").desc, col("vec_a"), col("vec_b"))
           .limit(10)
@@ -249,8 +241,7 @@ object MLQueries {
       "similarity_topk_bruteforce",
       (s, d) => {
         val e = Tables.embeddings(s, d)
-          .select(col("vec_id"), col("embedding"),
-            expr(normSql.format("embedding")).as("norm"))
+          .select(col("vec_id"), col("embedding"), vecNorm(col("embedding")).as("norm"))
         val q = e.filter(col("vec_id") < 5)
           .select(col("vec_id").as("query_id"), col("embedding").as("ea"),
             col("norm").as("norm_a"))
@@ -258,7 +249,7 @@ object MLQueries {
           .select(col("vec_id").as("neighbor_id"), col("embedding").as("eb"),
             col("norm").as("norm_b"))
         q.crossJoin(c)
-          .withColumn("sim", r6(expr(dotSql) / (col("norm_a") * col("norm_b"))))
+          .withColumn("sim", r6(vecDot(col("ea"), col("eb")) / (col("norm_a") * col("norm_b"))))
           .withColumn("rank", row_number().over(
             Window.partitionBy(col("query_id"))
               .orderBy(col("sim").desc, col("neighbor_id"))))
@@ -289,8 +280,7 @@ object MLQueries {
       (s, d) => {
         val planes = "((CAST((i + 1) * (j + 7) AS BIGINT) * 2654435761) % 1000003) / 1000003.0 - 0.5"
         val buckets = Tables.embeddings(s, d)
-          .select(col("vec_id"), col("embedding"),
-            expr(normSql.format("embedding")).as("norm"))
+          .select(col("vec_id"), col("embedding"), vecNorm(col("embedding")).as("norm"))
           .select(col("vec_id"), col("embedding"), col("norm"),
             posexplode(col("embedding")).as(Seq("i", "v")))
           .crossJoin(s.range(0, 4).select(col("id").as("j")))
@@ -309,7 +299,7 @@ object MLQueries {
           .select(col("vec_id").as("neighbor_id"), col("embedding").as("eb"),
             col("norm").as("norm_b"), col("bucket"))
         q.join(c, "bucket")
-          .withColumn("sim", r6(expr(dotSql) / (col("norm_a") * col("norm_b"))))
+          .withColumn("sim", r6(vecDot(col("ea"), col("eb")) / (col("norm_a") * col("norm_b"))))
           .withColumn("rank", row_number().over(
             Window.partitionBy(col("query_id"))
               .orderBy(col("sim").desc, col("neighbor_id"))))
