@@ -467,6 +467,27 @@ object CoreQueries {
       Some("""SELECT event_id, user_id, value FROM events
              |WHERE value > 150.0 ORDER BY event_id""".stripMargin)),
 
+    // A29: label truncation — shorten (prefix + "...", analyze.py:518-521).
+    // Threshold 200 so the judged corpus (text lengths 47..~450) exercises
+    // BOTH branches; the reference's 30-char variant is presentation-layer.
+    NamedQuery(
+      "string_truncate_labels",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            when(length(col("text")) > 200,
+              concat(substring(col("text"), 1, 200), lit("...")))
+              .otherwise(col("text")).as("label"))
+          .withColumn("label_len", length(col("label")).cast("long"))
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, label, CAST(length(label) AS BIGINT) AS label_len
+             |FROM (
+             |  SELECT doc_id,
+             |    CASE WHEN length(text) > 200 THEN substr(text, 1, 200) || '...'
+             |         ELSE text END AS label
+             |  FROM documents
+             |) ORDER BY doc_id""".stripMargin)),
+
     // A8/A13 shape: JSON path extraction from a raw string column.
     NamedQuery(
       "json_extract_path",

@@ -187,6 +187,9 @@ object MLQueries {
         val b = sh.select(col("doc_id").as("doc_b"), col("sh"))
         a.join(b, "sh").filter(col("doc_a") < col("doc_b"))
           .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("shared"))
+          // no broadcast hint: sizes is per-document (unbounded at scale) —
+          // let the auto-threshold broadcast it when small and degrade to a
+          // shuffle join at 100 TB
           .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
           .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
           .withColumn("jaccard",
