@@ -111,6 +111,14 @@ object Pipeline {
         s"dim=${sample.features.length} offsets=${sample.frame_offsets.mkString(",")}")
       spark.stop()
 
+    case "collect" :: coordinator :: out :: opts =>
+      // stage 1 (collect.py): poll the coordinator REST API into a dir of
+      // gzipped QueryInfo JSONs — the input of `extract` / `stream`.
+      val c = new graft.collect.Collector(coordinator,
+        user = sys.env.getOrElse("GRAFT_USER", "analyzer"))
+      if (opts.contains("--loop")) c.loop(out)
+      else println(s"collected ${c.collectOnce(out)} new queries to $out")
+
     case "explain" :: sfDir :: names =>
       // plan audit: formatted physical plans for the named judged queries
       // (all of them when none named) — the review loop for pushdown/

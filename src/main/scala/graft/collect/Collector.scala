@@ -1,0 +1,100 @@
+package graft.collect
+
+import java.io.FileOutputStream
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+import java.util.Base64
+import java.util.zip.GZIPOutputStream
+import com.fasterxml.jackson.databind.ObjectMapper
+import scala.jdk.CollectionConverters._
+
+/** Stage 1 (reference `collect.py`): poll the coordinator REST API and save
+  * one gzipped QueryInfo JSON per finished query.
+  *
+  * Deliberately NOT a Spark job (same as the reference): it is a light
+  * driver-side poller whose output directory is what `Extract` /
+  * `StreamingIngest` consume. Semantics mirrored from `collect.py:32-122`:
+  * only FINISHED/FAILED queries (`:90-96`), skip ids whose output file
+  * already exists (`:100-103`), per-query politeness delay (`:106`),
+  * `?pretty` detail fetch (`:105`), gzip sink (`:116-117`), both
+  * X-Trino-User and X-Presto-User headers plus optional basic auth
+  * (`:38-48`), non-OK and per-query failures logged and skipped
+  * (`:57-59`, `:112-114`).
+  */
+final class Collector(
+    coordinator: String,
+    user: String = "analyzer",
+    basicAuth: Option[(String, String)] = None,
+    http: HttpClient = HttpClient.newHttpClient()) {
+
+  private val mapper = new ObjectMapper()
+  val doneStates: Set[String] = Set("FINISHED", "FAILED")
+
+  private def get(url: String): Option[String] = {
+    val b = HttpRequest.newBuilder(URI.create(url))
+      .header("X-Trino-User", user)
+      .header("X-Presto-User", user)
+    basicAuth.foreach { case (u, p) =>
+      b.header("Authorization", "Basic " + Base64.getEncoder
+        .encodeToString(s"$u:$p".getBytes(StandardCharsets.UTF_8)))
+    }
+    val resp = http.send(b.build(), HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() / 100 == 2) Some(resp.body())
+    else {
+      System.err.println(s"[collect] GET $url -> HTTP ${resp.statusCode()}, skipping")
+      None
+    }
+  }
+
+  /** ids of queries in a done state, from `GET /v1/query`. */
+  def listDone(): Seq[String] =
+    get(s"$coordinator/v1/query").toSeq.flatMap { body =>
+      mapper.readTree(body).elements.asScala.collect {
+        case q if Option(q.get("state")).exists(s => doneStates(s.asText)) =>
+          q.get("queryId").asText
+      }.toSeq
+    }
+
+  /** full QueryInfo JSON for one id (`?pretty`, like the reference). */
+  def queryInfo(id: String): Option[String] =
+    get(s"$coordinator/v1/query/$id?pretty")
+
+  /** One poll cycle: fetch every done query not already on disk. Returns
+    * the number of new files written.
+    */
+  def collectOnce(outDir: String, delayMs: Long = 100): Int = {
+    Files.createDirectories(Paths.get(outDir))
+    var written = 0
+    listDone().foreach { id =>
+      val out = Paths.get(outDir, s"$id.json.gz")
+      if (!Files.exists(out)) { // incremental dedup sink (collect.py:100-103)
+        try {
+          queryInfo(id).foreach { json =>
+            writeGzip(out, json)
+            written += 1
+          }
+          Thread.sleep(delayMs)
+        } catch {
+          case e: Exception => // per-query failures don't stop the cycle
+            System.err.println(s"[collect] $id failed: ${e.getMessage}")
+        }
+      }
+    }
+    written
+  }
+
+  /** `--loop` mode: poll until the thread is interrupted. */
+  def loop(outDir: String, delayMs: Long = 100, loopDelayMs: Long = 1000): Unit =
+    while (!Thread.currentThread().isInterrupted) {
+      collectOnce(outDir, delayMs)
+      Thread.sleep(loopDelayMs)
+    }
+
+  private def writeGzip(path: Path, content: String): Unit = {
+    val os = new GZIPOutputStream(new FileOutputStream(path.toFile))
+    try os.write(content.getBytes(StandardCharsets.UTF_8))
+    finally os.close()
+  }
+}

@@ -84,21 +84,21 @@ object MLQueries {
         val sh = shingles(s, d)
         val ids = sh.select(col("sh")).distinct()
           .withColumn("sid", dense_rank().over(Window.orderBy(col("sh"))).cast("long"))
+        // all 16 minima in ONE aggregation pass (no 16x row explosion —
+        // the shuffle carries one row per doc, not sixteen). Multipliers
+        // must dwarf the modulus or (a*sid+b) never wraps and every
+        // "permutation" degenerates to min(sid).
+        val mins = (0 until 16).map(k =>
+          min((col("sid") * (lit(2654435761L) + lit(k.toLong) * 40503L)
+            + lit(17L) + lit(k.toLong) * 131L) % lit(2147483647L)).as(s"mh$k"))
         val perms = sh.join(ids, "sh")
-          .crossJoin(s.range(0, 16).select(col("id").as("k")))
-          .groupBy(col("doc_id"), col("k"))
-          // multiplier must dwarf the modulus or (a*sid+b) never wraps and
-          // every "permutation" degenerates to min(sid)
-          .agg(min((col("sid") * (lit(2654435761L) + col("k") * 40503L)
-            + lit(17L) + col("k") * 131L) % lit(2147483647L)).as("mh"))
-        val bands = perms
-          .withColumn("band", expr("k div 4"))
-          .groupBy(col("doc_id"), col("band"))
-          .agg(concat_ws("_",
-            max(when(col("k") % 4 === 0, col("mh"))),
-            max(when(col("k") % 4 === 1, col("mh"))),
-            max(when(col("k") % 4 === 2, col("mh"))),
-            max(when(col("k") % 4 === 3, col("mh")))).as("sig"))
+          .groupBy(col("doc_id"))
+          .agg(mins.head, mins.tail: _*)
+        val sigs = (0 until 4).map(b => (b, s"concat_ws('_', mh${4 * b}, mh${4 * b + 1}, mh${4 * b + 2}, mh${4 * b + 3})"))
+        val stackExpr = "stack(4, " +
+          sigs.map { case (b, sig) => s"CAST($b AS BIGINT), $sig" }.mkString(", ") +
+          ") AS (band, sig)"
+        val bands = perms.select(col("doc_id"), expr(stackExpr))
         bands.groupBy(col("band"), col("sig")).agg(count(lit(1)).as("bucket_n"))
           .groupBy(col("band"))
           .agg(count(lit(1)).as("n_buckets"), sum(col("bucket_n")).as("n_docs"),
@@ -111,19 +111,30 @@ object MLQueries {
               |  SELECT sh, CAST(DENSE_RANK() OVER (ORDER BY sh) AS BIGINT) AS sid
               |  FROM (SELECT DISTINCT sh FROM sh)
               |), perms AS (
-              |  SELECT doc_id, k,
-              |    MIN((sid * (2654435761 + k * 40503) + 17 + k * 131) % 2147483647) AS mh
+              |  SELECT doc_id,
+              |    MIN((sid * (2654435761 + 0 * 40503) + 17 + 0 * 131) % 2147483647) AS mh0,
+              |    MIN((sid * (2654435761 + 1 * 40503) + 17 + 1 * 131) % 2147483647) AS mh1,
+              |    MIN((sid * (2654435761 + 2 * 40503) + 17 + 2 * 131) % 2147483647) AS mh2,
+              |    MIN((sid * (2654435761 + 3 * 40503) + 17 + 3 * 131) % 2147483647) AS mh3,
+              |    MIN((sid * (2654435761 + 4 * 40503) + 17 + 4 * 131) % 2147483647) AS mh4,
+              |    MIN((sid * (2654435761 + 5 * 40503) + 17 + 5 * 131) % 2147483647) AS mh5,
+              |    MIN((sid * (2654435761 + 6 * 40503) + 17 + 6 * 131) % 2147483647) AS mh6,
+              |    MIN((sid * (2654435761 + 7 * 40503) + 17 + 7 * 131) % 2147483647) AS mh7,
+              |    MIN((sid * (2654435761 + 8 * 40503) + 17 + 8 * 131) % 2147483647) AS mh8,
+              |    MIN((sid * (2654435761 + 9 * 40503) + 17 + 9 * 131) % 2147483647) AS mh9,
+              |    MIN((sid * (2654435761 + 10 * 40503) + 17 + 10 * 131) % 2147483647) AS mh10,
+              |    MIN((sid * (2654435761 + 11 * 40503) + 17 + 11 * 131) % 2147483647) AS mh11,
+              |    MIN((sid * (2654435761 + 12 * 40503) + 17 + 12 * 131) % 2147483647) AS mh12,
+              |    MIN((sid * (2654435761 + 13 * 40503) + 17 + 13 * 131) % 2147483647) AS mh13,
+              |    MIN((sid * (2654435761 + 14 * 40503) + 17 + 14 * 131) % 2147483647) AS mh14,
+              |    MIN((sid * (2654435761 + 15 * 40503) + 17 + 15 * 131) % 2147483647) AS mh15
               |  FROM sh JOIN ids USING (sh)
-              |  CROSS JOIN (SELECT UNNEST(generate_series(0, 15)) AS k)
-              |  GROUP BY doc_id, k
+              |  GROUP BY doc_id
               |), bands AS (
-              |  SELECT doc_id, k // 4 AS band,
-              |    concat_ws('_',
-              |      MAX(CASE WHEN k % 4 = 0 THEN mh END),
-              |      MAX(CASE WHEN k % 4 = 1 THEN mh END),
-              |      MAX(CASE WHEN k % 4 = 2 THEN mh END),
-              |      MAX(CASE WHEN k % 4 = 3 THEN mh END)) AS sig
-              |  FROM perms GROUP BY doc_id, k // 4
+              |  SELECT doc_id, CAST(0 AS BIGINT) AS band, concat_ws('_', mh0, mh1, mh2, mh3) AS sig FROM perms
+              |  UNION ALL SELECT doc_id, CAST(1 AS BIGINT) AS band, concat_ws('_', mh4, mh5, mh6, mh7) AS sig FROM perms
+              |  UNION ALL SELECT doc_id, CAST(2 AS BIGINT) AS band, concat_ws('_', mh8, mh9, mh10, mh11) AS sig FROM perms
+              |  UNION ALL SELECT doc_id, CAST(3 AS BIGINT) AS band, concat_ws('_', mh12, mh13, mh14, mh15) AS sig FROM perms
               |), buckets AS (
               |  SELECT band, sig, CAST(COUNT(*) AS BIGINT) AS bucket_n
               |  FROM bands GROUP BY band, sig
@@ -143,15 +154,19 @@ object MLQueries {
           .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("cnt"))
         val ids = wordCounts.select(col("word")).distinct()
           .withColumn("wid", dense_rank().over(Window.orderBy(col("word"))).cast("long"))
+        // one aggregation pass: 16 signed-majority accumulators per doc
+        // (previous shape exploded rows 16x through a range cross-join)
+        val accs = (0 until 16).map { b =>
+          val g = (col("wid") * (lit(2654435761L) + lit(b.toLong) * 37L)
+            + lit(91L) + lit(b.toLong) * 53L) % lit(2147483647L) % 2L
+          sum((g * 2L - 1L) * col("cnt")).as(s"acc$b")
+        }
+        val bitSum = (0 until 16).map(b =>
+          when(col(s"acc$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _)
         wordCounts.join(ids, "word")
-          .crossJoin(s.range(0, 16).select(col("id").as("b")))
-          .withColumn("g", (col("wid") * (lit(2654435761L) + col("b") * 37L) + lit(91L) + col("b") * 53L)
-            % lit(2147483647L) % 2L)
-          .groupBy(col("doc_id"), col("b"))
-          .agg(sum((col("g") * 2L - 1L) * col("cnt")).as("acc"))
           .groupBy(col("doc_id"))
-          .agg(sum(when(col("acc") > 0, pow(lit(2.0), col("b")).cast("long"))
-            .otherwise(0L)).as("simhash"))
+          .agg(accs.head, accs.tail: _*)
+          .select(col("doc_id"), bitSum.as("simhash"))
           .orderBy(col("doc_id"))
       },
       Some("""WITH wc AS (
@@ -162,17 +177,29 @@ object MLQueries {
              |  SELECT word, CAST(DENSE_RANK() OVER (ORDER BY word) AS BIGINT) AS wid
              |  FROM (SELECT DISTINCT word FROM wc)
              |), bits AS (
-             |  SELECT doc_id, b,
-             |    SUM((((wid * (2654435761 + b * 37) + 91 + b * 53) % 2147483647 % 2) * 2 - 1)
-             |      * cnt) AS acc
+             |  SELECT doc_id,
+             |    SUM((((wid * (2654435761 + 0 * 37) + 91 + 0 * 53) % 2147483647 % 2) * 2 - 1) * cnt) AS acc0,
+             |    SUM((((wid * (2654435761 + 1 * 37) + 91 + 1 * 53) % 2147483647 % 2) * 2 - 1) * cnt) AS acc1,
+             |    SUM((((wid * (2654435761 + 2 * 37) + 91 + 2 * 53) % 2147483647 % 2) * 2 - 1) * cnt) AS acc2,
+             |    SUM((((wid * (2654435761 + 3 * 37) + 91 + 3 * 53) % 2147483647 % 2) * 2 - 1) * cnt) AS acc3,
+             |    SUM((((wid * (2654435761 + 4 * 37) + 91 + 4 * 53) % 2147483647 % 2) * 2 - 1) * cnt) AS acc4,
+             |    SUM((((wid * (2654435761 + 5 * 37) + 91 + 5 * 53) % 2147483647 % 2) * 2 - 1) * cnt) AS acc5,
+             |    SUM((((wid * (2654435761 + 6 * 37) + 91 + 6 * 53) % 2147483647 % 2) * 2 - 1) * cnt) AS acc6,
+             |    SUM((((wid * (2654435761 + 7 * 37) + 91 + 7 * 53) % 2147483647 % 2) * 2 - 1) * cnt) AS acc7,
+             |    SUM((((wid * (2654435761 + 8 * 37) + 91 + 8 * 53) % 2147483647 % 2) * 2 - 1) * cnt) AS acc8,
+             |    SUM((((wid * (2654435761 + 9 * 37) + 91 + 9 * 53) % 2147483647 % 2) * 2 - 1) * cnt) AS acc9,
+             |    SUM((((wid * (2654435761 + 10 * 37) + 91 + 10 * 53) % 2147483647 % 2) * 2 - 1) * cnt) AS acc10,
+             |    SUM((((wid * (2654435761 + 11 * 37) + 91 + 11 * 53) % 2147483647 % 2) * 2 - 1) * cnt) AS acc11,
+             |    SUM((((wid * (2654435761 + 12 * 37) + 91 + 12 * 53) % 2147483647 % 2) * 2 - 1) * cnt) AS acc12,
+             |    SUM((((wid * (2654435761 + 13 * 37) + 91 + 13 * 53) % 2147483647 % 2) * 2 - 1) * cnt) AS acc13,
+             |    SUM((((wid * (2654435761 + 14 * 37) + 91 + 14 * 53) % 2147483647 % 2) * 2 - 1) * cnt) AS acc14,
+             |    SUM((((wid * (2654435761 + 15 * 37) + 91 + 15 * 53) % 2147483647 % 2) * 2 - 1) * cnt) AS acc15
              |  FROM wc JOIN ids USING (word)
-             |  CROSS JOIN (SELECT UNNEST(generate_series(0, 15)) AS b)
-             |  GROUP BY doc_id, b
+             |  GROUP BY doc_id
              |)
              |SELECT doc_id,
-             |  CAST(SUM(CASE WHEN acc > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END)
-             |    AS BIGINT) AS simhash
-             |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+             |  CAST((CASE WHEN acc0 > 0 THEN 1 ELSE 0 END) + (CASE WHEN acc1 > 0 THEN 2 ELSE 0 END) + (CASE WHEN acc2 > 0 THEN 4 ELSE 0 END) + (CASE WHEN acc3 > 0 THEN 8 ELSE 0 END) + (CASE WHEN acc4 > 0 THEN 16 ELSE 0 END) + (CASE WHEN acc5 > 0 THEN 32 ELSE 0 END) + (CASE WHEN acc6 > 0 THEN 64 ELSE 0 END) + (CASE WHEN acc7 > 0 THEN 128 ELSE 0 END) + (CASE WHEN acc8 > 0 THEN 256 ELSE 0 END) + (CASE WHEN acc9 > 0 THEN 512 ELSE 0 END) + (CASE WHEN acc10 > 0 THEN 1024 ELSE 0 END) + (CASE WHEN acc11 > 0 THEN 2048 ELSE 0 END) + (CASE WHEN acc12 > 0 THEN 4096 ELSE 0 END) + (CASE WHEN acc13 > 0 THEN 8192 ELSE 0 END) + (CASE WHEN acc14 > 0 THEN 16384 ELSE 0 END) + (CASE WHEN acc15 > 0 THEN 32768 ELSE 0 END) AS BIGINT) AS simhash
+             |FROM bits ORDER BY doc_id""".stripMargin)),
 
     // n-gram Jaccard near-dup: candidate pairs via shared-shingle equi-join
     // (the LSH-free baseline), exact Jaccard, top-10 most-similar pairs.

@@ -1,0 +1,74 @@
+package graft
+
+import java.net.InetSocketAddress
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.collect.Collector
+
+/** A1-A3 against an embedded coordinator stub: state filter, incremental
+  * dedup sink, gzip output, auth headers, error tolerance.
+  */
+class CollectorSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var server: HttpServer = _
+  private var port: Int = _
+  @volatile private var detailHits = Map.empty[String, Int].withDefaultValue(0)
+  @volatile private var lastUserHeader: Option[String] = None
+
+  private val listJson =
+    """[
+      |  {"queryId": "20220101_000001_00001_aaaaa", "state": "FINISHED"},
+      |  {"queryId": "20220101_000002_00002_bbbbb", "state": "RUNNING"},
+      |  {"queryId": "20220101_000003_00003_ccccc", "state": "FAILED"},
+      |  {"queryId": "20220101_000004_00004_ddddd", "state": "QUEUED"}
+      |]""".stripMargin
+
+  override def beforeAll(): Unit = {
+    server = HttpServer.create(new InetSocketAddress(0), 0)
+    port = server.getAddress.getPort
+    server.createContext("/v1/query", (ex: HttpExchange) => {
+      lastUserHeader = Option(ex.getRequestHeaders.getFirst("X-Trino-User"))
+      val path = ex.getRequestURI.getPath
+      val body: Option[String] =
+        if (path == "/v1/query") Some(listJson)
+        else {
+          val id = path.stripPrefix("/v1/query/")
+          detailHits = detailHits.updated(id, detailHits(id) + 1)
+          if (id.startsWith("20220101_000003")) None // detail fetch fails
+          else Some(s"""{"queryId": "$id", "state": "FINISHED", "query": "SELECT 1"}""")
+        }
+      body match {
+        case Some(b) =>
+          val bytes = b.getBytes("UTF-8")
+          ex.sendResponseHeaders(200, bytes.length)
+          ex.getResponseBody.write(bytes)
+        case None =>
+          ex.sendResponseHeaders(500, -1)
+      }
+      ex.close()
+    })
+    server.start()
+  }
+
+  override def afterAll(): Unit = server.stop(0)
+
+  test("collects only done states, skips existing, tolerates failures") {
+    val out = java.nio.file.Files.createTempDirectory("graft-collect").toString
+    val c = new Collector(s"http://localhost:$port", user = "tester")
+    // cycle 1: FINISHED ok, FAILED-detail 500s, RUNNING/QUEUED filtered
+    assert(c.collectOnce(out, delayMs = 0) === 1)
+    assert(lastUserHeader === Some("tester"))
+    // cycle 2: nothing new — the existing file is not re-fetched
+    assert(c.collectOnce(out, delayMs = 0) === 0)
+    assert(detailHits("20220101_000001_00001_aaaaa") === 1)
+    // gzip content round-trips as valid JSON with the id
+    val path = java.nio.file.Paths.get(out, "20220101_000001_00001_aaaaa.json.gz")
+    assert(java.nio.file.Files.exists(path))
+    val in = new java.util.zip.GZIPInputStream(new java.io.FileInputStream(path.toFile))
+    val content = new String(in.readAllBytes(), "UTF-8")
+    assert(content.contains("20220101_000001_00001_aaaaa"))
+    // never asked for the RUNNING/QUEUED queries
+    assert(detailHits("20220101_000002_00002_bbbbb") === 0)
+  }
+}
