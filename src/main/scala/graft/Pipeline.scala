@@ -78,6 +78,7 @@ object Pipeline {
       if (opts.contains("--remove-query")) df = JsonlProcess.removeQuery(df)
       opts.sliding(2).foreach {
         case List("--filter-user", u) => df = JsonlProcess.filterByColumn(df, "user", u)
+        case List("--rename-array", c) => df = JsonlProcess.obfuscateArrayColumn(df, c, c)
         case _ =>
       }
       df.write.mode("overwrite").option("compression", "gzip").json(out)

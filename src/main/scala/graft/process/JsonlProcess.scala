@@ -54,6 +54,34 @@ object JsonlProcess {
       .drop("old_name", "new_name")
   }
 
+  /** `ListObfuscator` (`jsonl_process.py:68-76`): obfuscate every element
+    * of an array<string> column through ONE shared dictionary (the
+    * reference's partitionIds case). First-seen order is (min query_id,
+    * min position) — the deterministic equivalent of its sequential scan.
+    */
+  def obfuscateArrayColumn(df: DataFrame, column: String, prefix: String): DataFrame = {
+    val exploded = df
+      .select(col("query_id"), posexplode(col(column)).as(Seq("pos", "old_name")))
+      .filter(col("old_name") =!= "")
+    val table = exploded
+      .groupBy(col("old_name"))
+      .agg(min(struct(col("query_id"), col("pos"))).as("first_seen"))
+      .withColumn("new_name", concat(lit(prefix),
+        (dense_rank().over(Window.orderBy(col("first_seen"), col("old_name"))) - 1)
+          .cast("string")))
+      .select(col("old_name"), col("new_name"))
+    val rebuilt = exploded
+      .join(broadcast(table), "old_name")
+      .groupBy(col("query_id"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("new_name")))),
+        c => c.getField("new_name")).as("__obf"))
+    df.join(rebuilt, Seq("query_id"), "left")
+      .withColumn(column,
+        when(col("__obf").isNotNull, col("__obf"))
+          .otherwise(array().cast("array<string>")))
+      .drop("__obf")
+  }
+
   /** `--remove-query` equivalent: blank the query text. */
   def removeQuery(df: DataFrame): DataFrame =
     df.withColumn("query", lit(""))

@@ -38,6 +38,21 @@ class JsonlProcessSpec extends SparkSpec {
       includeAbsent = false).count() === 2)
   }
 
+  test("array obfuscation shares one dictionary across rows, keeps order") {
+    val d = Seq(
+      ("20220101_000001_00001_aaaaa", Seq("p_2022", "p_2023")),
+      ("20220101_000002_00002_bbbbb", Seq("p_2023", "p_2024", "p_2022")),
+      ("20220101_000003_00003_ccccc", Seq.empty[String]))
+      .toDF("query_id", "partition_ids")
+    val out = JsonlProcess.obfuscateArrayColumn(d, "partition_ids", "partition")
+      .orderBy("query_id").collect()
+      .map(_.getSeq[String](1).toList)
+    // p_2022 seen first (row1 pos0) → partition0; p_2023 → partition1; p_2024 → partition2
+    assert(out(0) === List("partition0", "partition1"))
+    assert(out(1) === List("partition1", "partition2", "partition0"))
+    assert(out(2) === List())
+  }
+
   test("removeQuery blanks the text") {
     val d2 = df.withColumn("query", lit("SELECT secret FROM t"))
     assert(JsonlProcess.removeQuery(d2).select("query").distinct().collect()
