@@ -59,8 +59,13 @@ object ChartOps {
     val spark = points.sparkSession
     val step = 1.0 / bins
     val all = Window.partitionBy()
-    val binned = points
+    val pts = points
       .select(col(selCol).cast("double").as("x"), col(weightCol).cast("double").as("w"))
+    // the reference bails out before padding when there are no points
+    // (analyze.py:633-634) — padding alone would divide by a zero total
+    if (pts.isEmpty)
+      return pts.select(lit("").as("label"), lit(0.0).as("pct")).limit(0)
+    val binned = pts
       .withColumn("bin", abs(floor((col("x") - lit(step / 2)) * 10.0 + 0.5) / 10.0))
       .withColumn("label",
         when(col("bin") <= maxSelectivity + 1e-9, format_string("%.2f", col("bin")))
