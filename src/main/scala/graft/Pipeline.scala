@@ -34,12 +34,19 @@ object Pipeline {
   }
 
   // format sniffing by contents, not by path naming conventions — the
-  // `process` stage emits json.gz into arbitrarily-named dirs.
+  // `process` stage emits json.gz into arbitrarily-named dirs. Goes through
+  // the Hadoop FileSystem API so s3a://, hdfs://, and nested partitioned
+  // layouts resolve the same way local paths do.
   private def readSummaries(spark: SparkSession, path: String) = {
-    val f = new java.io.File(path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    def containsParquet(dir: org.apache.hadoop.fs.Path, depth: Int): Boolean =
+      depth >= 0 && fs.listStatus(dir).exists { st =>
+        if (st.isDirectory) containsParquet(st.getPath, depth - 1)
+        else st.getPath.getName.endsWith(".parquet")
+      }
     val isParquet =
-      if (f.isDirectory)
-        f.listFiles().exists(x => x.getName.endsWith(".parquet"))
+      if (fs.getFileStatus(p).isDirectory) containsParquet(p, 2)
       else path.endsWith(".parquet")
     if (isParquet) spark.read.parquet(path)
     else Extract.readJsonl(spark, path).toDF()
@@ -81,10 +88,16 @@ object Pipeline {
     case "process" :: in :: out :: opts =>
       val spark = session()
       var df = readSummaries(spark, in)
+      // filters FIRST, then obfuscators — jsonl_process.py checks
+      // filter_line before process_line, and filtering by the original
+      // (pre-rename) name is the only useful semantics
+      opts.sliding(2).foreach {
+        case List("--filter-user", u) => df = JsonlProcess.filterByColumn(df, "user", u)
+        case _ =>
+      }
       if (opts.contains("--rename-user")) df = JsonlProcess.renameUsers(df)
       if (opts.contains("--remove-query")) df = JsonlProcess.removeQuery(df)
       opts.sliding(2).foreach {
-        case List("--filter-user", u) => df = JsonlProcess.filterByColumn(df, "user", u)
         case List("--rename-array", c) => df = JsonlProcess.obfuscateArrayColumn(df, c, c)
         case _ =>
       }
@@ -113,10 +126,11 @@ object Pipeline {
         graft.ml.Multimodal.documentsAsMedia(spark, in), frames = 4,
         coPartitions = Some(spark.sparkContext.defaultParallelism))
       feats.toDF().write.mode("overwrite").parquet(out)
-      val sample = feats.filter(_.media_id == 7L).collect()(0)
-      println(s"featurized ${spark.read.parquet(out).count()} media records to $out; " +
-        s"sample id=7 kind=${sample.kind} bytes=${sample.n_bytes} " +
-        s"dim=${sample.features.length} offsets=${sample.frame_offsets.mkString(",")}")
+      val sample = feats.orderBy(org.apache.spark.sql.functions.col("media_id")).head(1)
+      val desc = sample.headOption.map(r =>
+        s"; sample id=${r.media_id} kind=${r.kind} bytes=${r.n_bytes} " +
+          s"dim=${r.features.length} offsets=${r.frame_offsets.mkString(",")}").getOrElse("")
+      println(s"featurized ${spark.read.parquet(out).count()} media records to $out$desc")
       spark.stop()
 
     case "report" :: in :: out :: _ =>

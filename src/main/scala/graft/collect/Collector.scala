@@ -77,6 +77,10 @@ final class Collector(
           }
           Thread.sleep(delayMs)
         } catch {
+          case _: InterruptedException =>
+            // restore the flag so loop()'s isInterrupted check fires
+            Thread.currentThread().interrupt()
+            return written
           case e: Exception => // per-query failures don't stop the cycle
             System.err.println(s"[collect] $id failed: ${e.getMessage}")
         }

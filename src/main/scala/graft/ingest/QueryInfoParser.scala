@@ -26,22 +26,25 @@ object QueryInfoParser {
 
   private val mapper = new ObjectMapper()
 
-  private val timeUnits: Seq[(String, Double)] = Seq(
-    "ns" -> 1e-9, "ms" -> 1e-3, "us" -> 1e-6,
-    "s" -> 1.0, "m" -> 60.0, "h" -> 3600.0, "d" -> 86400.0)
-  private val sizeUnits: Seq[(String, Double)] = Seq(
-    "TB" -> math.pow(1024, 4), "GB" -> math.pow(1024, 3),
-    "MB" -> 1048576.0, "kB" -> 1024.0, "B" -> 1.0)
+  /** Signals a record that must be dropped — the JVM analog of the
+    * reference's ValueError/KeyError paths (`extract.py:168-169,204-205`).
+    * Caught once in [[parse]]; never escapes into the Spark task.
+    */
+  private final class DropRecord extends Exception
 
+  // NumberFormatException (e.g. Trino's "1.5PB": "PB" is absent from the
+  // reference's table so "1.5P" reaches the float parse) → drop the record,
+  // exactly like the reference's per-file ValueError catch.
   private def parseUnits(s: String, units: Seq[(String, Double)]): Option[Double] =
     if (s == null) None
-    else units.collectFirst {
+    else try units.collectFirst {
       case (suffix, factor) if s.endsWith(suffix) =>
         s.dropRight(suffix.length).toDouble * factor
     }.orElse(Some(s.toDouble))
+    catch { case _: NumberFormatException => throw new DropRecord }
 
-  def parseTime(s: String): Option[Double] = parseUnits(s, timeUnits)
-  def parseSize(s: String): Option[Double] = parseUnits(s, sizeUnits)
+  def parseTime(s: String): Option[Double] = parseUnits(s, graft.parse.Units.timeFactors)
+  def parseSize(s: String): Option[Double] = parseUnits(s, graft.parse.Units.sizeFactors)
 
   private def textOpt(n: JsonNode, field: String): Option[String] =
     Option(n.get(field)).filterNot(_.isNull).map(_.asText)
@@ -51,6 +54,20 @@ object QueryInfoParser {
     textOpt(n, field).flatMap(parseSize)
   private def longOpt(n: JsonNode, field: String): Option[Long] =
     Option(n.get(field)).filterNot(_.isNull).map(_.asLong)
+
+  // required-key accessors: the reference indexes these fields directly, so
+  // a missing key is a KeyError → record dropped (`extract.py:168-169`).
+  // Present-but-null still parses to None, matching parse_units(None).
+  private def require(n: JsonNode, field: String): Unit =
+    if (!n.has(field)) throw new DropRecord
+  private def reqText(n: JsonNode, field: String): String =
+    { require(n, field); textOpt(n, field).getOrElse(throw new DropRecord) }
+  private def reqTime(n: JsonNode, field: String): Option[Double] =
+    { require(n, field); timeOpt(n, field) }
+  private def reqSize(n: JsonNode, field: String): Option[Double] =
+    { require(n, field); sizeOpt(n, field) }
+  private def reqLong(n: JsonNode, field: String): Option[Long] =
+    { require(n, field); longOpt(n, field) }
 
   /** Python-style `or`: a 0.0 (falsy) result falls through to `b`. */
   private def orFalsy(a: Option[Double], b: => Option[Double]): Option[Double] =
@@ -182,101 +199,91 @@ object QueryInfoParser {
   }
 
   /** `get_operators` (`extract.py:66-91`); a malformed element drops the
-    * whole record, matching the reference's raise-on-KeyError.
+    * whole record, matching the reference's raise-on-KeyError (the raise
+    * happens inside summary()'s try, so the record — not the job — dies).
+    * `inputDataSize` is only required when the raw-or-input chain comes up
+    * falsy, mirroring Python's lazy `or` evaluation.
     */
-  private def operators(summaries: Seq[JsonNode]): Option[Seq[OperatorStat]] = {
-    val out = summaries.map { s =>
-      for {
-        nodeId <- textOpt(s, "planNodeId")
-        typ <- textOpt(s, "operatorType")
-        outputSize <- Some(sizeOpt(s, "outputDataSize"))
-        outputRows <- longOpt(s, "outputPositions")
-      } yield OperatorStat(
-        node_id = nodeId,
-        operator_type = typ,
+  private def operators(summaries: Seq[JsonNode]): Seq[OperatorStat] =
+    summaries.map { s =>
+      OperatorStat(
+        node_id = reqText(s, "planNodeId"),
+        operator_type = reqText(s, "operatorType"),
         input_size = orFalsy(
           textOpt(s, "rawInputDataSize").orElse(textOpt(s, "inputDataSize")).flatMap(parseSize),
-          sizeOpt(s, "inputDataSize")),
-        output_size = outputSize,
+          reqSize(s, "inputDataSize")),
+        output_size = reqSize(s, "outputDataSize"),
         network_size = sizeOpt(s, "internalNetworkInputDataSize"),
         peak_mem =
           if (s.has("peakTotalMemoryReservation")) sizeOpt(s, "peakTotalMemoryReservation")
           else Some(0.0),
         input_rows = Some(longOpt(s, "rawInputPositions").filter(_ != 0L)
           .orElse(longOpt(s, "inputPositions")).getOrElse(0L)),
-        output_rows = Some(outputRows),
+        output_rows = reqLong(s, "outputPositions"),
         network_rows = longOpt(s, "internalNetworkInputPositions"),
-        input_cpu = timeOpt(s, "addInputCpu"),
-        output_cpu = timeOpt(s, "getOutputCpu"),
-        finish_cpu = timeOpt(s, "finishCpu"),
-        input_wall = timeOpt(s, "addInputWall"),
-        output_wall = timeOpt(s, "getOutputWall"),
-        finish_wall = timeOpt(s, "finishWall"),
-        blocked_wall = timeOpt(s, "blockedWall"))
+        input_cpu = reqTime(s, "addInputCpu"),
+        output_cpu = reqTime(s, "getOutputCpu"),
+        finish_cpu = reqTime(s, "finishCpu"),
+        input_wall = reqTime(s, "addInputWall"),
+        output_wall = reqTime(s, "getOutputWall"),
+        finish_wall = reqTime(s, "finishWall"),
+        blocked_wall = reqTime(s, "blockedWall"))
     }
-    if (out.contains(None)) None else Some(out.flatten)
-  }
 
   /** One QueryInfo document → summary record; None = dropped (internal
-    * query, corrupt JSON, or missing required stats).
+    * query, corrupt JSON, malformed numbers, or missing required keys —
+    * the reference's ValueError/KeyError drop paths).
     */
-  def parse(json: String): Option[QuerySummary] = {
-    val root =
-      try mapper.readTree(json)
-      catch { case _: Exception => return None } // corrupt file: drop (extract.py:204-205)
-    if (root == null || !root.isObject) return None
+  def parse(json: String): Option[QuerySummary] =
+    try {
+      val root = mapper.readTree(json) // corrupt file: drop (extract.py:204-205)
+      if (root == null || !root.isObject) return None
 
-    val session = Option(root.get("session")).getOrElse(return None)
-    val stats = Option(root.get("queryStats")).getOrElse(return None)
+      val session = Option(root.get("session")).getOrElse(return None)
+      val stats = Option(root.get("queryStats")).getOrElse(return None)
 
-    val internal = Option(session.get("catalogProperties"))
-      .flatMap(cp => Option(cp.get("varada")))
-      .flatMap(v => textOpt(v, "internal_query"))
-    if (internal.contains("true")) return None
+      val internal = Option(session.get("catalogProperties"))
+        .flatMap(cp => Option(cp.get("varada")))
+        .flatMap(v => textOpt(v, "internal_query"))
+      if (internal.contains("true")) return None
 
-    val stage = Option(root.get("outputStage")).filterNot(_.isNull)
-    val planNodes = stage.map { st =>
-      iterPlans(st).zipWithIndex.flatMap { case ((fid, r), idx) =>
-        if (r == null) Nil else flattenPlan(fid, idx, r)
-      }
-    }.getOrElse(Nil)
-    val tasks = stage.map(flattenTasks(_, "")).getOrElse(Nil)
+      val stage = Option(root.get("outputStage")).filterNot(_.isNull)
+      val planNodes = stage.map { st =>
+        iterPlans(st).zipWithIndex.flatMap { case ((fid, r), idx) =>
+          if (r == null) Nil else flattenPlan(fid, idx, r)
+        }
+      }.getOrElse(Nil)
+      val tasks = stage.map(flattenTasks(_, "")).getOrElse(Nil)
 
-    for {
-      query <- textOpt(root, "query")
-      queryId <- textOpt(root, "queryId")
-      user <- textOpt(session, "user")
-      state <- textOpt(root, "state")
-      elapsed <- Some(timeOpt(stats, "elapsedTime")) if stats.has("elapsedTime")
-      inputRows <- longOpt(stats, "rawInputPositions")
-      outputRows <- longOpt(stats, "outputPositions")
-      peakMem <- Some(sizeOpt(stats, "peakTotalMemoryReservation")) if stats.has("peakTotalMemoryReservation")
-      ops <- operators(Option(stats.get("operatorSummaries"))
-        .map(_.elements.asScala.toSeq).getOrElse(Nil))
-    } yield QuerySummary(
-      query = query,
-      query_id = queryId,
-      user = user,
-      state = state,
-      error_code = Option(root.get("errorCode")).filterNot(_.isNull).map(_.toString),
-      update = textOpt(root, "updateType"),
-      elapsed_time = elapsed,
-      cpu_time = timeOpt(stats, "totalCpuTime"),
-      scheduled_time = timeOpt(stats, "totalScheduledTime"),
-      blocked_time = timeOpt(stats, "totalBlockedTime"),
-      input_size = Some(orFalsy(sizeOpt(stats, "rawInputDataSize"),
-        sizeOpt(stats, "inputDataSize")).getOrElse(0.0)),
-      output_size = sizeOpt(stats, "outputDataSize"),
-      network_size = sizeOpt(stats, "internalNetworkInputDataSize"),
-      peak_mem = peakMem,
-      written_size = sizeOpt(stats, "rawWrittenDataSize"),
-      input_rows = Some(inputRows),
-      output_rows = Some(outputRows),
-      network_rows = longOpt(stats, "internalNetworkInputPositions"),
-      inputs = Option(root.get("inputs")).map(_.elements.asScala.map(_.toString).toSeq)
-        .getOrElse(Nil),
-      operators = ops,
-      plan_nodes = planNodes,
-      tasks = tasks)
-  }
+      require(root, "inputs") // j["inputs"], extract.py:163
+      Some(QuerySummary(
+        query = reqText(root, "query"),
+        query_id = reqText(root, "queryId"),
+        user = reqText(session, "user"),
+        state = reqText(root, "state"),
+        error_code = Option(root.get("errorCode")).filterNot(_.isNull).map(_.toString),
+        update = textOpt(root, "updateType"),
+        elapsed_time = reqTime(stats, "elapsedTime"),
+        cpu_time = reqTime(stats, "totalCpuTime"),
+        scheduled_time = reqTime(stats, "totalScheduledTime"),
+        blocked_time = reqTime(stats, "totalBlockedTime"),
+        input_size = Some(orFalsy(reqSize(stats, "rawInputDataSize"),
+          sizeOpt(stats, "inputDataSize")).getOrElse(0.0)),
+        output_size = reqSize(stats, "outputDataSize"),
+        network_size = sizeOpt(stats, "internalNetworkInputDataSize"),
+        peak_mem = reqSize(stats, "peakTotalMemoryReservation"),
+        written_size = sizeOpt(stats, "rawWrittenDataSize"),
+        input_rows = reqLong(stats, "rawInputPositions"),
+        output_rows = reqLong(stats, "outputPositions"),
+        network_rows = longOpt(stats, "internalNetworkInputPositions"),
+        inputs = Option(root.get("inputs")).filterNot(_.isNull)
+          .map(_.elements.asScala.map(_.toString).toSeq).getOrElse(Nil),
+        operators = operators(Option(stats.get("operatorSummaries"))
+          .map(_.elements.asScala.toSeq).getOrElse(Nil)),
+        plan_nodes = planNodes,
+        tasks = tasks))
+    } catch {
+      case _: DropRecord => None
+      case _: com.fasterxml.jackson.core.JacksonException => None
+    }
 }

@@ -19,12 +19,14 @@ import org.apache.spark.sql.functions._
   */
 object Units {
 
-  private val timeFactors: Seq[(String, Double)] = Seq(
+  // shared with QueryInfoParser's JVM-side parser — ONE factor table so the
+  // Column-side and record-side parsers cannot drift
+  private[graft] val timeFactors: Seq[(String, Double)] = Seq(
     "ns" -> 1e-9, "ms" -> 1e-3, "us" -> 1e-6,
     "s" -> 1.0, "m" -> 60.0, "h" -> 3600.0, "d" -> 86400.0)
 
   // 1024-based, matching the reference (extract.py:40-46)
-  private val sizeFactors: Seq[(String, Double)] = Seq(
+  private[graft] val sizeFactors: Seq[(String, Double)] = Seq(
     "TB" -> math.pow(1024, 4), "GB" -> math.pow(1024, 3),
     "MB" -> 1048576.0, "kB" -> 1024.0, "B" -> 1.0)
 

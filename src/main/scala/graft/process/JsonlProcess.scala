@@ -62,8 +62,10 @@ object JsonlProcess {
   def obfuscateArrayColumn(df: DataFrame, column: String, prefix: String): DataFrame = {
     val exploded = df
       .select(col("query_id"), posexplode(col(column)).as(Seq("pos", "old_name")))
-      .filter(col("old_name") =!= "")
+    // '' never enters the dictionary (NameObfuscator's guard) but keeps its
+    // position in the rebuilt array
     val table = exploded
+      .filter(col("old_name") =!= "")
       .groupBy(col("old_name"))
       .agg(min(struct(col("query_id"), col("pos"))).as("first_seen"))
       .withColumn("new_name", concat(lit(prefix),
@@ -71,14 +73,18 @@ object JsonlProcess {
           .cast("string")))
       .select(col("old_name"), col("new_name"))
     val rebuilt = exploded
-      .join(broadcast(table), "old_name")
+      .join(broadcast(table), Seq("old_name"), "left")
+      .withColumn("mapped",
+        when(col("old_name") === "", lit("")).otherwise(col("new_name")))
       .groupBy(col("query_id"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("new_name")))),
-        c => c.getField("new_name")).as("__obf"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("mapped")))),
+        c => c.getField("mapped")).as("__obf"))
+    // null arrays stay null; empty arrays stay empty (explode emits no rows
+    // for either, so distinguish via the original column)
     df.join(rebuilt, Seq("query_id"), "left")
       .withColumn(column,
-        when(col("__obf").isNotNull, col("__obf"))
-          .otherwise(array().cast("array<string>")))
+        when(col(column).isNull, lit(null).cast("array<string>"))
+          .otherwise(coalesce(col("__obf"), array().cast("array<string>"))))
       .drop("__obf")
   }
 

@@ -42,11 +42,16 @@ object MLQueries {
   private def words(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(col("doc_id"), split(col("text"), " ").as("w"))
 
-  /** distinct 3-word shingles per document. */
+  /** distinct 3-word shingles per document. Guarded for <3-word docs:
+    * sequence(0, -1) counts DOWN in Spark, which would index w[-1] and
+    * throw under ANSI mode (DuckDB's generate_series is simply empty).
+    */
   private def shingles(s: SparkSession, d: String): DataFrame =
     words(s, d)
       .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
+        "CASE WHEN size(w) >= 3 THEN " +
+          "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2])) " +
+          "ELSE array() END"))
         .as("sh"))
       .distinct()
 

@@ -25,9 +25,7 @@ object Report {
     case x => x.toString
   }
 
-  private def table(df: DataFrame, maxRows: Int = 100): String = {
-    val cols = df.columns
-    val rows = df.limit(maxRows).collect()
+  private def table(cols: Array[String], rows: Array[Row]): String = {
     val pctIdx = cols.indexWhere(c => c == "pct" || c.endsWith("_pct"))
     val header = cols.map(c => s"<th>${esc(c)}</th>").mkString
     val body = rows.map { r =>
@@ -52,10 +50,13 @@ object Report {
     val sections = Analyzers.all(views).toSeq.sortBy(_._1).map { case (name, f) =>
       val body =
         try {
+          // one Spark job per analyzer: collect 101 rows, derive emptiness
+          // and truncation from that instead of a separate count()
           val df = f()
-          val n = df.count()
-          if (n == 0) "<p class=\"empty\">not enough data</p>" // analyze.py:1250-1251
-          else table(df) + (if (n > 100) s"<p class='empty'>(first 100 of $n rows)</p>" else "")
+          val rows = df.limit(101).collect()
+          if (rows.isEmpty) "<p class=\"empty\">not enough data</p>" // analyze.py:1250-1251
+          else table(df.columns, rows.take(100)) +
+            (if (rows.length > 100) "<p class='empty'>(first 100 rows)</p>" else "")
         } catch { case e: Exception => s"<p class=\"empty\">failed: ${esc(e.getMessage)}</p>" }
       s"""<section><h2 id="${esc(name)}">${esc(name)}</h2>\n$body\n</section>"""
     }.mkString("\n")

@@ -86,6 +86,20 @@ class ExtractSpec extends SparkSpec {
       ("5", "memory.memory:42")))
   }
 
+  test("poison records drop instead of killing the job") {
+    import graft.ingest.QueryInfoParser
+    val base = scala.io.Source.fromFile(resourcePath("queryinfo/q2.json")).mkString
+    assert(QueryInfoParser.parse(base).isDefined)
+    // unknown unit suffix reaches the float parse ("1.5P" for "1.5PB") —
+    // ValueError in the reference → record dropped, not a task failure
+    assert(QueryInfoParser.parse(base.replace("\"100ms\"", "\"1.5PB\"")).isEmpty)
+    // missing required stats key (KeyError in the reference) → dropped
+    assert(QueryInfoParser.parse(base.replace("\"totalCpuTime\"", "\"renamedKey\"")).isEmpty)
+    // present-but-null required key still parses (parse_units(None) → None)
+    assert(QueryInfoParser.parse(base.replace("\"totalCpuTime\": \"5ms\"", "\"totalCpuTime\": null"))
+      .exists(_.cpu_time.isEmpty))
+  }
+
   test("jsonl round-trip preserves the summary schema") {
     val out = java.nio.file.Files.createTempDirectory("graft-jsonl").toString + "/summary"
     Extract.writeJsonl(summaries, out)

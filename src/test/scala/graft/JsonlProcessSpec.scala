@@ -41,16 +41,19 @@ class JsonlProcessSpec extends SparkSpec {
   test("array obfuscation shares one dictionary across rows, keeps order") {
     val d = Seq(
       ("20220101_000001_00001_aaaaa", Seq("p_2022", "p_2023")),
-      ("20220101_000002_00002_bbbbb", Seq("p_2023", "p_2024", "p_2022")),
-      ("20220101_000003_00003_ccccc", Seq.empty[String]))
+      ("20220101_000002_00002_bbbbb", Seq("p_2023", "", "p_2024", "p_2022")),
+      ("20220101_000003_00003_ccccc", Seq.empty[String]),
+      ("20220101_000004_00004_ddddd", null: Seq[String]))
       .toDF("query_id", "partition_ids")
-    val out = JsonlProcess.obfuscateArrayColumn(d, "partition_ids", "partition")
+    val rows = JsonlProcess.obfuscateArrayColumn(d, "partition_ids", "partition")
       .orderBy("query_id").collect()
-      .map(_.getSeq[String](1).toList)
+    val out = rows.map(r => Option(r.getSeq[String](1)).map(_.toList))
     // p_2022 seen first (row1 pos0) → partition0; p_2023 → partition1; p_2024 → partition2
-    assert(out(0) === List("partition0", "partition1"))
-    assert(out(1) === List("partition1", "partition2", "partition0"))
-    assert(out(2) === List())
+    assert(out(0) === Some(List("partition0", "partition1")))
+    // '' keeps its position unmapped (NameObfuscator's guard)
+    assert(out(1) === Some(List("partition1", "", "partition2", "partition0")))
+    assert(out(2) === Some(Nil)) // empty stays empty
+    assert(out(3) === None) // null stays null
   }
 
   test("removeQuery blanks the text") {
