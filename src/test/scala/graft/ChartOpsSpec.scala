@@ -38,6 +38,28 @@ class ChartOpsSpec extends SparkSpec {
     assert(math.abs(out.map(_.getDouble(2)).sum - 100.0) < 1e-9)
   }
 
+  test("pie invariants hold across randomized workloads") {
+    import spark.implicits._
+    for (seed <- Seq(1, 42, 99)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 5 + rnd.nextInt(40)
+      val counts = (0 until n)
+        .map(i => (f"k$i%03d", (rnd.nextInt(10000) + 1).toDouble))
+      val out = ChartOps.pie(counts.toDF("k", "v"), "k", "v").collect()
+      val total = counts.map(_._2).sum
+      // percents always sum to exactly 100 (modulo fp residual)
+      assert(math.abs(out.map(_.getDouble(2)).sum - 100.0) < 1e-9, s"seed=$seed")
+      // values are conserved: kept + rest == total
+      assert(math.abs(out.map(_.getDouble(1)).sum - total) < 1e-6, s"seed=$seed")
+      // at most top-1 kept rows before the optional rest row
+      val kept = out.takeWhile(_.getString(0) != "All the rest")
+      assert(kept.length <= 19, s"seed=$seed")
+      // kept rows descending by value
+      val vs = kept.map(_.getDouble(1)).toSeq
+      assert(vs === vs.sorted.reverse, s"seed=$seed")
+    }
+  }
+
   test("bins: 1-decimal quirk, padding, and Above label (analyze.py:640-648)") {
     import spark.implicits._
     val pts = Seq((0.0, 10.0), (0.05, 10.0), (0.12, 20.0), (0.97, 40.0), (1.5, 20.0))
