@@ -24,20 +24,32 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def run(name: String): Long = {
+    def run(name: String): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-      System.nanoTime() - t0
+      val ok =
+        try {
+          SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+          true
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+        }
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
 
     run("hash_agg_sum") // warmup: session init, codegen, parquet footers
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> run(n) / 1e9)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> run(n))
+    // a crashed query reports null, not its (short) elapsed time — a fast-
+    // looking total must not hide failures
+    val qs = results.map { case (k, (v, ok)) => "\"" + k + "\":" + (if (ok) v else "null") }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, (_, false)) => "\"" + k + "\"" }
+    val total = results.collect { case (_, (v, true)) => v }.sum
+    val failedField =
+      if (failed.isEmpty) "" else s""","failed":${failed.mkString("[", ",", "]")}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$failedField,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -12,12 +12,23 @@ import org.apache.spark.sql.functions._
   */
 object ChartOps {
 
+  /** `numpy.round(x, d)` replica (`analyze.py:475`, `:640`): numpy scales
+    * by 10^d, rounds half-to-EVEN on the scaled double, and multiplies by
+    * 10^-d. `bround(x, d)` alone is NOT equivalent (it rounds the shortest
+    * decimal repr, so e.g. 2.675 → 2.68 where numpy gives 2.67); scaling
+    * first and brounding at 0 decimals reproduces numpy's rint exactly.
+    */
+  private def npRound(c: Column, decimals: Int): Column = {
+    val p = math.pow(10.0, decimals)
+    bround(c * lit(p), 0) * lit(math.pow(10.0, -decimals))
+  }
+
   /** `pie_chart` (`analyze.py:460-515`): input = (key, value) rows.
     * Ranked desc by value (ties by key, matching Python's stable sort over
     * the key-sorted groupby); keep the first `top-1` entries with share
     * > 0.1%; roll the rest into "All the rest"; percents rounded to 2dp
-    * with the LAST row absorbing the rounding residual so Σ == 100
-    * (`analyze.py:474-476`).
+    * (half-even, numpy semantics) with the LAST row absorbing the rounding
+    * residual so Σ == 100 (`analyze.py:474-476`).
     *
     * Output: (key, value, pct), kept rows first (desc), rest last.
     */
@@ -36,7 +47,7 @@ object ChartOps {
       .select(lit("All the rest").as("key"), col("value"), lit(Int.MaxValue).as("rn"))
     kept.unionAll(rest)
       .withColumn("total", sum(col("value")).over(all))
-      .withColumn("pct_round", floor(col("value") * 100.0 / col("total") * 100.0 + 0.5) / 100.0)
+      .withColumn("pct_round", npRound(col("value") * 100.0 / col("total"), 2))
       .withColumn("pct",
         when(col("rn") === max(col("rn")).over(all),
           col("pct_round") + (lit(100.0) - sum(col("pct_round")).over(all)))
@@ -46,7 +57,8 @@ object ChartOps {
   }
 
   /** `wall_by_selectivity_bins` (`analyze.py:622-686`): values binned by
-    * `abs(round1(x - step/2))` — ALWAYS rounded to one decimal, even for
+    * `abs(round1(x - step/2))` (numpy round1 = half-even) — ALWAYS rounded
+    * to one decimal, even for
     * the bins=100 variant (the reference quirk); weights become percent of
     * total; every `arange(0, max, step)` bin is padded in (with its own
     * 2-decimal label, NOT re-binned — so the 100-bin variant pads labels
@@ -66,7 +78,7 @@ object ChartOps {
     if (pts.isEmpty)
       return pts.select(lit("").as("label"), lit(0.0).as("pct")).limit(0)
     val binned = pts
-      .withColumn("bin", abs(floor((col("x") - lit(step / 2)) * 10.0 + 0.5) / 10.0))
+      .withColumn("bin", abs(npRound(col("x") - lit(step / 2), 1)))
       .withColumn("label",
         when(col("bin") <= maxSelectivity + 1e-9, format_string("%.2f", col("bin")))
           .otherwise(lit("Above")))

@@ -47,7 +47,10 @@ object Extract {
 
   /** Read back a summary table written by [[writeJsonl]] with the exact
     * summary schema (never inferred — corrupt lines must drop, not poison
-    * the schema; PERMISSIVE + explicit schema does that).
+    * the schema). PERMISSIVE + explicit schema keeps a malformed line as an
+    * all-null row, so the reference's discard semantics
+    * (`extract.py:204-205`) need the explicit not-null filter on the
+    * mandatory key — `query_id` is never null in a well-formed summary.
     */
   def readJsonl(spark: SparkSession, path: String): Dataset[QuerySummary] = {
     import spark.implicits._
@@ -55,6 +58,7 @@ object Extract {
       .schema(implicitly[org.apache.spark.sql.Encoder[QuerySummary]].schema)
       .option("mode", "PERMISSIVE")
       .json(path)
+      .filter(col("query_id").isNotNull)
       .as[QuerySummary]
   }
 }
@@ -77,10 +81,13 @@ final class WorkloadViews private (val summaries: DataFrame) {
     .withColumn("ts", to_timestamp(substring(col("query_id"), 1, 15), "yyyyMMdd_HHmmss"))
     .cache()
 
-  /** One row per operator occurrence (A7). */
+  /** One row per operator occurrence (A7). `op_idx` keeps the source array
+    * position — the reference's per-node `{op["type"]: op}` dict
+    * (`analyze.py:1056`) is last-occurrence-wins, which needs list order.
+    */
   val operators: DataFrame = base
-    .select(col("query_id"), col("ts"), explode(col("operators")).as("op"))
-    .select(col("query_id"), col("ts"), col("op.*"))
+    .select(col("query_id"), col("ts"), posexplode(col("operators")).as(Seq("op_idx", "op")))
+    .select(col("query_id"), col("ts"), col("op_idx"), col("op.*"))
     .withColumn("wall",
       coalesce(col("input_wall"), lit(0.0))
         + coalesce(col("output_wall"), lit(0.0))
@@ -129,12 +136,22 @@ final class WorkloadViews private (val summaries: DataFrame) {
         when(col("node_type") === "semijoin", lit("SetBuilderOperator"))
           .when(col("has_criteria") || col("join_type") =!= "INNER", lit("HashBuilderOperator"))
           .otherwise(lit("NestedLoopBuildOperator")))
-    val probe = operators.select(col("query_id"), col("node_id"),
+    // `{op["type"]: op}` keeps exactly ONE operator per (node, type) — the
+    // last in list order (`analyze.py:1056`). Without this dedup a node
+    // carrying duplicate probe/build entries would emit a cross product.
+    val opsLast = {
+      import org.apache.spark.sql.expressions.Window
+      operators.withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id"), col("node_id"), col("operator_type"))
+          .orderBy(col("op_idx").desc)))
+        .filter(col("rn") === 1).drop("rn")
+    }
+    val probe = opsLast.select(col("query_id"), col("node_id"),
       col("operator_type").as("probe_type"),
       col("input_size").as("probe_input_size"),
       col("input_rows").as("probe_input_rows"),
       col("output_rows").as("probe_output_rows"))
-    val build = operators.select(col("query_id"), col("node_id"),
+    val build = opsLast.select(col("query_id"), col("node_id"),
       col("operator_type").as("build_type"),
       col("input_size").as("build_input_size"),
       col("input_rows").as("build_input_rows"))

@@ -308,25 +308,24 @@ object MLQueries {
 
     // LSH-bucketed ANN: 4 deterministic pseudo-random hyperplanes (integer
     // formula, exact in both engines) → 16 buckets; search only the query's
-    // bucket. The scale path: bucketing is a narrow map + one shuffle on
-    // bucket id, and candidates drop ~16×.
+    // bucket. The scale path: bucketing is a NARROW map (each plane dot is
+    // a sequential index-order fold over the embedding — deterministic
+    // under any partitioning/AQE plan, unlike a sum() over exploded rows)
+    // + one shuffle on bucket id, and candidates drop ~16×.
     NamedQuery(
       "similarity_ann_lsh",
       (s, d) => {
-        val planes = "((CAST((i + 1) * (j + 7) AS BIGINT) * 2654435761) % 1000003) / 1000003.0 - 0.5"
+        def planeDot(j: Int) = expr(
+          s"""aggregate(sequence(0, size(embedding) - 1), CAST(0 AS DOUBLE),
+             |  (acc, i) -> acc + CAST(embedding[i] AS DOUBLE) *
+             |    (((CAST((i + 1) * ($j + 7) AS BIGINT) * 2654435761) % 1000003) / 1000003.0 - 0.5))"""
+            .stripMargin)
+        val bucket = (0 until 4)
+          .map(j => when(planeDot(j) > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _)
         val buckets = Tables.embeddings(s, d)
-          .select(col("vec_id"), col("embedding"), vecNorm(col("embedding")).as("norm"))
-          .select(col("vec_id"), col("embedding"), col("norm"),
-            posexplode(col("embedding")).as(Seq("i", "v")))
-          .crossJoin(s.range(0, 4).select(col("id").as("j")))
-          .withColumn("contrib", col("v").cast("double") * expr(planes))
-          .groupBy(col("vec_id"), col("j"))
-          .agg(first(col("embedding")).as("embedding"), first(col("norm")).as("norm"),
-            sum(col("contrib")).as("dot"))
-          .groupBy(col("vec_id"))
-          .agg(first(col("embedding")).as("embedding"), first(col("norm")).as("norm"),
-            sum(when(col("dot") > 0, pow(lit(2.0), col("j")).cast("long"))
-              .otherwise(0L)).as("bucket"))
+          .select(col("vec_id"), col("embedding"), vecNorm(col("embedding")).as("norm"),
+            bucket.as("bucket"))
         val q = buckets.filter(col("vec_id") < 5)
           .select(col("vec_id").as("query_id"), col("embedding").as("ea"),
             col("norm").as("norm_a"), col("bucket"))
