@@ -213,17 +213,19 @@ object MLQueries {
     NamedQuery(
       "dedup_ngram_jaccard",
       (s, d) => {
-        val sh = shingles(s, d).cache()
-        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-        val a = sh.select(col("doc_id").as("doc_a"), col("sh"))
-        val b = sh.select(col("doc_id").as("doc_b"), col("sh"))
+        // per-doc shingle count rides along as a window count (one shuffle
+        // on doc_id) instead of a separate aggregate joined back in twice —
+        // the self-join then carries na/nb for free. At 100 TB this saves
+        // two workload-sized joins; the window partitions by doc_id, so no
+        // single-partition hazard.
+        val sh = shingles(s, d)
+          .withColumn("n_sh", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+          .cache()
+        val a = sh.select(col("doc_id").as("doc_a"), col("sh"), col("n_sh").as("na"))
+        val b = sh.select(col("doc_id").as("doc_b"), col("sh"), col("n_sh").as("nb"))
         a.join(b, "sh").filter(col("doc_a") < col("doc_b"))
-          .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("shared"))
-          // no broadcast hint: sizes is per-document (unbounded at scale) —
-          // let the auto-threshold broadcast it when small and degrade to a
-          // shuffle join at 100 TB
-          .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
-          .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("shared"), first(col("na")).as("na"), first(col("nb")).as("nb"))
           .withColumn("jaccard",
             r6(col("shared").cast("double") / (col("na") + col("nb") - col("shared"))))
           .select(col("doc_a"), col("doc_b"), col("jaccard"))
@@ -361,6 +363,73 @@ object MLQueries {
                 s" / (${duckNorm("a.embedding")} * ${duckNorm("b.embedding")})")} AS sim
               |  FROM bucketed qa
               |  JOIN bucketed cb ON qa.bucket = cb.bucket AND cb.vec_id >= 5
+              |  JOIN embeddings a ON a.vec_id = qa.vec_id
+              |  JOIN embeddings b ON b.vec_id = cb.vec_id
+              |  WHERE qa.vec_id < 5
+              |), ranked AS (
+              |  SELECT query_id, neighbor_id, sim, ROW_NUMBER() OVER (
+              |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+              |  FROM sims
+              |)
+              |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, sim
+              |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)),
+
+    // IVF-style ANN: coarse quantizer = the first 8 corpus vectors (a
+    // k-means stand-in with a deterministic seed); every vector is assigned
+    // to its nearest cell by cosine (argmax via rank over the r6-rounded
+    // sim, ties to the lowest centroid — deterministic in both engines),
+    // and search probes only the query's cell. At 100 TB: centroids are a
+    // broadcast dim (k ≪ N, always), assignment is a narrow map over one
+    // partitioned pass, and the probe is an equi-join on cell id — the
+    // candidate set drops ~k× exactly like a real IVF index.
+    NamedQuery(
+      "similarity_ann_ivf",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding"), vecNorm(col("embedding")).as("norm"))
+        val cents = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"),
+            col("norm").as("cnorm"))
+        val assigned = e.join(broadcast(cents))
+          .withColumn("csim", r6(vecDot(col("embedding"), col("cemb"))
+            / (col("norm") * col("cnorm"))))
+          .withColumn("crn", row_number().over(
+            Window.partitionBy(col("vec_id"))
+              .orderBy(col("csim").desc, col("cent_id"))))
+          .filter(col("crn") === 1)
+          .select(col("vec_id"), col("embedding"), col("norm"), col("cent_id").as("cell"))
+        val q = assigned.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding").as("ea"),
+            col("norm").as("norm_a"), col("cell"))
+        val c = assigned.filter(col("vec_id") >= 5)
+          .select(col("vec_id").as("neighbor_id"), col("embedding").as("eb"),
+            col("norm").as("norm_b"), col("cell"))
+        q.join(c, "cell")
+          .withColumn("sim", r6(vecDot(col("ea"), col("eb")) / (col("norm_a") * col("norm_b"))))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(col("query_id"))
+              .orderBy(col("sim").desc, col("neighbor_id"))))
+          .filter(col("rank") <= 3)
+          .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH csims AS (
+              |  SELECT e.vec_id, c.vec_id AS cent_id,
+              |    ${r6Sql(duckDot("e.embedding", "c.embedding") +
+                s" / (${duckNorm("e.embedding")} * ${duckNorm("c.embedding")})")} AS csim
+              |  FROM embeddings e JOIN embeddings c ON c.vec_id < 8
+              |), assigned AS (
+              |  SELECT vec_id, cent_id AS cell FROM (
+              |    SELECT vec_id, cent_id, ROW_NUMBER() OVER (
+              |      PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS crn
+              |    FROM csims
+              |  ) WHERE crn = 1
+              |), sims AS (
+              |  SELECT qa.vec_id AS query_id, cb.vec_id AS neighbor_id,
+              |    ${r6Sql(duckDot("a.embedding", "b.embedding") +
+                s" / (${duckNorm("a.embedding")} * ${duckNorm("b.embedding")})")} AS sim
+              |  FROM assigned qa
+              |  JOIN assigned cb ON qa.cell = cb.cell AND cb.vec_id >= 5
               |  JOIN embeddings a ON a.vec_id = qa.vec_id
               |  JOIN embeddings b ON b.vec_id = cb.vec_id
               |  WHERE qa.vec_id < 5
