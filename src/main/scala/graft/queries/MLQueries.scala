@@ -42,6 +42,38 @@ object MLQueries {
   private def words(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(col("doc_id"), split(col("text"), " ").as("w"))
 
+  /** Shared probe scaffold of the similarity family (bruteforce / LSH /
+    * IVF): join queries `(query_id, ea, norm_a, …)` to candidates
+    * `(neighbor_id, eb, norm_b, …)` — on the index's bucket/cell column, or
+    * the full cross product for the bruteforce baseline — then keep the k
+    * best per query by rounded cosine with a neighbor-id tie-break. One
+    * ranking contract for all three, so a change (k, tie-break, rounding)
+    * cannot silently diverge one sibling.
+    */
+  private def cosineTopK(q: DataFrame, c: DataFrame, joinCols: Seq[String], k: Int): DataFrame = {
+    val joined = if (joinCols.isEmpty) q.crossJoin(c) else q.join(c, joinCols)
+    joined
+      .withColumn("sim", r6(vecDot(col("ea"), col("eb")) / (col("norm_a") * col("norm_b"))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Oracle twin of [[cosineTopK]]: wraps CTEs that end in
+    * `sims(query_id, neighbor_id, sim)` with the shared ranked/top-k tail.
+    */
+  private def topKSql(withCtes: String, k: Int): String =
+    s"""WITH $withCtes, ranked AS (
+       |  SELECT query_id, neighbor_id, sim, ROW_NUMBER() OVER (
+       |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM sims
+       |)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, sim
+       |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
   /** distinct 3-word shingles per document. Guarded for <3-word docs:
     * sequence(0, -1) counts DOWN in Spark, which would index w[-1] and
     * throw under ANSI mode (DuckDB's generate_series is simply empty).
@@ -213,11 +245,12 @@ object MLQueries {
     NamedQuery(
       "dedup_ngram_jaccard",
       (s, d) => {
-        // per-doc shingle count rides along as a window count (one shuffle
-        // on doc_id) instead of a separate aggregate joined back in twice —
-        // the self-join then carries na/nb for free. At 100 TB this saves
-        // two workload-sized joins; the window partitions by doc_id, so no
-        // single-partition hazard.
+        // per-doc shingle count rides along as a window count (one extra
+        // shuffle of the shingle set on doc_id) instead of a separate
+        // aggregate joined back onto the candidate pairs twice. Trade-off:
+        // the removed joins were on the (bounded) pair aggregate, not the
+        // workload — this buys two fewer stages and one plan-level scan of
+        // the shingle set, at the cost of two extra longs per joined row.
         val sh = shingles(s, d)
           .withColumn("n_sh", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
           .cache()
@@ -285,28 +318,16 @@ object MLQueries {
         val c = e.filter(col("vec_id") >= 5)
           .select(col("vec_id").as("neighbor_id"), col("embedding").as("eb"),
             col("norm").as("norm_b"))
-        q.crossJoin(c)
-          .withColumn("sim", r6(vecDot(col("ea"), col("eb")) / (col("norm_a") * col("norm_b"))))
-          .withColumn("rank", row_number().over(
-            Window.partitionBy(col("query_id"))
-              .orderBy(col("sim").desc, col("neighbor_id"))))
-          .filter(col("rank") <= 5)
-          .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
-          .orderBy(col("query_id"), col("rank"))
+        cosineTopK(q, c, Nil, k = 5)
       },
-      Some(s"""WITH sims AS (
-              |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-              |    ${r6Sql(duckDot("a.embedding", "b.embedding") +
-                s" / (${duckNorm("a.embedding")} * ${duckNorm("b.embedding")})")} AS sim
-              |  FROM embeddings a JOIN embeddings b ON b.vec_id >= 5
-              |  WHERE a.vec_id < 5
-              |), ranked AS (
-              |  SELECT query_id, neighbor_id, sim, ROW_NUMBER() OVER (
-              |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
-              |  FROM sims
-              |)
-              |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, sim
-              |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+      Some(topKSql(
+        s"""sims AS (
+           |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           |    ${r6Sql(duckDot("a.embedding", "b.embedding") +
+              s" / (${duckNorm("a.embedding")} * ${duckNorm("b.embedding")})")} AS sim
+           |  FROM embeddings a JOIN embeddings b ON b.vec_id >= 5
+           |  WHERE a.vec_id < 5
+           |)""".stripMargin, k = 5))),
 
     // LSH-bucketed ANN: 4 deterministic pseudo-random hyperplanes (integer
     // formula, exact in both engines) → 16 buckets; search only the query's
@@ -334,16 +355,9 @@ object MLQueries {
         val c = buckets.filter(col("vec_id") >= 5)
           .select(col("vec_id").as("neighbor_id"), col("embedding").as("eb"),
             col("norm").as("norm_b"), col("bucket"))
-        q.join(c, "bucket")
-          .withColumn("sim", r6(vecDot(col("ea"), col("eb")) / (col("norm_a") * col("norm_b"))))
-          .withColumn("rank", row_number().over(
-            Window.partitionBy(col("query_id"))
-              .orderBy(col("sim").desc, col("neighbor_id"))))
-          .filter(col("rank") <= 3)
-          .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
-          .orderBy(col("query_id"), col("rank"))
+        cosineTopK(q, c, Seq("bucket"), k = 3)
       },
-      Some(s"""WITH dots AS (
+      Some(topKSql(s"""dots AS (
               |  SELECT vec_id, j,
               |    SUM(CAST(embedding[i] AS DOUBLE) *
               |      (((CAST(i * (j + 7) AS BIGINT) * 2654435761) % 1000003) / 1000003.0 - 0.5))
@@ -366,54 +380,53 @@ object MLQueries {
               |  JOIN embeddings a ON a.vec_id = qa.vec_id
               |  JOIN embeddings b ON b.vec_id = cb.vec_id
               |  WHERE qa.vec_id < 5
-              |), ranked AS (
-              |  SELECT query_id, neighbor_id, sim, ROW_NUMBER() OVER (
-              |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
-              |  FROM sims
-              |)
-              |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, sim
-              |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)),
+              |)""".stripMargin, k = 3))),
 
     // IVF-style ANN: coarse quantizer = the first 8 corpus vectors (a
-    // k-means stand-in with a deterministic seed); every vector is assigned
-    // to its nearest cell by cosine (argmax via rank over the r6-rounded
-    // sim, ties to the lowest centroid — deterministic in both engines),
-    // and search probes only the query's cell. At 100 TB: centroids are a
-    // broadcast dim (k ≪ N, always), assignment is a narrow map over one
-    // partitioned pass, and the probe is an equi-join on cell id — the
-    // candidate set drops ~k× exactly like a real IVF index.
+    // k-means stand-in with a deterministic seed). k ≪ N always, so the
+    // centroid table lives on the driver and ships inside the plan as
+    // array literals — cell assignment is then a genuinely NARROW map
+    // (8 codegen'd dots per row; no join, no shuffle, no row explosion),
+    // cheap enough to recompute for the query and candidate sides rather
+    // than cache. Argmax ties go to the lowest centroid id, matching the
+    // oracle's ROW_NUMBER (csim DESC, cent_id). The probe is one equi-join
+    // on cell id — candidates drop ~k× exactly like a real IVF index.
     NamedQuery(
       "similarity_ann_ivf",
       (s, d) => {
-        val e = Tables.embeddings(s, d)
-          .select(col("vec_id"), col("embedding"), vecNorm(col("embedding")).as("norm"))
-        val cents = e.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"),
-            col("norm").as("cnorm"))
-        val assigned = e.join(broadcast(cents))
-          .withColumn("csim", r6(vecDot(col("embedding"), col("cemb"))
-            / (col("norm") * col("cnorm"))))
-          .withColumn("crn", row_number().over(
-            Window.partitionBy(col("vec_id"))
-              .orderBy(col("csim").desc, col("cent_id"))))
-          .filter(col("crn") === 1)
-          .select(col("vec_id"), col("embedding"), col("norm"), col("cent_id").as("cell"))
+        val cents = Tables.embeddings(s, d)
+          .filter(col("vec_id") < 8).select(col("vec_id"), col("embedding"))
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+          .sortBy(_._1)
+        // index-order fold with per-element float→double casts — the exact
+        // arithmetic of vecNorm/duckNorm, so both engines see one value.
+        def centNorm(v: Array[Float]): Double =
+          math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
+        val scored = cents.foldLeft(
+          Tables.embeddings(s, d)
+            .select(col("vec_id"), col("embedding"), vecNorm(col("embedding")).as("norm"))) {
+          case (df, (cid, cv)) =>
+            df.withColumn(s"csim_$cid",
+              r6(vecDot(col("embedding"), typedLit(cv)) / (col("norm") * lit(centNorm(cv)))))
+        }
+        // first centroid (ascending id) whose sim >= all others
+        val ids = cents.map(_._1)
+        val cell = ids.foldRight(lit(-1L)) { (cid, els) =>
+          when(ids.filter(_ != cid).map(o => col(s"csim_$cid") >= col(s"csim_$o"))
+            .reduce(_ && _), lit(cid)).otherwise(els)
+        }
+        val assigned = scored
+          .select(col("vec_id"), col("embedding"), col("norm"), cell.as("cell"))
         val q = assigned.filter(col("vec_id") < 5)
           .select(col("vec_id").as("query_id"), col("embedding").as("ea"),
             col("norm").as("norm_a"), col("cell"))
         val c = assigned.filter(col("vec_id") >= 5)
           .select(col("vec_id").as("neighbor_id"), col("embedding").as("eb"),
             col("norm").as("norm_b"), col("cell"))
-        q.join(c, "cell")
-          .withColumn("sim", r6(vecDot(col("ea"), col("eb")) / (col("norm_a") * col("norm_b"))))
-          .withColumn("rank", row_number().over(
-            Window.partitionBy(col("query_id"))
-              .orderBy(col("sim").desc, col("neighbor_id"))))
-          .filter(col("rank") <= 3)
-          .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
-          .orderBy(col("query_id"), col("rank"))
+        cosineTopK(q, c, Seq("cell"), k = 3)
       },
-      Some(s"""WITH csims AS (
+      Some(topKSql(s"""csims AS (
               |  SELECT e.vec_id, c.vec_id AS cent_id,
               |    ${r6Sql(duckDot("e.embedding", "c.embedding") +
                 s" / (${duckNorm("e.embedding")} * ${duckNorm("c.embedding")})")} AS csim
@@ -433,13 +446,7 @@ object MLQueries {
               |  JOIN embeddings a ON a.vec_id = qa.vec_id
               |  JOIN embeddings b ON b.vec_id = cb.vec_id
               |  WHERE qa.vec_id < 5
-              |), ranked AS (
-              |  SELECT query_id, neighbor_id, sim, ROW_NUMBER() OVER (
-              |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
-              |  FROM sims
-              |)
-              |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, sim
-              |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)),
+              |)""".stripMargin, k = 3))),
 
     // Language-ID: marker-word scores per language, argmax with
     // alphabetical tie-break; output = confusion counts vs the labeled lang.
