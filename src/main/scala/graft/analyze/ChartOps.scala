@@ -13,14 +13,15 @@ import org.apache.spark.sql.functions._
 object ChartOps {
 
   /** `numpy.round(x, d)` replica (`analyze.py:475`, `:640`): numpy scales
-    * by 10^d, rounds half-to-EVEN on the scaled double, and multiplies by
-    * 10^-d. `bround(x, d)` alone is NOT equivalent (it rounds the shortest
-    * decimal repr, so e.g. 2.675 → 2.68 where numpy gives 2.67); scaling
-    * first and brounding at 0 decimals reproduces numpy's rint exactly.
+    * by 10^d, rounds half-to-EVEN on the scaled double (rint), and divides
+    * back down (numpy.round(12.125, 2) == 1212/100 == 12.12 exactly, not
+    * 1212*0.01). `bround(x, d)` alone is NOT equivalent — it rounds the
+    * shortest decimal repr, so e.g. 2.675 → 2.68 where numpy gives 2.67;
+    * brounding the pre-scaled value at 0 decimals reproduces rint exactly.
     */
   private def npRound(c: Column, decimals: Int): Column = {
     val p = math.pow(10.0, decimals)
-    bround(c * lit(p), 0) * lit(math.pow(10.0, -decimals))
+    bround(c * lit(p), 0) / lit(p)
   }
 
   /** `pie_chart` (`analyze.py:460-515`): input = (key, value) rows.

@@ -60,6 +60,22 @@ class ChartOpsSpec extends SparkSpec {
     }
   }
 
+  test("rounding is numpy half-even, not half-up (analyze.py:475, :640)") {
+    import spark.implicits._
+    // 0.3 - 0.05 is exactly 0.25 in doubles → numpy round1 = 0.2 (even);
+    // the previous half-up formula binned it to 0.3
+    val pts = Seq((0.3, 100.0)).toDF("sel", "w")
+    val bins = ChartOps.selectivityBins(pts, "sel", "w", 10, 1.0).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(bins("0.20") === 100.0)
+    assert(bins("0.30") === 0.0)
+    // pct 12.125 (dyadic, exact) → 12.12 under half-even, 12.13 under half-up
+    val counts = Seq(("b", 800.0), ("a", 121.25), ("c", 78.75)).toDF("k", "v")
+    val out = ChartOps.pie(counts, "k", "v").collect()
+    assert(out.find(_.getString(0) == "a").get.getDouble(2) === 12.12)
+    assert(math.abs(out.map(_.getDouble(2)).sum - 100.0) < 1e-9)
+  }
+
   test("bins: 1-decimal quirk, padding, and Above label (analyze.py:640-648)") {
     import spark.implicits._
     val pts = Seq((0.0, 10.0), (0.05, 10.0), (0.12, 20.0), (0.97, 40.0), (1.5, 20.0))

@@ -109,4 +109,40 @@ class ExtractSpec extends SparkSpec {
     assert(q1.operators.length === 3)
     assert(q1.plan_nodes.length === 8)
   }
+
+  test("readJsonl drops malformed lines instead of keeping all-null rows") {
+    import java.nio.file.{Files, Paths}
+    val out = Files.createTempDirectory("graft-jsonl-bad").toString + "/summary"
+    Extract.writeJsonl(summaries, out)
+    // the reference discards unparseable lines (extract.py:204-205): junk
+    // that isn't JSON and JSON missing the mandatory key must both drop
+    Files.write(Paths.get(out, "junk1.json"), "this is not json".getBytes)
+    Files.write(Paths.get(out, "junk2.json"), """{"user": "x"}""".getBytes)
+    val back = Extract.readJsonl(spark, out)
+    assert(back.count() === 3)
+    assert(back.collect().forall(_.query_id != null))
+  }
+
+  test("joins dedup: duplicate (node, operator type) keeps the LAST occurrence") {
+    import spark.implicits._
+    import graft.model.{OperatorStat, PlanNode, QuerySummary}
+    def op(t: String, size: Double) = OperatorStat("7", t, Some(size), None,
+      None, None, Some(10L), Some(5L), None, None, None, None, Some(1.0),
+      None, None, None)
+    val node = PlanNode("0", 0, "7", "join", None, 0, 0, 0, None, None,
+      Some("INNER"), Some("PARTITIONED"), Some(true))
+    // two LookupJoinOperator entries for node 7 — the reference's
+    // {op["type"]: op} dict (analyze.py:1056) keeps the second
+    val s = QuerySummary("q", "20220101_000000_00001_zzzzz", "u", "FINISHED",
+      None, None, None, None, None, None, None, None, None, None, None,
+      None, None, None, Seq(),
+      Seq(op("LookupJoinOperator", 1.0), op("HashBuilderOperator", 3.0),
+        op("LookupJoinOperator", 2.0)),
+      Seq(node), Seq())
+    val v = WorkloadViews(Seq(s).toDS().toDF())
+    val rows = v.joins.select("probe_input_size", "build_input_size").collect()
+    assert(rows.length === 1) // one pair, not a 2x1 cross product
+    assert(rows.head.getDouble(0) === 2.0) // last LookupJoin wins
+    assert(rows.head.getDouble(1) === 3.0)
+  }
 }
