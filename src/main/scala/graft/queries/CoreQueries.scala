@@ -456,6 +456,53 @@ object CoreQueries {
              |  SELECT UNNEST(string_split(text, ' ')) AS word FROM documents
              |) GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Sessionization (gaps-and-islands): a new session starts when the gap
+    // to the previous event exceeds 1 hour; session id = running count of
+    // boundaries. All windows partition by user_id — fully parallel at
+    // 100 TB (one shuffle on user, then narrow). Micro-second resolution
+    // (ts_ns div 1000): DuckDB truncates the parquet TIMESTAMP_NS column
+    // to µs, so the oracle can only see µs; event_id breaks exact-µs ties
+    // deterministically. The streaming twin (arbitrary-state
+    // flatMapGroupsWithState) is streaming.Sessionize.
+    NamedQuery(
+      "window_session_gaps",
+      (s, d) => {
+        val gapUs = 3600L * 1000000L
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+        Tables.events(s, d)
+          .withColumn("ts_us", expr("ts_ns div 1000"))
+          .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+          .withColumn("new_sess",
+            when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1L)
+              .otherwise(0L))
+          .withColumn("session_id", sum(col("new_sess"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"),
+            count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+          .orderBy(col("user_id"), col("session_id"))
+      },
+      Some(s"""WITH e AS (
+              |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events
+              |), flagged AS (
+              |  SELECT user_id, event_id, ts_us, value,
+              |    CASE WHEN lag(ts_us) OVER w IS NULL
+              |           OR ts_us - lag(ts_us) OVER w > 3600000000
+              |         THEN 1 ELSE 0 END AS new_sess
+              |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+              |), sess AS (
+              |  SELECT user_id, ts_us, value,
+              |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+              |      ROWS UNBOUNDED PRECEDING) AS session_id
+              |  FROM flagged
+              |)
+              |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+              |  MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+              |  CAST(COUNT(*) AS BIGINT) AS n_events,
+              |  ${dsumSql("value")} AS total_value
+              |FROM sess GROUP BY user_id, session_id
+              |ORDER BY user_id, session_id""".stripMargin)),
+
     // B7-B9 shape: per-query scatter points (pure projection, raw doubles).
     NamedQuery(
       "scatter_select",

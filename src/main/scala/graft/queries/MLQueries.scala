@@ -580,6 +580,35 @@ object MLQueries {
     // payloads — byte sizes + content digests per source. The decode /
     // feature-extract stage is the stubbed Multimodal pipeline (library +
     // spec); this judged query covers the relational side of the same shape.
+    // Multimodal frame sampling (the video/audio frame-extract shape): per
+    // payload, 4 evenly spaced frame offsets (stride = len div 4, integer
+    // math), each frame a fixed-width slice digested independently. The
+    // plan is a narrow map + generator — exactly how frame sampling runs
+    // over real binary media at 100 TB (offsets from metadata, slice, then
+    // decode in mapPartitions — see ml.Multimodal for the stubbed decode).
+    // DuckDB cannot slice BLOBs, so the judged variant slices the text
+    // payload (char offsets; the corpus is ASCII so char == byte) and
+    // digests the encoded frame — plumbing identical, decode stubbed.
+    NamedQuery(
+      "multimodal_frame_sample",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("text"),
+            expr("CAST(length(text) AS BIGINT) div 4").as("stride"))
+          .select(col("doc_id"), col("text"), col("stride"),
+            explode(sequence(lit(0L), lit(3L))).as("frame_idx"))
+          .withColumn("off", col("frame_idx") * col("stride"))
+          .withColumn("frame_digest",
+            md5(encode(expr("substring(text, CAST(off + 1 AS INT), 16)"), "UTF-8")))
+          .select(col("doc_id"), col("frame_idx"), col("off"), col("frame_digest"))
+          .orderBy(col("doc_id"), col("frame_idx")),
+      Some("""SELECT doc_id, frame_idx, frame_idx * stride AS off,
+             |  md5(substring(text, CAST(frame_idx * stride + 1 AS BIGINT), 16))
+             |    AS frame_digest
+             |FROM (SELECT doc_id, text, len(text) // 4 AS stride FROM documents)
+             |CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS frame_idx)
+             |ORDER BY doc_id, frame_idx""".stripMargin)),
+
     NamedQuery(
       "multimodal_meta",
       (s, d) =>

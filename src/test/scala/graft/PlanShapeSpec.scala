@@ -1,0 +1,61 @@
+package graft
+
+/** Physical-plan shape assertions — the scale properties SCALE.md claims
+  * must hold in the plans Catalyst actually produces, not just in prose:
+  * filter/column pushdown reaching the parquet scan, dimension broadcasts,
+  * top-k planned as TakeOrderedAndProject / WindowGroupLimit, codegen'd
+  * vector kernels, and shuffle-free narrow maps where the design promises
+  * them. These are the `.explain` checks of the build brief, pinned.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString
+
+  test("scan_project_filter: predicates and projection reach the parquet scan") {
+    val p = plan("scan_project_filter")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), LessThan(l_shipdate"))
+    // 5-column ReadSchema (3 projected + 2 filter columns) — not the table
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_extendedprice:double,l_discount:double"))
+  }
+
+  test("topk_orderby_limit: TakeOrderedAndProject, zero shuffles") {
+    val p = plan("topk_orderby_limit")
+    assert(p.contains("TakeOrderedAndProject(limit=10"))
+    assert(!p.contains("Exchange")) // per-partition top-k, merge on driver
+  }
+
+  test("broadcast_join_small_dim: dim side broadcast, fact scan pruned to 2 cols") {
+    val p = plan("broadcast_join_small_dim")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("BroadcastExchange"))
+    assert(p.contains("ReadSchema: struct<p_partkey:bigint,p_brand:string>"))
+    assert(p.contains("partial_sum")) // map-side combine before the shuffle
+  }
+
+  test("join_semi_topk: broadcast LEFT SEMI over a TakeOrdered top-5") {
+    val p = plan("join_semi_topk")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"))
+    assert(p.contains("TakeOrderedAndProject(limit=5"))
+  }
+
+  test("similarity_topk_bruteforce: codegen kernel + partial top-k before the shuffle") {
+    val p = plan("similarity_topk_bruteforce")
+    assert(p.contains("float_vec_dot(")) // FloatVecDot in the projection, not a UDF
+    // rank<=k is planned as WindowGroupLimit: each partition forwards only
+    // its local top-k into the window exchange
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"))
+    assert(p.contains("PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,5)"))
+  }
+
+  test("similarity_ann_ivf: assignment is a narrow map (no vec_id shuffle), probe joins on cell") {
+    val p = plan("similarity_ann_ivf")
+    // centroids are plan literals: the csim projections sit directly on the
+    // file scan with no exchange keyed by vec_id anywhere
+    assert(!p.contains("Exchange hashpartitioning(vec_id"))
+    assert(p.contains("float_vec_dot(embedding"))
+    assert(p.contains("BroadcastHashJoin [cell"))
+  }
+}
