@@ -7,8 +7,10 @@ import org.apache.spark.sql.functions._
 /** The two reusable chart-data reductions (SURVEY §2.A17/A18).
   *
   * Both end in tiny results (≤ a few dozen rows) but start from
-  * workload-sized inputs; everything before the final single-partition
-  * window is a distributed groupBy.
+  * workload-sized inputs. Scale discipline: anything touching the
+  * unbounded input (totals, top-k, remainder sums) runs as distributed
+  * aggregates / TakeOrdered / broadcast joins; partition-less windows are
+  * only ever applied to the ≤ top-row result set.
   */
 object ChartOps {
 
@@ -35,17 +37,30 @@ object ChartOps {
     */
   def pie(counts: DataFrame, keyCol: String, valueCol: String, top: Int = 20): DataFrame = {
     val all = Window.partitionBy()
-    val ranked = counts
+    val base = counts
       .select(col(keyCol).cast("string").as("key"), col(valueCol).cast("double").as("value"))
-      .withColumn("total", sum(col("value")).over(all))
-      .filter(col("total") =!= 0.0)
+    // scalar total broadcast to every row — never a single-partition window
+    // over the (unbounded) per-key aggregate
+    val total = base.agg(sum(col("value")).as("total")).filter(col("total") =!= 0.0)
+    // "first top-1 entries in desc order" plans as TakeOrderedAndProject:
+    // each partition forwards its local top-(top-1), no global sort. The
+    // row_number AFTER the limit ranks ≤19 rows — bounded by construction.
+    val kept = base
+      .orderBy(col("value").desc, col("key")).limit(top - 1)
+      .crossJoin(broadcast(total))
+      .filter(col("value") * 100.0 / col("total") > 0.1)
       .withColumn("rn", row_number().over(Window.orderBy(col("value").desc, col("key"))))
-      .withColumn("is_top", col("value") * 100.0 / col("total") > 0.1 && col("rn") < top)
-    val kept = ranked.filter(col("is_top")).select(col("key"), col("value"), col("rn"))
-    val rest = ranked.filter(!col("is_top"))
+      .select(col("key"), col("value"), col("rn"))
+    // the remainder is summed directly (reference: values[~relevant].sum()),
+    // via a broadcast anti-join against the ≤19 kept keys; the crossJoin
+    // with the (possibly empty) total relation keeps the reference's
+    // all-zero bail-out (`if not sum_values: return`, analyze.py:463-464)
+    val rest = base.join(broadcast(kept.select(col("key"))), Seq("key"), "left_anti")
+      .crossJoin(broadcast(total))
       .groupBy().agg(sum(col("value")).as("value"))
       .filter(col("value").isNotNull)
       .select(lit("All the rest").as("key"), col("value"), lit(Int.MaxValue).as("rn"))
+    // everything below runs on ≤ top rows — the windows are bounded
     kept.unionAll(rest)
       .withColumn("total", sum(col("value")).over(all))
       .withColumn("pct_round", npRound(col("value") * 100.0 / col("total"), 2))
@@ -71,7 +86,6 @@ object ChartOps {
       bins: Int, maxSelectivity: Double): DataFrame = {
     val spark = points.sparkSession
     val step = 1.0 / bins
-    val all = Window.partitionBy()
     val pts = points
       .select(col(selCol).cast("double").as("x"), col(weightCol).cast("double").as("w"))
     // the reference bails out before padding when there are no points
@@ -88,9 +102,14 @@ object ChartOps {
     val pad = spark.range(0, nPad)
       .select(format_string("%.2f", col("id").cast("double") * lit(step)).as("label"),
         lit(0.0).as("w"))
-    binned.select(col("label"), col("w")).unionAll(pad)
-      .withColumn("pct", col("w") * 100.0 / sum(col("w")).over(all))
-      .groupBy(col("label")).agg(sum(col("pct")).as("pct"))
+    // aggregate per label FIRST (distributed groupBy over the workload),
+    // then percent against a broadcast scalar total — the percent division
+    // must never run as a single-partition window over raw points
+    val perLabel = binned.select(col("label"), col("w")).unionAll(pad)
+      .groupBy(col("label")).agg(sum(col("w")).as("w"))
+    val total = perLabel.agg(sum(col("w")).as("total"))
+    perLabel.crossJoin(broadcast(total))
+      .select(col("label"), (col("w") * 100.0 / col("total")).as("pct"))
       .orderBy(col("label"))
   }
 }
