@@ -535,6 +535,30 @@ object CoreQueries {
              |  FROM documents
              |) ORDER BY doc_id""".stripMargin)),
 
+    // Exact quantile thresholds (training-data quality gating: "drop below
+    // p25"): Spark `percentile` and DuckDB `quantile_cont` both use R-7
+    // linear interpolation at index p*(n-1), identical arithmetic; r2
+    // absorbs last-ulp drift. At 100 TB exact percentile needs a per-group
+    // sort — approx_percentile (t-digest, mergeable partials, no sort) is
+    // the documented scale escape hatch, same plan shape.
+    NamedQuery(
+      "quantile_thresholds",
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy(col("event_type"))
+          .agg(
+            r2(expr("percentile(value, 0.25)")).as("p25"),
+            r2(expr("percentile(value, 0.5)")).as("p50"),
+            r2(expr("percentile(value, 0.9)")).as("p90"),
+            count(lit(1)).as("n"))
+          .orderBy(col("event_type")),
+      Some(s"""SELECT event_type,
+              |  ${r2Sql("quantile_cont(value, 0.25)")} AS p25,
+              |  ${r2Sql("quantile_cont(value, 0.5)")} AS p50,
+              |  ${r2Sql("quantile_cont(value, 0.9)")} AS p90,
+              |  CAST(COUNT(*) AS BIGINT) AS n
+              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // A8/A13 shape: JSON path extraction from a raw string column.
     NamedQuery(
       "json_extract_path",

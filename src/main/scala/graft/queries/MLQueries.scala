@@ -111,6 +111,29 @@ object MLQueries {
              |  CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_redundant
              |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Exact dedup, canonical-row form (the actual training-data operation:
+    // emit the surviving rows, not just counts): group by content digest,
+    // keep the lowest doc_id of each duplicate group. The shuffle carries
+    // (digest, doc_id) only — never the payload; survivors re-join the
+    // payload by doc_id downstream (co-partitioned at 100 TB).
+    NamedQuery(
+      "dedup_exact_canonical",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"), md5(col("text")).as("digest"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("digest")).orderBy(col("doc_id"))))
+          .withColumn("group_n", count(lit(1)).over(Window.partitionBy(col("digest"))))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("digest"), col("group_n"))
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, digest, group_n FROM (
+             |  SELECT doc_id, md5(text) AS digest,
+             |    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn,
+             |    CAST(COUNT(*) OVER (PARTITION BY md5(text)) AS BIGINT) AS group_n
+             |  FROM documents
+             |) WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
+
     // MinHash + LSH banding: 16 universal-hash permutations over dense-rank
     // shingle ids, 4 bands × 4 rows; per-band bucket stats. Candidate pairs
     // = docs sharing a band signature (none planted in this corpus, so the
