@@ -77,6 +77,14 @@ object MLQueries {
   /** distinct 3-word shingles per document. Guarded for <3-word docs:
     * sequence(0, -1) counts DOWN in Spark, which would index w[-1] and
     * throw under ANSI mode (DuckDB's generate_series is simply empty).
+    *
+    * Measured dead end, do not "optimize": computing the within-doc
+    * distinct as `array_distinct(transform(...))` before exploding reads
+    * as a cheaper narrow map but benches 5× SLOWER than explode+distinct —
+    * array_distinct over array<string> is an interpreted O(n²) equality
+    * scan per row, and it serializes the whole map into the single scan
+    * task. The global distinct's exchange also parallelizes everything
+    * downstream and is reused by the ids/join consumers.
     */
   private def shingles(s: SparkSession, d: String): DataFrame =
     words(s, d)
