@@ -52,10 +52,13 @@ object ChartOps {
       .withColumn("rn", row_number().over(Window.orderBy(col("value").desc, col("key"))))
       .select(col("key"), col("value"), col("rn"))
     // the remainder is summed directly (reference: values[~relevant].sum()),
-    // via a broadcast anti-join against the ≤19 kept keys; the crossJoin
-    // with the (possibly empty) total relation keeps the reference's
-    // all-zero bail-out (`if not sum_values: return`, analyze.py:463-464)
-    val rest = base.join(broadcast(kept.select(col("key"))), Seq("key"), "left_anti")
+    // via a broadcast anti-join against the ≤19 kept keys — null-SAFE
+    // equality, or a kept NULL key would also be counted into the rest;
+    // the crossJoin with the (possibly empty) total relation keeps the
+    // reference's all-zero bail-out (`if not sum_values: return`,
+    // analyze.py:463-464)
+    val keptKeys = kept.select(col("key").as("kept_key"))
+    val rest = base.join(broadcast(keptKeys), col("key") <=> col("kept_key"), "left_anti")
       .crossJoin(broadcast(total))
       .groupBy().agg(sum(col("value")).as("value"))
       .filter(col("value").isNotNull)
@@ -86,8 +89,13 @@ object ChartOps {
       bins: Int, maxSelectivity: Double): DataFrame = {
     val spark = points.sparkSession
     val step = 1.0 / bins
+    // null selectivity cannot reach the reference's arithmetic
+    // (analyze.py:630-631 builds the arrays from present stats only); an
+    // unguarded null here would fall through `when(bin <= max)` into the
+    // "Above" bin with its full weight
     val pts = points
       .select(col(selCol).cast("double").as("x"), col(weightCol).cast("double").as("w"))
+      .filter(col("x").isNotNull && col("w").isNotNull)
     // the reference bails out before padding when there are no points
     // (analyze.py:633-634) — padding alone would divide by a zero total
     if (pts.isEmpty)
@@ -102,14 +110,15 @@ object ChartOps {
     val pad = spark.range(0, nPad)
       .select(format_string("%.2f", col("id").cast("double") * lit(step)).as("label"),
         lit(0.0).as("w"))
-    // aggregate per label FIRST (distributed groupBy over the workload),
-    // then percent against a broadcast scalar total — the percent division
-    // must never run as a single-partition window over raw points
-    val perLabel = binned.select(col("label"), col("w")).unionAll(pad)
-      .groupBy(col("label")).agg(sum(col("w")).as("w"))
-    val total = perLabel.agg(sum(col("w")).as("total"))
-    perLabel.crossJoin(broadcast(total))
-      .select(col("label"), (col("w") * 100.0 / col("total")).as("pct"))
+    // percent per POINT then sum per label — the reference's aggregation
+    // order (`wall = wall / wall.sum() * 100` at analyze.py:645, then
+    // groupby-sum), kept bit-compatible; the total is a broadcast scalar
+    // aggregate, never a single-partition window over raw points
+    val all = binned.select(col("label"), col("w")).unionAll(pad)
+    val total = all.agg(sum(col("w")).as("total"))
+    all.crossJoin(broadcast(total))
+      .withColumn("pct", col("w") / col("total") * 100.0)
+      .groupBy(col("label")).agg(sum(col("pct")).as("pct"))
       .orderBy(col("label"))
   }
 }

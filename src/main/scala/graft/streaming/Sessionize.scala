@@ -8,8 +8,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 /** One user-activity event on the stream. */
 final case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)
 
-/** Running per-user session accumulator (epoch millis). */
+/** One pending (or closed) session accumulator (epoch millis). */
 final case class SessionAgg(start: Long, last: Long, n: Long, total: Double)
+
+/** Per-user state: pending sessions, disjoint and sorted by start. */
+final case class SessionState(pending: Seq[SessionAgg])
 
 /** One closed session. */
 final case class UserSession(
@@ -20,18 +23,26 @@ final case class UserSession(
     total_value: Double)
 
 /** Streaming sessionization — the arbitrary-state twin of the batch
-  * `window_session_gaps` gate (gaps-and-islands over `events`): a session
-  * closes when no event arrives within `gapMs`, emitted either when a
-  * later event proves the gap or when the event-time watermark passes the
-  * session's timeout.
+  * `window_session_gaps` gate (gaps-and-islands over `events`, same
+  * 1-hour default gap).
   *
-  * State shape: one `SessionAgg` per active user — O(active users), not
-  * O(events); at 100 TB the state store shards by user across executors
-  * and the watermark bounds retention, so state never grows with history.
+  * Correctness under out-of-order delivery: sessions are emitted ONLY
+  * when the event-time watermark passes `session_end + gap` — never
+  * eagerly on gap-proof — because a late event inside the watermark may
+  * still extend, bridge, or predate a pending session. State therefore
+  * holds a LIST of disjoint pending sessions per user; each event merges
+  * into (possibly bridging) its neighbors, so any arrival order inside
+  * the watermark folds to exactly the batch result. Append mode never has
+  * to retract.
+  *
+  * State is O(active users × sessions-inside-watermark), not O(events);
+  * at 100 TB the state store shards by user across executors and the
+  * watermark bounds retention.
   */
 object Sessionize {
 
-  val DefaultGapMs: Long = 30 * 60 * 1000L
+  /** Matches the batch twin's gap (`window_session_gaps`, 1 hour). */
+  val DefaultGapMs: Long = 60 * 60 * 1000L
 
   def sessionize(events: Dataset[SessionEvent],
       gapMs: Long = DefaultGapMs,
@@ -41,45 +52,42 @@ object Sessionize {
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-        (user: Long, it: Iterator[SessionEvent], state: GroupState[SessionAgg]) =>
+        (user: Long, it: Iterator[SessionEvent], state: GroupState[SessionState]) =>
           update(user, it, state, gapMs))
   }
 
-  /** Pure state transition (unit-testable without a stream): fold the
-    * micro-batch's events (sorted — arrival order within a batch is
-    * arbitrary) into the running session, emitting every session a gap
-    * closes; on watermark timeout, emit the final session and clear.
+  /** Merge one event into the disjoint pending list: absorb every session
+    * within `gapMs` of the event (an event can bridge two), else insert a
+    * new one; result stays sorted and disjoint.
     */
-  private[streaming] def update(user: Long, it: Iterator[SessionEvent],
-      state: GroupState[SessionAgg], gapMs: Long): Iterator[UserSession] = {
-    if (state.hasTimedOut) {
-      val closed = out(user, state.get)
-      state.remove()
-      Iterator.single(closed)
-    } else {
-      val sorted = it.toIndexedSeq.sortBy(_.ts.getTime)
-      val closed = Vector.newBuilder[UserSession]
-      var cur = state.getOption
-      for (e <- sorted) {
-        val t = e.ts.getTime
-        cur = cur match {
-          case Some(s) if t - s.last > gapMs =>
-            closed += out(user, s)
-            Some(SessionAgg(t, t, 1L, e.value))
-          case Some(s) =>
-            Some(SessionAgg(s.start, math.max(s.last, t), s.n + 1L, s.total + e.value))
-          case None =>
-            Some(SessionAgg(t, t, 1L, e.value))
-        }
-      }
-      cur.foreach { s =>
-        state.update(s)
-        state.setTimeoutTimestamp(s.last + gapMs)
-      }
-      closed.result().iterator
+  private[graft] def merge(pending: Seq[SessionAgg], t: Long, value: Double,
+      gapMs: Long): Seq[SessionAgg] = {
+    val (touching, rest) = pending.partition(s =>
+      t >= s.start - gapMs && t <= s.last + gapMs)
+    val merged = touching.foldLeft(SessionAgg(t, t, 1L, value)) { (acc, s) =>
+      SessionAgg(math.min(acc.start, s.start), math.max(acc.last, s.last),
+        acc.n + s.n, acc.total + s.total)
     }
+    (rest :+ merged).sortBy(_.start)
   }
 
-  private def out(user: Long, s: SessionAgg): UserSession =
-    UserSession(user, new Timestamp(s.start), new Timestamp(s.last), s.n, s.total)
+  /** State transition: fold the micro-batch into the pending sessions,
+    * then flush every session the watermark has sealed (no event can
+    * arrive before the watermark, so `last + gap <= watermark` is final).
+    */
+  private[graft] def update(user: Long, it: Iterator[SessionEvent],
+      state: GroupState[SessionState], gapMs: Long): Iterator[UserSession] = {
+    val pending0 = state.getOption.map(_.pending).getOrElse(Seq.empty)
+    val pending = it.foldLeft(pending0)((p, e) => merge(p, e.ts.getTime, e.value, gapMs))
+    val wm = state.getCurrentWatermarkMs()
+    val (sealed_, open) = pending.partition(_.last + gapMs <= wm)
+    if (open.isEmpty) state.remove()
+    else {
+      state.update(SessionState(open))
+      // wake up when the earliest pending session can seal
+      state.setTimeoutTimestamp(open.map(_.last).min + gapMs)
+    }
+    sealed_.sortBy(_.start).iterator.map(s =>
+      UserSession(user, new Timestamp(s.start), new Timestamp(s.last), s.n, s.total))
+  }
 }

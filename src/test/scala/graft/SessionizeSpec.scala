@@ -3,79 +3,82 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import graft.streaming.{SessionEvent, Sessionize}
+import graft.streaming.{SessionAgg, SessionEvent, Sessionize}
 
-/** Streaming sessionization: gap-split emission, cross-batch state carry,
-  * and per-user isolation (the flatMapGroupsWithState surface).
+/** Streaming sessionization: watermark-sealed emission, out-of-order and
+  * late-event folding, per-user isolation (flatMapGroupsWithState).
   */
 class SessionizeSpec extends SparkSpec {
 
-  // offset from epoch 0: events at/below the initial watermark (0) would
-  // be dropped as late before reaching the state function
+  private val MIN = 60000L
+  // offset from epoch 0: events at/below the initial watermark (0) are
+  // dropped as late before reaching the state function
+  private val BASE = 10000L
   private def ev(user: Long, minute: Long, value: Double) =
-    SessionEvent(user, new Timestamp((1000 + minute) * 60000L), value)
+    SessionEvent(user, new Timestamp((BASE + minute) * MIN), value)
 
-  test("a gap beyond the threshold closes the session and starts a new one") {
+  private def collectSessions(table: String) =
+    spark.table(table)
+      .select("user_id", "session_start", "n_events", "total_value")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime / MIN - BASE, r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+
+  test("merge folds any arrival order to the batch result, bridging included") {
+    val gap = 30 * MIN
+    // out of order: 100 first, then 0 and 10 (one session), then 40
+    // bridges nothing, then 25 bridges [0,10] and [40]
+    var p = Seq.empty[SessionAgg]
+    for (m <- Seq(100L, 0L, 10L, 40L, 25L))
+      p = Sessionize.merge(p, m * MIN, 1.0, gap)
+    assert(p.map(s => (s.start / MIN, s.last / MIN, s.n)) ===
+      Seq((0L, 40L, 4L), (100L, 100L, 1L)))
+    assert(p.head.total === 4.0)
+  }
+
+  test("sessions emit only when the watermark seals them") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     val stream = MemoryStream[SessionEvent]
-    val q = Sessionize.sessionize(stream.toDS(), gapMs = 30 * 60000L)
-      .writeStream.format("memory").queryName("sessions_gap")
+    val q = Sessionize.sessionize(stream.toDS(), gapMs = 30 * MIN, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sessions_seal")
       .outputMode("append").start()
     try {
-      // user 1: two events 10 min apart (one session), then one 60 min
-      // later (gap → first session closes); user 2 stays in one session
       stream.addData(ev(1, 0, 1.0), ev(1, 10, 2.0), ev(2, 5, 9.0))
       q.processAllAvailable()
-      stream.addData(ev(1, 70, 4.0), ev(2, 15, 1.0))
+      assert(spark.table("sessions_seal").isEmpty) // nothing sealed yet
+      stream.addData(ev(1, 70, 4.0)) // advances watermark to 60
       q.processAllAvailable()
-      val rows = spark.table("sessions_gap")
-        .select("user_id", "n_events", "total_value").collect()
-      assert(rows.length === 1) // only user 1's first session closed so far
-      assert(rows.head.getLong(0) === 1L)
-      assert(rows.head.getLong(1) === 2L)
-      assert(rows.head.getDouble(2) === 3.0)
+      stream.addData(ev(99, 200, 0.0)) // wakes the sealed sessions out
+      q.processAllAvailable()
+      stream.addData(ev(99, 201, 0.0))
+      q.processAllAvailable()
+      val rows = collectSessions("sessions_seal").filter(_._1 <= 2)
+      assert(rows === Seq((1L, 0L, 2L, 3.0), (1L, 70L, 1L, 4.0), (2L, 5L, 1L, 9.0)))
     } finally q.stop()
   }
 
-  test("events within one batch sort by event time before folding") {
+  test("a late cross-batch event joins its own earlier session, not the newest one") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     val stream = MemoryStream[SessionEvent]
-    val q = Sessionize.sessionize(stream.toDS(), gapMs = 30 * 60000L)
-      .writeStream.format("memory").queryName("sessions_sort")
+    val q = Sessionize.sessionize(stream.toDS(), gapMs = 30 * MIN, watermark = "60 minutes")
+      .writeStream.format("memory").queryName("sessions_late")
       .outputMode("append").start()
     try {
-      // arrival order scrambled: the 100-minute event arrives first but
-      // must still split [0,10] from [100]
-      stream.addData(ev(7, 100, 5.0), ev(7, 0, 1.0), ev(7, 10, 2.0))
+      stream.addData(ev(1, 720, 1.0), ev(1, 780, 10.0)) // two pending sessions
       q.processAllAvailable()
-      val rows = spark.table("sessions_sort")
-        .select("n_events", "total_value").collect()
-      assert(rows.length === 1)
-      assert(rows.head.getLong(0) === 2L) // [0,10] closed by the 100 event
-      assert(rows.head.getDouble(1) === 3.0)
-    } finally q.stop()
-  }
-
-  test("watermark timeout flushes the final open session") {
-    implicit val sqlCtx = spark.sqlContext
-    import spark.implicits._
-    val stream = MemoryStream[SessionEvent]
-    val q = Sessionize.sessionize(stream.toDS(), gapMs = 30 * 60000L, watermark = "10 minutes")
-      .writeStream.format("memory").queryName("sessions_wm")
-      .outputMode("append").start()
-    try {
-      stream.addData(ev(1, 0, 1.0))
+      // late by one batch but inside the watermark (wm = 720): belongs to
+      // the 720 session — eager gap-proof emission would have mis-merged
+      // it into the 780 one
+      stream.addData(ev(1, 730, 2.0))
       q.processAllAvailable()
-      // a far-future event (other user) advances the watermark past
-      // user 1's timeout → the open session flushes on the next batch
-      stream.addData(ev(99, 1000, 0.0))
+      stream.addData(ev(99, 900, 0.0))
       q.processAllAvailable()
-      stream.addData(ev(99, 1001, 0.0))
+      stream.addData(ev(99, 901, 0.0))
       q.processAllAvailable()
-      val users = spark.table("sessions_wm").select("user_id").collect().map(_.getLong(0))
-      assert(users.contains(1L))
+      val rows = collectSessions("sessions_late").filter(_._1 === 1L)
+      assert(rows === Seq((1L, 720L, 2L, 3.0), (1L, 780L, 1L, 10.0)))
     } finally q.stop()
   }
 }
