@@ -119,6 +119,36 @@ object Pipeline {
       println(s"streamed ${spark.read.parquet(s"$out/data").count()} summaries to $out/data")
       spark.stop()
 
+    case "sessionize" :: eventsDir :: out :: _ =>
+      // streaming sessionization over the events table via a file-source
+      // stream (AvailableNow = drain-and-stop): the flatMapGroupsWithState
+      // twin of the window_session_gaps gate, driven end-to-end. The final
+      // still-open sessions stay in state by design (no more watermark
+      // progress); the printed count covers every watermark-sealed session.
+      val spark = session()
+      import spark.implicits._
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = spark.read.parquet(s"$eventsDir/events.parquet").schema
+      // the streaming file source wants a directory; select the events
+      // table out of the sf dir by glob
+      val events = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(eventsDir)
+        .select(org.apache.spark.sql.functions.col("user_id"),
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)").as("ts"),
+          org.apache.spark.sql.functions.col("value"))
+        .as[graft.streaming.SessionEvent]
+      val q = graft.streaming.Sessionize.sessionize(events)
+        .writeStream.format("parquet")
+        .option("path", s"$out/sessions").option("checkpointLocation", s"$out/checkpoint")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val sealed_ = spark.read.parquet(s"$out/sessions")
+      println(s"sessionized: ${sealed_.count()} sealed sessions " +
+        s"(${sealed_.select("user_id").distinct().count()} users) to $out/sessions")
+      spark.stop()
+
     case "featurize" :: in :: out :: _ =>
       // multimodal demo: documents-as-media → stubbed decode → features
       val spark = session()
@@ -165,7 +195,7 @@ object Pipeline {
 
     case _ =>
       System.err.println(
-        "usage: Pipeline (extract|analyze|process|stream|featurize|explain) <in> <out> [opts]")
+        "usage: Pipeline (extract|analyze|process|stream|sessionize|featurize|explain) <in> <out> [opts]")
       sys.exit(2)
   }
 }
