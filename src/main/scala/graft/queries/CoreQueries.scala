@@ -535,6 +535,56 @@ object CoreQueries {
              |  FROM documents
              |) ORDER BY doc_id""".stripMargin)),
 
+    // Multi-level aggregation: ROLLUP over the region→nation hierarchy —
+    // subtotals per region and a grand total in one pass (Catalyst expands
+    // to grouping sets; partial aggregation still applies, so the shuffle
+    // stays (groups × levels), not rows). Hierarchy labels are never null
+    // in the data, so coalesce('ALL') marks exactly the subtotal rows.
+    NamedQuery(
+      "rollup_region_nation",
+      (s, d) =>
+        Tables.supplier(s, d)
+          .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+          .rollup(col("r_name"), col("n_name"))
+          .agg(count(lit(1)).as("n_suppliers"), dsum(col("s_acctbal")).as("total_bal"))
+          .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+            coalesce(col("n_name"), lit("ALL")).as("nation"),
+            col("n_suppliers"), col("total_bal"))
+          .orderBy(col("region"), col("nation")),
+      Some(s"""SELECT COALESCE(r_name, 'ALL') AS region,
+              |  COALESCE(n_name, 'ALL') AS nation,
+              |  CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+              |  ${dsumSql("s_acctbal")} AS total_bal
+              |FROM supplier
+              |JOIN nation ON s_nationkey = n_nationkey
+              |JOIN region ON n_regionkey = r_regionkey
+              |GROUP BY ROLLUP(r_name, n_name)
+              |ORDER BY region, nation""".stripMargin)),
+
+    // Pivot (wide conditional aggregation): per-day event counts fanned
+    // into one column per event type. Spark's pivot with an explicit value
+    // list compiles to the same conditional-count aggregate DuckDB's
+    // FILTER clauses express — one pass, no per-value scans.
+    NamedQuery(
+      "pivot_event_counts",
+      (s, d) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        Tables.events(s, d)
+          .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+          .pivot("event_type", types)
+          .agg(count(lit(1)))
+          .select(col("day") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+          .orderBy(col("day"))
+      },
+      Some("""SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             |  CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+             |  CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+             |  CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+             |  CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+             |  CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Exact quantile thresholds (training-data quality gating: "drop below
     // p25"): Spark `percentile` and DuckDB `quantile_cont` both use R-7
     // linear interpolation at index p*(n-1), identical arithmetic; r2
