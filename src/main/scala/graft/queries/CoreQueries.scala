@@ -609,6 +609,49 @@ object CoreQueries {
               |  CAST(COUNT(*) AS BIGINT) AS n
               |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Window FRAME aggregation (sliding metrics): per-user moving sum over
+    // the last 3 events — ROWS frames are order-dependent, so the frame
+    // order is the tie-free (ts_us, event_id). Partitioned by user: fully
+    // parallel, no global window.
+    NamedQuery(
+      "window_moving_sum",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us"), col("event_id"))
+          .rowsBetween(-2, Window.currentRow)
+        Tables.events(s, d)
+          .withColumn("ts_us", expr("ts_ns div 1000"))
+          .withColumn("moving_sum",
+            sum(col("value").cast(org.apache.spark.sql.types.DataTypes
+              .createDecimalType(18, 4))).over(w).cast("double"))
+          .select(col("user_id"), col("event_id"), col("moving_sum"))
+          .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+      },
+      Some("""SELECT user_id, event_id,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+             |    PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum
+             |FROM events
+             |ORDER BY user_id, epoch_us(ts), event_id""".stripMargin)),
+
+    // collect/array_agg: group values into a collection (sorted — Spark
+    // collect_list order is partition-dependent, so determinism requires
+    // sort_array in BOTH engines). Serialized to a joined string for the
+    // gate: the driver's cell comparator handles scalars, not list cells.
+    NamedQuery(
+      "array_agg_sorted",
+      (s, d) =>
+        Tables.supplier(s, d)
+          .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(array_join(sort_array(collect_list(col("s_name"))), ",").as("suppliers"),
+            count(lit(1)).as("n"))
+          .orderBy(col("n_name")),
+      Some("""SELECT n_name, string_agg(s_name, ',' ORDER BY s_name) AS suppliers,
+             |  CAST(COUNT(*) AS BIGINT) AS n
+             |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // A8/A13 shape: JSON path extraction from a raw string column.
     NamedQuery(
       "json_extract_path",

@@ -100,6 +100,74 @@ object MLQueries {
       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)""".stripMargin
 
+  /** 16-bit SimHash signature per doc (shared by the signature gate and
+    * the Hamming near-dup join): per-bit weighted majority over universal
+    * hash bits of dense-rank word ids. Weights are tf x an integer idf
+    * proxy (cnt * (1000000 div doc_freq)) so rare, doc-distinguishing
+    * words dominate the majority (Manku et al.'s feature weighting) while
+    * staying exact-integer in both engines. One aggregation pass: 16
+    * signed accumulators per doc, no row explosion.
+    */
+  private def simhashSigs(s: SparkSession, d: String): DataFrame = {
+        val wordCounts = words(s, d)
+          .select(col("doc_id"), explode(col("w")).as("word"))
+          .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("cnt"))
+        val ids = wordCounts.groupBy(col("word"))
+          .agg(count(lit(1)).as("df"))
+          .withColumn("wid", dense_rank().over(Window.orderBy(col("word"))).cast("long"))
+        // one aggregation pass: 16 signed-majority accumulators per doc
+        // (previous shape exploded rows 16x through a range cross-join)
+        val accs = (0 until 16).map { b =>
+          val g = (col("wid") * (lit(2654435761L) + lit(b.toLong) * 40503L)
+            + lit(91L) + lit(b.toLong) * 131L) % lit(2147483647L) % 2L
+          sum((g * 2L - 1L) * col("cnt") * expr("1000000 div df")).as(s"acc$b")
+        }
+        val bitSum = (0 until 16).map(b =>
+          when(col(s"acc$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _)
+        wordCounts.join(ids, "word")
+          .groupBy(col("doc_id"))
+          .agg(accs.head, accs.tail: _*)
+          .select(col("doc_id"), bitSum.as("simhash"))
+  }
+
+  /** Oracle CTE block ending in `sigs(doc_id, simhash)`, shared by the
+    * signature gate and the Hamming join gate (pre-resolved, no margin).
+    */
+  private val simhashSigsSql: String =
+    """wc AS (
+  SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+    SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents
+  ) GROUP BY 1, 2
+), ids AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS df,
+    CAST(DENSE_RANK() OVER (ORDER BY word) AS BIGINT) AS wid
+  FROM wc GROUP BY word
+), bits AS (
+  SELECT doc_id,
+    SUM((((wid * (2654435761 + 0 * 40503) + 91 + 0 * 131) % 2147483647 % 2) * 2 - 1) * cnt * (1000000 // df)) AS acc0,
+    SUM((((wid * (2654435761 + 1 * 40503) + 91 + 1 * 131) % 2147483647 % 2) * 2 - 1) * cnt * (1000000 // df)) AS acc1,
+    SUM((((wid * (2654435761 + 2 * 40503) + 91 + 2 * 131) % 2147483647 % 2) * 2 - 1) * cnt * (1000000 // df)) AS acc2,
+    SUM((((wid * (2654435761 + 3 * 40503) + 91 + 3 * 131) % 2147483647 % 2) * 2 - 1) * cnt * (1000000 // df)) AS acc3,
+    SUM((((wid * (2654435761 + 4 * 40503) + 91 + 4 * 131) % 2147483647 % 2) * 2 - 1) * cnt * (1000000 // df)) AS acc4,
+    SUM((((wid * (2654435761 + 5 * 40503) + 91 + 5 * 131) % 2147483647 % 2) * 2 - 1) * cnt * (1000000 // df)) AS acc5,
+    SUM((((wid * (2654435761 + 6 * 40503) + 91 + 6 * 131) % 2147483647 % 2) * 2 - 1) * cnt * (1000000 // df)) AS acc6,
+    SUM((((wid * (2654435761 + 7 * 40503) + 91 + 7 * 131) % 2147483647 % 2) * 2 - 1) * cnt * (1000000 // df)) AS acc7,
+    SUM((((wid * (2654435761 + 8 * 40503) + 91 + 8 * 131) % 2147483647 % 2) * 2 - 1) * cnt * (1000000 // df)) AS acc8,
+    SUM((((wid * (2654435761 + 9 * 40503) + 91 + 9 * 131) % 2147483647 % 2) * 2 - 1) * cnt * (1000000 // df)) AS acc9,
+    SUM((((wid * (2654435761 + 10 * 40503) + 91 + 10 * 131) % 2147483647 % 2) * 2 - 1) * cnt * (1000000 // df)) AS acc10,
+    SUM((((wid * (2654435761 + 11 * 40503) + 91 + 11 * 131) % 2147483647 % 2) * 2 - 1) * cnt * (1000000 // df)) AS acc11,
+    SUM((((wid * (2654435761 + 12 * 40503) + 91 + 12 * 131) % 2147483647 % 2) * 2 - 1) * cnt * (1000000 // df)) AS acc12,
+    SUM((((wid * (2654435761 + 13 * 40503) + 91 + 13 * 131) % 2147483647 % 2) * 2 - 1) * cnt * (1000000 // df)) AS acc13,
+    SUM((((wid * (2654435761 + 14 * 40503) + 91 + 14 * 131) % 2147483647 % 2) * 2 - 1) * cnt * (1000000 // df)) AS acc14,
+    SUM((((wid * (2654435761 + 15 * 40503) + 91 + 15 * 131) % 2147483647 % 2) * 2 - 1) * cnt * (1000000 // df)) AS acc15
+  FROM wc JOIN ids USING (word)
+  GROUP BY doc_id
+), sigs AS (
+  SELECT doc_id,
+  CAST((CASE WHEN acc0 > 0 THEN 1 ELSE 0 END) + (CASE WHEN acc1 > 0 THEN 2 ELSE 0 END) + (CASE WHEN acc2 > 0 THEN 4 ELSE 0 END) + (CASE WHEN acc3 > 0 THEN 8 ELSE 0 END) + (CASE WHEN acc4 > 0 THEN 16 ELSE 0 END) + (CASE WHEN acc5 > 0 THEN 32 ELSE 0 END) + (CASE WHEN acc6 > 0 THEN 64 ELSE 0 END) + (CASE WHEN acc7 > 0 THEN 128 ELSE 0 END) + (CASE WHEN acc8 > 0 THEN 256 ELSE 0 END) + (CASE WHEN acc9 > 0 THEN 512 ELSE 0 END) + (CASE WHEN acc10 > 0 THEN 1024 ELSE 0 END) + (CASE WHEN acc11 > 0 THEN 2048 ELSE 0 END) + (CASE WHEN acc12 > 0 THEN 4096 ELSE 0 END) + (CASE WHEN acc13 > 0 THEN 8192 ELSE 0 END) + (CASE WHEN acc14 > 0 THEN 16384 ELSE 0 END) + (CASE WHEN acc15 > 0 THEN 32768 ELSE 0 END) AS BIGINT) AS simhash
+  FROM bits
+)"""
+
   val all: Seq[NamedQuery] = Seq(
 
     // Exact dedup: hash-groupBy on content (md5). Per source: docs, unique
@@ -216,58 +284,61 @@ object MLQueries {
     // hash bits of dense-rank word ids, weights = term frequency.
     NamedQuery(
       "dedup_simhash",
+      (s, d) => simhashSigs(s, d).orderBy(col("doc_id")),
+      Some(s"""WITH $simhashSigsSql
+              |SELECT doc_id, simhash FROM sigs ORDER BY doc_id""".stripMargin)),
+
+    // Exact Hamming near-dup pairs over the SimHash signatures: the
+    // multi-index pigeonhole join (Manku et al.'s simhash dedup). Split
+    // the 16-bit signature into 4 nibble blocks; a pair within Hamming
+    // distance 3 must agree on at least one block (4 blocks, <=3
+    // differing bits), so one equi-join per block finds ALL such pairs
+    // without the O(n^2) cross product, and the exact bit_count(xor)
+    // filter discards false candidates. Identical shape at 100 TB: 4
+    // shuffles on (block, value), candidates ~ n^2 / 2^blockbits.
+    NamedQuery(
+      "dedup_simhash_hamming",
       (s, d) => {
-        val wordCounts = words(s, d)
-          .select(col("doc_id"), explode(col("w")).as("word"))
-          .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("cnt"))
-        val ids = wordCounts.select(col("word")).distinct()
-          .withColumn("wid", dense_rank().over(Window.orderBy(col("word"))).cast("long"))
-        // one aggregation pass: 16 signed-majority accumulators per doc
-        // (previous shape exploded rows 16x through a range cross-join)
-        val accs = (0 until 16).map { b =>
-          val g = (col("wid") * (lit(2654435761L) + lit(b.toLong) * 37L)
-            + lit(91L) + lit(b.toLong) * 53L) % lit(2147483647L) % 2L
-          sum((g * 2L - 1L) * col("cnt")).as(s"acc$b")
-        }
-        val bitSum = (0 until 16).map(b =>
-          when(col(s"acc$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _)
-        wordCounts.join(ids, "word")
-          .groupBy(col("doc_id"))
-          .agg(accs.head, accs.tail: _*)
-          .select(col("doc_id"), bitSum.as("simhash"))
-          .orderBy(col("doc_id"))
+        // cached + pre-partitioned on the join key: the signature pipeline
+        // (groupBys + rank join) runs once, not once per join side, and
+        // the block join consumes the cached layout without re-exchanging.
+        // The exact-distance filter runs BEFORE the pair distinct (same
+        // result — dist is functionally dependent on the pair — but the
+        // distinct then shuffles only true near-dups, not every candidate).
+        val nib = simhashSigs(s, d)
+          .select(col("doc_id"), col("simhash"), explode(sequence(lit(0), lit(3))).as("k"))
+          .withColumn("v", expr("(simhash div CAST(pow(16, k) AS BIGINT)) % 16"))
+          .repartition(col("k"), col("v"))
+          .cache()
+        val a = nib.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"),
+          col("k"), col("v"))
+        val b = nib.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b"),
+          col("k"), col("v"))
+        a.join(b, Seq("k", "v")).filter(col("doc_a") < col("doc_b"))
+          .withColumn("dist", expr("CAST(bit_count(sig_a ^ sig_b) AS BIGINT)"))
+          .filter(col("dist") <= 3)
+          .select(col("doc_a"), col("doc_b"), col("dist")).distinct()
+          // bounded output: the first 5000 pairs in pair order
+          // (TakeOrderedAndProject — no global sort; downstream consumers
+          // at scale take the pair STREAM into union-find, never a full
+          // sorted materialization)
+          .orderBy(col("doc_a"), col("doc_b"))
+          .limit(5000)
       },
-      Some("""WITH wc AS (
-             |  SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
-             |    SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents
-             |  ) GROUP BY 1, 2
-             |), ids AS (
-             |  SELECT word, CAST(DENSE_RANK() OVER (ORDER BY word) AS BIGINT) AS wid
-             |  FROM (SELECT DISTINCT word FROM wc)
-             |), bits AS (
-             |  SELECT doc_id,
-             |    SUM((((wid * (2654435761 + 0 * 37) + 91 + 0 * 53) % 2147483647 % 2) * 2 - 1) * cnt) AS acc0,
-             |    SUM((((wid * (2654435761 + 1 * 37) + 91 + 1 * 53) % 2147483647 % 2) * 2 - 1) * cnt) AS acc1,
-             |    SUM((((wid * (2654435761 + 2 * 37) + 91 + 2 * 53) % 2147483647 % 2) * 2 - 1) * cnt) AS acc2,
-             |    SUM((((wid * (2654435761 + 3 * 37) + 91 + 3 * 53) % 2147483647 % 2) * 2 - 1) * cnt) AS acc3,
-             |    SUM((((wid * (2654435761 + 4 * 37) + 91 + 4 * 53) % 2147483647 % 2) * 2 - 1) * cnt) AS acc4,
-             |    SUM((((wid * (2654435761 + 5 * 37) + 91 + 5 * 53) % 2147483647 % 2) * 2 - 1) * cnt) AS acc5,
-             |    SUM((((wid * (2654435761 + 6 * 37) + 91 + 6 * 53) % 2147483647 % 2) * 2 - 1) * cnt) AS acc6,
-             |    SUM((((wid * (2654435761 + 7 * 37) + 91 + 7 * 53) % 2147483647 % 2) * 2 - 1) * cnt) AS acc7,
-             |    SUM((((wid * (2654435761 + 8 * 37) + 91 + 8 * 53) % 2147483647 % 2) * 2 - 1) * cnt) AS acc8,
-             |    SUM((((wid * (2654435761 + 9 * 37) + 91 + 9 * 53) % 2147483647 % 2) * 2 - 1) * cnt) AS acc9,
-             |    SUM((((wid * (2654435761 + 10 * 37) + 91 + 10 * 53) % 2147483647 % 2) * 2 - 1) * cnt) AS acc10,
-             |    SUM((((wid * (2654435761 + 11 * 37) + 91 + 11 * 53) % 2147483647 % 2) * 2 - 1) * cnt) AS acc11,
-             |    SUM((((wid * (2654435761 + 12 * 37) + 91 + 12 * 53) % 2147483647 % 2) * 2 - 1) * cnt) AS acc12,
-             |    SUM((((wid * (2654435761 + 13 * 37) + 91 + 13 * 53) % 2147483647 % 2) * 2 - 1) * cnt) AS acc13,
-             |    SUM((((wid * (2654435761 + 14 * 37) + 91 + 14 * 53) % 2147483647 % 2) * 2 - 1) * cnt) AS acc14,
-             |    SUM((((wid * (2654435761 + 15 * 37) + 91 + 15 * 53) % 2147483647 % 2) * 2 - 1) * cnt) AS acc15
-             |  FROM wc JOIN ids USING (word)
-             |  GROUP BY doc_id
-             |)
-             |SELECT doc_id,
-             |  CAST((CASE WHEN acc0 > 0 THEN 1 ELSE 0 END) + (CASE WHEN acc1 > 0 THEN 2 ELSE 0 END) + (CASE WHEN acc2 > 0 THEN 4 ELSE 0 END) + (CASE WHEN acc3 > 0 THEN 8 ELSE 0 END) + (CASE WHEN acc4 > 0 THEN 16 ELSE 0 END) + (CASE WHEN acc5 > 0 THEN 32 ELSE 0 END) + (CASE WHEN acc6 > 0 THEN 64 ELSE 0 END) + (CASE WHEN acc7 > 0 THEN 128 ELSE 0 END) + (CASE WHEN acc8 > 0 THEN 256 ELSE 0 END) + (CASE WHEN acc9 > 0 THEN 512 ELSE 0 END) + (CASE WHEN acc10 > 0 THEN 1024 ELSE 0 END) + (CASE WHEN acc11 > 0 THEN 2048 ELSE 0 END) + (CASE WHEN acc12 > 0 THEN 4096 ELSE 0 END) + (CASE WHEN acc13 > 0 THEN 8192 ELSE 0 END) + (CASE WHEN acc14 > 0 THEN 16384 ELSE 0 END) + (CASE WHEN acc15 > 0 THEN 32768 ELSE 0 END) AS BIGINT) AS simhash
-             |FROM bits ORDER BY doc_id""".stripMargin)),
+      Some(s"""WITH $simhashSigsSql, nib AS (
+              |  SELECT doc_id, simhash, k,
+              |    (simhash // CAST(pow(16, k) AS BIGINT)) % 16 AS v
+              |  FROM sigs CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS k)
+              |), cand AS (
+              |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |    a.simhash AS sig_a, b.simhash AS sig_b
+              |  FROM nib a JOIN nib b
+              |    ON a.k = b.k AND a.v = b.v AND a.doc_id < b.doc_id
+              |)
+              |SELECT doc_a, doc_b,
+              |  CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS dist
+              |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
+              |ORDER BY doc_a, doc_b LIMIT 5000""".stripMargin)),
 
     // n-gram Jaccard near-dup: candidate pairs via shared-shingle equi-join
     // (the LSH-free baseline), exact Jaccard, top-10 most-similar pairs.

@@ -25,6 +25,12 @@ def norm_cell(v):
         if math.isnan(v):
             return "NaN"
         return v
+    # list/array cells (numpy arrays from parquet) -> plain tuples so the
+    # != comparison stays scalar
+    if hasattr(v, "tolist") and not hasattr(v, "upper"):
+        return tuple(v.tolist())
+    if isinstance(v, (list, tuple)):
+        return tuple(v)
     return v
 
 
