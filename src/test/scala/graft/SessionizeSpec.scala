@@ -36,6 +36,26 @@ class SessionizeSpec extends SparkSpec {
     assert(p.head.total === 4.0)
   }
 
+  test("merge fold is arrival-order independent and matches gaps-and-islands") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val gap = 30 * MIN
+    val events = Gen.listOfN(12, Gen.choose(0L, 600L))
+    val prop = Prop.forAll(events) { minutes =>
+      val times = minutes.map(_ * MIN)
+      // fold in arbitrary arrival order
+      val folded = times.foldLeft(Seq.empty[graft.streaming.SessionAgg])(
+        (p, t) => Sessionize.merge(p, t, 1.0, gap))
+      // batch gaps-and-islands over the sorted times
+      val expected = times.sorted.foldLeft(Vector.empty[Vector[Long]]) { (acc, t) =>
+        if (acc.nonEmpty && t - acc.last.last <= gap) acc.init :+ (acc.last :+ t)
+        else acc :+ Vector(t)
+      }
+      folded.map(s => (s.start, s.last, s.n)) ==
+        expected.map(g => (g.head, g.last, g.length.toLong))
+    }
+    assert(SCTest.check(SCTest.Parameters.default, prop).passed)
+  }
+
   test("sessions emit only when the watermark seals them") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
