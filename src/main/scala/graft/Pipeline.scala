@@ -144,9 +144,15 @@ object Pipeline {
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       q.awaitTermination()
-      val sealed_ = spark.read.parquet(s"$out/sessions")
-      println(s"sessionized: ${sealed_.count()} sealed sessions " +
-        s"(${sealed_.select("user_id").distinct().count()} users) to $out/sessions")
+      // zero sealed sessions leaves only _spark_metadata in the sink dir —
+      // a bare parquet read would fail schema inference
+      val hasData = new java.io.File(s"$out/sessions").listFiles() != null &&
+        new java.io.File(s"$out/sessions").listFiles().exists(_.getName.endsWith(".parquet"))
+      if (hasData) {
+        val sealed_ = spark.read.parquet(s"$out/sessions")
+        println(s"sessionized: ${sealed_.count()} sealed sessions " +
+          s"(${sealed_.select("user_id").distinct().count()} users) to $out/sessions")
+      } else println(s"sessionized: 0 sealed sessions to $out/sessions")
       spark.stop()
 
     case "featurize" :: in :: out :: _ =>

@@ -118,8 +118,13 @@ object MLQueries {
         // one aggregation pass: 16 signed-majority accumulators per doc
         // (previous shape exploded rows 16x through a range cross-join)
         val accs = (0 until 16).map { b =>
-          val g = (col("wid") * (lit(2654435761L) + lit(b.toLong) * 40503L)
-            + lit(91L) + lit(b.toLong) * 131L) % lit(2147483647L) % 2L
+          // b is mixed into the hash INPUT (wid*16 + b), not the
+          // multiplier: a per-bit multiplier step b*c is linear in b, the
+          // mod-p quotient stays constant across all 16 bits, and every
+          // word collapses to one of 4 bit patterns (alternating or
+          // constant) — measured: 4 distinct signatures over 500 docs.
+          val g = ((col("wid") * 16L + lit(b.toLong)) * lit(2654435761L)
+            + lit(91L)) % lit(2147483647L) % 2L
           sum((g * 2L - 1L) * col("cnt") * expr("1000000 div df")).as(s"acc$b")
         }
         val bitSum = (0 until 16).map(b =>
@@ -144,22 +149,22 @@ object MLQueries {
   FROM wc GROUP BY word
 ), bits AS (
   SELECT doc_id,
-    SUM((((wid * (2654435761 + 0 * 40503) + 91 + 0 * 131) % 2147483647 % 2) * 2 - 1) * cnt * (1000000 // df)) AS acc0,
-    SUM((((wid * (2654435761 + 1 * 40503) + 91 + 1 * 131) % 2147483647 % 2) * 2 - 1) * cnt * (1000000 // df)) AS acc1,
-    SUM((((wid * (2654435761 + 2 * 40503) + 91 + 2 * 131) % 2147483647 % 2) * 2 - 1) * cnt * (1000000 // df)) AS acc2,
-    SUM((((wid * (2654435761 + 3 * 40503) + 91 + 3 * 131) % 2147483647 % 2) * 2 - 1) * cnt * (1000000 // df)) AS acc3,
-    SUM((((wid * (2654435761 + 4 * 40503) + 91 + 4 * 131) % 2147483647 % 2) * 2 - 1) * cnt * (1000000 // df)) AS acc4,
-    SUM((((wid * (2654435761 + 5 * 40503) + 91 + 5 * 131) % 2147483647 % 2) * 2 - 1) * cnt * (1000000 // df)) AS acc5,
-    SUM((((wid * (2654435761 + 6 * 40503) + 91 + 6 * 131) % 2147483647 % 2) * 2 - 1) * cnt * (1000000 // df)) AS acc6,
-    SUM((((wid * (2654435761 + 7 * 40503) + 91 + 7 * 131) % 2147483647 % 2) * 2 - 1) * cnt * (1000000 // df)) AS acc7,
-    SUM((((wid * (2654435761 + 8 * 40503) + 91 + 8 * 131) % 2147483647 % 2) * 2 - 1) * cnt * (1000000 // df)) AS acc8,
-    SUM((((wid * (2654435761 + 9 * 40503) + 91 + 9 * 131) % 2147483647 % 2) * 2 - 1) * cnt * (1000000 // df)) AS acc9,
-    SUM((((wid * (2654435761 + 10 * 40503) + 91 + 10 * 131) % 2147483647 % 2) * 2 - 1) * cnt * (1000000 // df)) AS acc10,
-    SUM((((wid * (2654435761 + 11 * 40503) + 91 + 11 * 131) % 2147483647 % 2) * 2 - 1) * cnt * (1000000 // df)) AS acc11,
-    SUM((((wid * (2654435761 + 12 * 40503) + 91 + 12 * 131) % 2147483647 % 2) * 2 - 1) * cnt * (1000000 // df)) AS acc12,
-    SUM((((wid * (2654435761 + 13 * 40503) + 91 + 13 * 131) % 2147483647 % 2) * 2 - 1) * cnt * (1000000 // df)) AS acc13,
-    SUM((((wid * (2654435761 + 14 * 40503) + 91 + 14 * 131) % 2147483647 % 2) * 2 - 1) * cnt * (1000000 // df)) AS acc14,
-    SUM((((wid * (2654435761 + 15 * 40503) + 91 + 15 * 131) % 2147483647 % 2) * 2 - 1) * cnt * (1000000 // df)) AS acc15
+    SUM(((((wid * 16 + 0) * 2654435761 + 91) % 2147483647 % 2) * 2 - 1) * cnt * (1000000 // df)) AS acc0,
+    SUM(((((wid * 16 + 1) * 2654435761 + 91) % 2147483647 % 2) * 2 - 1) * cnt * (1000000 // df)) AS acc1,
+    SUM(((((wid * 16 + 2) * 2654435761 + 91) % 2147483647 % 2) * 2 - 1) * cnt * (1000000 // df)) AS acc2,
+    SUM(((((wid * 16 + 3) * 2654435761 + 91) % 2147483647 % 2) * 2 - 1) * cnt * (1000000 // df)) AS acc3,
+    SUM(((((wid * 16 + 4) * 2654435761 + 91) % 2147483647 % 2) * 2 - 1) * cnt * (1000000 // df)) AS acc4,
+    SUM(((((wid * 16 + 5) * 2654435761 + 91) % 2147483647 % 2) * 2 - 1) * cnt * (1000000 // df)) AS acc5,
+    SUM(((((wid * 16 + 6) * 2654435761 + 91) % 2147483647 % 2) * 2 - 1) * cnt * (1000000 // df)) AS acc6,
+    SUM(((((wid * 16 + 7) * 2654435761 + 91) % 2147483647 % 2) * 2 - 1) * cnt * (1000000 // df)) AS acc7,
+    SUM(((((wid * 16 + 8) * 2654435761 + 91) % 2147483647 % 2) * 2 - 1) * cnt * (1000000 // df)) AS acc8,
+    SUM(((((wid * 16 + 9) * 2654435761 + 91) % 2147483647 % 2) * 2 - 1) * cnt * (1000000 // df)) AS acc9,
+    SUM(((((wid * 16 + 10) * 2654435761 + 91) % 2147483647 % 2) * 2 - 1) * cnt * (1000000 // df)) AS acc10,
+    SUM(((((wid * 16 + 11) * 2654435761 + 91) % 2147483647 % 2) * 2 - 1) * cnt * (1000000 // df)) AS acc11,
+    SUM(((((wid * 16 + 12) * 2654435761 + 91) % 2147483647 % 2) * 2 - 1) * cnt * (1000000 // df)) AS acc12,
+    SUM(((((wid * 16 + 13) * 2654435761 + 91) % 2147483647 % 2) * 2 - 1) * cnt * (1000000 // df)) AS acc13,
+    SUM(((((wid * 16 + 14) * 2654435761 + 91) % 2147483647 % 2) * 2 - 1) * cnt * (1000000 // df)) AS acc14,
+    SUM(((((wid * 16 + 15) * 2654435761 + 91) % 2147483647 % 2) * 2 - 1) * cnt * (1000000 // df)) AS acc15
   FROM wc JOIN ids USING (word)
   GROUP BY doc_id
 ), sigs AS (
