@@ -229,6 +229,61 @@ object CoreQueries {
               |FROM lineitem JOIN part ON l_partkey = p_partkey
               |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Left OUTER join with null-producing side: every customer, including
+    // the order-less (their aggregates coalesce to zero). Same
+    // broadcast/shuffle story as the inner variant; the null rows are
+    // exactly the rows an inner join would drop.
+    NamedQuery(
+      "join_left_outer_nulls",
+      (s, d) =>
+        Tables.customer(s, d)
+          .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("n_orders"),
+            coalesce(dsum(col("o_totalprice")), lit(0.0)).as("total"))
+          .orderBy(col("c_custkey")),
+      Some(s"""SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
+              |  COALESCE(${dsumSql("o_totalprice")}, 0.0) AS total
+              |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Anti join: customers with no high-value order (> 400k) — the
+    // complement the semi join keeps; the filter pushes into the right
+    // side before the anti. Broadcast anti at dim scale, shuffle anti at
+    // fact scale.
+    NamedQuery(
+      "join_anti_unmatched",
+      (s, d) =>
+        Tables.customer(s, d)
+          .join(Tables.orders(s, d)
+            .filter(col("o_totalprice") > 400000.0).select(col("o_custkey")),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_mktsegment"))
+          .orderBy(col("c_custkey")),
+      Some("""SELECT c_custkey, c_mktsegment FROM customer
+             |WHERE c_custkey NOT IN
+             |  (SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // Set op: EXCEPT (distinct) — (user, day) cells that logged an error
+    // but no purchase that day.
+    NamedQuery(
+      "set_except_users",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .withColumn("day", date_trunc("day", col("ts")).cast("date"))
+        ev.filter(col("event_type") === "error").select(col("user_id"), col("day"))
+          .except(ev.filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("day")))
+          .orderBy(col("user_id"), col("day"))
+      },
+      Some("""SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+             |FROM events WHERE event_type = 'error'
+             |EXCEPT
+             |SELECT user_id, CAST(date_trunc('day', ts) AS DATE)
+             |FROM events WHERE event_type = 'purchase'
+             |ORDER BY user_id, day""".stripMargin)),
+
     // B22 shape: top-K membership via left-semi join (the top-5 side is tiny
     // → broadcast semi join; no shuffle of the fact table).
     NamedQuery(
