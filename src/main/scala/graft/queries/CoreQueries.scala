@@ -465,6 +465,27 @@ object CoreQueries {
              |  FROM events
              |) WHERE rn = 1 ORDER BY user_id""".stripMargin)),
 
+    // Ranking-family completion: ntile quartiles per event type by value
+    // (the quality-tiering shape: assign each record to a within-group
+    // tier, then size the tiers). Partitioned windows only.
+    NamedQuery(
+      "window_ntile_quartiles",
+      (s, d) =>
+        Tables.events(s, d)
+          .withColumn("q", ntile(4).over(
+            Window.partitionBy(col("event_type"))
+              .orderBy(col("value"), col("event_id"))))
+          .groupBy(col("event_type"), col("q"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .orderBy(col("event_type"), col("q")),
+      Some(s"""SELECT event_type, q, CAST(COUNT(*) AS BIGINT) AS n,
+              |  ${dsumSql("value")} AS sum_value
+              |FROM (
+              |  SELECT event_type, value, NTILE(4) OVER (
+              |    PARTITION BY event_type ORDER BY value, event_id) AS q
+              |  FROM events
+              |) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // B28 shape: greatest() of the two join-side magnitudes.
     NamedQuery(
       "greatest_pair",
