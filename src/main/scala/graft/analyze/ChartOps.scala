@@ -37,8 +37,12 @@ object ChartOps {
     */
   def pie(counts: DataFrame, keyCol: String, valueCol: String, top: Int = 20): DataFrame = {
     val all = Window.partitionBy()
+    // pre-aggregate by key: callers pass per-key aggregates (unique keys,
+    // identity here), and a duplicate key can then never fall between the
+    // kept set and the anti-joined remainder and silently lose its mass
     val base = counts
       .select(col(keyCol).cast("string").as("key"), col(valueCol).cast("double").as("value"))
+      .groupBy(col("key")).agg(sum(col("value")).as("value"))
     // scalar total broadcast to every row — never a single-partition window
     // over the (unbounded) per-key aggregate
     val total = base.agg(sum(col("value")).as("total")).filter(col("total") =!= 0.0)

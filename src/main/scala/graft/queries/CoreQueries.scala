@@ -120,9 +120,9 @@ object CoreQueries {
           .withColumn("pct_raw", lit(100.0) * col("value") / col("total"))
           .withColumn("is_last", col("rn") === max(col("rn")).over(lastW))
           .withColumn("others",
-            sum(when(!col("is_last"), r2(col("pct_raw"))).otherwise(lit(0.0))).over(lastW))
+            sum(when(!col("is_last"), r2e(col("pct_raw"))).otherwise(lit(0.0))).over(lastW))
           .withColumn("pct",
-            when(col("is_last"), r2(lit(100.0) - col("others"))).otherwise(r2(col("pct_raw"))))
+            when(col("is_last"), r2e(lit(100.0) - col("others"))).otherwise(r2e(col("pct_raw"))))
           .orderBy(col("rn"))
           .select(col("key"), col("value"), col("pct"))
       },
@@ -150,13 +150,13 @@ object CoreQueries {
               |  FROM unioned
               |), adj AS (
               |  SELECT key, value, rn, is_last,
-              |    SUM(CASE WHEN NOT is_last THEN ${r2Sql("pct_raw")} ELSE 0.0 END) OVER () AS others,
+              |    SUM(CASE WHEN NOT is_last THEN ${r2eSql("pct_raw")} ELSE 0.0 END) OVER () AS others,
               |    pct_raw
               |  FROM pcts
               |)
               |SELECT key, value,
-              |  CASE WHEN is_last THEN ${r2Sql("100.0 - others")}
-              |       ELSE ${r2Sql("pct_raw")} END AS pct
+              |  CASE WHEN is_last THEN ${r2eSql("100.0 - others")}
+              |       ELSE ${r2eSql("pct_raw")} END AS pct
               |FROM adj ORDER BY rn""".stripMargin)),
 
     // A18: histogram binning with the reference's 1-decimal quirk
@@ -169,23 +169,25 @@ object CoreQueries {
         val li = Tables.lineitem(s, d)
           .select((col("l_quantity") / lit(50.0)).as("x"),
             col("l_extendedprice").as("w"))
-          .withColumn("bin", abs(r1(col("x") - lit(step / 2))))
+          // + 0.0 normalizes IEEE negative zero: DuckDB's ABS(-0.0) keeps the
+        // sign and formats as "-0.0" (round_even(-0.5) = -0.0)
+        .withColumn("bin", abs(r1e(col("x") - lit(step / 2))) + lit(0.0))
         val binned = li.groupBy(col("bin")).agg(dsum(col("w")).as("w"))
-        // pad bins as id/10.0 — bit-identical to the floor(x*10+0.5)/10
+        // pad bins as id/10.0 — bit-identical to the bround(x*10,0)/10
         // data-side bins (id*0.1 is NOT: 3*0.1 != 3/10.0 in doubles).
         val pad = li.sparkSession.range(0, 11)
           .select((col("id").cast("double") / lit(10.0)).as("bin"))
           .withColumn("w", lit(0.0))
           .join(binned.select(col("bin")), Seq("bin"), "left_anti")
         binned.unionAll(pad)
-          .withColumn("pct", r2(lit(100.0) * col("w") / sum(col("w")).over(Window.partitionBy())))
+          .withColumn("pct", r2e(lit(100.0) * col("w") / sum(col("w")).over(Window.partitionBy())))
           .select(format_string("%.1f", col("bin")).as("bin_label"), col("pct"))
           .orderBy(col("bin_label"))
       },
       Some(s"""WITH pts AS (
               |  SELECT l_quantity / 50.0 AS x, l_extendedprice AS w FROM lineitem
               |), binned AS (
-              |  SELECT ABS(${r1Sql("x - 0.05")}) AS bin,
+              |  SELECT (ABS(${r1eSql("x - 0.05")}) + 0.0) AS bin,
               |    ${dsumSql("w")} AS w
               |  FROM pts GROUP BY 1
               |), pad AS (
@@ -196,7 +198,7 @@ object CoreQueries {
               |  SELECT * FROM binned UNION ALL SELECT * FROM pad
               |)
               |SELECT format('{:.1f}', bin) AS bin_label,
-              |  ${r2Sql("100.0 * w / SUM(w) OVER ()")} AS pct
+              |  ${r2eSql("100.0 * w / SUM(w) OVER ()")} AS pct
               |FROM unioned ORDER BY bin_label""".stripMargin)),
 
     // A23 shape: inner equi-join + aggregate. Both sides large at 100 TB →

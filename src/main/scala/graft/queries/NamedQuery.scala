@@ -34,4 +34,13 @@ object QueryDsl {
 
   def r1(c: Column): Column = floor(c * lit(10.0) + lit(0.5)) / lit(10.0)
   def r1Sql(expr: String): String = s"FLOOR(($expr) * 10.0 + 0.5) / 10.0"
+
+  /** numpy.round twins (half-even on the scaled double, divide back) for
+    * the gates that mirror the reference's numpy rounding (A17/A18);
+    * DuckDB round_even reproduces rint bit-for-bit at integer scale.
+    */
+  def r2e(c: Column): Column = bround(c * lit(100.0), 0) / lit(100.0)
+  def r2eSql(expr: String): String = s"round_even(($expr) * 100.0, 0) / 100.0"
+  def r1e(c: Column): Column = bround(c * lit(10.0), 0) / lit(10.0)
+  def r1eSql(expr: String): String = s"round_even(($expr) * 10.0, 0) / 10.0"
 }

@@ -8,7 +8,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 /** One user-activity event on the stream. */
 final case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)
 
-/** One pending (or closed) session accumulator (epoch millis). */
+/** One pending (or closed) session accumulator (epoch MICROS — the
+  * resolution of the batch twin; Timestamp.getTime would truncate to ms
+  * and merge sessions the batch gate splits at a sub-ms gap boundary). */
 final case class SessionAgg(start: Long, last: Long, n: Long, total: Double)
 
 /** Per-user state: pending sessions, disjoint and sorted by start. */
@@ -42,10 +44,20 @@ final case class UserSession(
 object Sessionize {
 
   /** Matches the batch twin's gap (`window_session_gaps`, 1 hour). */
-  val DefaultGapMs: Long = 60 * 60 * 1000L
+  val DefaultGapUs: Long = 60 * 60 * 1000000L
+
+  /** Exact epoch microseconds of a Timestamp (getTime alone is ms). */
+  private[graft] def epochUs(ts: Timestamp): Long =
+    math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+
+  private def toTs(us: Long): Timestamp = {
+    val t = new Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
 
   def sessionize(events: Dataset[SessionEvent],
-      gapMs: Long = DefaultGapMs,
+      gapUs: Long = DefaultGapUs,
       watermark: String = "1 hour"): Dataset[UserSession] = {
     import events.sparkSession.implicits._
     events
@@ -53,17 +65,17 @@ object Sessionize {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (user: Long, it: Iterator[SessionEvent], state: GroupState[SessionState]) =>
-          update(user, it, state, gapMs))
+          update(user, it, state, gapUs))
   }
 
   /** Merge one event into the disjoint pending list: absorb every session
-    * within `gapMs` of the event (an event can bridge two), else insert a
+    * within `gapUs` of the event (an event can bridge two), else insert a
     * new one; result stays sorted and disjoint.
     */
   private[graft] def merge(pending: Seq[SessionAgg], t: Long, value: Double,
-      gapMs: Long): Seq[SessionAgg] = {
+      gapUs: Long): Seq[SessionAgg] = {
     val (touching, rest) = pending.partition(s =>
-      t >= s.start - gapMs && t <= s.last + gapMs)
+      t >= s.start - gapUs && t <= s.last + gapUs)
     val merged = touching.foldLeft(SessionAgg(t, t, 1L, value)) { (acc, s) =>
       SessionAgg(math.min(acc.start, s.start), math.max(acc.last, s.last),
         acc.n + s.n, acc.total + s.total)
@@ -76,18 +88,22 @@ object Sessionize {
     * arrive before the watermark, so `last + gap <= watermark` is final).
     */
   private[graft] def update(user: Long, it: Iterator[SessionEvent],
-      state: GroupState[SessionState], gapMs: Long): Iterator[UserSession] = {
+      state: GroupState[SessionState], gapUs: Long): Iterator[UserSession] = {
     val pending0 = state.getOption.map(_.pending).getOrElse(Seq.empty)
-    val pending = it.foldLeft(pending0)((p, e) => merge(p, e.ts.getTime, e.value, gapMs))
-    val wm = state.getCurrentWatermarkMs()
-    val (sealed_, open) = pending.partition(_.last + gapMs <= wm)
+    val pending = it.foldLeft(pending0)((p, e) => merge(p, epochUs(e.ts), e.value, gapUs))
+    // the engine's watermark is millis; a sealed session must satisfy
+    // last + gap <= wm at micro precision, so compare in micros
+    val wmUs = state.getCurrentWatermarkMs() * 1000L
+    val (sealed_, open) = pending.partition(_.last + gapUs <= wmUs)
     if (open.isEmpty) state.remove()
     else {
       state.update(SessionState(open))
-      // wake up when the earliest pending session can seal
-      state.setTimeoutTimestamp(open.map(_.last).min + gapMs)
+      // wake up when the earliest pending session can seal (round the
+      // micro deadline UP to the next ms so the timeout never fires early)
+      state.setTimeoutTimestamp(
+        math.floorDiv(open.map(_.last).min + gapUs + 999L, 1000L))
     }
     sealed_.sortBy(_.start).iterator.map(s =>
-      UserSession(user, new Timestamp(s.start), new Timestamp(s.last), s.n, s.total))
+      UserSession(user, toTs(s.start), toTs(s.last), s.n, s.total))
   }
 }

@@ -25,23 +25,23 @@ class SessionizeSpec extends SparkSpec {
       .sortBy(t => (t._1, t._2))
 
   test("merge folds any arrival order to the batch result, bridging included") {
-    val gap = 30 * MIN
+    val gap = 30 * MIN * 1000L  // micros
     // out of order: 100 first, then 0 and 10 (one session), then 40
     // bridges nothing, then 25 bridges [0,10] and [40]
     var p = Seq.empty[SessionAgg]
     for (m <- Seq(100L, 0L, 10L, 40L, 25L))
-      p = Sessionize.merge(p, m * MIN, 1.0, gap)
-    assert(p.map(s => (s.start / MIN, s.last / MIN, s.n)) ===
+      p = Sessionize.merge(p, m * MIN * 1000L, 1.0, gap)
+    assert(p.map(s => (s.start / MIN / 1000L, s.last / MIN / 1000L, s.n)) ===
       Seq((0L, 40L, 4L), (100L, 100L, 1L)))
     assert(p.head.total === 4.0)
   }
 
   test("merge fold is arrival-order independent and matches gaps-and-islands") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
-    val gap = 30 * MIN
+    val gap = 30 * MIN * 1000L  // micros
     val events = Gen.listOfN(12, Gen.choose(0L, 600L))
     val prop = Prop.forAll(events) { minutes =>
-      val times = minutes.map(_ * MIN)
+      val times = minutes.map(_ * MIN * 1000L)
       // fold in arbitrary arrival order
       val folded = times.foldLeft(Seq.empty[graft.streaming.SessionAgg])(
         (p, t) => Sessionize.merge(p, t, 1.0, gap))
@@ -60,7 +60,7 @@ class SessionizeSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     val stream = MemoryStream[SessionEvent]
-    val q = Sessionize.sessionize(stream.toDS(), gapMs = 30 * MIN, watermark = "10 minutes")
+    val q = Sessionize.sessionize(stream.toDS(), gapUs = 30 * MIN * 1000L, watermark = "10 minutes")
       .writeStream.format("memory").queryName("sessions_seal")
       .outputMode("append").start()
     try {
@@ -82,7 +82,7 @@ class SessionizeSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     val stream = MemoryStream[SessionEvent]
-    val q = Sessionize.sessionize(stream.toDS(), gapMs = 30 * MIN, watermark = "60 minutes")
+    val q = Sessionize.sessionize(stream.toDS(), gapUs = 30 * MIN * 1000L, watermark = "60 minutes")
       .writeStream.format("memory").queryName("sessions_late")
       .outputMode("append").start()
     try {
