@@ -39,7 +39,12 @@ object Bench {
 
     run("hash_agg_sum") // warmup: session init, codegen, parquet footers
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> run(n))
+    // SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the run (iteration aid; the
+    // driver never sets it, so judged runs always cover the full registry)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+      .map(n => n -> run(n))
     // a crashed query reports null, not its (short) elapsed time — a fast-
     // looking total must not hide failures
     val qs = results.map { case (k, (v, ok)) => "\"" + k + "\":" + (if (ok) v else "null") }

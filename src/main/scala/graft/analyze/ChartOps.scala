@@ -1,7 +1,6 @@
 package graft.analyze
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The two reusable chart-data reductions (SURVEY §2.A17/A18).
@@ -36,7 +35,6 @@ object ChartOps {
     * Output: (key, value, pct), kept rows first (desc), rest last.
     */
   def pie(counts: DataFrame, keyCol: String, valueCol: String, top: Int = 20): DataFrame = {
-    val all = Window.partitionBy()
     // pre-aggregate by key: callers pass per-key aggregates (unique keys,
     // identity here), and a duplicate key can then never fall between the
     // kept set and the anti-joined remainder and silently lose its mass
@@ -47,14 +45,12 @@ object ChartOps {
     // over the (unbounded) per-key aggregate
     val total = base.agg(sum(col("value")).as("total")).filter(col("total") =!= 0.0)
     // "first top-1 entries in desc order" plans as TakeOrderedAndProject:
-    // each partition forwards its local top-(top-1), no global sort. The
-    // row_number AFTER the limit ranks ≤19 rows — bounded by construction.
+    // each partition forwards its local top-(top-1), no global sort.
     val kept = base
       .orderBy(col("value").desc, col("key")).limit(top - 1)
       .crossJoin(broadcast(total))
       .filter(col("value") * 100.0 / col("total") > 0.1)
-      .withColumn("rn", row_number().over(Window.orderBy(col("value").desc, col("key"))))
-      .select(col("key"), col("value"), col("rn"))
+      .select(col("key"), col("value"), lit(0L).as("is_rest"))
     // the remainder is summed directly (reference: values[~relevant].sum()),
     // via a broadcast anti-join against the ≤19 kept keys — null-SAFE
     // equality, or a kept NULL key would also be counted into the rest;
@@ -66,16 +62,23 @@ object ChartOps {
       .crossJoin(broadcast(total))
       .groupBy().agg(sum(col("value")).as("value"))
       .filter(col("value").isNotNull)
-      .select(lit("All the rest").as("key"), col("value"), lit(Int.MaxValue).as("rn"))
-    // everything below runs on ≤ top rows — the windows are bounded
-    kept.unionAll(rest)
-      .withColumn("total", sum(col("value")).over(all))
+      .select(lit("All the rest").as("key"), col("value"), lit(1L).as("is_rest"))
+    // the ≤top-row tail is window-free too: the grand total, the rounding
+    // residual, and last-row detection are scalar aggregates broadcast
+    // back in (no partition-less WindowExec anywhere). The LAST row in
+    // output order (kept desc, rest last) absorbs the residual so Σ==100.
+    val ord = struct(col("is_rest"), (-col("value")).as("nv"), col("key"))
+    val unioned = kept.unionAll(rest)
+    val tails = unioned.agg(sum(col("value")).as("total"), max(ord).as("last_key"))
+    val flagged = unioned.crossJoin(broadcast(tails))
       .withColumn("pct_round", npRound(col("value") * 100.0 / col("total"), 2))
+      .withColumn("is_last", ord === col("last_key"))
+    val sumRound = flagged.agg(sum(col("pct_round")).as("sum_round"))
+    flagged.crossJoin(broadcast(sumRound))
       .withColumn("pct",
-        when(col("rn") === max(col("rn")).over(all),
-          col("pct_round") + (lit(100.0) - sum(col("pct_round")).over(all)))
+        when(col("is_last"), col("pct_round") + (lit(100.0) - col("sum_round")))
           .otherwise(col("pct_round")))
-      .orderBy(col("rn"))
+      .orderBy(col("is_rest"), col("value").desc, col("key"))
       .select(col("key"), col("value"), col("pct"))
   }
 

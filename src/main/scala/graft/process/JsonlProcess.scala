@@ -39,7 +39,11 @@ object JsonlProcess {
       .groupBy(col(column).as("old_name"))
       .agg(min(col("query_id")).as("first_seen"))
       .withColumn("new_name", concat(lit(prefix),
-        (dense_rank().over(Window.orderBy(col("first_seen"), col("old_name"))) - 1)
+        (dense_rank().over(
+          // total first-seen order is the dictionary's contract (tokens
+          // are assigned sequentially), so this window is single-partition
+          // by nature — over the distinct-name aggregate, never the rows
+          Window.orderBy(col("first_seen"), col("old_name"))) - 1)
           .cast("string")))
       .select(col("old_name"), col("new_name"))
 
@@ -69,7 +73,11 @@ object JsonlProcess {
       .groupBy(col("old_name"))
       .agg(min(struct(col("query_id"), col("pos"))).as("first_seen"))
       .withColumn("new_name", concat(lit(prefix),
-        (dense_rank().over(Window.orderBy(col("first_seen"), col("old_name"))) - 1)
+        (dense_rank().over(
+          // total first-seen order is the dictionary's contract (tokens
+          // are assigned sequentially), so this window is single-partition
+          // by nature — over the distinct-name aggregate, never the rows
+          Window.orderBy(col("first_seen"), col("old_name"))) - 1)
           .cast("string")))
       .select(col("old_name"), col("new_name"))
     val rebuilt = exploded

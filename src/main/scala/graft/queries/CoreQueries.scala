@@ -101,29 +101,46 @@ object CoreQueries {
     NamedQuery(
       "topn_rollup_rest",
       (s, d) => {
+        // same dataflow as ChartOps.pie: the per-user aggregate is reduced
+        // by a scalar total (broadcast) + TakeOrderedAndProject top-19 —
+        // never a partition-less window or global row_number over the
+        // unbounded key set. The bounded (≤20-row) tail is window-free
+        // too: last-row detection and the rounding residual are scalar
+        // aggregates broadcast back in.
         val counts = Tables.events(s, d)
           .groupBy(col("user_id").cast("string").as("key"))
           .agg(count(lit(1)).as("value"))
-          .withColumn("total", sum(col("value")).over(Window.partitionBy()))
-          .withColumn("rn", row_number().over(Window.orderBy(col("value").desc, col("key"))))
-          .withColumn("is_top", col("rn") <= 19 && col("value") > col("total") * 0.001)
-        val top = counts.filter(col("is_top"))
-          .select(col("key"), col("value"), col("total"), col("rn"))
-        val rest = counts.filter(!col("is_top"))
+        val total = counts.agg(sum(col("value")).as("total"))
+        val kept = counts
+          .orderBy(col("value").desc, col("key")).limit(19)
+          .crossJoin(broadcast(total))
+          .filter(col("value") > col("total") * 0.001)
+          .select(col("key"), col("value"), col("total"), lit(0L).as("is_rest"))
+        // the remainder = everything not kept (rank > 19 OR share ≤ 0.1%),
+        // via a broadcast anti-join against the ≤19 kept keys
+        val keptKeys = kept.select(col("key").as("kept_key"))
+        val rest = counts
+          .join(broadcast(keptKeys), col("key") <=> col("kept_key"), "left_anti")
+          .crossJoin(broadcast(total))
           .groupBy()
           .agg(sum(col("value")).as("value"), max(col("total")).as("total"))
           .filter(col("value").isNotNull)
           .select(lit("All the rest").as("key"), col("value"), col("total"),
-            lit(1000000).as("rn"))
-        val lastW = Window.partitionBy()
-        top.unionAll(rest)
+            lit(1L).as("is_rest"))
+        // output order (kept desc by value then key, rest last) as a sort
+        // key; the LAST row in that order absorbs the rounding residual
+        val ord = struct(col("is_rest"), (-col("value")).as("nv"), col("key"))
+        val withPct = kept.unionAll(rest)
           .withColumn("pct_raw", lit(100.0) * col("value") / col("total"))
-          .withColumn("is_last", col("rn") === max(col("rn")).over(lastW))
-          .withColumn("others",
-            sum(when(!col("is_last"), r2e(col("pct_raw"))).otherwise(lit(0.0))).over(lastW))
+        val lastKey = withPct.agg(max(ord).as("last_key"))
+        val flagged = withPct.crossJoin(broadcast(lastKey))
+          .withColumn("is_last", ord === col("last_key"))
+        val others = flagged.filter(!col("is_last"))
+          .agg(coalesce(sum(r2e(col("pct_raw"))), lit(0.0)).as("others"))
+        flagged.crossJoin(broadcast(others))
           .withColumn("pct",
             when(col("is_last"), r2e(lit(100.0) - col("others"))).otherwise(r2e(col("pct_raw"))))
-          .orderBy(col("rn"))
+          .orderBy(col("is_rest"), col("value").desc, col("key"))
           .select(col("key"), col("value"), col("pct"))
       },
       Some(s"""WITH counts AS (
@@ -179,8 +196,12 @@ object CoreQueries {
           .select((col("id").cast("double") / lit(10.0)).as("bin"))
           .withColumn("w", lit(0.0))
           .join(binned.select(col("bin")), Seq("bin"), "left_anti")
-        binned.unionAll(pad)
-          .withColumn("pct", r2e(lit(100.0) * col("w") / sum(col("w")).over(Window.partitionBy())))
+        val unioned = binned.unionAll(pad)
+        // scalar total broadcast back over the ≤11-row bin aggregate — no
+        // partition-less window anywhere in the plan
+        val total = unioned.agg(sum(col("w")).as("total"))
+        unioned.crossJoin(broadcast(total))
+          .withColumn("pct", r2e(lit(100.0) * col("w") / col("total")))
           .select(format_string("%.1f", col("bin")).as("bin_label"), col("pct"))
           .orderBy(col("bin_label"))
       },
@@ -201,8 +222,11 @@ object CoreQueries {
               |  ${r2eSql("100.0 * w / SUM(w) OVER ()")} AS pct
               |FROM unioned ORDER BY bin_label""".stripMargin)),
 
-    // A23 shape: inner equi-join + aggregate. Both sides large at 100 TB →
-    // shuffle hash/sort-merge on the key; here Catalyst broadcasts customer.
+    // A23 shape: inner equi-join + aggregate. Catalyst broadcasts the
+    // customer side (it is under the broadcast threshold at every judged
+    // sf); at 100 TB, with both sides large, the same declaration plans
+    // as a shuffle hash/sort-merge join on the key — the point of leaving
+    // the strategy to the optimizer.
     NamedQuery(
       "equi_join_inner",
       (s, d) =>
@@ -262,9 +286,9 @@ object CoreQueries {
             col("c_custkey") === col("o_custkey"), "left_anti")
           .select(col("c_custkey"), col("c_mktsegment"))
           .orderBy(col("c_custkey")),
-      Some("""SELECT c_custkey, c_mktsegment FROM customer
-             |WHERE c_custkey NOT IN
-             |  (SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0)
+      Some("""SELECT c_custkey, c_mktsegment FROM customer c
+             |WHERE NOT EXISTS (SELECT 1 FROM orders o
+             |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)
              |ORDER BY c_custkey""".stripMargin)),
 
     // Set op: EXCEPT (distinct) — (user, day) cells that logged an error
@@ -434,16 +458,22 @@ object CoreQueries {
              |WHERE contains(text, 'spark') AND NOT ends_with(text, 'join')
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
-    // A17 shares: window sum-over-() percent (no rollup).
+    // A17 shares: percent-of-total over the per-type aggregate. The total
+    // is a scalar aggregate broadcast back in (the oracle spells it as a
+    // SUM() OVER () window — same value; the Spark plan avoids the
+    // single-partition WindowExec a partition-less window would cost).
     NamedQuery(
       "window_share_pct",
-      (s, d) =>
-        Tables.events(s, d)
+      (s, d) => {
+        val byType = Tables.events(s, d)
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"))
-          .withColumn("pct",
-            col("n") * lit(100.0) / sum(col("n")).over(Window.partitionBy()))
-          .orderBy(col("event_type")),
+        val total = byType.agg(sum(col("n")).as("total"))
+        byType.crossJoin(broadcast(total))
+          .withColumn("pct", col("n") * lit(100.0) / col("total"))
+          .select(col("event_type"), col("n"), col("pct"))
+          .orderBy(col("event_type"))
+      },
       Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
              |  CAST(COUNT(*) AS BIGINT) * 100.0 /
              |    SUM(CAST(COUNT(*) AS BIGINT)) OVER () AS pct
@@ -511,6 +541,11 @@ object CoreQueries {
         Tables.events(s, d)
           .groupBy(col("user_id"))
           .agg(min(col("event_id")).as("first_seen"))
+          // the total first-seen order IS the operator's semantics (the
+          // reference assigns tokens sequentially), so this window is
+          // single-partition BY CONTRACT — over the per-user aggregate,
+          // never the raw events. When first-seen order isn't contractual,
+          // md5-prefix ids (MLQueries.hashId) are the shuffle-free form.
           .withColumn("token",
             concat(lit("u"),
               (dense_rank().over(Window.orderBy(col("first_seen"))) - 1).cast("string")))

@@ -17,9 +17,10 @@ import QueryDsl._
   *    murmur/xxhash differ between engines and appear only in the
   *    non-judged scale paths.
   *  - MinHash/SimHash permutations are universal hashes (a*id+b mod p) over
-  *    dense-rank shingle/word ids — exact integer math in both engines. At
-  *    100 TB the rank join is replaced by xxhash64(shingle) (no global
-  *    sort); the judged variant keeps ids so DuckDB can mirror it.
+  *    md5-prefix hash ids ([[hashId]]): id assignment is a narrow per-row
+  *    map in both engines — no vocabulary-wide rank sort, no id join. The
+  *    modulus per family keeps every downstream product under 2^63 (both
+  *    engines run 64-bit integer math and overflow is an error, not a wrap).
   *  - dot products: sequential left-fold over index order with per-element
   *    float→double casts; DuckDB's list_inner_product is float-typed and
   *    does NOT match, so oracles spell out SUM(a[i]*b[i]).
@@ -32,6 +33,18 @@ object MLQueries {
   private def r6(c: org.apache.spark.sql.Column) =
     floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
   private def r6Sql(e: String) = s"FLOOR(($e) * 1000000.0 + 0.5) / 1000000.0"
+
+  /** Cross-engine content hash id: first 15 hex chars of md5 (60 bits)
+    * parsed base-16, reduced mod `m`. md5 hex is identical in Spark and
+    * DuckDB, so both engines assign every shingle/word the same id with a
+    * narrow map — the scale-correct replacement for a global dense_rank
+    * (one task sorting the whole vocabulary). Collisions under mod-m only
+    * perturb the hash families, identically in both engines.
+    */
+  private def hashId(c: org.apache.spark.sql.Column, m: Long) =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long") % m
+  private def hashIdSql(e: String, m: Long) =
+    s"CAST('0x' || substring(md5($e), 1, 15) AS BIGINT) % $m"
 
   private def duckDot(a: String, b: String) =
     s"(SELECT SUM(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)) FROM generate_series(1,64) t(i))"
@@ -100,78 +113,92 @@ object MLQueries {
       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)""".stripMargin
 
-  /** 16-bit SimHash signature per doc (shared by the signature gate and
-    * the Hamming near-dup join): per-bit weighted majority over universal
-    * hash bits of dense-rank word ids. Weights are tf x an integer idf
-    * proxy (cnt * (1000000 div doc_freq)) so rare, doc-distinguishing
-    * words dominate the majority (Manku et al.'s feature weighting) while
-    * staying exact-integer in both engines. One aggregation pass: 16
-    * signed accumulators per doc, no row explosion.
+  /** wid modulus: (wid*64 + 63) * 2654435761 must stay < 2^63, so wid
+    * < ~5.4e7; 33554393 (< 2^25) leaves 2× headroom.
+    */
+  private val simhashWidMod = 33554393L
+
+  /** 64-bit SimHash signature per doc, materialized as FOUR 16-bit block
+    * values `sig0..sig3` (shared by the signature gate and the Hamming
+    * pigeonhole join — the blocks ARE the join keys, and keeping them
+    * avoids ever packing bit 63 into a signed long): per-bit weighted
+    * majority over universal hash bits of md5-prefix word ids. Weights are
+    * tf x an integer idf proxy (cnt * (1000000 div doc_freq)) so rare,
+    * doc-distinguishing words dominate the majority (Manku et al.'s
+    * feature weighting) while staying exact-integer in both engines. One
+    * aggregation pass: 64 signed accumulators per doc, no row explosion,
+    * no vocabulary-wide sort anywhere.
     */
   private def simhashSigs(s: SparkSession, d: String): DataFrame = {
+        // the word is hashed to its id BEFORE any aggregation: both
+        // shuffles and the window sort below then run on (long, long)
+        // keys, never strings. Colliding words (≈ vocab²/2^26) merge into
+        // one feature — identically in both engines, harmless for a
+        // similarity hash. df (docs containing the feature) rides as a
+        // window count over the SAME (doc, wid) aggregate — a separate
+        // groupBy+join would re-plan the scan→explode→aggregate subtree a
+        // second time (measured: the duplicated pass dominated the cost).
         val wordCounts = words(s, d)
           .select(col("doc_id"), explode(col("w")).as("word"))
-          .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("cnt"))
-        val ids = wordCounts.groupBy(col("word"))
-          .agg(count(lit(1)).as("df"))
-          .withColumn("wid", dense_rank().over(Window.orderBy(col("word"))).cast("long"))
-        // one aggregation pass: 16 signed-majority accumulators per doc
-        // (previous shape exploded rows 16x through a range cross-join)
-        val accs = (0 until 16).map { b =>
-          // b is mixed into the hash INPUT (wid*16 + b), not the
+          .select(col("doc_id"), hashId(col("word"), simhashWidMod).as("wid"))
+          .groupBy(col("doc_id"), col("wid")).agg(count(lit(1)).as("cnt"))
+          .withColumn("df", count(lit(1)).over(Window.partitionBy(col("wid"))))
+        val accs = (0 until 64).map { b =>
+          // b is mixed into the hash INPUT (wid*64 + b), not the
           // multiplier: a per-bit multiplier step b*c is linear in b, the
-          // mod-p quotient stays constant across all 16 bits, and every
-          // word collapses to one of 4 bit patterns (alternating or
-          // constant) — measured: 4 distinct signatures over 500 docs.
-          val g = ((col("wid") * 16L + lit(b.toLong)) * lit(2654435761L)
+          // mod-p quotient stays constant across the bits, and every
+          // word collapses to a handful of bit patterns (alternating or
+          // constant) — measured on the 16-bit predecessor: 4 distinct
+          // signatures over 500 docs.
+          val g = ((col("wid") * 64L + lit(b.toLong)) * lit(2654435761L)
             + lit(91L)) % lit(2147483647L) % 2L
           sum((g * 2L - 1L) * col("cnt") * expr("1000000 div df")).as(s"acc$b")
         }
-        val bitSum = (0 until 16).map(b =>
-          when(col(s"acc$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _)
-        wordCounts.join(ids, "word")
+        val blocks = (0 until 4).map { blk =>
+          (0 until 16).map(i =>
+            when(col(s"acc${16 * blk + i}") > 0, lit(1L << i)).otherwise(0L))
+            .reduce(_ + _).as(s"sig$blk")
+        }
+        wordCounts
           .groupBy(col("doc_id"))
           .agg(accs.head, accs.tail: _*)
-          .select(col("doc_id"), bitSum.as("simhash"))
+          .select(col("doc_id") +: blocks: _*)
   }
 
-  /** Oracle CTE block ending in `sigs(doc_id, simhash)`, shared by the
+  /** Oracle CTE block ending in `sigs(doc_id, sig0..sig3)`, shared by the
     * signature gate and the Hamming join gate (pre-resolved, no margin).
+    * Generated for the 64 accumulators / 4 blocks so the Scala and SQL
+    * twins cannot drift bit by bit.
     */
-  private val simhashSigsSql: String =
-    """wc AS (
-  SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
-    SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents
-  ) GROUP BY 1, 2
-), ids AS (
-  SELECT word, CAST(COUNT(*) AS BIGINT) AS df,
-    CAST(DENSE_RANK() OVER (ORDER BY word) AS BIGINT) AS wid
-  FROM wc GROUP BY word
+  private val simhashSigsSql: String = {
+    val accSql = (0 until 64).map(b =>
+      s"    SUM(((((wid * 64 + $b) * 2654435761 + 91) % 2147483647 % 2) * 2 - 1)" +
+        s" * cnt * (1000000 // df)) AS acc$b").mkString(",\n")
+    val blockSql = (0 until 4).map { blk =>
+      val bits = (0 until 16)
+        .map(i => s"(CASE WHEN acc${16 * blk + i} > 0 THEN ${1L << i} ELSE 0 END)")
+        .mkString(" + ")
+      s"  CAST($bits AS BIGINT) AS sig$blk"
+    }.mkString(",\n")
+    s"""wc AS (
+  SELECT doc_id, wid, CAST(COUNT(*) AS BIGINT) AS cnt,
+    CAST(COUNT(*) OVER (PARTITION BY wid) AS BIGINT) AS df
+  FROM (
+    SELECT doc_id, ${hashIdSql("word", simhashWidMod)} AS wid FROM (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents
+    )
+  ) GROUP BY doc_id, wid
 ), bits AS (
   SELECT doc_id,
-    SUM(((((wid * 16 + 0) * 2654435761 + 91) % 2147483647 % 2) * 2 - 1) * cnt * (1000000 // df)) AS acc0,
-    SUM(((((wid * 16 + 1) * 2654435761 + 91) % 2147483647 % 2) * 2 - 1) * cnt * (1000000 // df)) AS acc1,
-    SUM(((((wid * 16 + 2) * 2654435761 + 91) % 2147483647 % 2) * 2 - 1) * cnt * (1000000 // df)) AS acc2,
-    SUM(((((wid * 16 + 3) * 2654435761 + 91) % 2147483647 % 2) * 2 - 1) * cnt * (1000000 // df)) AS acc3,
-    SUM(((((wid * 16 + 4) * 2654435761 + 91) % 2147483647 % 2) * 2 - 1) * cnt * (1000000 // df)) AS acc4,
-    SUM(((((wid * 16 + 5) * 2654435761 + 91) % 2147483647 % 2) * 2 - 1) * cnt * (1000000 // df)) AS acc5,
-    SUM(((((wid * 16 + 6) * 2654435761 + 91) % 2147483647 % 2) * 2 - 1) * cnt * (1000000 // df)) AS acc6,
-    SUM(((((wid * 16 + 7) * 2654435761 + 91) % 2147483647 % 2) * 2 - 1) * cnt * (1000000 // df)) AS acc7,
-    SUM(((((wid * 16 + 8) * 2654435761 + 91) % 2147483647 % 2) * 2 - 1) * cnt * (1000000 // df)) AS acc8,
-    SUM(((((wid * 16 + 9) * 2654435761 + 91) % 2147483647 % 2) * 2 - 1) * cnt * (1000000 // df)) AS acc9,
-    SUM(((((wid * 16 + 10) * 2654435761 + 91) % 2147483647 % 2) * 2 - 1) * cnt * (1000000 // df)) AS acc10,
-    SUM(((((wid * 16 + 11) * 2654435761 + 91) % 2147483647 % 2) * 2 - 1) * cnt * (1000000 // df)) AS acc11,
-    SUM(((((wid * 16 + 12) * 2654435761 + 91) % 2147483647 % 2) * 2 - 1) * cnt * (1000000 // df)) AS acc12,
-    SUM(((((wid * 16 + 13) * 2654435761 + 91) % 2147483647 % 2) * 2 - 1) * cnt * (1000000 // df)) AS acc13,
-    SUM(((((wid * 16 + 14) * 2654435761 + 91) % 2147483647 % 2) * 2 - 1) * cnt * (1000000 // df)) AS acc14,
-    SUM(((((wid * 16 + 15) * 2654435761 + 91) % 2147483647 % 2) * 2 - 1) * cnt * (1000000 // df)) AS acc15
-  FROM wc JOIN ids USING (word)
+$accSql
+  FROM wc
   GROUP BY doc_id
 ), sigs AS (
   SELECT doc_id,
-  CAST((CASE WHEN acc0 > 0 THEN 1 ELSE 0 END) + (CASE WHEN acc1 > 0 THEN 2 ELSE 0 END) + (CASE WHEN acc2 > 0 THEN 4 ELSE 0 END) + (CASE WHEN acc3 > 0 THEN 8 ELSE 0 END) + (CASE WHEN acc4 > 0 THEN 16 ELSE 0 END) + (CASE WHEN acc5 > 0 THEN 32 ELSE 0 END) + (CASE WHEN acc6 > 0 THEN 64 ELSE 0 END) + (CASE WHEN acc7 > 0 THEN 128 ELSE 0 END) + (CASE WHEN acc8 > 0 THEN 256 ELSE 0 END) + (CASE WHEN acc9 > 0 THEN 512 ELSE 0 END) + (CASE WHEN acc10 > 0 THEN 1024 ELSE 0 END) + (CASE WHEN acc11 > 0 THEN 2048 ELSE 0 END) + (CASE WHEN acc12 > 0 THEN 4096 ELSE 0 END) + (CASE WHEN acc13 > 0 THEN 8192 ELSE 0 END) + (CASE WHEN acc14 > 0 THEN 16384 ELSE 0 END) + (CASE WHEN acc15 > 0 THEN 32768 ELSE 0 END) AS BIGINT) AS simhash
+$blockSql
   FROM bits
 )"""
+  }
 
   val all: Seq[NamedQuery] = Seq(
 
@@ -215,16 +242,18 @@ object MLQueries {
              |  FROM documents
              |) WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
 
-    // MinHash + LSH banding: 16 universal-hash permutations over dense-rank
+    // MinHash + LSH banding: 16 universal-hash permutations over md5-prefix
     // shingle ids, 4 bands × 4 rows; per-band bucket stats. Candidate pairs
     // = docs sharing a band signature (none planted in this corpus, so the
     // judged output is the bucket histogram, which is always non-empty).
+    // The id is a narrow hash of the shingle itself — no vocabulary table,
+    // no rank sort, no join: the whole signature is scan → narrow map →
+    // one groupBy(doc_id) shuffle.
     NamedQuery(
       "dedup_minhash_lsh",
       (s, d) => {
-        val sh = shingles(s, d)
-        val ids = sh.select(col("sh")).distinct()
-          .withColumn("sid", dense_rank().over(Window.orderBy(col("sh"))).cast("long"))
+        // sid < 2^31 keeps sid * (2654435761 + 15*40503) < 2^63.
+        val sh = shingles(s, d).withColumn("sid", hashId(col("sh"), 2147483647L))
         // all 16 minima in ONE aggregation pass (no 16x row explosion —
         // the shuffle carries one row per doc, not sixteen). Multipliers
         // must dwarf the modulus or (a*sid+b) never wraps and every
@@ -232,7 +261,7 @@ object MLQueries {
         val mins = (0 until 16).map(k =>
           min((col("sid") * (lit(2654435761L) + lit(k.toLong) * 40503L)
             + lit(17L) + lit(k.toLong) * 131L) % lit(2147483647L)).as(s"mh$k"))
-        val perms = sh.join(ids, "sh")
+        val perms = sh
           .groupBy(col("doc_id"))
           .agg(mins.head, mins.tail: _*)
         val sigs = (0 until 4).map(b => (b, s"concat_ws('_', mh${4 * b}, mh${4 * b + 1}, mh${4 * b + 2}, mh${4 * b + 3})"))
@@ -248,9 +277,8 @@ object MLQueries {
       },
       Some(s"""WITH sh AS (
               |  $shinglesSql
-              |), ids AS (
-              |  SELECT sh, CAST(DENSE_RANK() OVER (ORDER BY sh) AS BIGINT) AS sid
-              |  FROM (SELECT DISTINCT sh FROM sh)
+              |), withids AS (
+              |  SELECT doc_id, ${hashIdSql("sh", 2147483647L)} AS sid FROM sh
               |), perms AS (
               |  SELECT doc_id,
               |    MIN((sid * (2654435761 + 0 * 40503) + 17 + 0 * 131) % 2147483647) AS mh0,
@@ -269,7 +297,7 @@ object MLQueries {
               |    MIN((sid * (2654435761 + 13 * 40503) + 17 + 13 * 131) % 2147483647) AS mh13,
               |    MIN((sid * (2654435761 + 14 * 40503) + 17 + 14 * 131) % 2147483647) AS mh14,
               |    MIN((sid * (2654435761 + 15 * 40503) + 17 + 15 * 131) % 2147483647) AS mh15
-              |  FROM sh JOIN ids USING (sh)
+              |  FROM withids
               |  GROUP BY doc_id
               |), bands AS (
               |  SELECT doc_id, CAST(0 AS BIGINT) AS band, concat_ws('_', mh0, mh1, mh2, mh3) AS sig FROM perms
@@ -285,42 +313,50 @@ object MLQueries {
               |  CAST(MAX(bucket_n) AS BIGINT) AS max_bucket
               |FROM buckets GROUP BY band ORDER BY band""".stripMargin)),
 
-    // SimHash: 16-bit signature — per-bit weighted majority over universal
-    // hash bits of dense-rank word ids, weights = term frequency.
+    // SimHash: 64-bit signature as 4×16-bit blocks — per-bit weighted
+    // majority over universal hash bits of md5-prefix word ids.
     NamedQuery(
       "dedup_simhash",
       (s, d) => simhashSigs(s, d).orderBy(col("doc_id")),
       Some(s"""WITH $simhashSigsSql
-              |SELECT doc_id, simhash FROM sigs ORDER BY doc_id""".stripMargin)),
+              |SELECT doc_id, sig0, sig1, sig2, sig3 FROM sigs ORDER BY doc_id""".stripMargin)),
 
     // Exact Hamming near-dup pairs over the SimHash signatures: the
-    // multi-index pigeonhole join (Manku et al.'s simhash dedup). Split
-    // the 16-bit signature into 4 nibble blocks; a pair within Hamming
+    // multi-index pigeonhole join (Manku et al.'s simhash dedup). The
+    // 64-bit signature is 4 blocks of 16 bits; a pair within Hamming
     // distance 3 must agree on at least one block (4 blocks, <=3
     // differing bits), so one equi-join per block finds ALL such pairs
-    // without the O(n^2) cross product, and the exact bit_count(xor)
-    // filter discards false candidates. Identical shape at 100 TB: 4
-    // shuffles on (block, value), candidates ~ n^2 / 2^blockbits.
+    // without the O(n^2) cross product, and the exact blockwise
+    // bit_count(xor) filter discards false candidates. Identical shape at
+    // 100 TB: shuffles on (block, value) with 4 * 2^16 = 262144 distinct
+    // keys — candidates ~ n^2 / 65536 per block, the actual Manku
+    // construction (the 16-bit predecessor had 64 keys ⇒ ~n^2/16).
     NamedQuery(
       "dedup_simhash_hamming",
       (s, d) => {
-        // cached + pre-partitioned on the join key: the signature pipeline
-        // (groupBys + rank join) runs once, not once per join side, and
-        // the block join consumes the cached layout without re-exchanging.
-        // The exact-distance filter runs BEFORE the pair distinct (same
-        // result — dist is functionally dependent on the pair — but the
-        // distinct then shuffles only true near-dups, not every candidate).
+        // both join sides are the SAME subplan up to aliasing; forcing the
+        // shuffle-hash join (the plan a big corpus gets anyway — 262144
+        // join keys, no broadcastable side at scale) makes the two (k, v)
+        // exchanges identical, so ReuseExchange runs the signature
+        // pipeline ONCE. A broadcast join here would instead re-plan the
+        // whole pipeline for the build side. No cache needed. The exact-
+        // distance filter runs BEFORE the pair distinct (same result —
+        // dist is functionally dependent on the pair — but the distinct
+        // then shuffles only true near-dups, not every candidate).
         val nib = simhashSigs(s, d)
-          .select(col("doc_id"), col("simhash"), explode(sequence(lit(0), lit(3))).as("k"))
-          .withColumn("v", expr("(simhash div CAST(pow(16, k) AS BIGINT)) % 16"))
-          .repartition(col("k"), col("v"))
-          .cache()
-        val a = nib.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"),
+          .select(col("doc_id"), col("sig0"), col("sig1"), col("sig2"), col("sig3"),
+            expr("stack(4, CAST(0 AS BIGINT), sig0, CAST(1 AS BIGINT), sig1, " +
+              "CAST(2 AS BIGINT), sig2, CAST(3 AS BIGINT), sig3) AS (k, v)"))
+        val a = nib.select(col("doc_id").as("doc_a"), col("sig0").as("a0"),
+          col("sig1").as("a1"), col("sig2").as("a2"), col("sig3").as("a3"),
           col("k"), col("v"))
-        val b = nib.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b"),
+        val b = nib.select(col("doc_id").as("doc_b"), col("sig0").as("b0"),
+          col("sig1").as("b1"), col("sig2").as("b2"), col("sig3").as("b3"),
           col("k"), col("v"))
-        a.join(b, Seq("k", "v")).filter(col("doc_a") < col("doc_b"))
-          .withColumn("dist", expr("CAST(bit_count(sig_a ^ sig_b) AS BIGINT)"))
+        a.hint("shuffle_hash").join(b.hint("shuffle_hash"), Seq("k", "v"))
+          .filter(col("doc_a") < col("doc_b"))
+          .withColumn("dist", expr("CAST(bit_count(a0 ^ b0) + bit_count(a1 ^ b1) " +
+            "+ bit_count(a2 ^ b2) + bit_count(a3 ^ b3) AS BIGINT)"))
           .filter(col("dist") <= 3)
           .select(col("doc_a"), col("doc_b"), col("dist")).distinct()
           // bounded output: the first 5000 pairs in pair order
@@ -331,39 +367,52 @@ object MLQueries {
           .limit(5000)
       },
       Some(s"""WITH $simhashSigsSql, nib AS (
-              |  SELECT doc_id, simhash, k,
-              |    (simhash // CAST(pow(16, k) AS BIGINT)) % 16 AS v
+              |  SELECT doc_id, sig0, sig1, sig2, sig3, k,
+              |    CASE k WHEN 0 THEN sig0 WHEN 1 THEN sig1 WHEN 2 THEN sig2
+              |      ELSE sig3 END AS v
               |  FROM sigs CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS k)
               |), cand AS (
               |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-              |    a.simhash AS sig_a, b.simhash AS sig_b
+              |    bit_count(xor(a.sig0, b.sig0)) + bit_count(xor(a.sig1, b.sig1))
+              |      + bit_count(xor(a.sig2, b.sig2)) + bit_count(xor(a.sig3, b.sig3))
+              |      AS dist
               |  FROM nib a JOIN nib b
               |    ON a.k = b.k AND a.v = b.v AND a.doc_id < b.doc_id
               |)
-              |SELECT doc_a, doc_b,
-              |  CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS dist
-              |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
+              |SELECT doc_a, doc_b, CAST(dist AS BIGINT) AS dist
+              |FROM cand WHERE dist <= 3
               |ORDER BY doc_a, doc_b LIMIT 5000""".stripMargin)),
 
-    // n-gram Jaccard near-dup: candidate pairs via shared-shingle equi-join
-    // (the LSH-free baseline), exact Jaccard, top-10 most-similar pairs.
-    // At 100 TB the shared-shingle join is preceded by LSH banding to bound
-    // candidates; the math is unchanged.
+    // n-gram Jaccard near-dup over the DF-CAPPED shingle universe:
+    // candidate pairs via shared-shingle equi-join, exact Jaccard on the
+    // capped sets, top-10 most-similar pairs. A shingle appearing in k
+    // docs emits k^2 candidate pairs, so hub shingles (boilerplate
+    // trigrams) make the raw join quadratic in the hub size; dropping
+    // shingles with document frequency > dfCap bounds every shingle's
+    // contribution at cap^2 pairs — hub shingles carry no near-dup signal
+    // anyway (they match everything). The cap binds on the judged corpus
+    // (df tail reaches 7 at sf0.01, 25 at sf0.1), so the oracle genuinely
+    // exercises the capped semantics.
     NamedQuery(
       "dedup_ngram_jaccard",
       (s, d) => {
-        // per-doc shingle count rides along as a window count (one extra
-        // shuffle of the shingle set on doc_id) instead of a separate
-        // aggregate joined back onto the candidate pairs twice. Trade-off:
-        // the removed joins were on the (bounded) pair aggregate, not the
-        // workload — this buys two fewer stages and one plan-level scan of
-        // the shingle set, at the cost of two extra longs per joined row.
+        val dfCap = 5L
+        // df and the per-doc shingle count ride along as window counts
+        // (shuffles on sh, then doc_id) instead of separate aggregates
+        // joined back onto the candidate pairs. n_sh is counted AFTER the
+        // cap: the Jaccard denominator and numerator see the same capped
+        // universe, so the measure stays a true Jaccard (of capped sets).
         val sh = shingles(s, d)
+          .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+          .filter(col("df") <= dfCap)
           .withColumn("n_sh", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-          .cache()
         val a = sh.select(col("doc_id").as("doc_a"), col("sh"), col("n_sh").as("na"))
         val b = sh.select(col("doc_id").as("doc_b"), col("sh"), col("n_sh").as("nb"))
-        a.join(b, "sh").filter(col("doc_a") < col("doc_b"))
+        // shuffle-hash hint (the at-scale plan anyway): both sides are the
+        // same subplan, so the sh-keyed exchange is planned once and
+        // reused — a broadcast would re-plan the shingle pipeline twice
+        a.hint("shuffle_hash").join(b.hint("shuffle_hash"), "sh")
+          .filter(col("doc_a") < col("doc_b"))
           .groupBy(col("doc_a"), col("doc_b"))
           .agg(count(lit(1)).as("shared"), first(col("na")).as("na"), first(col("nb")).as("nb"))
           .withColumn("jaccard",
@@ -372,8 +421,12 @@ object MLQueries {
           .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
           .limit(10)
       },
-      Some(s"""WITH sh AS (
+      Some(s"""WITH sh0 AS (
               |  $shinglesSql
+              |), dfs AS (
+              |  SELECT sh, CAST(COUNT(*) AS BIGINT) AS df FROM sh0 GROUP BY 1
+              |), sh AS (
+              |  SELECT doc_id, sh0.sh FROM sh0 JOIN dfs USING (sh) WHERE df <= 5
               |), sizes AS (
               |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1
               |), pairs AS (
@@ -520,8 +573,10 @@ object MLQueries {
         // first centroid (ascending id) whose sim >= all others
         val ids = cents.map(_._1)
         val cell = ids.foldRight(lit(-1L)) { (cid, els) =>
+          // reduceOption: with a single centroid the comparison set is
+          // empty and the winner is unconditional
           when(ids.filter(_ != cid).map(o => col(s"csim_$cid") >= col(s"csim_$o"))
-            .reduce(_ && _), lit(cid)).otherwise(els)
+            .reduceOption(_ && _).getOrElse(lit(true)), lit(cid)).otherwise(els)
         }
         val assigned = scored
           .select(col("vec_id"), col("embedding"), col("norm"), cell.as("cell"))
@@ -654,34 +709,32 @@ object MLQueries {
              |    AS lex_tokens
              |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
 
-    // Document fingerprinting: position-weighted hash over dense-rank word
-    // ids (exact integer math both engines; xxhash64 at scale).
+    // Document fingerprinting: position-weighted hash over md5-prefix word
+    // ids — scan → narrow map → one groupBy(doc_id): no vocabulary table,
+    // no rank sort, no join. The inner mod keeps (pos+1)*wid*2654435761
+    // under 2^63 now that wids span the full 31-bit range.
     NamedQuery(
       "text_fingerprint",
-      (s, d) => {
-        val pos = words(s, d)
+      (s, d) =>
+        words(s, d)
           .select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "word")))
-        val ids = pos.select(col("word")).distinct()
-          .withColumn("wid", dense_rank().over(Window.orderBy(col("word"))).cast("long"))
-        pos.join(ids, "word")
+          .withColumn("wid", hashId(col("word"), 2147483647L))
           .groupBy(col("doc_id"))
-          .agg((sum((col("pos") + 1) * col("wid") * 2654435761L % lit(2147483647L))
+          .agg((sum(((col("pos") + 1) * col("wid") % lit(2147483647L))
+            * 2654435761L % lit(2147483647L))
             % lit(2147483647L)).as("fingerprint"))
-          .orderBy(col("doc_id"))
-      },
-      Some("""WITH pos AS (
-             |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS word,
-             |    generate_subscripts(string_split(text, ' '), 1) AS pos1
-             |  FROM documents
-             |), ids AS (
-             |  SELECT word, CAST(DENSE_RANK() OVER (ORDER BY word) AS BIGINT) AS wid
-             |  FROM (SELECT DISTINCT word FROM pos)
-             |)
-             |SELECT doc_id,
-             |  CAST(SUM(CAST(pos1 AS BIGINT) * wid * 2654435761 % 2147483647)
-             |    % 2147483647 AS BIGINT) AS fingerprint
-             |FROM pos JOIN ids USING (word)
-             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+          .orderBy(col("doc_id")),
+      Some(s"""WITH pos AS (
+              |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS word,
+              |    generate_subscripts(string_split(text, ' '), 1) AS pos1
+              |  FROM documents
+              |)
+              |SELECT doc_id,
+              |  CAST(SUM((CAST(pos1 AS BIGINT) * (${hashIdSql("word", 2147483647L)})
+              |      % 2147483647) * 2654435761 % 2147483647)
+              |    % 2147483647 AS BIGINT) AS fingerprint
+              |FROM pos
+              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // Multimodal plumbing (metadata over opaque bytes): texts as binary
     // payloads — byte sizes + content digests per source. The decode /

@@ -21,6 +21,10 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def norm_cell(v):
+    # numpy SCALARS (ndim == 0) also expose tolist(); unbox them to Python
+    # scalars first or the tuple() branch below would crash on them
+    if getattr(v, "ndim", None) == 0:
+        v = v.item()
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
