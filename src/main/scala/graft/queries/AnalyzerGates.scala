@@ -1,0 +1,167 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import graft.analyze.Analyzers
+import graft.ingest.WorkloadViews
+
+/** Direct oracle gates for three registered analyzers (VERDICT round-3
+  * task #6): each runs the REAL analyzer — `Analyzers.operatorWall`,
+  * `joinsSides`, `wallBySelectivity10` — over a committed workload-summary
+  * parquet fixture, and the DuckDB oracle recomputes the whole chain
+  * (explode → dedup → classify → pie/bins) from the same parquet.
+  *
+  * The fixture (the JSON docs under `src/test/resources/workload_gate`,
+  * extracted once via `Pipeline extract` into `workload_gate_parquet`,
+  * both committed) is
+  * value-designed for exact cross-engine float parity: every operator wall
+  * is an integer number of seconds and the walls sum to 400, so every
+  * derived percentage lands on an exact quarter-percent double and no sum
+  * is sensitive to accumulation order. GateFixtureSpec pins the parquet to
+  * the JSON fixtures so the two cannot drift.
+  */
+object AnalyzerGates {
+
+  /** Committed fixture locations (absolute: the driver's DuckDB run and the
+    * Spark session may have different working directories).
+    */
+  val fixtureDir = "/root/repo/src/test/resources/workload_gate_parquet"
+  private val P = s"$fixtureDir/*.parquet"
+
+  private def views(s: SparkSession): WorkloadViews =
+    WorkloadViews(s.read.parquet(fixtureDir))
+
+  /** DuckDB twin of the non-FAILED operator explosion with per-op wall. */
+  private val opsSql =
+    s"""SELECT query_id, op.operator_type AS operator_type,
+       |    op.input_size AS input_size, op.input_rows AS input_rows,
+       |    op.output_rows AS output_rows,
+       |    CAST(COALESCE(op.input_wall, 0.0) + COALESCE(op.output_wall, 0.0)
+       |      + COALESCE(op.finish_wall, 0.0) AS DOUBLE) AS wall
+       |  FROM (SELECT query_id, UNNEST(operators) AS op
+       |        FROM read_parquet('$P') WHERE state <> 'FAILED')""".stripMargin
+
+  /** DuckDB twin of ChartOps.pie over `raw(key, value)` CTE rows. */
+  private def pieSql(rawCte: String): String =
+    s"""WITH raw AS (
+       |  $rawCte
+       |), base AS (
+       |  SELECT key, SUM(value) AS value FROM raw GROUP BY key
+       |), total AS (
+       |  SELECT SUM(value) AS total FROM base HAVING SUM(value) <> 0
+       |), kept AS (
+       |  SELECT key, value, CAST(0 AS BIGINT) AS is_rest
+       |  FROM (SELECT key, value FROM base ORDER BY value DESC, key LIMIT 19)
+       |  CROSS JOIN total
+       |  WHERE value * 100.0 / total > 0.1
+       |), rest AS (
+       |  SELECT 'All the rest' AS key, SUM(value) AS value, CAST(1 AS BIGINT) AS is_rest
+       |  FROM base CROSS JOIN total
+       |  WHERE key NOT IN (SELECT key FROM kept)
+       |  HAVING SUM(value) IS NOT NULL
+       |), unioned AS (
+       |  SELECT * FROM kept UNION ALL SELECT * FROM rest
+       |), flagged AS (
+       |  SELECT key, value, is_rest,
+       |    round_even(value * 100.0 / (SELECT SUM(value) FROM unioned) * 100.0, 0)
+       |      / 100.0 AS pct_round,
+       |    (ROW_NUMBER() OVER (ORDER BY is_rest DESC, value ASC, key DESC) = 1)
+       |      AS is_last
+       |  FROM unioned
+       |)
+       |SELECT key, value,
+       |  CASE WHEN is_last
+       |       THEN pct_round + (100.0 - (SELECT SUM(pct_round) FROM flagged))
+       |       ELSE pct_round END AS pct
+       |FROM flagged
+       |ORDER BY is_rest, value DESC, key""".stripMargin
+
+  val all: Seq[NamedQuery] = Seq(
+
+    // B17: wall per operator type ("Operator" stripped everywhere), as a
+    // pie with top-19 + "All the rest" + residual-absorbing last percent.
+    NamedQuery(
+      "analyzer_operator_wall",
+      (s, _) => Analyzers.operatorWall(views(s)),
+      Some(pieSql(
+        s"""SELECT CAST(regexp_replace(operator_type, 'Operator', '', 'g') AS VARCHAR) AS key,
+           |    wall AS value
+           |  FROM ($opsSql)""".stripMargin))),
+
+    // B27: per join site, build (x) vs probe (y) input bytes + distribution.
+    // The oracle replays the full chain: plan-node explode, last-fragment
+    // dedup per (query, node), probe/build classification, and the
+    // last-occurrence-wins operator dedup per (query, node, type).
+    NamedQuery(
+      "analyzer_joins_sides",
+      (s, _) => Analyzers.joinsSides(views(s)),
+      Some(s"""WITH summ AS (
+              |  SELECT * FROM read_parquet('$P') WHERE state <> 'FAILED'
+              |), deduped AS (
+              |  SELECT * FROM (
+              |    SELECT query_id, n.node_id AS node_id, n.node_type AS node_type,
+              |      n.join_type AS join_type,
+              |      n.join_distribution AS join_distribution,
+              |      n.has_criteria AS has_criteria,
+              |      ROW_NUMBER() OVER (PARTITION BY query_id, n.node_id
+              |        ORDER BY n.fragment_idx DESC, n.dfs_order DESC) AS rn
+              |    FROM (SELECT query_id, UNNEST(plan_nodes) AS n FROM summ)
+              |  ) WHERE rn = 1
+              |), joinnodes AS (
+              |  SELECT query_id, node_id, join_distribution,
+              |    CASE WHEN node_type = 'semijoin' THEN 'HashSemiJoinOperator'
+              |         WHEN has_criteria OR join_type <> 'INNER' THEN 'LookupJoinOperator'
+              |         ELSE 'NestedLoopJoinOperator' END AS probe_type,
+              |    CASE WHEN node_type = 'semijoin' THEN 'SetBuilderOperator'
+              |         WHEN has_criteria OR join_type <> 'INNER' THEN 'HashBuilderOperator'
+              |         ELSE 'NestedLoopBuildOperator' END AS build_type
+              |  FROM deduped WHERE node_type LIKE '%join'
+              |), ops AS (
+              |  SELECT query_id, node_id, operator_type, input_size,
+              |    input_rows, output_rows
+              |  FROM (
+              |    SELECT query_id, op.node_id AS node_id,
+              |      op.operator_type AS operator_type,
+              |      op.input_size AS input_size, op.input_rows AS input_rows,
+              |      op.output_rows AS output_rows,
+              |      ROW_NUMBER() OVER (PARTITION BY query_id, op.node_id, op.operator_type
+              |        ORDER BY idx DESC) AS rn
+              |    FROM (SELECT query_id, operators[i] AS op, i AS idx
+              |          FROM summ, UNNEST(generate_series(1, len(operators))) AS s(i))
+              |  ) WHERE rn = 1
+              |)
+              |SELECT b.input_size AS x, p.input_size AS y,
+              |  j.join_distribution AS dist, j.query_id AS query_id
+              |FROM joinnodes j
+              |JOIN ops p ON p.query_id = j.query_id AND p.node_id = j.node_id
+              |  AND p.operator_type = j.probe_type
+              |JOIN ops b ON b.query_id = j.query_id AND b.node_id = j.node_id
+              |  AND b.operator_type = j.build_type
+              |ORDER BY j.query_id, x, y""".stripMargin)),
+
+    // B19: wall percent by 10-bin scan selectivity (the reference's
+    // 1-decimal binning quirk + arange padding + "Above" overflow label).
+    NamedQuery(
+      "analyzer_wall_by_selectivity_10",
+      (s, _) => Analyzers.wallBySelectivity10(views(s)),
+      Some(s"""WITH pts AS (
+              |  SELECT CAST(output_rows AS DOUBLE) / input_rows AS x, wall AS w
+              |  FROM ($opsSql)
+              |  WHERE operator_type LIKE '%Scan%' AND input_rows > 0
+              |    AND output_rows IS NOT NULL
+              |), labeled AS (
+              |  SELECT CASE WHEN bin <= 1.0 + 1e-9 THEN format('{:.2f}', bin)
+              |              ELSE 'Above' END AS label, w
+              |  FROM (
+              |    SELECT (ABS(round_even((x - 0.05) * 10.0, 0) / 10.0) + 0.0) AS bin, w
+              |    FROM pts
+              |  )
+              |), pad AS (
+              |  SELECT format('{:.2f}', CAST(i AS DOUBLE) * 0.1) AS label, 0.0 AS w
+              |  FROM generate_series(0, 9) AS t(i)
+              |), unioned AS (
+              |  SELECT * FROM labeled UNION ALL SELECT * FROM pad
+              |)
+              |SELECT label, SUM(w / (SELECT SUM(w) FROM unioned) * 100.0) AS pct
+              |FROM unioned GROUP BY label ORDER BY label""".stripMargin)),
+  )
+}
