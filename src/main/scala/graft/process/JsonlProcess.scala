@@ -1,6 +1,6 @@
 package graft.process
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -30,6 +30,45 @@ object JsonlProcess {
       includeAbsent: Boolean = true): DataFrame =
     if (includeAbsent) df.filter(col(column).isNull || col(column) === value)
     else df.filter(col(column) === value)
+
+  /** Full `filter_line` parity (`jsonl_process.py:37-50`): multi-key
+    * filter over normalized columns. keep = (includeAbsent AND every key
+    * absent) OR (orAnd AND any key matches) OR (NOT orAnd AND all keys
+    * match). "Absent" on the normalized schema = the column is null (the
+    * reference counts key occurrences in the nested dict; a null column is
+    * exactly a key the summary does not carry for that row).
+    */
+  def filterByColumns(df: DataFrame, filters: Map[String, String],
+      orAnd: Boolean = true, includeAbsent: Boolean = true): DataFrame = {
+    require(filters.nonEmpty, "filterByColumns needs at least one key")
+    val conds = filters.toSeq.sortBy(_._1)
+    val found = conds.map { case (c, v) => col(c).isNotNull && col(c) === v }
+    val allAbsent = conds.map { case (c, _) => col(c).isNull }.reduce(_ && _)
+    val matched = if (orAnd) found.reduce(_ || _) else found.reduce(_ && _)
+    df.filter(if (includeAbsent) allAbsent || matched else matched)
+  }
+
+  /** `--filter-schema` (`jsonl_process.py:172-174`: `filter_line` with
+    * `{schema: v, schemaName: v}`, OR logic, include-absent): keep rows
+    * whose schema — in any of the normalized carriers: the `schema` field
+    * of a raw `inputs` JSON element, or the schema segment of a resolved
+    * 3-part `plan_nodes.table_name` — equals `schema`; rows carrying NO
+    * schema occurrence at all are kept (include-absent).
+    */
+  def filterBySchema(df: DataFrame, schema: String): DataFrame = {
+    val inInputs = exists(col("inputs"),
+      i => get_json_object(i, "$.schema") === schema)
+    val inTables = exists(col("plan_nodes"), n => {
+      val parts = split(n.getField("table_name"), "\\.")
+      size(parts) === 3 && parts(1) === schema
+    })
+    val occurrences =
+      coalesce(size(filter(col("inputs"),
+        i => get_json_object(i, "$.schema").isNotNull)), lit(0)) +
+      coalesce(size(filter(col("plan_nodes"),
+        n => size(split(n.getField("table_name"), "\\.")) === 3)), lit(0))
+    df.filter(occurrences === 0 || inInputs || inTables)
+  }
 
   /** Build the translation table for one column: distinct values →
     * `prefix0, prefix1, …` in first-seen (min query_id) order.
@@ -96,7 +135,143 @@ object JsonlProcess {
       .drop("__obf")
   }
 
-  /** `--remove-query` equivalent: blank the query text. */
+  // ---- schema / catalog obfuscation over the normalized carriers ------
+  //
+  // The reference renames the values of `schema`/`schemaName` keys (ONE
+  // shared NameObfuscator, `jsonl_process.py:133-136`) and `catalogName`
+  // keys (`:138-140`) anywhere in the raw nested JSON. After
+  // normalization those values live in exactly two places: the raw
+  // `inputs` JSON elements ({"connectorId","schema","table"}) and the
+  // resolved `connector.schema.table` names on plan nodes. The dictionary
+  // is built over the UNION of both carriers, so the same name maps to one
+  // token wherever it appears — the injectivity the reference gets from
+  // sharing one obfuscator instance across keys. Segment renames only
+  // apply to unambiguous 3-part names: a 2-part name (connector.table or
+  // schema.table — the resolver flattens both shapes) cannot be split
+  // reliably and passes through unchanged (documented divergence).
+
+  private def seg(c: Column, i: Int): Column = split(c, "\\.")(i)
+  private def isThreePart(c: Column): Column =
+    c.isNotNull && size(split(c, "\\.")) === 3
+
+  /** Shared first-seen dictionary over both carriers of one name kind:
+    * `fromInput` extracts the name from a raw inputs JSON element;
+    * `segIdx` is its segment position in a 3-part table name.
+    */
+  private def sharedDict(df: DataFrame, fromInput: Column => Column,
+      segIdx: Int, prefix: String): DataFrame = {
+    val fromInputs = df.select(col("query_id"), explode(col("inputs")).as("inp"))
+      .select(col("query_id"), fromInput(col("inp")).as("old_name"))
+    val nodeNames = df.select(col("query_id"), explode(col("plan_nodes")).as("n"))
+      .select(col("query_id"), col("n.table_name").as("tn"))
+      .unionAll(df.select(col("query_id"), explode(col("plan_nodes")).as("n"))
+        .select(col("query_id"), col("n.deepest_table").as("tn")))
+      .filter(isThreePart(col("tn")))
+      .select(col("query_id"), seg(col("tn"), segIdx).as("old_name"))
+    fromInputs.unionAll(nodeNames)
+      .filter(col("old_name").isNotNull && col("old_name") =!= "")
+      .groupBy(col("old_name")).agg(min(col("query_id")).as("first_seen"))
+      .withColumn("new_name", concat(lit(prefix),
+        (dense_rank().over(
+          Window.orderBy(col("first_seen"), col("old_name"))) - 1).cast("string")))
+      .select(col("old_name"), col("new_name"))
+  }
+
+  /** Rewrite the `key` field of every raw `inputs` JSON element through
+    * the dictionary — a literal string replace on the compact Jackson
+    * form, so unknown fields survive untouched (no reparse/reserialize).
+    */
+  private def rewriteInputs(df: DataFrame, dict: DataFrame, key: String): DataFrame = {
+    val rebuilt = df
+      .select(col("query_id"), posexplode(col("inputs")).as(Seq("pos", "inp")))
+      .withColumn("old_name", get_json_object(col("inp"), s"$$.$key"))
+      .join(broadcast(dict), Seq("old_name"), "left")
+      .withColumn("inp2", when(col("new_name").isNull, col("inp"))
+        .otherwise(expr(s"""replace(inp, concat('"$key":"', old_name, '"'),""" +
+          s""" concat('"$key":"', new_name, '"'))""")))
+      .groupBy(col("query_id"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("inp2")))),
+        c => c.getField("inp2")).as("__inputs"))
+    df.join(rebuilt, Seq("query_id"), "left")
+      .withColumn("inputs",
+        when(col("inputs").isNull || size(col("inputs")) === 0, col("inputs"))
+          .otherwise(col("__inputs")))
+      .drop("__inputs")
+  }
+
+  /** Rewrite segment `segIdx` of every 3-part table_name/deepest_table in
+    * `plan_nodes` through the dictionary (struct rebuilt field by field —
+    * Spark has no nested-field update inside an array).
+    */
+  private def rewriteTableSegs(df: DataFrame, dict: DataFrame, segIdx: Int): DataFrame = {
+    def put(c: Column, repl: Column): Column =
+      concat_ws(".", (0 until 3).map(i => if (i == segIdx) repl else seg(c, i)): _*)
+    val ex = df
+      .select(col("query_id"), posexplode(col("plan_nodes")).as(Seq("pos", "n")))
+      .withColumn("tn_old", when(isThreePart(col("n.table_name")), seg(col("n.table_name"), segIdx)))
+      .withColumn("dt_old", when(isThreePart(col("n.deepest_table")), seg(col("n.deepest_table"), segIdx)))
+      .join(broadcast(dict.select(col("old_name").as("tn_old"), col("new_name").as("tn_new"))),
+        Seq("tn_old"), "left")
+      .join(broadcast(dict.select(col("old_name").as("dt_old"), col("new_name").as("dt_new"))),
+        Seq("dt_old"), "left")
+      .withColumn("n2", struct(
+        col("n.fragment_id").as("fragment_id"),
+        col("n.fragment_idx").as("fragment_idx"),
+        col("n.node_id").as("node_id"),
+        col("n.node_type").as("node_type"),
+        col("n.parent_id").as("parent_id"),
+        col("n.depth").as("depth"),
+        col("n.dfs_order").as("dfs_order"),
+        col("n.subtree_end").as("subtree_end"),
+        when(col("tn_new").isNotNull, put(col("n.table_name"), col("tn_new")))
+          .otherwise(col("n.table_name")).as("table_name"),
+        when(col("dt_new").isNotNull, put(col("n.deepest_table"), col("dt_new")))
+          .otherwise(col("n.deepest_table")).as("deepest_table"),
+        col("n.join_type").as("join_type"),
+        col("n.join_distribution").as("join_distribution"),
+        col("n.has_criteria").as("has_criteria")))
+      .groupBy(col("query_id"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("n2")))),
+        c => c.getField("n2")).as("__nodes"))
+    df.join(ex, Seq("query_id"), "left")
+      .withColumn("plan_nodes",
+        when(col("plan_nodes").isNull || size(col("plan_nodes")) === 0, col("plan_nodes"))
+          .otherwise(col("__nodes")))
+      .drop("__nodes")
+  }
+
+  /** `--rename-schemas` (`jsonl_process.py:133-136`): one dictionary,
+    * every schema occurrence — inputs' `schema` field + the middle segment
+    * of 3-part table names.
+    */
+  def renameSchemas(df: DataFrame): DataFrame = {
+    val dict = sharedDict(df, i => get_json_object(i, "$.schema"), 1, "schema")
+    rewriteTableSegs(rewriteInputs(df, dict, "schema"), dict, 1)
+  }
+
+  /** `--rename-catalogs` (`jsonl_process.py:138-140`): one dictionary over
+    * the catalog/connector occurrences — inputs' `connectorId` field + the
+    * first segment of 3-part table names.
+    */
+  def renameCatalogs(df: DataFrame): DataFrame = {
+    val dict = sharedDict(df, i => get_json_object(i, "$.connectorId"), 0, "catalog")
+    rewriteTableSegs(rewriteInputs(df, dict, "connectorId"), dict, 0)
+  }
+
+  /** `--remove-locations` (`jsonl_process.py:142-145`): blank the values
+    * of `location`/`targetPath`/`writePath` keys. The raw `inputs`
+    * elements are the only carrier after normalization (the typed summary
+    * has no path columns by construction).
+    */
+  def removeLocations(df: DataFrame): DataFrame =
+    df.withColumn("inputs", transform(col("inputs"), i =>
+      regexp_replace(i, "\"(location|targetPath|writePath)\":\"[^\"]*\"", "\"$1\":\"\"")))
+
+  /** `--remove-query` equivalent: blank the query text. The reference also
+    * blanks `rows` keys (EXPLAIN VALUES literals inside raw fragments,
+    * `jsonl_process.py:127-130`); the flatten drops node payloads at
+    * ingest, so `query` is the only literal carrier left to clear.
+    */
   def removeQuery(df: DataFrame): DataFrame =
     df.withColumn("query", lit(""))
 

@@ -61,4 +61,92 @@ class JsonlProcessSpec extends SparkSpec {
     assert(JsonlProcess.removeQuery(d2).select("query").distinct().collect()
       .map(_.getString(0)).toSeq === Seq(""))
   }
+
+  // ---- multi-key filter_line parity ----------------------------------
+
+  private def mk = Seq(
+    ("q1", "alice", "etl"),
+    ("q2", "bob", null),
+    ("q3", null, null),
+    ("q4", "alice", "webapp"))
+    .toDF("query_id", "user", "source_app")
+
+  test("filterByColumns OR keeps any match plus all-absent rows") {
+    val keys = Map("user" -> "alice", "source_app" -> "webapp")
+    val kept = JsonlProcess.filterByColumns(mk, keys)
+      .select("query_id").collect().map(_.getString(0)).toSet
+    // q1 (user match), q4 (both), q3 (every key absent); q2 has a present
+    // non-matching key and one absent → dropped (sum(num_exist) != 0)
+    assert(kept === Set("q1", "q3", "q4"))
+  }
+
+  test("filterByColumns AND requires every key to match") {
+    val keys = Map("user" -> "alice", "source_app" -> "webapp")
+    val kept = JsonlProcess.filterByColumns(mk, keys, orAnd = false)
+      .select("query_id").collect().map(_.getString(0)).toSet
+    assert(kept === Set("q3", "q4")) // q4 matches all; q3 all-absent
+    val strict = JsonlProcess.filterByColumns(mk, keys, orAnd = false,
+      includeAbsent = false).select("query_id").collect().map(_.getString(0)).toSet
+    assert(strict === Set("q4"))
+  }
+
+  // ---- schema/catalog rename over the workload_gate fixtures ----------
+
+  private lazy val workload =
+    graft.ingest.Extract.extract(spark, resourcePath("workload_gate")).toDF()
+
+  test("renameSchemas shares ONE dictionary across inputs and table names") {
+    val out = JsonlProcess.renameSchemas(workload).cache()
+    val inputSchemas = out.select(explode(col("inputs")).as("i"))
+      .select(get_json_object(col("i"), "$.schema").as("s"))
+      .collect().map(_.getString(0)).toSet
+    val tableNames = out.select(explode(col("plan_nodes")).as("n"))
+      .select(col("n.table_name")).na.drop()
+      .collect().map(_.getString(0)).toSet
+    // first-seen by query_id: g1 (web) → schema0, g2 (warehouse) → schema1
+    assert(inputSchemas === Set("schema0", "schema1"))
+    assert(tableNames.contains("hive.schema0.logs"))   // same token as inputs' web
+    assert(tableNames.contains("hive.schema0.users"))
+    assert(tableNames.contains("hive.schema1.facts"))
+    assert(tableNames.contains("iceberg.schema1.dims"))
+    assert(tableNames.contains("memory.memory:7"))     // 2-part: untouched
+    // no original schema name survives anywhere
+    assert(!tableNames.exists(t => t.contains(".web.") || t.contains(".warehouse.")))
+    // deepest_table goes through the same dictionary
+    val deepest = out.select(explode(col("plan_nodes")).as("n"))
+      .select(col("n.deepest_table")).na.drop()
+      .collect().map(_.getString(0)).toSet
+    assert(deepest.forall(d => !d.contains(".web.") && !d.contains(".warehouse.")))
+  }
+
+  test("renameCatalogs maps the connector segment and inputs connectorId") {
+    val out = JsonlProcess.renameCatalogs(workload)
+    val inputCats = out.select(explode(col("inputs")).as("i"))
+      .select(get_json_object(col("i"), "$.connectorId").as("c"))
+      .collect().map(_.getString(0)).toSet
+    assert(inputCats === Set("catalog0")) // hive in g1+g2 inputs
+    val tableNames = out.select(explode(col("plan_nodes")).as("n"))
+      .select(col("n.table_name")).na.drop()
+      .collect().map(_.getString(0)).toSet
+    assert(tableNames.contains("catalog0.web.logs"))
+    assert(tableNames.exists(_.startsWith("catalog")) &&
+      !tableNames.exists(_.startsWith("hive.")))
+  }
+
+  test("removeLocations blanks path values inside raw inputs JSON") {
+    val d = Seq(("q1", Seq("""{"schema":"web","location":"s3://secret/bucket","table":"t"}""")))
+      .toDF("query_id", "inputs")
+    val out = JsonlProcess.removeLocations(d)
+      .select(explode(col("inputs"))).collect().map(_.getString(0))
+    assert(out === Array("""{"schema":"web","location":"","table":"t"}"""))
+  }
+
+  test("filterBySchema keeps matches and schema-free rows") {
+    val kept = JsonlProcess.filterBySchema(workload, "web")
+      .select("query_id").collect().map(_.getString(0)).toSet
+    // g1 carries web; g3/g4 carry no schema occurrence at all (memory
+    // 2-part handle / no plan) → kept; g2 carries warehouse → dropped
+    assert(kept === Set("20220301_100000_00001_graft",
+      "20220302_090000_00003_graft", "20220302_100000_00004_graft"))
+  }
 }
