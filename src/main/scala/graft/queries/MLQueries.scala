@@ -143,6 +143,13 @@ object MLQueries {
           .select(col("doc_id"), hashId(col("word"), simhashWidMod).as("wid"))
           .groupBy(col("doc_id"), col("wid")).agg(count(lit(1)).as("cnt"))
           .withColumn("df", count(lit(1)).over(Window.partitionBy(col("wid"))))
+          // the 64 per-bit hashes share wid*64*A and the tf-idf weight;
+          // hoisting both into ONE projection leaves each accumulator an
+          // add + two mods + one multiply per row. (wid*64 + b)*A + 91 ==
+          // base + (b*A + 91) exactly in int64 — same values the oracle
+          // computes in its unhoisted spelling, max ~2^62.3 < 2^63.
+          .withColumn("hbase", col("wid") * lit(64L * 2654435761L))
+          .withColumn("wgt", col("cnt") * expr("1000000 div df"))
         val accs = (0 until 64).map { b =>
           // b is mixed into the hash INPUT (wid*64 + b), not the
           // multiplier: a per-bit multiplier step b*c is linear in b, the
@@ -150,9 +157,9 @@ object MLQueries {
           // word collapses to a handful of bit patterns (alternating or
           // constant) — measured on the 16-bit predecessor: 4 distinct
           // signatures over 500 docs.
-          val g = ((col("wid") * 64L + lit(b.toLong)) * lit(2654435761L)
-            + lit(91L)) % lit(2147483647L) % 2L
-          sum((g * 2L - 1L) * col("cnt") * expr("1000000 div df")).as(s"acc$b")
+          val g = (col("hbase") + lit(b.toLong * 2654435761L + 91L)) %
+            lit(2147483647L) % 2L
+          sum((g * 2L - 1L) * col("wgt")).as(s"acc$b")
         }
         val blocks = (0 until 4).map { blk =>
           (0 until 16).map(i =>
