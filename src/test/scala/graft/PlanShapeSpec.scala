@@ -62,4 +62,39 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("float_vec_dot(embedding"))
     assert(p.contains("BroadcastHashJoin [cell"))
   }
+
+  // round-5 scale fixes, pinned: no partition-less window (the single-task
+  // vocabulary sort) anywhere in the id-assignment family, and the
+  // pigeonhole join is the shuffle-hash plan whose identical sides reuse
+  // one exchange.
+
+  test("dedup_minhash_lsh / text_fingerprint: hash ids — no Window, no join in the plan") {
+    for (q <- Seq("dedup_minhash_lsh", "text_fingerprint")) {
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q should not need any window")
+      assert(!p.contains("Join"), s"$q should not need any join")
+    }
+  }
+
+  test("dedup_simhash: df via wid-partitioned window, single scan of documents") {
+    val p = plan("dedup_simhash")
+    assert(!p.contains("WindowExec: No Partition"))
+    assert(p.contains("Window"))
+    // the df window must be keyed (partition-less would single-task the
+    // vocabulary); and the scan→explode subtree appears exactly once
+    assert(p.contains("hashpartitioning(wid"))
+    assert("documents\\.parquet".r.findAllIn(p).size === 1)
+  }
+
+  test("dedup_simhash_hamming: shuffle-hash pigeonhole join on (k, v)") {
+    val p = plan("dedup_simhash_hamming")
+    assert(p.contains("ShuffledHashJoin [k"))
+    assert(!p.contains("BroadcastHashJoin"))
+  }
+
+  test("topn_rollup_rest: TakeOrdered top-19, no partition-less window") {
+    val p = plan("topn_rollup_rest")
+    assert(p.contains("TakeOrderedAndProject(limit=19"))
+    assert(!p.contains("Window"))
+  }
 }
