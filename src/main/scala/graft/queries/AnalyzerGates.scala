@@ -27,8 +27,13 @@ object AnalyzerGates {
   val fixtureDir = "/root/repo/src/test/resources/workload_gate_parquet"
   private val P = s"$fixtureDir/*.parquet"
 
+  // one WorkloadViews per session: the views exist to be scanned once and
+  // shared by every analyzer (their whole design point) — rebuilding them
+  // per gate would re-cache base/operators/joins three times over
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, WorkloadViews]
   private def views(s: SparkSession): WorkloadViews =
-    WorkloadViews(s.read.parquet(fixtureDir))
+    memo.computeIfAbsent(s, k => WorkloadViews(k.read.parquet(fixtureDir)))
 
   /** DuckDB twin of the non-FAILED operator explosion with per-op wall. */
   private val opsSql =
