@@ -27,11 +27,14 @@ object AnalyzerGates {
   val fixtureDir = "/root/repo/src/test/resources/workload_gate_parquet"
   private val P = s"$fixtureDir/*.parquet"
 
-  // one WorkloadViews per session: the views exist to be scanned once and
-  // shared by every analyzer (their whole design point) — rebuilding them
-  // per gate would re-cache base/operators/joins three times over
-  private val memo =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, WorkloadViews]
+  // one WorkloadViews per session: the views exist to be built once and
+  // shared by every analyzer (their design point). Spark's CacheManager
+  // already dedups the .cache() calls by canonicalized plan, so this memo
+  // buys latency only — it skips re-listing the fixture and re-analyzing
+  // five plan trees per gate. Weak keys: a stopped session must not be
+  // pinned by the registry in a long-lived host JVM.
+  private val memo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, WorkloadViews])
   private def views(s: SparkSession): WorkloadViews =
     memo.computeIfAbsent(s, k => WorkloadViews(k.read.parquet(fixtureDir)))
 
