@@ -40,8 +40,16 @@ object Bench {
     run("hash_agg_sum") // warmup: session init, codegen, parquet footers
 
     // SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the run (iteration aid; the
-    // driver never sets it, so judged runs always cover the full registry)
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    // driver never sets it, so judged runs always cover the full registry).
+    // Blank tokens are dropped so an exported-but-empty variable means
+    // "no filter", not a silently empty run; unknown names fail loudly.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty, s"unknown bench queries: ${unknown.mkString(",")}")
+    }
     val results = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
       .map(n => n -> run(n))

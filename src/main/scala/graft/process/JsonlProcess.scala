@@ -22,14 +22,12 @@ import org.apache.spark.sql.functions._
   */
 object JsonlProcess {
 
-  /** A13 `filter_line` on a normalized column: keep rows where `column`
-    * equals `value`; `includeAbsent` keeps rows with a null in the column
-    * (the reference's "key absent ⇒ keep" semantics).
+  /** A13 `filter_line` on a normalized column — the single-key case of
+    * [[filterByColumns]] (one implementation of the keep/absent logic).
     */
   def filterByColumn(df: DataFrame, column: String, value: String,
       includeAbsent: Boolean = true): DataFrame =
-    if (includeAbsent) df.filter(col(column).isNull || col(column) === value)
-    else df.filter(col(column) === value)
+    filterByColumns(df, Map(column -> value), includeAbsent = includeAbsent)
 
   /** Full `filter_line` parity (`jsonl_process.py:37-50`): multi-key
     * filter over normalized columns. keep = (includeAbsent AND every key
@@ -156,116 +154,110 @@ object JsonlProcess {
 
   /** Shared first-seen dictionary over both carriers of one name kind:
     * `fromInput` extracts the name from a raw inputs JSON element;
-    * `segIdx` is its segment position in a 3-part table name.
+    * `segIdx` is its segment position in a 3-part table name. Collected
+    * to the driver: schema/catalog dictionaries are catalog-metadata-
+    * sized by nature (like the IVF centroids), and shipping them as plan
+    * literals lets the rewrite below be an in-place array `transform` —
+    * no explode/regroup, so duplicate query_ids can never merge rows, and
+    * the summaries are scanned once per dictionary (plan nodes contribute
+    * both name fields through one explode).
     */
   private def sharedDict(df: DataFrame, fromInput: Column => Column,
-      segIdx: Int, prefix: String): DataFrame = {
+      segIdx: Int, prefix: String): Map[String, String] = {
     val fromInputs = df.select(col("query_id"), explode(col("inputs")).as("inp"))
       .select(col("query_id"), fromInput(col("inp")).as("old_name"))
     val nodeNames = df.select(col("query_id"), explode(col("plan_nodes")).as("n"))
-      .select(col("query_id"), col("n.table_name").as("tn"))
-      .unionAll(df.select(col("query_id"), explode(col("plan_nodes")).as("n"))
-        .select(col("query_id"), col("n.deepest_table").as("tn")))
+      .select(col("query_id"),
+        explode(array(col("n.table_name"), col("n.deepest_table"))).as("tn"))
       .filter(isThreePart(col("tn")))
       .select(col("query_id"), seg(col("tn"), segIdx).as("old_name"))
     fromInputs.unionAll(nodeNames)
       .filter(col("old_name").isNotNull && col("old_name") =!= "")
       .groupBy(col("old_name")).agg(min(col("query_id")).as("first_seen"))
-      .withColumn("new_name", concat(lit(prefix),
-        (dense_rank().over(
-          Window.orderBy(col("first_seen"), col("old_name"))) - 1).cast("string")))
-      .select(col("old_name"), col("new_name"))
+      .orderBy(col("first_seen"), col("old_name"))
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => r.getString(0) -> s"$prefix$i" }
+      .toMap
   }
 
-  /** Rewrite the `key` field of every raw `inputs` JSON element through
-    * the dictionary — a literal string replace on the compact Jackson
-    * form, so unknown fields survive untouched (no reparse/reserialize).
+  /** The compact-JSON escape of a name as Jackson stores it: the raw
+    * element carries `we\"b` for a name `get_json_object` reports as
+    * `we"b`, so the literal replace must search for the ESCAPED form.
     */
-  private def rewriteInputs(df: DataFrame, dict: DataFrame, key: String): DataFrame = {
-    val rebuilt = df
-      .select(col("query_id"), posexplode(col("inputs")).as(Seq("pos", "inp")))
-      .withColumn("old_name", get_json_object(col("inp"), s"$$.$key"))
-      .join(broadcast(dict), Seq("old_name"), "left")
-      .withColumn("inp2", when(col("new_name").isNull, col("inp"))
-        .otherwise(expr(s"""replace(inp, concat('"$key":"', old_name, '"'),""" +
-          s""" concat('"$key":"', new_name, '"'))""")))
-      .groupBy(col("query_id"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("inp2")))),
-        c => c.getField("inp2")).as("__inputs"))
-    df.join(rebuilt, Seq("query_id"), "left")
-      .withColumn("inputs",
-        when(col("inputs").isNull || size(col("inputs")) === 0, col("inputs"))
-          .otherwise(col("__inputs")))
-      .drop("__inputs")
-  }
+  private def jsonEscaped(c: Column): Column =
+    regexp_replace(regexp_replace(c, "\\\\", "\\\\\\\\"), "\"", "\\\\\"")
 
-  /** Rewrite segment `segIdx` of every 3-part table_name/deepest_table in
-    * `plan_nodes` through the dictionary (struct rebuilt field by field —
-    * Spark has no nested-field update inside an array).
+  /** Rename schema/catalog occurrences through one shared dictionary:
+    * the `key` field of raw inputs JSON (literal replace on the escaped
+    * compact form — unknown fields survive untouched) and segment
+    * `segIdx` of every 3-part table_name/deepest_table in plan_nodes
+    * (struct rebuilt field by field — Spark has no nested-field update
+    * inside an array). Both rewrites are in-place `transform`s: row
+    * identity and array order are preserved by construction.
     */
-  private def rewriteTableSegs(df: DataFrame, dict: DataFrame, segIdx: Int): DataFrame = {
-    def put(c: Column, repl: Column): Column =
-      concat_ws(".", (0 until 3).map(i => if (i == segIdx) repl else seg(c, i)): _*)
-    val ex = df
-      .select(col("query_id"), posexplode(col("plan_nodes")).as(Seq("pos", "n")))
-      .withColumn("tn_old", when(isThreePart(col("n.table_name")), seg(col("n.table_name"), segIdx)))
-      .withColumn("dt_old", when(isThreePart(col("n.deepest_table")), seg(col("n.deepest_table"), segIdx)))
-      .join(broadcast(dict.select(col("old_name").as("tn_old"), col("new_name").as("tn_new"))),
-        Seq("tn_old"), "left")
-      .join(broadcast(dict.select(col("old_name").as("dt_old"), col("new_name").as("dt_new"))),
-        Seq("dt_old"), "left")
-      .withColumn("n2", struct(
-        col("n.fragment_id").as("fragment_id"),
-        col("n.fragment_idx").as("fragment_idx"),
-        col("n.node_id").as("node_id"),
-        col("n.node_type").as("node_type"),
-        col("n.parent_id").as("parent_id"),
-        col("n.depth").as("depth"),
-        col("n.dfs_order").as("dfs_order"),
-        col("n.subtree_end").as("subtree_end"),
-        when(col("tn_new").isNotNull, put(col("n.table_name"), col("tn_new")))
-          .otherwise(col("n.table_name")).as("table_name"),
-        when(col("dt_new").isNotNull, put(col("n.deepest_table"), col("dt_new")))
-          .otherwise(col("n.deepest_table")).as("deepest_table"),
-        col("n.join_type").as("join_type"),
-        col("n.join_distribution").as("join_distribution"),
-        col("n.has_criteria").as("has_criteria")))
-      .groupBy(col("query_id"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("n2")))),
-        c => c.getField("n2")).as("__nodes"))
-    df.join(ex, Seq("query_id"), "left")
-      .withColumn("plan_nodes",
-        when(col("plan_nodes").isNull || size(col("plan_nodes")) === 0, col("plan_nodes"))
-          .otherwise(col("__nodes")))
-      .drop("__nodes")
+  private def applyDict(df: DataFrame, dict: Map[String, String],
+      key: String, segIdx: Int): DataFrame = {
+    if (dict.isEmpty) return df
+    val m = typedLit(dict)
+    def renamed(c: Column): Column = element_at(m, c)
+    def putSeg(c: Column): Column = {
+      val repl = renamed(seg(c, segIdx))
+      when(isThreePart(c) && repl.isNotNull,
+        concat_ws(".", (0 until 3).map(i => if (i == segIdx) repl else seg(c, i)): _*))
+        .otherwise(c)
+    }
+    df.withColumn("inputs", transform(col("inputs"), { inp =>
+      val oldEsc = jsonEscaped(get_json_object(inp, s"$$.$key"))
+      val newName = renamed(get_json_object(inp, s"$$.$key"))
+      when(newName.isNull, inp).otherwise(
+        replace(inp, concat(lit(s""""$key":""""), oldEsc, lit("\"")),
+          concat(lit(s""""$key":""""), newName, lit("\""))))
+    }))
+      .withColumn("plan_nodes", transform(col("plan_nodes"), n => struct(
+        n.getField("fragment_id").as("fragment_id"),
+        n.getField("fragment_idx").as("fragment_idx"),
+        n.getField("node_id").as("node_id"),
+        n.getField("node_type").as("node_type"),
+        n.getField("parent_id").as("parent_id"),
+        n.getField("depth").as("depth"),
+        n.getField("dfs_order").as("dfs_order"),
+        n.getField("subtree_end").as("subtree_end"),
+        putSeg(n.getField("table_name")).as("table_name"),
+        putSeg(n.getField("deepest_table")).as("deepest_table"),
+        n.getField("join_type").as("join_type"),
+        n.getField("join_distribution").as("join_distribution"),
+        n.getField("has_criteria").as("has_criteria"))))
   }
 
   /** `--rename-schemas` (`jsonl_process.py:133-136`): one dictionary,
     * every schema occurrence — inputs' `schema` field + the middle segment
     * of 3-part table names.
     */
-  def renameSchemas(df: DataFrame): DataFrame = {
-    val dict = sharedDict(df, i => get_json_object(i, "$.schema"), 1, "schema")
-    rewriteTableSegs(rewriteInputs(df, dict, "schema"), dict, 1)
-  }
+  def renameSchemas(df: DataFrame): DataFrame =
+    applyDict(df, sharedDict(df, i => get_json_object(i, "$.schema"), 1, "schema"),
+      "schema", 1)
 
   /** `--rename-catalogs` (`jsonl_process.py:138-140`): one dictionary over
     * the catalog/connector occurrences — inputs' `connectorId` field + the
     * first segment of 3-part table names.
     */
-  def renameCatalogs(df: DataFrame): DataFrame = {
-    val dict = sharedDict(df, i => get_json_object(i, "$.connectorId"), 0, "catalog")
-    rewriteTableSegs(rewriteInputs(df, dict, "connectorId"), dict, 0)
-  }
+  def renameCatalogs(df: DataFrame): DataFrame =
+    applyDict(df, sharedDict(df, i => get_json_object(i, "$.connectorId"), 0, "catalog"),
+      "connectorId", 0)
 
   /** `--remove-locations` (`jsonl_process.py:142-145`): blank the values
     * of `location`/`targetPath`/`writePath` keys. The raw `inputs`
     * elements are the only carrier after normalization (the typed summary
-    * has no path columns by construction).
+    * has no path columns by construction). The value pattern accepts
+    * escaped characters, so a path containing `\"` is scrubbed whole
+    * rather than truncated at the escape.
     */
   def removeLocations(df: DataFrame): DataFrame =
     df.withColumn("inputs", transform(col("inputs"), i =>
-      regexp_replace(i, "\"(location|targetPath|writePath)\":\"[^\"]*\"", "\"$1\":\"\"")))
+      regexp_replace(i,
+        "\"(location|targetPath|writePath)\":\"(?:[^\"\\\\]|\\\\.)*\"",
+        "\"$1\":\"\"")))
 
   /** `--remove-query` equivalent: blank the query text. The reference also
     * blanks `rows` keys (EXPLAIN VALUES literals inside raw fragments,

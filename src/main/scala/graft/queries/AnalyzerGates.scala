@@ -27,16 +27,13 @@ object AnalyzerGates {
   val fixtureDir = "/root/repo/src/test/resources/workload_gate_parquet"
   private val P = s"$fixtureDir/*.parquet"
 
-  // one WorkloadViews per session: the views exist to be built once and
-  // shared by every analyzer (their design point). Spark's CacheManager
-  // already dedups the .cache() calls by canonicalized plan, so this memo
-  // buys latency only — it skips re-listing the fixture and re-analyzing
-  // five plan trees per gate. Weak keys: a stopped session must not be
-  // pinned by the registry in a long-lived host JVM.
-  private val memo = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession, WorkloadViews])
+  // Per-gate construction is deliberate (no cross-call memo): Spark's
+  // CacheManager dedups plan-identical .cache() calls, so repeated views
+  // share the cached data anyway, and a static registry keyed by session
+  // would pin stopped sessions in a long-lived host JVM (the views'
+  // DataFrames reference the session, defeating weak keys).
   private def views(s: SparkSession): WorkloadViews =
-    memo.computeIfAbsent(s, k => WorkloadViews(k.read.parquet(fixtureDir)))
+    WorkloadViews(s.read.parquet(fixtureDir))
 
   /** DuckDB twin of the non-FAILED operator explosion with per-op wall. */
   private val opsSql =

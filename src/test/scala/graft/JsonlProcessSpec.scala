@@ -141,6 +141,42 @@ class JsonlProcessSpec extends SparkSpec {
     assert(out === Array("""{"schema":"web","location":"","table":"t"}"""))
   }
 
+  test("removeLocations scrubs a path containing an escaped quote whole") {
+    val d = Seq(("q1", Seq("""{"location":"s3://b/we\"ird","table":"t"}""")))
+      .toDF("query_id", "inputs")
+    val out = JsonlProcess.removeLocations(d)
+      .select(explode(col("inputs"))).collect().map(_.getString(0))
+    assert(out === Array("""{"location":"","table":"t"}"""))
+  }
+
+  test("renameSchemas handles a schema name carrying an escaped quote") {
+    val d = Seq(
+      ("q1", Seq("""{"connectorId":"hive","schema":"we\"b","table":"t"}"""),
+        Seq.empty[String]))
+      .toDF("query_id", "inputs", "ignore")
+      .withColumn("plan_nodes", expr(
+        "CAST(array() AS array<struct<fragment_id:string,fragment_idx:int," +
+          "node_id:string,node_type:string,parent_id:string,depth:int," +
+          "dfs_order:int,subtree_end:int,table_name:string," +
+          "deepest_table:string,join_type:string,join_distribution:string," +
+          "has_criteria:boolean>>)"))
+    val out = JsonlProcess.renameSchemas(d)
+      .select(explode(col("inputs"))).collect().map(_.getString(0))
+    // the escaped form in the raw JSON is matched and replaced — the
+    // original name must not survive
+    assert(out === Array("""{"connectorId":"hive","schema":"schema0","table":"t"}"""))
+  }
+
+  test("renameSchemas keeps duplicate query_id rows 1:1 (no array merge)") {
+    val dup = workload.unionAll(workload)
+    val out = JsonlProcess.renameSchemas(dup)
+    assert(out.count() === workload.count() * 2)
+    // arrays keep their per-row sizes — nothing doubled by the rewrite
+    val sizes = out.select(size(col("inputs")).as("s")).collect().map(_.getInt(0)).sorted
+    val orig = workload.select(size(col("inputs")).as("s")).collect().map(_.getInt(0))
+    assert(sizes.toSeq === (orig ++ orig).sorted.toSeq)
+  }
+
   test("filterBySchema keeps matches and schema-free rows") {
     val kept = JsonlProcess.filterBySchema(workload, "web")
       .select("query_id").collect().map(_.getString(0)).toSet
