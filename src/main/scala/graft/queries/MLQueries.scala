@@ -207,6 +207,37 @@ $blockSql
 )"""
   }
 
+  /** Near-dup pairs at Hamming distance ≤ 3 over the 64-bit signatures
+    * (shared by the pair gate and the connected-components gate). Both
+    * join sides are the SAME subplan up to aliasing; forcing the
+    * shuffle-hash join (the plan a big corpus gets anyway — 262144 join
+    * keys, no broadcastable side at scale) makes the two (k, v) exchanges
+    * identical, so ReuseExchange runs the signature pipeline ONCE. A
+    * broadcast join here would instead re-plan the whole pipeline for the
+    * build side. No cache needed. The exact-distance filter runs BEFORE
+    * the pair distinct (same result — dist is functionally dependent on
+    * the pair — but the distinct then shuffles only true near-dups, not
+    * every candidate).
+    */
+  private def hammingPairs(s: SparkSession, d: String): DataFrame = {
+        val nib = simhashSigs(s, d)
+          .select(col("doc_id"), col("sig0"), col("sig1"), col("sig2"), col("sig3"),
+            expr("stack(4, CAST(0 AS BIGINT), sig0, CAST(1 AS BIGINT), sig1, " +
+              "CAST(2 AS BIGINT), sig2, CAST(3 AS BIGINT), sig3) AS (k, v)"))
+        val a = nib.select(col("doc_id").as("doc_a"), col("sig0").as("a0"),
+          col("sig1").as("a1"), col("sig2").as("a2"), col("sig3").as("a3"),
+          col("k"), col("v"))
+        val b = nib.select(col("doc_id").as("doc_b"), col("sig0").as("b0"),
+          col("sig1").as("b1"), col("sig2").as("b2"), col("sig3").as("b3"),
+          col("k"), col("v"))
+        a.hint("shuffle_hash").join(b.hint("shuffle_hash"), Seq("k", "v"))
+          .filter(col("doc_a") < col("doc_b"))
+          .withColumn("dist", expr("CAST(bit_count(a0 ^ b0) + bit_count(a1 ^ b1) " +
+            "+ bit_count(a2 ^ b2) + bit_count(a3 ^ b3) AS BIGINT)"))
+          .filter(col("dist") <= 3)
+          .select(col("doc_a"), col("doc_b"), col("dist")).distinct()
+  }
+
   val all: Seq[NamedQuery] = Seq(
 
     // Exact dedup: hash-groupBy on content (md5). Per source: docs, unique
@@ -340,39 +371,14 @@ $blockSql
     // construction (the 16-bit predecessor had 64 keys ⇒ ~n^2/16).
     NamedQuery(
       "dedup_simhash_hamming",
-      (s, d) => {
-        // both join sides are the SAME subplan up to aliasing; forcing the
-        // shuffle-hash join (the plan a big corpus gets anyway — 262144
-        // join keys, no broadcastable side at scale) makes the two (k, v)
-        // exchanges identical, so ReuseExchange runs the signature
-        // pipeline ONCE. A broadcast join here would instead re-plan the
-        // whole pipeline for the build side. No cache needed. The exact-
-        // distance filter runs BEFORE the pair distinct (same result —
-        // dist is functionally dependent on the pair — but the distinct
-        // then shuffles only true near-dups, not every candidate).
-        val nib = simhashSigs(s, d)
-          .select(col("doc_id"), col("sig0"), col("sig1"), col("sig2"), col("sig3"),
-            expr("stack(4, CAST(0 AS BIGINT), sig0, CAST(1 AS BIGINT), sig1, " +
-              "CAST(2 AS BIGINT), sig2, CAST(3 AS BIGINT), sig3) AS (k, v)"))
-        val a = nib.select(col("doc_id").as("doc_a"), col("sig0").as("a0"),
-          col("sig1").as("a1"), col("sig2").as("a2"), col("sig3").as("a3"),
-          col("k"), col("v"))
-        val b = nib.select(col("doc_id").as("doc_b"), col("sig0").as("b0"),
-          col("sig1").as("b1"), col("sig2").as("b2"), col("sig3").as("b3"),
-          col("k"), col("v"))
-        a.hint("shuffle_hash").join(b.hint("shuffle_hash"), Seq("k", "v"))
-          .filter(col("doc_a") < col("doc_b"))
-          .withColumn("dist", expr("CAST(bit_count(a0 ^ b0) + bit_count(a1 ^ b1) " +
-            "+ bit_count(a2 ^ b2) + bit_count(a3 ^ b3) AS BIGINT)"))
-          .filter(col("dist") <= 3)
-          .select(col("doc_a"), col("doc_b"), col("dist")).distinct()
+      (s, d) =>
+        hammingPairs(s, d)
           // bounded output: the first 5000 pairs in pair order
           // (TakeOrderedAndProject — no global sort; downstream consumers
           // at scale take the pair STREAM into union-find, never a full
           // sorted materialization)
           .orderBy(col("doc_a"), col("doc_b"))
-          .limit(5000)
-      },
+          .limit(5000),
       Some(s"""WITH $simhashSigsSql, nib AS (
               |  SELECT doc_id, sig0, sig1, sig2, sig3, k,
               |    CASE k WHEN 0 THEN sig0 WHEN 1 THEN sig1 WHEN 2 THEN sig2
@@ -389,6 +395,108 @@ $blockSql
               |SELECT doc_a, doc_b, CAST(dist AS BIGINT) AS dist
               |FROM cand WHERE dist <= 3
               |ORDER BY doc_a, doc_b LIMIT 5000""".stripMargin)),
+
+    // Connected components over the near-dup pair graph — the step that
+    // turns pairwise matches into dedup decisions (pairs → clusters →
+    // canonical doc). Iterative min-label propagation: every doc starts
+    // as its own component; each round takes the min over neighbors'
+    // labels; converges in O(cluster diameter) rounds (near-dup clusters
+    // are near-cliques, so 2-3 here; the 25-round cap is a safety valve).
+    // Each round is one shuffle join + aggregate — the plan a real
+    // cluster runs; localCheckpoint cuts lineage so the loop's plan stays
+    // bounded. At 100 TB the same loop runs with the alternating
+    // small-star/large-star optimization (fewer rounds, same joins);
+    // label propagation itself is the textbook distributed union-find.
+    NamedQuery(
+      "dedup_connected_components",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"))
+        // pairs materialized ONCE (localCheckpoint); the symmetric edge
+        // list is then two cheap projections of the checkpointed rows
+        val pairs = hammingPairs(s, d)
+          .select(col("doc_a"), col("doc_b")).localCheckpoint()
+        val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        var labels = docs.select(col("doc_id"), col("doc_id").as("comp"))
+          .localCheckpoint()
+        var liveEdges = edges
+        var changed = 1L
+        var iter = 0
+        while (changed > 0 && iter < 25) {
+          // one round = neighbor-min step + pointer jump + STAR
+          // CONTRACTION. The jump (comp := comp∘comp) halves label paths;
+          // the contraction rewrites the live edges between component
+          // representatives and drops self-loops, so the edge set — and
+          // with it the graph diameter — collapses geometrically instead
+          // of the min label crawling one hop per round along near-dup
+          // chains. comp(x) ≤ x is invariant (init comp = id; every step
+          // only lowers it), so the jump's parent lookup can coalesce
+          // without a least(). Members of a contracted star keep catching
+          // up through the jump (their comp points at the representative,
+          // whose comp the contracted rounds keep lowering).
+          val nbrMin = liveEdges
+            .join(labels.select(col("doc_id").as("dst"), col("comp").as("nbr_comp")), "dst")
+            .groupBy(col("src")).agg(min(col("nbr_comp")).as("nbr_min"))
+          val stepped = labels
+            .join(nbrMin.select(col("src").as("doc_id"), col("nbr_min")),
+              Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"))
+          val parent = stepped.select(col("doc_id").as("p_doc"), col("comp").as("p_comp"))
+          // lazy checkpoint: the convergence count below is the action
+          // that materializes it — one job per round, not two
+          val jumped = stepped
+            .join(parent, stepped("comp") === parent("p_doc"), "left")
+            .select(stepped("doc_id"),
+              coalesce(col("p_comp"), stepped("comp")).as("comp"))
+            .localCheckpoint(false)
+          changed = jumped
+            .join(labels.select(col("doc_id"), col("comp").as("prev")), "doc_id")
+            .filter(col("comp") =!= col("prev")).count()
+          labels = jumped
+          if (changed > 0) {
+            liveEdges = liveEdges
+              .join(labels.select(col("doc_id").as("src"), col("comp").as("csrc")), "src")
+              .join(labels.select(col("doc_id").as("dst"), col("comp").as("cdst")), "dst")
+              .filter(col("csrc") =!= col("cdst"))
+              .select(col("csrc").as("src"), col("cdst").as("dst")).distinct()
+              .localCheckpoint()
+          }
+          iter += 1
+        }
+        val sizes = labels.groupBy(col("comp")).agg(count(lit(1)).as("component_size"))
+        labels.join(sizes, "comp")
+          .select(col("doc_id"), col("comp").as("component_id"), col("component_size"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE $simhashSigsSql, nib AS (
+              |  SELECT doc_id, sig0, sig1, sig2, sig3, k,
+              |    CASE k WHEN 0 THEN sig0 WHEN 1 THEN sig1 WHEN 2 THEN sig2
+              |      ELSE sig3 END AS v
+              |  FROM sigs CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS k)
+              |), cand AS (
+              |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |    bit_count(xor(a.sig0, b.sig0)) + bit_count(xor(a.sig1, b.sig1))
+              |      + bit_count(xor(a.sig2, b.sig2)) + bit_count(xor(a.sig3, b.sig3))
+              |      AS dist
+              |  FROM nib a JOIN nib b
+              |    ON a.k = b.k AND a.v = b.v AND a.doc_id < b.doc_id
+              |), edges AS (
+              |  SELECT doc_a AS s, doc_b AS d FROM cand WHERE dist <= 3
+              |  UNION SELECT doc_b, doc_a FROM cand WHERE dist <= 3
+              |), reach AS (
+              |  SELECT doc_id AS doc, doc_id AS r FROM documents
+              |  UNION
+              |  SELECT e.s, reach.r FROM edges e JOIN reach ON reach.doc = e.d
+              |), comp AS (
+              |  SELECT doc, MIN(r) AS component_id FROM reach GROUP BY doc
+              |)
+              |SELECT c.doc AS doc_id, c.component_id,
+              |  CAST(sz.cnt AS BIGINT) AS component_size
+              |FROM comp c
+              |JOIN (SELECT component_id, COUNT(*) AS cnt FROM comp GROUP BY 1) sz
+              |  USING (component_id)
+              |ORDER BY doc_id""".stripMargin)),
 
     // n-gram Jaccard near-dup over the DF-CAPPED shingle universe:
     // candidate pairs via shared-shingle equi-join, exact Jaccard on the
