@@ -747,6 +747,64 @@ object CoreQueries {
              |FROM events
              |ORDER BY user_id, epoch_us(ts), event_id""".stripMargin)),
 
+    // As-of join (the feature-engineering staple Spark lacks as a builtin):
+    // each purchase matched to the user's LATEST view at or before it.
+    // Spark-first this is NOT a join at all — union both streams and take
+    // last_value(ignoreNulls) over a user-partitioned window ordered by
+    // (ts, side): the merge-sort formulation. One shuffle on user_id, then
+    // narrow — the same scale story as sessionization, and strictly
+    // cheaper than the range-join rewrite (no candidate blowup, no
+    // inequality join). The right stream is deduped to one row per
+    // (user, ts) first (max event_id) because an as-of match selects ONE
+    // row per timestamp. The oracle is DuckDB's native ASOF LEFT JOIN —
+    // proving the window formulation IS the standard operator's semantics
+    // (inclusive bound, greatest earlier timestamp, null when none).
+    NamedQuery(
+      "join_asof_latest_view",
+      (s, d) => {
+        val ev = Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
+        val views = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id"), col("ts_us"))
+          .agg(max(col("event_id")).as("view_event_id"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts_us"))
+        val unioned = views
+          .select(col("user_id"), col("ts_us"), lit(0).as("side"),
+            lit(null).cast("long").as("event_id"),
+            struct(col("ts_us").as("view_ts_us"), col("view_event_id")).as("v"))
+          .unionAll(purchases
+            .select(col("user_id"), col("ts_us"), lit(1).as("side"),
+              col("event_id"),
+              lit(null).cast("struct<view_ts_us:bigint,view_event_id:bigint>").as("v")))
+        // views sort BEFORE purchases at equal ts (side 0 < 1) = the
+        // inclusive p.ts >= v.ts bound of ASOF
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("side"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        unioned
+          .withColumn("m", last(col("v"), ignoreNulls = true).over(w))
+          .filter(col("side") === 1)
+          .select(col("user_id"), col("event_id"), col("ts_us"),
+            col("m.view_event_id").as("view_event_id"),
+            col("m.view_ts_us").as("view_ts_us"),
+            (col("ts_us") - col("m.view_ts_us")).as("gap_us"))
+          .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events
+             |), views AS (
+             |  SELECT user_id, ts_us AS view_ts_us,
+             |    CAST(MAX(event_id) AS BIGINT) AS view_event_id
+             |  FROM ev WHERE event_type = 'view' GROUP BY 1, 2
+             |), purchases AS (
+             |  SELECT user_id, event_id, ts_us FROM ev WHERE event_type = 'purchase'
+             |)
+             |SELECT p.user_id, p.event_id, p.ts_us,
+             |  v.view_event_id, v.view_ts_us,
+             |  p.ts_us - v.view_ts_us AS gap_us
+             |FROM purchases p ASOF LEFT JOIN views v
+             |  ON p.user_id = v.user_id AND p.ts_us >= v.view_ts_us
+             |ORDER BY p.user_id, p.ts_us, p.event_id""".stripMargin)),
+
     // collect/array_agg: group values into a collection (sorted — Spark
     // collect_list order is partition-dependent, so determinism requires
     // sort_array in BOTH engines). Serialized to a joined string for the

@@ -92,6 +92,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastHashJoin"))
   }
 
+  test("join_asof_latest_view: merge-sort formulation — window over a union, no join") {
+    val p = plan("join_asof_latest_view")
+    assert(p.contains("Union") && p.contains("Window"))
+    assert(!p.contains("Join"), "as-of must not plan as a join")
+  }
+
   test("topn_rollup_rest: TakeOrdered top-19, no partition-less window") {
     val p = plan("topn_rollup_rest")
     assert(p.contains("TakeOrderedAndProject(limit=19"))
