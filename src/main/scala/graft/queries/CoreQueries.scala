@@ -805,6 +805,52 @@ object CoreQueries {
              |  ON p.user_id = v.user_id AND p.ts_us >= v.view_ts_us
              |ORDER BY p.user_id, p.ts_us, p.event_id""".stripMargin)),
 
+    // Banded range join (the interval twin of the as-of join): per
+    // purchase, the number of views in the hour before it. A naive
+    // inequality join plans as BroadcastNestedLoopJoin — O(n·m) per user
+    // and a non-starter at scale. The scale-correct expression BANDS time
+    // into range-width buckets: a view lands in exactly one bucket, a
+    // purchase probes its own and the previous bucket (any interval of
+    // width W overlaps ≤ 2 W-wide buckets), so the join is a plain
+    // equi-join on (user, bucket) with ≤ 2× row expansion, and the exact
+    // [ts−1h, ts) predicate filters the candidates. Left semantics keep
+    // zero-view purchases (count(null) = 0).
+    NamedQuery(
+      "join_range_views_before_purchase",
+      (s, d) => {
+        val hourUs = 3600L * 1000000L
+        val ev = Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts_us").as("vts"),
+            expr(s"ts_us div $hourUs").as("vb"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts_us"))
+          .withColumn("vb", explode(array(
+            expr(s"ts_us div $hourUs"), expr(s"ts_us div $hourUs - 1"))))
+        purchases
+          .join(views, Seq("user_id", "vb"), "left")
+          .withColumn("hit",
+            col("vts").isNotNull &&
+              col("vts") >= col("ts_us") - hourUs && col("vts") < col("ts_us"))
+          .groupBy(col("user_id"), col("event_id"), col("ts_us"))
+          .agg(sum(when(col("hit"), 1L).otherwise(0L)).as("n_views_1h"))
+          .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events
+             |), views AS (
+             |  SELECT user_id, ts_us AS vts FROM ev WHERE event_type = 'view'
+             |), purchases AS (
+             |  SELECT user_id, event_id, ts_us FROM ev WHERE event_type = 'purchase'
+             |)
+             |SELECT p.user_id, p.event_id, p.ts_us,
+             |  CAST(COUNT(v.vts) AS BIGINT) AS n_views_1h
+             |FROM purchases p LEFT JOIN views v
+             |  ON v.user_id = p.user_id
+             |  AND v.vts >= p.ts_us - 3600000000 AND v.vts < p.ts_us
+             |GROUP BY 1, 2, 3
+             |ORDER BY p.user_id, p.ts_us, p.event_id""".stripMargin)),
+
     // collect/array_agg: group values into a collection (sorted — Spark
     // collect_list order is partition-dependent, so determinism requires
     // sort_array in BOTH engines). Serialized to a joined string for the

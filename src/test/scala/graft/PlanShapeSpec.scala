@@ -92,6 +92,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastHashJoin"))
   }
 
+  test("join_range_views_before_purchase: banded range join is an EQUI-join") {
+    val p = plan("join_range_views_before_purchase")
+    // the whole point of banding: never the O(n*m) nested-loop plan a
+    // naive inequality join gets
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"))
+  }
+
   test("join_asof_latest_view: merge-sort formulation — window over a union, no join") {
     val p = plan("join_asof_latest_view")
     assert(p.contains("Union") && p.contains("Window"))
