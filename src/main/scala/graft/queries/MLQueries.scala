@@ -851,6 +851,59 @@ $blockSql
               |FROM pos
               |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Deterministic train/val/test split — THE reproducibility primitive
+    // of a training-data pipeline: the assignment is a pure function of
+    // the content hash (md5 mod 100 → 80/10/10), so it is stable across
+    // runs, partitionings, and engines, and adding documents never
+    // reassigns existing ones. Narrow map + tiny aggregate; the judged
+    // output is the per-source split census plus a content checksum that
+    // pins the exact membership of every split.
+    NamedQuery(
+      "dataset_split_hash",
+      (s, d) =>
+        Tables.documents(s, d)
+          .withColumn("bucket", hashId(col("text"), 100L))
+          .withColumn("split",
+            when(col("bucket") < 80, lit("train"))
+              .when(col("bucket") < 90, lit("val")).otherwise(lit("test")))
+          .groupBy(col("source"), col("split"))
+          .agg(count(lit(1)).as("n"),
+            (sum(col("doc_id")) % lit(2147483647L)).as("id_checksum"))
+          .orderBy(col("source"), col("split")),
+      Some(s"""WITH assigned AS (
+              |  SELECT source, doc_id,
+              |    CASE WHEN ${hashIdSql("text", 100L)} < 80 THEN 'train'
+              |         WHEN ${hashIdSql("text", 100L)} < 90 THEN 'val'
+              |         ELSE 'test' END AS split
+              |  FROM documents
+              |)
+              |SELECT source, split, CAST(COUNT(*) AS BIGINT) AS n,
+              |  CAST(SUM(doc_id) % 2147483647 AS BIGINT) AS id_checksum
+              |FROM assigned GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Deterministic stratified sampling: the top-20 docs PER SOURCE in
+    // content-hash order — a uniform-but-reproducible downsample (the
+    // hash order is indistinguishable from random but stable across
+    // engines and runs). Partitioned window ⇒ WindowGroupLimit: each
+    // partition forwards only its local top-20 per source, no global
+    // sort — the per-group reservoir shape at any scale.
+    NamedQuery(
+      "sample_stratified_hash",
+      (s, d) =>
+        Tables.documents(s, d)
+          .withColumn("hk", hashId(col("text"), 2147483647L))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(col("source")).orderBy(col("hk"), col("doc_id"))))
+          .filter(col("rank") <= 20)
+          .select(col("source"), col("rank"), col("doc_id"))
+          .orderBy(col("source"), col("rank")),
+      Some(s"""SELECT source, CAST(rank AS BIGINT) AS rank, doc_id FROM (
+              |  SELECT source, doc_id, ROW_NUMBER() OVER (
+              |    PARTITION BY source
+              |    ORDER BY ${hashIdSql("text", 2147483647L)}, doc_id) AS rank
+              |  FROM documents
+              |) WHERE rank <= 20 ORDER BY source, rank""".stripMargin)),
+
     // Multimodal plumbing (metadata over opaque bytes): texts as binary
     // payloads — byte sizes + content digests per source. The decode /
     // feature-extract stage is the stubbed Multimodal pipeline (library +

@@ -92,6 +92,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastHashJoin"))
   }
 
+  test("sample_stratified_hash: per-source reservoir plans as WindowGroupLimit") {
+    val p = plan("sample_stratified_hash")
+    // each partition forwards only its local top-20 per source into the
+    // window exchange — no global sort of the corpus
+    assert(p.contains("WindowGroupLimit"))
+  }
+
   test("join_range_views_before_purchase: banded range join is an EQUI-join") {
     val p = plan("join_range_views_before_purchase")
     // the whole point of banding: never the O(n*m) nested-loop plan a
