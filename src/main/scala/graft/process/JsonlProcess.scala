@@ -183,10 +183,23 @@ object JsonlProcess {
 
   /** The compact-JSON escape of a name as Jackson stores it: the raw
     * element carries `we\"b` for a name `get_json_object` reports as
-    * `we"b`, so the literal replace must search for the ESCAPED form.
+    * `we"b` — and `\\n`/`\\u0001` for newlines/control chars — so the
+    * literal replace must search for the ESCAPED form. Computed on the
+    * driver per dictionary entry (the dictionary already lives there),
+    * which gets full Jackson fidelity: quote, backslash, the five short
+    * escapes, and \\u00XX for the rest of the control range.
     */
-  private def jsonEscaped(c: Column): Column =
-    regexp_replace(regexp_replace(c, "\\\\", "\\\\\\\\"), "\"", "\\\\\"")
+  private def jsonEscape(s: String): String = s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\b' => "\\b"
+    case '\f' => "\\f"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
 
   /** Rename schema/catalog occurrences through one shared dictionary:
     * the `key` field of raw inputs JSON (literal replace on the escaped
@@ -194,12 +207,15 @@ object JsonlProcess {
     * `segIdx` of every 3-part table_name/deepest_table in plan_nodes
     * (struct rebuilt field by field — Spark has no nested-field update
     * inside an array). Both rewrites are in-place `transform`s: row
-    * identity and array order are preserved by construction.
+    * identity and array order are preserved by construction. The map
+    * literal carries (token, escaped-old) per name, so each inputs
+    * element pays ONE JSON extraction and one map probe.
     */
   private def applyDict(df: DataFrame, dict: Map[String, String],
       key: String, segIdx: Int): DataFrame = {
     if (dict.isEmpty) return df
     val m = typedLit(dict)
+    val withEsc = typedLit(dict.map { case (o, n) => o -> (n, jsonEscape(o)) })
     def renamed(c: Column): Column = element_at(m, c)
     def putSeg(c: Column): Column = {
       val repl = renamed(seg(c, segIdx))
@@ -208,11 +224,10 @@ object JsonlProcess {
         .otherwise(c)
     }
     df.withColumn("inputs", transform(col("inputs"), { inp =>
-      val oldEsc = jsonEscaped(get_json_object(inp, s"$$.$key"))
-      val newName = renamed(get_json_object(inp, s"$$.$key"))
-      when(newName.isNull, inp).otherwise(
-        replace(inp, concat(lit(s""""$key":""""), oldEsc, lit("\"")),
-          concat(lit(s""""$key":""""), newName, lit("\""))))
+      val hit = element_at(withEsc, get_json_object(inp, s"$$.$key"))
+      when(hit.isNull, inp).otherwise(
+        replace(inp, concat(lit(s""""$key":""""), hit.getField("_2"), lit("\"")),
+          concat(lit(s""""$key":""""), hit.getField("_1"), lit("\""))))
     }))
       .withColumn("plan_nodes", transform(col("plan_nodes"), n => struct(
         n.getField("fragment_id").as("fragment_id"),

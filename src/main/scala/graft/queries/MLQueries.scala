@@ -404,9 +404,11 @@ $blockSql
     // are near-cliques, so 2-3 here; the 25-round cap is a safety valve).
     // Each round is one shuffle join + aggregate — the plan a real
     // cluster runs; localCheckpoint cuts lineage so the loop's plan stays
-    // bounded. At 100 TB the same loop runs with the alternating
-    // small-star/large-star optimization (fewer rounds, same joins);
-    // label propagation itself is the textbook distributed union-find.
+    // bounded. localCheckpoint blocks live on executor storage and are
+    // lost with the executor, so a long-lived 1000-executor run swaps in
+    // reliable checkpoint() (HDFS/object store) at the cost of a write
+    // per round — the loop is otherwise unchanged; label propagation with
+    // star contraction is the textbook distributed union-find.
     NamedQuery(
       "dedup_connected_components",
       (s, d) => {
@@ -867,8 +869,13 @@ $blockSql
             when(col("bucket") < 80, lit("train"))
               .when(col("bucket") < 90, lit("val")).otherwise(lit("test")))
           .groupBy(col("source"), col("split"))
+          // mod INSIDE the sum: raw sum(doc_id) would pass 2^63 at ~4e9
+          // sequential ids (Spark errors under ANSI; DuckDB promotes to
+          // HUGEINT — a cross-engine divergence). The summand stays
+          // < 2^31, the sum < 2^31 * n — bounded at any corpus size the
+          // partial aggregation can hold, and identical in both engines.
           .agg(count(lit(1)).as("n"),
-            (sum(col("doc_id")) % lit(2147483647L)).as("id_checksum"))
+            (sum(col("doc_id") % lit(2147483647L)) % lit(2147483647L)).as("id_checksum"))
           .orderBy(col("source"), col("split")),
       Some(s"""WITH assigned AS (
               |  SELECT source, doc_id,
@@ -878,7 +885,7 @@ $blockSql
               |  FROM documents
               |)
               |SELECT source, split, CAST(COUNT(*) AS BIGINT) AS n,
-              |  CAST(SUM(doc_id) % 2147483647 AS BIGINT) AS id_checksum
+              |  CAST(SUM(doc_id % 2147483647) % 2147483647 AS BIGINT) AS id_checksum
               |FROM assigned GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     // Deterministic stratified sampling: the top-20 docs PER SOURCE in

@@ -167,6 +167,22 @@ class JsonlProcessSpec extends SparkSpec {
     assert(out === Array("""{"connectorId":"hive","schema":"schema0","table":"t"}"""))
   }
 
+  test("renameSchemas matches control-character escapes in the raw JSON") {
+    // Jackson stores a newline as \n in the compact element; the rewrite
+    // must search for the ESCAPED form or the name leaks through unrenamed
+    val d = Seq(("q1", Seq("{\"schema\":\"we\\nb\",\"table\":\"t\"}")))
+      .toDF("query_id", "inputs")
+      .withColumn("plan_nodes", expr(
+        "CAST(array() AS array<struct<fragment_id:string,fragment_idx:int," +
+          "node_id:string,node_type:string,parent_id:string,depth:int," +
+          "dfs_order:int,subtree_end:int,table_name:string," +
+          "deepest_table:string,join_type:string,join_distribution:string," +
+          "has_criteria:boolean>>)"))
+    val out = JsonlProcess.renameSchemas(d)
+      .select(explode(col("inputs"))).collect().map(_.getString(0))
+    assert(out === Array("{\"schema\":\"schema0\",\"table\":\"t\"}"))
+  }
+
   test("renameSchemas keeps duplicate query_id rows 1:1 (no array merge)") {
     val dup = workload.unionAll(workload)
     val out = JsonlProcess.renameSchemas(dup)
