@@ -231,7 +231,8 @@ object Pipeline {
 
     case _ =>
       System.err.println(
-        "usage: Pipeline (extract|analyze|process|stream|sessionize|featurize|explain) <in> <out> [opts]")
+        "usage: Pipeline (collect|extract|analyze|process|stream|sessionize|" +
+          "featurize|report|explain) <in> <out> [opts]")
       sys.exit(2)
   }
 }

@@ -727,6 +727,55 @@ $blockSql
               |  WHERE qa.vec_id < 5
               |)""".stripMargin, k = 3))),
 
+    // Symmetric int8 quantization of the embedding column — the standard
+    // vector-compression step before ANN indexing (4× smaller, dot
+    // products in integer SIMD). Per vector: amax = max |x_i| (an
+    // order-independent max — no float-sum parity risk), scale =
+    // amax/127, q_i = floor(x_i/amax*127 + 0.5). Judged output is the
+    // per-vector scale plus integer census/checksum of the quantized
+    // values, which pins every q_i exactly. Narrow map over the scan; the
+    // zero-vector guard is explicit because ANSI Spark errors on casting
+    // the NaN a 0/0 division produces.
+    NamedQuery(
+      "embedding_quantize_int8",
+      (s, d) =>
+        Tables.embeddings(s, d)
+          .withColumn("amax", expr("aggregate(embedding, CAST(0 AS DOUBLE), " +
+            "(acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE))))"))
+          .withColumn("scale", r6(col("amax") / 127.0))
+          .withColumn("n_pos", expr("CASE WHEN amax = 0.0 THEN CAST(0 AS BIGINT) " +
+            "ELSE CAST(size(filter(embedding, " +
+            "x -> CAST(x AS DOUBLE) / amax * 127.0 + 0.5 >= 1.0)) AS BIGINT) END"))
+          .withColumn("n_neg", expr("CASE WHEN amax = 0.0 THEN CAST(0 AS BIGINT) " +
+            "ELSE CAST(size(filter(embedding, " +
+            "x -> CAST(x AS DOUBLE) / amax * 127.0 + 0.5 < 0.0)) AS BIGINT) END"))
+          .withColumn("q_checksum", expr("CASE WHEN amax = 0.0 THEN CAST(0 AS BIGINT) " +
+            "ELSE aggregate(sequence(1, 64), CAST(0 AS BIGINT), (acc, i) -> " +
+            "acc + (floor(CAST(element_at(embedding, i) AS DOUBLE) / amax * 127.0 + 0.5) " +
+            "+ 128) * i) END"))
+          .select(col("vec_id"), col("scale"), col("n_pos"), col("n_neg"), col("q_checksum"))
+          .orderBy(col("vec_id")),
+      Some(s"""WITH base AS (
+              |  SELECT vec_id, embedding,
+              |    (SELECT MAX(ABS(CAST(embedding[i] AS DOUBLE)))
+              |     FROM generate_series(1, 64) t(i)) AS amax
+              |  FROM embeddings
+              |)
+              |SELECT vec_id, ${r6Sql("amax / 127.0")} AS scale,
+              |  CASE WHEN amax = 0.0 THEN 0 ELSE CAST((SELECT COUNT(*)
+              |    FROM generate_series(1, 64) t(i)
+              |    WHERE CAST(embedding[i] AS DOUBLE) / amax * 127.0 + 0.5 >= 1.0)
+              |    AS BIGINT) END AS n_pos,
+              |  CASE WHEN amax = 0.0 THEN 0 ELSE CAST((SELECT COUNT(*)
+              |    FROM generate_series(1, 64) t(i)
+              |    WHERE CAST(embedding[i] AS DOUBLE) / amax * 127.0 + 0.5 < 0.0)
+              |    AS BIGINT) END AS n_neg,
+              |  CASE WHEN amax = 0.0 THEN 0 ELSE CAST((SELECT
+              |    SUM((CAST(FLOOR(CAST(embedding[i] AS DOUBLE) / amax * 127.0 + 0.5)
+              |      AS BIGINT) + 128) * i)
+              |    FROM generate_series(1, 64) t(i)) AS BIGINT) END AS q_checksum
+              |FROM base ORDER BY vec_id""".stripMargin)),
+
     // Language-ID: marker-word scores per language, argmax with
     // alphabetical tie-break; output = confusion counts vs the labeled lang.
     NamedQuery(
