@@ -197,7 +197,9 @@ object JsonlProcess {
     case '\n' => "\\n"
     case '\r' => "\\r"
     case '\t' => "\\t"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    // UPPERCASE hex: Jackson's CharTypes emits e.g. backslash-u000B, never
+    // backslash-u000b — a lowercase search literal would silently never match
+    case c if c < ' ' => f"\\u${c.toInt}%04X"
     case c => c.toString
   }
 
@@ -214,9 +216,13 @@ object JsonlProcess {
   private def applyDict(df: DataFrame, dict: Map[String, String],
       key: String, segIdx: Int): DataFrame = {
     if (dict.isEmpty) return df
-    val m = typedLit(dict)
+    // ONE map literal: old name -> (token, jackson-escaped old name).
+    // try_element_at, not element_at: under ANSI (Spark 4 default) a miss
+    // on a map THROWS — and misses are normal here ('' never enters the
+    // dictionary, mirroring NameObfuscator's guard; names outside the
+    // dict pass through).
     val withEsc = typedLit(dict.map { case (o, n) => o -> (n, jsonEscape(o)) })
-    def renamed(c: Column): Column = element_at(m, c)
+    def renamed(c: Column): Column = try_element_at(withEsc, c).getField("_1")
     def putSeg(c: Column): Column = {
       val repl = renamed(seg(c, segIdx))
       when(isThreePart(c) && repl.isNotNull,
@@ -224,7 +230,7 @@ object JsonlProcess {
         .otherwise(c)
     }
     df.withColumn("inputs", transform(col("inputs"), { inp =>
-      val hit = element_at(withEsc, get_json_object(inp, s"$$.$key"))
+      val hit = try_element_at(withEsc, get_json_object(inp, s"$$.$key"))
       when(hit.isNull, inp).otherwise(
         replace(inp, concat(lit(s""""$key":""""), hit.getField("_2"), lit("\"")),
           concat(lit(s""""$key":""""), hit.getField("_1"), lit("\""))))

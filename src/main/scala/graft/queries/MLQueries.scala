@@ -743,12 +743,19 @@ $blockSql
           .withColumn("amax", expr("aggregate(embedding, CAST(0 AS DOUBLE), " +
             "(acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE))))"))
           .withColumn("scale", r6(col("amax") / 127.0))
+          // the census iterates the SAME fixed 1..64 index domain as the
+          // checksum and the oracle (the 64-dim contract every query in
+          // this family pins via its index folds) — filtering the raw
+          // array would silently disagree with the oracle on any
+          // off-contract vector
           .withColumn("n_pos", expr("CASE WHEN amax = 0.0 THEN CAST(0 AS BIGINT) " +
-            "ELSE CAST(size(filter(embedding, " +
-            "x -> CAST(x AS DOUBLE) / amax * 127.0 + 0.5 >= 1.0)) AS BIGINT) END"))
+            "ELSE CAST(size(filter(sequence(1, 64), i -> " +
+            "CAST(element_at(embedding, i) AS DOUBLE) / amax * 127.0 + 0.5 >= 1.0)) " +
+            "AS BIGINT) END"))
           .withColumn("n_neg", expr("CASE WHEN amax = 0.0 THEN CAST(0 AS BIGINT) " +
-            "ELSE CAST(size(filter(embedding, " +
-            "x -> CAST(x AS DOUBLE) / amax * 127.0 + 0.5 < 0.0)) AS BIGINT) END"))
+            "ELSE CAST(size(filter(sequence(1, 64), i -> " +
+            "CAST(element_at(embedding, i) AS DOUBLE) / amax * 127.0 + 0.5 < 0.0)) " +
+            "AS BIGINT) END"))
           .withColumn("q_checksum", expr("CASE WHEN amax = 0.0 THEN CAST(0 AS BIGINT) " +
             "ELSE aggregate(sequence(1, 64), CAST(0 AS BIGINT), (acc, i) -> " +
             "acc + (floor(CAST(element_at(embedding, i) AS DOUBLE) / amax * 127.0 + 0.5) " +

@@ -183,6 +183,24 @@ class JsonlProcessSpec extends SparkSpec {
     assert(out === Array("{\"schema\":\"schema0\",\"table\":\"t\"}"))
   }
 
+  test("renameSchemas passes empty-string schemas through (ANSI map miss must not throw)") {
+    val d = Seq(("q1", Seq("""{"schema":"","table":"t"}""",
+        """{"schema":"web","table":"u"}""")))
+      .toDF("query_id", "inputs")
+      .withColumn("plan_nodes", expr(
+        "CAST(array() AS array<struct<fragment_id:string,fragment_idx:int," +
+          "node_id:string,node_type:string,parent_id:string,depth:int," +
+          "dfs_order:int,subtree_end:int,table_name:string," +
+          "deepest_table:string,join_type:string,join_distribution:string," +
+          "has_criteria:boolean>>)"))
+    val out = JsonlProcess.renameSchemas(d)
+      .select(explode(col("inputs"))).collect().map(_.getString(0)).toSeq
+    // '' never enters the dictionary (NameObfuscator's guard) and must
+    // not crash the ANSI map lookup; the real name still renames
+    assert(out === Seq("""{"schema":"","table":"t"}""",
+      """{"schema":"schema0","table":"u"}"""))
+  }
+
   test("renameSchemas keeps duplicate query_id rows 1:1 (no array merge)") {
     val dup = workload.unionAll(workload)
     val out = JsonlProcess.renameSchemas(dup)
