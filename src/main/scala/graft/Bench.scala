@@ -61,7 +61,14 @@ object Bench {
     val total = results.collect { case (_, (v, true)) => v }.sum
     val failedField =
       if (failed.isEmpty) "" else s""","failed":${failed.mkString("[", ",", "]")}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$failedField,"sf":"$sfDir"}""")
+    // The per-query map (~60 entries, >3 kB on one line) goes to stderr and a
+    // sidecar file only: a capture window that tails stdout must always see
+    // the one compact, parseable metric line below intact.
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$failedField,"sf":"$sfDir"}"""
+    System.err.println(detail)
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_details.json"), detail + "\n")
+    catch { case e: Exception => System.err.println(s"[bench] details file: ${e.getMessage}") }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size}$failedField,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -21,11 +21,16 @@ import graft.ingest.WorkloadViews
   */
 object AnalyzerGates {
 
-  /** Committed fixture locations (absolute: the driver's DuckDB run and the
-    * Spark session may have different working directories).
+  /** Committed fixture location. Absolute by default (the driver's DuckDB
+    * run and the Spark session may have different working directories), but
+    * overridable — system property first (testable in-JVM), then env var —
+    * so the jar works from any checkout location.
     */
-  val fixtureDir = "/root/repo/src/test/resources/workload_gate_parquet"
-  private val P = s"$fixtureDir/*.parquet"
+  def fixtureDir: String =
+    sys.props.get("graft.gate.fixtureDir")
+      .orElse(sys.env.get("GRAFT_GATE_FIXTURE_DIR"))
+      .getOrElse("/root/repo/src/test/resources/workload_gate_parquet")
+  private def P = s"$fixtureDir/*.parquet"
 
   // Per-gate construction is deliberate (no cross-call memo): Spark's
   // CacheManager dedups plan-identical .cache() calls, so repeated views
@@ -36,7 +41,7 @@ object AnalyzerGates {
     WorkloadViews(s.read.parquet(fixtureDir))
 
   /** DuckDB twin of the non-FAILED operator explosion with per-op wall. */
-  private val opsSql =
+  private def opsSql =
     s"""SELECT query_id, op.operator_type AS operator_type,
        |    op.input_size AS input_size, op.input_rows AS input_rows,
        |    op.output_rows AS output_rows,
@@ -61,7 +66,8 @@ object AnalyzerGates {
        |), rest AS (
        |  SELECT 'All the rest' AS key, SUM(value) AS value, CAST(1 AS BIGINT) AS is_rest
        |  FROM base CROSS JOIN total
-       |  WHERE key NOT IN (SELECT key FROM kept)
+       |  WHERE NOT EXISTS (SELECT 1 FROM kept k
+       |                    WHERE k.key IS NOT DISTINCT FROM base.key)
        |  HAVING SUM(value) IS NOT NULL
        |), unioned AS (
        |  SELECT * FROM kept UNION ALL SELECT * FROM rest
@@ -80,7 +86,9 @@ object AnalyzerGates {
        |FROM flagged
        |ORDER BY is_rest, value DESC, key""".stripMargin
 
-  val all: Seq[NamedQuery] = Seq(
+  // def, not val: the embedded oracle SQL interpolates the (overridable)
+  // fixture path, so it must be rebuilt per access
+  def all: Seq[NamedQuery] = Seq(
 
     // B17: wall per operator type ("Operator" stripped everywhere), as a
     // pie with top-19 + "All the rest" + residual-absorbing last percent.

@@ -466,6 +466,11 @@ $blockSql
           }
           iter += 1
         }
+        // the 25-round cap is a safety valve, not a result: labels are only
+        // correct at a fixed point, so hitting the cap mid-propagation must
+        // fail loudly rather than return silently-wrong components
+        require(changed == 0,
+          s"connected components did not converge within $iter rounds ($changed labels still moving)")
         val sizes = labels.groupBy(col("comp")).agg(count(lit(1)).as("component_size"))
         labels.join(sizes, "comp")
           .select(col("doc_id"), col("comp").as("component_id"), col("component_size"))
@@ -740,8 +745,13 @@ $blockSql
       "embedding_quantize_int8",
       (s, d) =>
         Tables.embeddings(s, d)
-          .withColumn("amax", expr("aggregate(embedding, CAST(0 AS DOUBLE), " +
-            "(acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE))))"))
+          // amax iterates the SAME fixed 1..64 index domain as the census and
+          // checksum below (and the oracle): folding the raw array instead
+          // would diverge on any off-contract vector length, and under ANSI
+          // element_at past the end throws where DuckDB yields NULL — so
+          // try_element_at, whose null greatest() skips, exactly like MAX
+          .withColumn("amax", expr("aggregate(sequence(1, 64), CAST(0 AS DOUBLE), " +
+            "(acc, i) -> greatest(acc, abs(CAST(try_element_at(embedding, i) AS DOUBLE))))"))
           .withColumn("scale", r6(col("amax") / 127.0))
           // the census iterates the SAME fixed 1..64 index domain as the
           // checksum and the oracle (the 64-dim contract every query in
@@ -764,8 +774,8 @@ $blockSql
           .orderBy(col("vec_id")),
       Some(s"""WITH base AS (
               |  SELECT vec_id, embedding,
-              |    (SELECT MAX(ABS(CAST(embedding[i] AS DOUBLE)))
-              |     FROM generate_series(1, 64) t(i)) AS amax
+              |    COALESCE((SELECT MAX(ABS(CAST(embedding[i] AS DOUBLE)))
+              |     FROM generate_series(1, 64) t(i)), 0.0) AS amax
               |  FROM embeddings
               |)
               |SELECT vec_id, ${r6Sql("amax / 127.0")} AS scale,
