@@ -4,12 +4,16 @@ import graft.analyze.Analyzers
 import graft.ingest.{Extract, WorkloadViews}
 import graft.queries.AnalyzerGates
 
-/** Pins the analyzer-gate fixture chain (VERDICT round-3 task #6):
-  * the committed parquet must equal a fresh extraction of the JSON
+/** Pins the analyzer-gate fixture chain (VERDICT round-3 task #6, enriched
+  * round 6): the committed parquet must equal a fresh extraction of the JSON
   * fixtures (so the two committed artifacts cannot drift), and the gated
-  * analyzers must land on the DESIGNED exact values — integer walls
-  * summing to 400, hence quarter-percent-exact doubles that no
-  * float-summation order can perturb.
+  * analyzers must land on the DESIGNED exact values — every operator wall an
+  * even integer second (scans Σ=400, total Σ=800), bytes in even MB
+  * (400/800 MB), rows in whole thousands (Σ=400k), scheduled time in
+  * quarter-days (Σ=4 d), query input in quarter-TB (Σ=100 TB) — hence every
+  * derived percentage lands on a quarter-percent-exact double that no
+  * float-summation order can perturb (tools/validate_gate_fixture.py
+  * re-derives all of these invariants from the JSONs).
   */
 class GateFixtureSpec extends SparkSpec {
 
@@ -22,31 +26,68 @@ class GateFixtureSpec extends SparkSpec {
     assert(canon(committed) === canon(extracted))
   }
 
+  test("fixtureDir is overridable via system property") {
+    val prev = sys.props.get("graft.gate.fixtureDir")
+    try {
+      System.setProperty("graft.gate.fixtureDir", "/tmp/elsewhere_gate")
+      assert(AnalyzerGates.fixtureDir === "/tmp/elsewhere_gate")
+      // the oracle SQL is rebuilt per access and embeds the override
+      assert(AnalyzerGates.all.head.oracle.get.contains("/tmp/elsewhere_gate"))
+    } finally prev match {
+      case Some(v) => System.setProperty("graft.gate.fixtureDir", v)
+      case None => System.clearProperty("graft.gate.fixtureDir")
+    }
+    assert(AnalyzerGates.fixtureDir.endsWith("workload_gate_parquet"))
+  }
+
   test("operator_wall over the fixture hits the designed exact pie") {
     val rows = Analyzers.operatorWall(WorkloadViews(committed)).collect()
       .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSeq
     assert(rows === Seq(
-      ("TableScan", 300.0, 75.0),
-      ("ScanFilterAndProject", 100.0, 25.0),
+      ("ScanFilterAndProject", 330.0, 41.25),
+      ("Aggregation", 130.0, 16.25),
+      ("HashSemiJoin", 90.0, 11.25),
+      ("LookupJoin", 72.0, 9.0),
+      ("TableScan", 70.0, 8.75),
+      ("NestedLoopJoin", 40.0, 5.0),
+      ("HashBuilder", 20.0, 2.5),
+      ("FilterAndProject", 14.0, 1.75),
+      ("TableWriter", 12.0, 1.5),
+      ("SetBuilder", 10.0, 1.25),
+      ("Exchange", 8.0, 1.0),
+      ("NestedLoopBuild", 4.0, 0.5),
       ("All the rest", 0.0, 0.0)))
   }
 
-  test("joins_sides over the fixture classifies all three join families") {
+  test("joins_sides classifies all three families + dup-operator last-wins") {
     val rows = Analyzers.joinsSides(WorkloadViews(committed)).collect()
       .map(r => (r.getDouble(0), r.getDouble(1), r.getString(2))).toSeq
+    val mb = 1048576.0
     assert(rows === Seq(
-      (5 * 1048576.0, 600 * 1048576.0, "PARTITIONED"),   // g1 hash join
-      (2 * 1048576.0, 64 * 1048576.0, "REPLICATED"),     // g2 semijoin
-      (1048576.0, 16 * 1048576.0, "REPLICATED")))        // g3 nested loop
+      // q1 hash join: build 6 MB; probe = LAST of the two duplicate
+      // LookupJoinOperator entries (32 MB), the reference's dict overwrite
+      (6 * mb, 32 * mb, "PARTITIONED"),
+      (4 * mb, 70 * mb, "REPLICATED"),   // q2 semijoin
+      (2 * mb, 62 * mb, "REPLICATED"),   // q4 nested loop (criteria [])
+      (8 * mb, 42 * mb, "PARTITIONED"),  // q5 second hash join
+      (2 * mb, 12 * mb, "REPLICATED"))) // q7 LEFT join, criteria [] → lookup
   }
 
   test("wall_by_selectivity_10 bins sum to exactly 100 with designed shares") {
     val rows = Analyzers.wallBySelectivity10(WorkloadViews(committed)).collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(rows === Map(
-      "0.00" -> 15.0, "0.10" -> 0.0, "0.20" -> 20.0, "0.30" -> 0.0,
-      "0.40" -> 0.0, "0.50" -> 10.0, "0.60" -> 0.0, "0.70" -> 0.0,
-      "0.80" -> 25.0, "0.90" -> 0.0, "1.00" -> 30.0))
+      "0.00" -> 45.0, "0.10" -> 0.0, "0.20" -> 7.5, "0.30" -> 0.0,
+      "0.40" -> 0.0, "0.50" -> 30.0, "0.60" -> 0.0, "0.70" -> 0.0,
+      "0.80" -> 9.0, "0.90" -> 0.0, "1.00" -> 8.5))
     assert(rows.values.sum === 100.0)
+  }
+
+  test("top-5 ScanFilter tables exclude the designed 6th (warehouse.dims)") {
+    val tables = Analyzers.walltimeVsSelectivity(WorkloadViews(committed))
+      .select("table_name").collect().map(_.getString(0)).toSet
+    assert(tables === Set("hive.web.users", "hive.sales.items",
+      "iceberg.raw.events", "iceberg.raw.clicks", "hive.sales.orders"))
+    assert(!tables.contains("warehouse.dims"))
   }
 }
