@@ -103,20 +103,25 @@ class JsonlProcessSpec extends SparkSpec {
     val tableNames = out.select(explode(col("plan_nodes")).as("n"))
       .select(col("n.table_name")).na.drop()
       .collect().map(_.getString(0)).toSet
-    // first-seen by query_id: g1 (web) → schema0, g2 (warehouse) → schema1
-    assert(inputSchemas === Set("schema0", "schema1"))
+    // first-seen by query_id: g1 (web) → schema0, g2 (sales) → schema1,
+    // g3 (raw) → schema2
+    assert(inputSchemas === Set("schema0", "schema1", "schema2"))
     assert(tableNames.contains("hive.schema0.logs"))   // same token as inputs' web
     assert(tableNames.contains("hive.schema0.users"))
-    assert(tableNames.contains("hive.schema1.facts"))
-    assert(tableNames.contains("iceberg.schema1.dims"))
-    assert(tableNames.contains("memory.memory:7"))     // 2-part: untouched
-    // no original schema name survives anywhere
-    assert(!tableNames.exists(t => t.contains(".web.") || t.contains(".warehouse.")))
+    assert(tableNames.contains("hive.schema1.orders"))
+    assert(tableNames.contains("hive.schema1.items"))
+    assert(tableNames.contains("iceberg.schema2.events"))
+    assert(tableNames.contains("iceberg.schema2.clicks"))
+    assert(tableNames.contains("warehouse.dims"))      // 2-part: untouched
+    // no original schema name survives anywhere (in a 3-part name)
+    assert(!tableNames.exists(t =>
+      t.contains(".web.") || t.contains(".sales.") || t.contains(".raw.")))
     // deepest_table goes through the same dictionary
     val deepest = out.select(explode(col("plan_nodes")).as("n"))
       .select(col("n.deepest_table")).na.drop()
       .collect().map(_.getString(0)).toSet
-    assert(deepest.forall(d => !d.contains(".web.") && !d.contains(".warehouse.")))
+    assert(deepest.forall(d =>
+      !d.contains(".web.") && !d.contains(".sales.") && !d.contains(".raw.")))
   }
 
   test("renameCatalogs maps the connector segment and inputs connectorId") {
@@ -124,13 +129,18 @@ class JsonlProcessSpec extends SparkSpec {
     val inputCats = out.select(explode(col("inputs")).as("i"))
       .select(get_json_object(col("i"), "$.connectorId").as("c"))
       .collect().map(_.getString(0)).toSet
-    assert(inputCats === Set("catalog0")) // hive in g1+g2 inputs
+    // first-seen: hive (g1) → catalog0, iceberg (g3) → catalog1
+    assert(inputCats === Set("catalog0", "catalog1"))
     val tableNames = out.select(explode(col("plan_nodes")).as("n"))
       .select(col("n.table_name")).na.drop()
       .collect().map(_.getString(0)).toSet
     assert(tableNames.contains("catalog0.web.logs"))
+    assert(tableNames.contains("catalog1.raw.events"))
     assert(tableNames.exists(_.startsWith("catalog")) &&
-      !tableNames.exists(_.startsWith("hive.")))
+      !tableNames.exists(_.startsWith("hive.")) &&
+      !tableNames.exists(_.startsWith("iceberg.")))
+    // 2-part names pass through untouched (documented divergence)
+    assert(tableNames.contains("warehouse.dims"))
   }
 
   test("removeLocations blanks path values inside raw inputs JSON") {
@@ -214,9 +224,13 @@ class JsonlProcessSpec extends SparkSpec {
   test("filterBySchema keeps matches and schema-free rows") {
     val kept = JsonlProcess.filterBySchema(workload, "web")
       .select("query_id").collect().map(_.getString(0)).toSet
-    // g1 carries web; g3/g4 carry no schema occurrence at all (memory
-    // 2-part handle / no plan) → kept; g2 carries warehouse → dropped
-    assert(kept === Set("20220301_100000_00001_graft",
-      "20220302_090000_00003_graft", "20220302_100000_00004_graft"))
+    // kept: g1/g4/g6/g10 carry web in inputs; g8 only via its plan's
+    // hive.web.users 3-part table name (the table-name carrier); g9 has no
+    // schema occurrence at all (inputs [], no plan). Dropped: g2/g3/g5/g7
+    // carry only sales/raw occurrences.
+    assert(kept === Set(
+      "20220301_080000_00001_graft", "20220301_140000_00004_graft",
+      "20220302_090500_00006_graft", "20220303_220000_00008_graft",
+      "20220302_100000_00009_graft", "20220303_120000_00010_graft"))
   }
 }
