@@ -9,12 +9,13 @@ import graft.process.JsonlProcess
   * equivalents of the reference's entry points:
   *
   *   extract <queryInfoDir> <outDir>   (extract.py: QueryInfo JSON → summary)
-  *   analyze <summaryPath> <outDir> [--filter NAME]
+  *   analyze <summaryPath> <outDir> [--filter NAME] [--limit N]
   *                                     (analyze.py: 28 analyzer tables + metrics;
-  *                                      --filter runs exactly one analyzer)
+  *                                      --filter runs exactly one analyzer,
+  *                                      --limit keeps the first N summaries)
   *   process <summaryPath> <outDir> [--rename-user] [--rename-schemas]
   *           [--rename-catalogs] [--remove-locations] [--remove-query]
-  *           [--filter-user NAME] [--filter-schema NAME]
+  *           [--filter-user NAME] [--filter-schema NAME] [--hash-tokens]
   *                                     (jsonl_process.py: obfuscate/filter)
   *   report <summaryPath> <out.html|out.zip>   (self-contained HTML, zip-wrapped
   *                                              when the target ends in .zip)
@@ -58,6 +59,15 @@ object Pipeline {
     else Extract.readJsonl(spark, path).toDF()
   }
 
+  /** `analyze --limit N`: the first N summaries in query-id order — the
+    * reference's `itertools.islice(lines, limit)` (`analyze.py:1226-1227`)
+    * made deterministic (its line order is extract's sorted-path order =
+    * query_id order, `extract.py:179-183`). Compiles to
+    * TakeOrderedAndProject: per-partition top-N, no global sort.
+    */
+  private[graft] def limitSummaries(df: org.apache.spark.sql.DataFrame, n: Int) =
+    df.orderBy("query_id").limit(n)
+
   def main(args: Array[String]): Unit = args.toList match {
     case "extract" :: in :: out :: rest =>
       val spark = session()
@@ -74,16 +84,27 @@ object Pipeline {
 
     case "analyze" :: in :: out :: rest =>
       val spark = session()
-      val views = WorkloadViews(readSummaries(spark, in))
+      // `--limit N` keeps the first N summaries (analyze.py:1226-1227:
+      // `itertools.islice(lines, limit)` BEFORE the FAILED filter). The
+      // reference's line order is extract's sorted-path order, which is
+      // query_id order (paths are named by query id and sorted,
+      // extract.py:179-183) — so first-N is deterministic here as
+      // order-by-query_id + limit (TakeOrderedAndProject, no global sort
+      // materialized).
+      val limit = rest.sliding(2).collectFirst {
+        case List("--limit", n) => n.toInt
+      }
+      val summaries0 = readSummaries(spark, in)
+      val summaries = limit.map(limitSummaries(summaries0, _)).getOrElse(summaries0)
+      val views = WorkloadViews(summaries)
       val m = Analyzers.metrics(views).collect()(0)
       println(s"metrics: days=${m.getAs[Long]("days")} queries=${m.getAs[Long]("queries")} " +
         f"cpu_days=${m.getAs[Double]("cpu_days")}%.4f users=${m.getAs[Long]("users")}")
       // `--filter <name>` runs exactly one analyzer (analyze.py:1242:
       // `if args.filter is None or args.filter == func.__name__`) — the
       // iterate-on-one-chart loop without recomputing the other 27
-      val only = rest match {
-        case "--filter" :: n :: _ => Some(n)
-        case _ => None
+      val only = rest.sliding(2).collectFirst {
+        case List("--filter", n) => n
       }
       val selected = Analyzers.all(views).toSeq.sortBy(_._1)
         .filter { case (name, _) => only.forall(_ == name) }
@@ -111,13 +132,18 @@ object Pipeline {
         case List("--filter-schema", sc) => df = JsonlProcess.filterBySchema(df, sc)
         case _ =>
       }
-      if (opts.contains("--rename-user")) df = JsonlProcess.renameUsers(df)
+      // `--hash-tokens`: md5-prefix tokens instead of the sequential
+      // first-seen dictionary — drops the dictionary's total order (the
+      // last global sort in this stage) for huge name cardinality
+      val hashTokens = opts.contains("--hash-tokens")
+      if (opts.contains("--rename-user")) df = JsonlProcess.renameUsers(df, hashTokens)
       if (opts.contains("--rename-schemas")) df = JsonlProcess.renameSchemas(df)
       if (opts.contains("--rename-catalogs")) df = JsonlProcess.renameCatalogs(df)
       if (opts.contains("--remove-locations")) df = JsonlProcess.removeLocations(df)
       if (opts.contains("--remove-query")) df = JsonlProcess.removeQuery(df)
       opts.sliding(2).foreach {
-        case List("--rename-array", c) => df = JsonlProcess.obfuscateArrayColumn(df, c, c)
+        case List("--rename-array", c) =>
+          df = JsonlProcess.obfuscateArrayColumn(df, c, c, hashTokens)
         case _ =>
       }
       df.write.mode("overwrite").option("compression", "gzip").json(out)

@@ -68,6 +68,26 @@ object JsonlProcess {
     df.filter(occurrences === 0 || inInputs || inTables)
   }
 
+  // ---- token assignment modes -----------------------------------------
+  //
+  // Default tokens are the reference contract: `prefix0, prefix1, …` in
+  // first-seen order (`NameObfuscator`, `jsonl_process.py:53-61`), which
+  // requires a total order over the distinct names — a single-partition
+  // window, fine at dictionary cardinality. The opt-in HASH mode
+  // (`--hash-tokens`) trades the sequential numbering for
+  // `prefix` + 16-hex md5 prefix of the name: a pure narrow map — no
+  // dictionary, no window, no join, no explode — for corpora whose name
+  // cardinality is too large to total-order (64-bit tokens: collision odds
+  // ~n²/2^65, ~3e-7 at 100 M distinct names). Same injectivity and ''
+  // guard; tokens are stable across runs/partitionings by construction.
+
+  /** The hash-mode token for one name column ('' passes through, like
+    * `NameObfuscator.__call__`'s guard).
+    */
+  private def hashToken(c: Column, prefix: String): Column =
+    when(c.isNull || c === "", c)
+      .otherwise(concat(lit(prefix), substring(md5(c), 1, 16)))
+
   /** Build the translation table for one column: distinct values →
     * `prefix0, prefix1, …` in first-seen (min query_id) order.
     */
@@ -88,19 +108,29 @@ object JsonlProcess {
     * [[translationTable]] (empty strings pass through unchanged, matching
     * `NameObfuscator.__call__`'s `''` guard).
     */
-  def obfuscateColumn(df: DataFrame, column: String, prefix: String): DataFrame = {
-    val table = translationTable(df, column, prefix)
-    df.join(broadcast(table), df(column) === table("old_name"), "left")
-      .withColumn(column, coalesce(col("new_name"), col(column)))
-      .drop("old_name", "new_name")
-  }
+  def obfuscateColumn(df: DataFrame, column: String, prefix: String,
+      hashTokens: Boolean = false): DataFrame =
+    if (hashTokens)
+      df.withColumn(column, hashToken(col(column), prefix))
+    else {
+      val table = translationTable(df, column, prefix)
+      df.join(broadcast(table), df(column) === table("old_name"), "left")
+        .withColumn(column, coalesce(col("new_name"), col(column)))
+        .drop("old_name", "new_name")
+    }
 
   /** `ListObfuscator` (`jsonl_process.py:68-76`): obfuscate every element
     * of an array<string> column through ONE shared dictionary (the
     * reference's partitionIds case). First-seen order is (min query_id,
     * min position) — the deterministic equivalent of its sequential scan.
     */
-  def obfuscateArrayColumn(df: DataFrame, column: String, prefix: String): DataFrame = {
+  def obfuscateArrayColumn(df: DataFrame, column: String, prefix: String,
+      hashTokens: Boolean = false): DataFrame = {
+    // hash mode: in-place element transform — null/empty arrays and ''
+    // elements keep their identity with no explode/regroup at all
+    if (hashTokens)
+      return df.withColumn(column,
+        transform(col(column), x => hashToken(x, prefix)))
     val exploded = df
       .select(col("query_id"), posexplode(col(column)).as(Seq("pos", "old_name")))
     // '' never enters the dictionary (NameObfuscator's guard) but keeps its
@@ -291,6 +321,6 @@ object JsonlProcess {
   /** `--rename-user` equivalent (user + principal share one dictionary in
     * the reference; the summary schema carries only `user`).
     */
-  def renameUsers(df: DataFrame): DataFrame =
-    obfuscateColumn(df, "user", "user")
+  def renameUsers(df: DataFrame, hashTokens: Boolean = false): DataFrame =
+    obfuscateColumn(df, "user", "user", hashTokens)
 }

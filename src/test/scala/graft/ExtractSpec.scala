@@ -123,6 +123,18 @@ class ExtractSpec extends SparkSpec {
     assert(back.collect().forall(_.query_id != null))
   }
 
+  test("analyze --limit keeps the first N summaries in query-id order") {
+    val workload = Extract.extract(spark, resourcePath("workload_gate")).toDF()
+    val limited = Pipeline.limitSummaries(workload, 3)
+    val kept = limited.select("query_id").collect().map(_.getString(0)).toSet
+    val firstThree = workload.select("query_id").collect()
+      .map(_.getString(0)).sorted.take(3).toSet
+    assert(kept === firstThree)
+    // top-N, not a global sort: the plan is TakeOrderedAndProject
+    assert(limited.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"))
+  }
+
   test("joins dedup: duplicate (node, operator type) keeps the LAST occurrence") {
     import spark.implicits._
     import graft.model.{OperatorStat, PlanNode, QuerySummary}

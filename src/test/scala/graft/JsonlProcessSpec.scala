@@ -32,6 +32,46 @@ class JsonlProcessSpec extends SparkSpec {
     assert(again === out)
   }
 
+  test("hash-token mode is injective, stable, and window/shuffle-free") {
+    val out = JsonlProcess.renameUsers(df, hashTokens = true)
+    val vals = out.select("query_id", "user").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // injective over the 3 distinct users, prefixed, stable across rows
+    assert(vals.values.toSet.size === 3)
+    assert(vals.values.forall(v => v.startsWith("user") && v.length === 4 + 16))
+    assert(vals("20220101_000001_00001_aaaaa") === vals("20220101_000003_00003_ccccc"))
+    // deterministic across runs (pure function of the name)
+    val again = JsonlProcess.renameUsers(df, hashTokens = true)
+      .select("query_id", "user").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(again === vals)
+    // the point of the mode: a narrow map — no window, no join, no shuffle
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.contains("Exchange")
+      && !plan.contains("Join"), plan)
+  }
+
+  test("hash-token array mode keeps '' / empty / null identity without explode") {
+    val d = Seq(
+      ("q1", Seq("p_2022", "", "p_2023")),
+      ("q2", Seq.empty[String]),
+      ("q3", null: Seq[String]))
+      .toDF("query_id", "partition_ids")
+    val out = JsonlProcess.obfuscateArrayColumn(d, "partition_ids", "partition",
+      hashTokens = true)
+    val rows = out.orderBy("query_id").collect()
+      .map(r => Option(r.getSeq[String](1)).map(_.toList))
+    assert(rows(0).get.size === 3)
+    assert(rows(0).get(1) === "") // '' guard holds element-wise
+    assert(rows(0).get(0) !== rows(0).get(2)) // injective
+    assert(rows(0).get.forall(v => v.isEmpty || v.startsWith("partition")))
+    assert(rows(1) === Some(Nil))
+    assert(rows(2) === None)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.contains("Exchange")
+      && !plan.contains("Generate"), plan)
+  }
+
   test("filter keeps matches, includeAbsent keeps nulls") {
     assert(JsonlProcess.filterByColumn(df, "source_app", "webapp").count() === 3)
     assert(JsonlProcess.filterByColumn(df, "source_app", "webapp",
