@@ -17,6 +17,12 @@ import graft.process.JsonlProcess
   *           [--rename-catalogs] [--remove-locations] [--remove-query]
   *           [--filter-user NAME] [--filter-schema NAME] [--hash-tokens]
   *                                     (jsonl_process.py: obfuscate/filter)
+  *   process-raw <queryInfoDir> <outDir> [--remove-query] [--rename-schemas]
+  *           [--rename-catalogs] [--remove-locations] [--rename-user]
+  *           [--rename-partitions] [--filter-schema NAME] [--limit N]
+  *                                     (jsonl_process.py semantics over the RAW
+  *                                      nested JSON, before any flatten — the
+  *                                      key-based rows/2-part-name parity path)
   *   report <summaryPath> <out.html|out.zip>   (self-contained HTML, zip-wrapped
   *                                              when the target ends in .zip)
   *
@@ -150,6 +156,26 @@ object Pipeline {
       println(s"processed ${spark.read.option("compression", "gzip").json(out).count()} records to $out")
       spark.stop()
 
+    case "process-raw" :: in :: out :: opts =>
+      val spark = session()
+      val o = graft.process.RawProcess.Options(
+        removeQuery = opts.contains("--remove-query"),
+        renameSchemas = opts.contains("--rename-schemas"),
+        renameCatalogs = opts.contains("--rename-catalogs"),
+        removeLocations = opts.contains("--remove-locations"),
+        renameUser = opts.contains("--rename-user"),
+        renamePartitions = opts.contains("--rename-partitions"),
+        filterSchema = opts.sliding(2).collectFirst {
+          case List("--filter-schema", s) => s
+        },
+        limit = opts.sliding(2).collectFirst {
+          case List("--limit", n) => n.toInt
+        })
+      graft.process.RawProcess.process(spark, in, o)
+        .write.mode("overwrite").option("compression", "gzip").text(out)
+      println(s"raw-processed ${spark.read.text(out).count()} documents to $out")
+      spark.stop()
+
     case "stream" :: in :: out :: opts =>
       // continuous equivalent of `collect.py --loop` + extract: ingest every
       // QueryInfo file landing in `in` exactly once into parquet at `out`.
@@ -257,8 +283,8 @@ object Pipeline {
 
     case _ =>
       System.err.println(
-        "usage: Pipeline (collect|extract|analyze|process|stream|sessionize|" +
-          "featurize|report|explain) <in> <out> [opts]")
+        "usage: Pipeline (collect|extract|analyze|process|process-raw|stream|" +
+          "sessionize|featurize|report|explain) <in> <out> [opts]")
       sys.exit(2)
   }
 }

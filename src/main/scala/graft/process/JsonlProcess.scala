@@ -176,7 +176,10 @@ object JsonlProcess {
   // sharing one obfuscator instance across keys. Segment renames only
   // apply to unambiguous 3-part names: a 2-part name (connector.table or
   // schema.table — the resolver flattens both shapes) cannot be split
-  // reliably and passes through unchanged (documented divergence).
+  // reliably and passes through unchanged. For exact key-based rename
+  // parity (no name splitting at all), run [[RawProcess]] over the raw
+  // documents BEFORE extract — the 2-part ambiguity only exists after
+  // the flatten.
 
   private def seg(c: Column, i: Int): Column = split(c, "\\.")(i)
   private def isThreePart(c: Column): Column =
@@ -313,7 +316,9 @@ object JsonlProcess {
   /** `--remove-query` equivalent: blank the query text. The reference also
     * blanks `rows` keys (EXPLAIN VALUES literals inside raw fragments,
     * `jsonl_process.py:127-130`); the flatten drops node payloads at
-    * ingest, so `query` is the only literal carrier left to clear.
+    * ingest, so `query` is the only literal carrier left to clear here —
+    * [[RawProcess]] clears `rows` at the raw-document stage, where the
+    * carrier still exists.
     */
   def removeQuery(df: DataFrame): DataFrame =
     df.withColumn("query", lit(""))
