@@ -34,7 +34,13 @@ object Bench {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
         }
-      ((System.nanoTime() - t0) / 1e9, ok)
+      val dt = (System.nanoTime() - t0) / 1e9
+      // each query is timed self-contained: drop every cached relation the
+      // query built (outside its timed window) so no gate inherits another's
+      // cache hits — or its heap pressure; with ~85 gates the accumulated
+      // InMemoryRelations otherwise inflate later queries ~25% via GC
+      spark.catalog.clearCache()
+      (dt, ok)
     }
 
     run("hash_agg_sum") // warmup: session init, codegen, parquet footers

@@ -38,9 +38,16 @@ object ChartOps {
     // pre-aggregate by key: callers pass per-key aggregates (unique keys,
     // identity here), and a duplicate key can then never fall between the
     // kept set and the anti-joined remainder and silently lose its mass
+    // cached: the per-key aggregate is vocabulary-bounded (users, operator
+    // types, table names — never raw rows) and is consumed by FOUR separate
+    // jobs below (total broadcast, top-k, anti-join remainder, final
+    // assembly); without the cache each of them re-runs the workload-sized
+    // aggregation upstream. CacheManager dedups repeated pie calls on the
+    // same input.
     val base = counts
       .select(col(keyCol).cast("string").as("key"), col(valueCol).cast("double").as("value"))
       .groupBy(col("key")).agg(sum(col("value")).as("value"))
+      .cache()
     // scalar total broadcast to every row — never a single-partition window
     // over the (unbounded) per-key aggregate
     val total = base.agg(sum(col("value")).as("total")).filter(col("total") =!= 0.0)
@@ -68,7 +75,9 @@ object ChartOps {
     // back in (no partition-less WindowExec anywhere). The LAST row in
     // output order (kept desc, rest last) absorbs the residual so Σ==100.
     val ord = struct(col("is_rest"), (-col("value")).as("nv"), col("key"))
-    val unioned = kept.unionAll(rest)
+    // ≤ top rows; cached for the same reason — tails/sumRound/final each
+    // materialize it
+    val unioned = kept.unionAll(rest).cache()
     val tails = unioned.agg(sum(col("value")).as("total"), max(ord).as("last_key"))
     val flagged = unioned.crossJoin(broadcast(tails))
       .withColumn("pct_round", npRound(col("value") * 100.0 / col("total"), 2))
