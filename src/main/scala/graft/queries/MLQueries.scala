@@ -919,6 +919,206 @@ $blockSql
               |FROM pos
               |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // PII scrubbing — the redaction pass every training corpus runs before
+    // release. The testdata corpus is synthetic word-soup with no real PII,
+    // so the query first DECORATES it with deterministic doc_id-derived
+    // PII (an email for doc_id%3==0, a phone for %5==0, an SSN for %7==0)
+    // and then runs the real scrub: count each entity class with
+    // regexp_extract_all, redact with ordered regexp_replace (SSN before
+    // phone so the 3-4 phone pattern cannot eat half an already-matched
+    // 3-2-4 SSN; the patterns are otherwise disjoint on this corpus).
+    // Judged output = per-source entity censuses plus a content checksum
+    // over the SCRUBBED text, which pins every replacement byte-for-byte.
+    // Plan: one narrow map per row + one aggregation — scrubbing is
+    // embarrassingly parallel at any corpus size.
+    NamedQuery(
+      "text_pii_scrub",
+      (s, d) => {
+        val ssnPat = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+        val phonePat = "[0-9]{3}-[0-9]{4}"
+        val emailPat = "[a-z0-9.]+@[a-z0-9.-]+"
+        Tables.documents(s, d)
+          .withColumn("decorated", concat(
+            col("text"),
+            when(col("doc_id") % 3 === 0,
+              concat(lit(" user"), col("doc_id").cast("string"),
+                lit("@mail.example.com"))).otherwise(lit("")),
+            when(col("doc_id") % 5 === 0,
+              concat(lit(" call 555-"),
+                lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+              .otherwise(lit("")),
+            when(col("doc_id") % 7 === 0, lit(" ssn 123-45-6789"))
+              .otherwise(lit(""))))
+          .withColumn("n_ssn",
+            size(regexp_extract_all(col("decorated"), lit(ssnPat), lit(0))).cast("long"))
+          .withColumn("n_phone",
+            size(regexp_extract_all(col("decorated"), lit(phonePat), lit(0))).cast("long"))
+          .withColumn("n_email",
+            size(regexp_extract_all(col("decorated"), lit(emailPat), lit(0))).cast("long"))
+          .withColumn("scrubbed",
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(col("decorated"), ssnPat, "[SSN]"),
+                phonePat, "[PHONE]"),
+              emailPat, "[EMAIL]"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("n_email")).as("emails"),
+            sum(col("n_phone")).as("phones"),
+            sum(col("n_ssn")).as("ssns"),
+            (sum(hashId(col("scrubbed"), 2147483647L)) % lit(2147483647L))
+              .as("scrub_checksum"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH deco AS (
+              |  SELECT source,
+              |    text
+              |      || CASE WHEN doc_id % 3 = 0
+              |           THEN ' user' || doc_id || '@mail.example.com' ELSE '' END
+              |      || CASE WHEN doc_id % 5 = 0
+              |           THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              |           ELSE '' END
+              |      || CASE WHEN doc_id % 7 = 0 THEN ' ssn 123-45-6789' ELSE '' END
+              |      AS decorated
+              |  FROM documents
+              |), scrub AS (
+              |  SELECT source,
+              |    len(regexp_extract_all(decorated, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS n_ssn,
+              |    len(regexp_extract_all(decorated, '[0-9]{3}-[0-9]{4}')) AS n_phone,
+              |    len(regexp_extract_all(decorated, '[a-z0-9.]+@[a-z0-9.-]+')) AS n_email,
+              |    regexp_replace(
+              |      regexp_replace(
+              |        regexp_replace(decorated, '[0-9]{3}-[0-9]{2}-[0-9]{4}', '[SSN]', 'g'),
+              |        '[0-9]{3}-[0-9]{4}', '[PHONE]', 'g'),
+              |      '[a-z0-9.]+@[a-z0-9.-]+', '[EMAIL]', 'g') AS scrubbed
+              |  FROM deco
+              |)
+              |SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+              |  CAST(SUM(n_email) AS BIGINT) AS emails,
+              |  CAST(SUM(n_phone) AS BIGINT) AS phones,
+              |  CAST(SUM(n_ssn) AS BIGINT) AS ssns,
+              |  CAST(SUM(${hashIdSql("scrubbed", 2147483647L)}) % 2147483647 AS BIGINT)
+              |    AS scrub_checksum
+              |FROM scrub GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Repetition scoring — the "repeated lines / repeated n-grams" quality
+    // family (Gopher-style repetition signals): per document, the word and
+    // bigram duplication statistics, blended into a [0,1] repetitiveness
+    // score; judged output = the 20 most repetitive documents. Two keyed
+    // aggregations (doc_id×word, doc_id×bigram) — no global state, no
+    // vocabulary table; the final top-20 is a TakeOrdered over one row per
+    // document.
+    NamedQuery(
+      "text_repetition_score",
+      (s, d) => {
+        val wc = words(s, d)
+          .select(col("doc_id"), explode(col("w")).as("word"))
+          .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("n_words"), count(lit(1)).as("n_unique"),
+            max(col("c")).as("max_word_freq"))
+        val bg = words(s, d)
+          .select(col("doc_id"), explode(expr(
+            "CASE WHEN size(w) >= 2 THEN " +
+              "transform(sequence(0, size(w)-2), i -> concat_ws(' ', w[i], w[i+1])) " +
+              "ELSE array() END")).as("bg"))
+          .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id")).agg(max(col("c")).as("max_bigram_freq"))
+        wc.join(bg, Seq("doc_id"))
+          .withColumn("rep_score", r6(
+            lit(0.5) * (lit(1.0) - col("n_unique").cast("double") / col("n_words"))
+              + lit(0.5) * least(lit(1.0),
+                col("max_bigram_freq").cast("double") / lit(5.0))))
+          .select(col("doc_id"), col("n_words"), col("n_unique"),
+            col("max_word_freq"), col("max_bigram_freq"), col("rep_score"))
+          .orderBy(col("rep_score").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some(s"""WITH wc AS (
+              |  SELECT doc_id, word, COUNT(*) AS c
+              |  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS word
+              |        FROM documents)
+              |  GROUP BY 1, 2
+              |), ws AS (
+              |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+              |    CAST(COUNT(*) AS BIGINT) AS n_unique,
+              |    CAST(MAX(c) AS BIGINT) AS max_word_freq
+              |  FROM wc GROUP BY 1
+              |), bg AS (
+              |  SELECT doc_id, bg, COUNT(*) AS c FROM (
+              |    SELECT doc_id, UNNEST(list_transform(generate_series(1, len(w)-1),
+              |        i -> w[i] || ' ' || w[i+1])) AS bg
+              |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+              |  ) GROUP BY 1, 2
+              |), bs AS (
+              |  SELECT doc_id, CAST(MAX(c) AS BIGINT) AS max_bigram_freq
+              |  FROM bg GROUP BY 1
+              |)
+              |SELECT ws.doc_id, n_words, n_unique, max_word_freq, max_bigram_freq,
+              |  ${r6Sql("0.5 * (1.0 - CAST(n_unique AS DOUBLE) / n_words) " +
+                 "+ 0.5 * least(1.0, CAST(max_bigram_freq AS DOUBLE) / 5.0)")}
+              |    AS rep_score
+              |FROM ws JOIN bs ON ws.doc_id = bs.doc_id
+              |ORDER BY rep_score DESC, ws.doc_id LIMIT 20""".stripMargin)),
+
+    // Benchmark decontamination — remove training documents that share any
+    // word 4-gram with the held-out benchmark slice (doc_id%50==0 stands in
+    // for the eval set; 4 was chosen empirically: on this 31-word-vocabulary
+    // corpus 3-grams collide by chance over half the corpus and 5-grams
+    // only catch the literal near-dups). Plan shape for 100 TB: the
+    // benchmark n-gram set is eval-corpus-sized (tiny vs training), so the
+    // membership test is an explicitly broadcast LEFT SEMI join — every
+    // training 4-gram checks contamination map-side, no shuffle of the
+    // training corpus; only the (doc_id-keyed) census aggregates shuffle.
+    // Judged output = per-source train/contaminated censuses plus the
+    // contaminated-id checksum pinning exactly WHICH documents were flagged.
+    NamedQuery(
+      "dedup_decontaminate",
+      (s, d) => {
+        val g4 = words(s, d)
+          .select(col("doc_id"), explode(expr(
+            "CASE WHEN size(w) >= 4 THEN " +
+              "transform(sequence(0, size(w)-4), " +
+              "i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3])) " +
+              "ELSE array() END")).as("g"))
+          .distinct()
+        val bench = g4.filter(col("doc_id") % 50 === 0).select(col("g")).distinct()
+        val contaminated = g4.filter(col("doc_id") % 50 =!= 0)
+          .join(broadcast(bench), Seq("g"), "left_semi")
+          .select(col("doc_id")).distinct()
+          .withColumn("hit", lit(1L))
+        Tables.documents(s, d)
+          .filter(col("doc_id") % 50 =!= 0)
+          .join(contaminated, Seq("doc_id"), "left")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_train"),
+            sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_contaminated"),
+            (sum(when(col("hit").isNotNull, col("doc_id") % lit(2147483647L))
+              .otherwise(lit(0L))) % lit(2147483647L)).as("contam_id_checksum"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH grams AS (
+             |  SELECT DISTINCT doc_id,
+             |    UNNEST(list_transform(generate_series(1, len(w)-3),
+             |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS g
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+             |), bench AS (
+             |  SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0
+             |), contam AS (
+             |  SELECT DISTINCT doc_id FROM grams t
+             |  WHERE doc_id % 50 <> 0
+             |    AND EXISTS (SELECT 1 FROM bench b WHERE b.g = t.g)
+             |)
+             |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_train,
+             |  CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_contaminated,
+             |  CAST(SUM(CASE WHEN c.doc_id IS NOT NULL
+             |      THEN d.doc_id % 2147483647 ELSE 0 END) % 2147483647 AS BIGINT)
+             |    AS contam_id_checksum
+             |FROM documents d LEFT JOIN contam c ON d.doc_id = c.doc_id
+             |WHERE d.doc_id % 50 <> 0
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Deterministic train/val/test split — THE reproducibility primitive
     // of a training-data pipeline: the assignment is a pure function of
     // the content hash (md5 mod 100 → 80/10/10), so it is stable across

@@ -118,4 +118,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject(limit=19"))
     assert(!p.contains("Window"))
   }
+
+  test("dedup_decontaminate: benchmark membership is a broadcast LEFT SEMI") {
+    val p = plan("dedup_decontaminate")
+    // the eval-set n-gram table ships to every task; the training corpus
+    // checks contamination map-side and is never shuffled by n-gram
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"))
+  }
+
+  test("text_pii_scrub / text_repetition_score: narrow maps, no window, no global sort") {
+    for (q <- Seq("text_pii_scrub", "text_repetition_score")) {
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q should not need any window")
+    }
+    // top-20 repetitive docs is a TakeOrdered, not a full sort
+    assert(plan("text_repetition_score").contains("TakeOrderedAndProject(limit=20"))
+  }
 }
