@@ -675,6 +675,31 @@ object CoreQueries {
               |GROUP BY ROLLUP(r_name, n_name)
               |ORDER BY region, nation""".stripMargin)),
 
+    // CUBE (all grouping sets): order counts and totals by status,
+    // priority, each alone, and the grand total in one pass — the
+    // cross-dimensional twin of the ROLLUP hierarchy above. Catalyst
+    // expands to 4 grouping sets before partial aggregation, so the
+    // shuffle stays (groups × sets), not rows. Neither column is null in
+    // the data, so coalesce('ALL') marks exactly the subtotal rows (and
+    // sidesteps the engines' opposite NULL sort-order defaults).
+    NamedQuery(
+      "cube_status_priority",
+      (s, d) =>
+        Tables.orders(s, d)
+          .cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+          .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+            coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+            col("n_orders"), col("total_price"))
+          .orderBy(col("status"), col("priority")),
+      Some(s"""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+              |  COALESCE(o_orderpriority, 'ALL') AS priority,
+              |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+              |  ${dsumSql("o_totalprice")} AS total_price
+              |FROM orders
+              |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+              |ORDER BY status, priority""".stripMargin)),
+
     // Pivot (wide conditional aggregation): per-day event counts fanned
     // into one column per event type. Spark's pivot with an explicit value
     // list compiles to the same conditional-count aggregate DuckDB's

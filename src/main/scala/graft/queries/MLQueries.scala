@@ -396,6 +396,61 @@ $blockSql
               |FROM cand WHERE dist <= 3
               |ORDER BY doc_a, doc_b LIMIT 5000""".stripMargin)),
 
+    // Candidate verification by exact edit distance — the standard second
+    // stage of fuzzy dedup: the cheap sketch (SimHash pigeonhole) proposes
+    // candidate pairs, then the expensive exact measure (Levenshtein)
+    // confirms or rejects each one. Running Levenshtein only on the
+    // candidate set is the whole point at 100 TB: the O(len²) dynamic
+    // program touches ~n²/65536 pairs instead of n², and each pair is an
+    // independent narrow computation after one doc_id-keyed payload join
+    // per side. levenshtein() is classic unit-cost edit distance in both
+    // engines — integer-exact, no float parity risk; only the normalized
+    // similarity is rounded. The judged gate verifies one bounded BATCH
+    // (the first 1000 pairs in pair order — a TakeOrdered, no global
+    // sort): on this 31-word-vocabulary corpus the sketch is deliberately
+    // dense (~n²/65536 candidates really materialize), and batching is
+    // exactly how the verify stage runs at scale anyway — the candidate
+    // stream partitions into independent chunks.
+    NamedQuery(
+      "dedup_verify_levenshtein",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        hammingPairs(s, d)
+          .orderBy(col("doc_a"), col("doc_b")).limit(1000)
+          .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
+          .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
+          .withColumn("lev", levenshtein(col("ta"), col("tb")).cast("long"))
+          .withColumn("sim", r6(lit(1.0) - col("lev").cast("double") /
+            greatest(length(col("ta")), length(col("tb"))).cast("double")))
+          .select(col("doc_a"), col("doc_b"), col("dist"), col("lev"), col("sim"))
+          .orderBy(col("sim").desc, col("doc_a"), col("doc_b"))
+          .limit(20)
+      },
+      Some(s"""WITH $simhashSigsSql, nib AS (
+              |  SELECT doc_id, sig0, sig1, sig2, sig3, k,
+              |    CASE k WHEN 0 THEN sig0 WHEN 1 THEN sig1 WHEN 2 THEN sig2
+              |      ELSE sig3 END AS v
+              |  FROM sigs CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS k)
+              |), cand AS (
+              |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |    bit_count(xor(a.sig0, b.sig0)) + bit_count(xor(a.sig1, b.sig1))
+              |      + bit_count(xor(a.sig2, b.sig2)) + bit_count(xor(a.sig3, b.sig3))
+              |      AS dist
+              |  FROM nib a JOIN nib b
+              |    ON a.k = b.k AND a.v = b.v AND a.doc_id < b.doc_id
+              |), pairs AS (
+              |  SELECT doc_a, doc_b, dist FROM cand WHERE dist <= 3
+              |  ORDER BY doc_a, doc_b LIMIT 1000
+              |)
+              |SELECT p.doc_a, p.doc_b, CAST(p.dist AS BIGINT) AS dist,
+              |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev,
+              |  ${r6Sql("1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE) " +
+                 "/ greatest(len(a.text), len(b.text))")} AS sim
+              |FROM pairs p
+              |JOIN documents a ON a.doc_id = p.doc_a
+              |JOIN documents b ON b.doc_id = p.doc_b
+              |ORDER BY sim DESC, doc_a, doc_b LIMIT 20""".stripMargin)),
+
     // Connected components over the near-dup pair graph — the step that
     // turns pairwise matches into dedup decisions (pairs → clusters →
     // canonical doc). Iterative min-label propagation: every doc starts
@@ -731,6 +786,95 @@ $blockSql
               |  JOIN embeddings b ON b.vec_id = cb.vec_id
               |  WHERE qa.vec_id < 5
               |)""".stripMargin, k = 3))),
+
+    // One Lloyd (k-means) iteration — the scale path for BUILDING the IVF
+    // index the ANN gate probes: assign every vector to its nearest seed
+    // centroid (same 8 driver-literal seeds and the same rounded-cosine /
+    // lowest-id argmax contract as similarity_ann_ivf, so the two gates
+    // cannot drift), then recompute each centroid as the member mean.
+    // Means are computed in MICRO-units: each element is quantized to
+    // floor(v·1e6+0.5) first, summed exactly as integers, and the mean
+    // re-quantized — no float summation anywhere, so the result is
+    // order-independent and engine-exact at any parallelism (the ±0.5e-6
+    // per-element quantization error is far below any clustering signal).
+    // Judged output per cluster: member count, squared centroid norm in
+    // µ², and an integer checksum that pins every centroid coordinate.
+    // Plan: 8 codegen'd dots per row for assignment (no shuffle), then one
+    // (cell, dim)-keyed aggregation — at 100 TB the loop is this query
+    // iterated, with the centroid table collected per round exactly like
+    // the IVF seeds (k×64 longs on the driver).
+    NamedQuery(
+      "embedding_kmeans_iter",
+      (s, d) => {
+        val cents = Tables.embeddings(s, d)
+          .filter(col("vec_id") < 8).select(col("vec_id"), col("embedding"))
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+          .sortBy(_._1)
+        def centNorm(v: Array[Float]): Double =
+          math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
+        val scored = cents.foldLeft(
+          Tables.embeddings(s, d)
+            .select(col("vec_id"), col("embedding"), vecNorm(col("embedding")).as("norm"))) {
+          case (df, (cid, cv)) =>
+            df.withColumn(s"csim_$cid",
+              r6(vecDot(col("embedding"), typedLit(cv)) / (col("norm") * lit(centNorm(cv)))))
+        }
+        val ids = cents.map(_._1)
+        val cell = ids.foldRight(lit(-1L)) { (cid, els) =>
+          when(ids.filter(_ != cid).map(o => col(s"csim_$cid") >= col(s"csim_$o"))
+            .reduceOption(_ && _).getOrElse(lit(true)), lit(cid)).otherwise(els)
+        }
+        val assigned = scored.select(col("vec_id"), col("embedding"), cell.as("cell"))
+        // qv offset by +1e6 keeps the value non-negative (elements are
+        // within [-1, 1]) purely for symmetry with the checksum's modulus
+        // arithmetic; the offset cancels out of the mean re-quantization.
+        val expl = assigned
+          .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .select(col("cell"), (col("pos") + 1).cast("long").as("dim"),
+            (floor(col("v").cast("double") * lit(1000000.0) + lit(0.5)).cast("long")
+              + lit(1000000L)).as("qv"))
+        val dims = expl.groupBy(col("cell"), col("dim"))
+          .agg(sum(col("qv")).as("qsum"), count(lit(1)).as("cnt"))
+          // qsum ≤ n·2e6 stays exact in a double up to n ~ 4.5e9 members
+          .withColumn("qmean",
+            floor(col("qsum").cast("double") / col("cnt") + lit(0.5)).cast("long")
+              - lit(1000000L))
+        dims.groupBy(col("cell"))
+          .agg(max(col("cnt")).as("n_assigned"),
+            sum(col("qmean") * col("qmean")).as("norm2_micro"),
+            (sum(((col("qmean") + lit(1000000L)) % lit(2147483647L)) * col("dim"))
+              % lit(2147483647L)).as("centroid_checksum"))
+          .orderBy(col("cell"))
+      },
+      Some(s"""WITH csims AS (
+              |  SELECT e.vec_id, c.vec_id AS cent_id,
+              |    ${r6Sql(duckDot("e.embedding", "c.embedding") +
+                s" / (${duckNorm("e.embedding")} * ${duckNorm("c.embedding")})")} AS csim
+              |  FROM embeddings e JOIN embeddings c ON c.vec_id < 8
+              |), assigned AS (
+              |  SELECT vec_id, cent_id AS cell FROM (
+              |    SELECT vec_id, cent_id, ROW_NUMBER() OVER (
+              |      PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS crn
+              |    FROM csims
+              |  ) WHERE crn = 1
+              |), expl AS (
+              |  SELECT a.cell, CAST(i AS BIGINT) AS dim,
+              |    CAST(FLOOR(CAST(e.embedding[i] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+              |      + 1000000 AS qv
+              |  FROM assigned a JOIN embeddings e USING (vec_id)
+              |  CROSS JOIN generate_series(1, 64) t(i)
+              |), dims AS (
+              |  SELECT cell, dim, COUNT(*) AS cnt,
+              |    CAST(FLOOR(CAST(SUM(qv) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT)
+              |      - 1000000 AS qmean
+              |  FROM expl GROUP BY 1, 2
+              |)
+              |SELECT cell, CAST(MAX(cnt) AS BIGINT) AS n_assigned,
+              |  CAST(SUM(qmean * qmean) AS BIGINT) AS norm2_micro,
+              |  CAST(SUM(((qmean + 1000000) % 2147483647) * dim) % 2147483647 AS BIGINT)
+              |    AS centroid_checksum
+              |FROM dims GROUP BY 1 ORDER BY cell""".stripMargin)),
 
     // Symmetric int8 quantization of the embedding column — the standard
     // vector-compression step before ANN indexing (4× smaller, dot

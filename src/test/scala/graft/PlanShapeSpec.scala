@@ -119,6 +119,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window"))
   }
 
+  test("embedding_kmeans_iter: assignment is a narrow map (no vec_id shuffle)") {
+    val p = plan("embedding_kmeans_iter")
+    // seed centroids are plan literals — the 8 csim projections sit on the
+    // file scan; only the (cell, dim) update aggregation shuffles
+    assert(!p.contains("Exchange hashpartitioning(vec_id"))
+    assert(p.contains("float_vec_dot(embedding"))
+  }
+
   test("dedup_decontaminate: benchmark membership is a broadcast LEFT SEMI") {
     val p = plan("dedup_decontaminate")
     // the eval-set n-gram table ships to every task; the training corpus
