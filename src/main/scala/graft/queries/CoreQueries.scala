@@ -723,6 +723,31 @@ object CoreQueries {
              |  CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Skew-mitigated aggregation (salting) — the standard fix for a hot
+    // grouping key: pre-aggregate on (key, salt) so a skewed key's rows
+    // split across `salt` reducers, then combine the per-salt partials in
+    // a second, tiny aggregation. The salt is deterministic (event_id
+    // mod 8) and the partial sums stay decimal, so the two-stage result
+    // is bit-identical to the plain GROUP BY at any parallelism — which
+    // is exactly what the oracle runs: salting must be a pure plan
+    // transformation, invisible in the result. (AQE's skew handling
+    // covers joins; aggregation skew still needs this manual shape.)
+    NamedQuery(
+      "skew_salted_agg",
+      (s, d) =>
+        Tables.events(s, d)
+          .withColumn("salt", pmod(col("event_id"), lit(8)))
+          .groupBy(col("user_id"), col("salt"))
+          .agg(count(lit(1)).as("pn"),
+            sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4))).as("pv"))
+          .groupBy(col("user_id"))
+          .agg(sum(col("pn")).as("n_events"),
+            sum(col("pv")).cast("double").as("total_value"))
+          .orderBy(col("user_id")),
+      Some(s"""SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+              |  ${dsumSql("value")} AS total_value
+              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Exact quantile thresholds (training-data quality gating: "drop below
     // p25"): Spark `percentile` and DuckDB `quantile_cont` both use R-7
     // linear interpolation at index p*(n-1), identical arithmetic; r2

@@ -119,6 +119,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window"))
   }
 
+  test("skew_salted_agg: two-stage aggregation — salted exchange then key exchange") {
+    val p = plan("skew_salted_agg")
+    // stage 1 shuffles on (user_id, salt) — a hot key splits 8 ways;
+    // stage 2's exchange carries one row per (key, salt), not raw rows
+    assert(p.contains(", salt"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 2)
+  }
+
   test("embedding_kmeans_iter: assignment is a narrow map (no vec_id shuffle)") {
     val p = plan("embedding_kmeans_iter")
     // seed centroids are plan literals — the 8 csim projections sit on the
