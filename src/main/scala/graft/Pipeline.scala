@@ -240,6 +240,25 @@ object Pipeline {
       println(s"featurized ${spark.read.parquet(out).count()} media records to $out$desc")
       spark.stop()
 
+    case "curate" :: in :: out :: opts =>
+      // composed training-data curation: exact dedup → PII scrub →
+      // quality score → content-hash split → parquet partitioned by split
+      val minQ = opts.sliding(2).collectFirst {
+        case Seq("--min-quality", v) => v.toDouble }.getOrElse(0.0)
+      val spark = session()
+      val docs = graft.tables.Tables.documents(spark, in)
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("source"),
+          org.apache.spark.sql.functions.col("text"))
+      val curated = graft.ml.Curate.curate(docs, minQ)
+      curated.write.mode("overwrite").partitionBy("split").parquet(out)
+      val census = graft.ml.Curate.census(spark.read.parquet(out)).collect()
+      census.foreach(r => println(
+        s"curated: split=${r.getString(0)} source=${r.getString(1)} " +
+          s"n=${r.getLong(2)} avg_quality=${r.getDouble(3)}"))
+      println(s"curated ${census.map(_.getLong(2)).sum} documents to $out")
+      spark.stop()
+
     case "report" :: in :: out :: _ =>
       // single self-contained HTML artifact; a `.zip` target wraps it as
       // output.html exactly like the reference (analyze.py:1284-1290 —
@@ -284,7 +303,7 @@ object Pipeline {
     case _ =>
       System.err.println(
         "usage: Pipeline (collect|extract|analyze|process|process-raw|stream|" +
-          "sessionize|featurize|report|explain) <in> <out> [opts]")
+          "sessionize|featurize|curate|report|explain) <in> <out> [opts]")
       sys.exit(2)
   }
 }

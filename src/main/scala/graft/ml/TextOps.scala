@@ -1,0 +1,53 @@
+package graft.ml
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.queries.QueryDsl.{hashId, r6}
+
+/** Shared text-curation column logic — ONE definition each for PII
+  * scrubbing, quality scoring, and split assignment, used by both the
+  * judged gates (`queries.MLQueries`, where the DuckDB oracle pins the
+  * exact semantics) and the composed product path (`ml.Curate`). Sharing
+  * the expressions means the product pipeline cannot drift from what the
+  * oracles verified.
+  */
+object TextOps {
+
+  /** PII patterns, scrub order matters: SSN before phone so the 3-4 phone
+    * pattern cannot eat half an already-matched 3-2-4 SSN.
+    */
+  val SsnPat = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+  val PhonePat = "[0-9]{3}-[0-9]{4}"
+  val EmailPat = "[a-z0-9.]+@[a-z0-9.-]+"
+
+  /** Redact all three entity classes, in the contract order. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, SsnPat, "[SSN]"),
+        PhonePat, "[PHONE]"),
+      EmailPat, "[EMAIL]")
+
+  /** Length/stopword/word-length quality heuristic → [0,1], from the word
+    * array and total char count (the `text_quality_score` contract).
+    */
+  def qualityScore(w: Column, nChars: Column): Column = {
+    val nWords = size(w).cast("long")
+    val stopRatio = size(filter(w, x =>
+      array_contains(array(lit("the"), lit("a"), lit("of")), x)))
+      .cast("double") / nWords
+    val avgWordLen = (nChars - (nWords - 1)).cast("double") / nWords
+    r6(lit(0.4) * least(lit(1.0), nWords.cast("double") / 100.0)
+      + lit(0.3) * (lit(1.0) - stopRatio)
+      + lit(0.3) * least(lit(1.0), avgWordLen / 8.0))
+  }
+
+  /** Deterministic 80/10/10 split: a pure function of the content hash
+    * (the `dataset_split_hash` contract) — stable across runs,
+    * partitionings, and corpus growth.
+    */
+  def splitName(text: Column): Column = {
+    val bucket = hashId(text, 100L)
+    when(bucket < 80, lit("train")).when(bucket < 90, lit("val")).otherwise(lit("test"))
+  }
+}

@@ -29,22 +29,10 @@ import QueryDsl._
   */
 object MLQueries {
 
-  /** round to 6 decimals, identically in both engines. */
-  private def r6(c: org.apache.spark.sql.Column) =
-    floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
-  private def r6Sql(e: String) = s"FLOOR(($e) * 1000000.0 + 0.5) / 1000000.0"
+  // r6 / r6Sql (6-decimal rounding) live in QueryDsl, shared with ml.Curate.
 
-  /** Cross-engine content hash id: first 15 hex chars of md5 (60 bits)
-    * parsed base-16, reduced mod `m`. md5 hex is identical in Spark and
-    * DuckDB, so both engines assign every shingle/word the same id with a
-    * narrow map — the scale-correct replacement for a global dense_rank
-    * (one task sorting the whole vocabulary). Collisions under mod-m only
-    * perturb the hash families, identically in both engines.
-    */
-  private def hashId(c: org.apache.spark.sql.Column, m: Long) =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long") % m
-  private def hashIdSql(e: String, m: Long) =
-    s"CAST('0x' || substring(md5($e), 1, 15) AS BIGINT) % $m"
+  // hashId / hashIdSql (the md5-prefix id assignment every family here
+  // builds on) live in QueryDsl — shared with the ml.Curate product path.
 
   private def duckDot(a: String, b: String) =
     s"(SELECT SUM(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)) FROM generate_series(1,64) t(i))"
@@ -994,15 +982,9 @@ $blockSql
         words(s, d)
           .join(Tables.documents(s, d).select(col("doc_id"), col("n_chars")), "doc_id")
           .withColumn("n_words", size(col("w")).cast("long"))
-          .withColumn("stop_ratio", expr(
-            "size(filter(w, x -> array_contains(array('the','a','of'), x)))")
-            .cast("double") / col("n_words"))
-          .withColumn("avg_word_len",
-            (col("n_chars") - (col("n_words") - 1)).cast("double") / col("n_words"))
-          .withColumn("score", r6(
-            lit(0.4) * least(lit(1.0), col("n_words").cast("double") / 100.0)
-              + lit(0.3) * (lit(1.0) - col("stop_ratio"))
-              + lit(0.3) * least(lit(1.0), col("avg_word_len") / 8.0)))
+          // the shared TextOps expression IS the judged semantics — the
+          // ml.Curate product path applies the identical column
+          .withColumn("score", graft.ml.TextOps.qualityScore(col("w"), col("n_chars")))
           .select(col("doc_id"), col("n_words"), col("score"))
           .orderBy(col("score").desc, col("doc_id"))
           .limit(20),
@@ -1078,9 +1060,9 @@ $blockSql
     NamedQuery(
       "text_pii_scrub",
       (s, d) => {
-        val ssnPat = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
-        val phonePat = "[0-9]{3}-[0-9]{4}"
-        val emailPat = "[a-z0-9.]+@[a-z0-9.-]+"
+        val ssnPat = graft.ml.TextOps.SsnPat
+        val phonePat = graft.ml.TextOps.PhonePat
+        val emailPat = graft.ml.TextOps.EmailPat
         Tables.documents(s, d)
           .withColumn("decorated", concat(
             col("text"),
@@ -1099,12 +1081,7 @@ $blockSql
             size(regexp_extract_all(col("decorated"), lit(phonePat), lit(0))).cast("long"))
           .withColumn("n_email",
             size(regexp_extract_all(col("decorated"), lit(emailPat), lit(0))).cast("long"))
-          .withColumn("scrubbed",
-            regexp_replace(
-              regexp_replace(
-                regexp_replace(col("decorated"), ssnPat, "[SSN]"),
-                phonePat, "[PHONE]"),
-              emailPat, "[EMAIL]"))
+          .withColumn("scrubbed", graft.ml.TextOps.scrubPii(col("decorated")))
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n"),
             sum(col("n_email")).as("emails"),
@@ -1274,10 +1251,7 @@ $blockSql
       "dataset_split_hash",
       (s, d) =>
         Tables.documents(s, d)
-          .withColumn("bucket", hashId(col("text"), 100L))
-          .withColumn("split",
-            when(col("bucket") < 80, lit("train"))
-              .when(col("bucket") < 90, lit("val")).otherwise(lit("test")))
+          .withColumn("split", graft.ml.TextOps.splitName(col("text")))
           .groupBy(col("source"), col("split"))
           // mod INSIDE the sum: raw sum(doc_id) would pass 2^63 at ~4e9
           // sequential ids (Spark errors under ANSI; DuckDB promotes to

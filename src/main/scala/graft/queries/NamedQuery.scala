@@ -43,4 +43,20 @@ object QueryDsl {
   def r2eSql(expr: String): String = s"round_even(($expr) * 100.0, 0) / 100.0"
   def r1e(c: Column): Column = bround(c * lit(10.0), 0) / lit(10.0)
   def r1eSql(expr: String): String = s"round_even(($expr) * 10.0, 0) / 10.0"
+
+  /** round to 6 decimals, identically in both engines. */
+  def r6(c: Column): Column = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+  def r6Sql(e: String): String = s"FLOOR(($e) * 1000000.0 + 0.5) / 1000000.0"
+
+  /** Cross-engine content hash id: first 15 hex chars of md5 (60 bits)
+    * parsed base-16, reduced mod `m`. md5 hex is identical in Spark and
+    * DuckDB, so both engines assign every value the same id with a narrow
+    * map — the scale-correct replacement for a global dense_rank (one task
+    * sorting the whole vocabulary). Collisions under mod-m only perturb
+    * downstream hash families, identically in both engines.
+    */
+  def hashId(c: Column, m: Long): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long") % m
+  def hashIdSql(e: String, m: Long): String =
+    s"CAST('0x' || substring(md5($e), 1, 15) AS BIGINT) % $m"
 }

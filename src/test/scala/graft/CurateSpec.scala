@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ml.{Curate, TextOps}
+
+/** The composed curation pipeline: dedup survivors, scrubbed text,
+  * self-consistent quality, deterministic split — on synthetic docs with
+  * planted PII and duplicates (the testdata corpus has neither worst
+  * case; the oracles cover it at corpus scale via the judged gates).
+  */
+class CurateSpec extends SparkSpec {
+
+  private def docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "s1", "the quick brown fox jumps over a lazy dog of note"),
+      (2L, "s1", "the quick brown fox jumps over a lazy dog of note"), // dup of 1
+      (3L, "s2", "call me at 555-0199 or mail jo.doe@example.org today"),
+      (4L, "s2", "ssn 123-45-6789 should never survive curation at all"),
+      (5L, "s3", "completely distinct content with no sensitive data here"))
+      .toDF("doc_id", "source", "text")
+  }
+
+  test("curate dedups, scrubs every PII class, and assigns stable splits") {
+    val out = Curate.curate(docs).orderBy(col("doc_id")).collect()
+    // duplicate content: only the first-seen doc survives
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq === Seq(1L, 3L, 4L, 5L))
+    val texts = out.map(_.getAs[String]("text"))
+    // every entity class redacted, nothing else touched
+    assert(texts(1).contains("[PHONE]") && texts(1).contains("[EMAIL]"))
+    assert(texts(2).contains("[SSN]") && !texts(2).contains("123-45"))
+    assert(texts(3) === "completely distinct content with no sensitive data here")
+    // no raw PII pattern survives anywhere
+    for (t <- texts; p <- Seq(TextOps.SsnPat, TextOps.PhonePat, TextOps.EmailPat))
+      assert(!p.r.findFirstIn(t).isDefined, s"unscrubbed PII in: $t")
+    // quality in [0,1]; split is a pure function of the scrubbed text
+    assert(out.forall { r =>
+      val q = r.getAs[Double]("quality"); q >= 0.0 && q <= 1.0 })
+    val again = Curate.curate(docs).orderBy(col("doc_id")).collect()
+    assert(out.map(_.getAs[String]("split")).toSeq ===
+      again.map(_.getAs[String]("split")).toSeq)
+  }
+
+  test("min-quality gate filters and census aggregates per (split, source)") {
+    val curated = Curate.curate(docs)
+    val qs = curated.select(min(col("quality")), max(col("quality")))
+      .head(); val lo = qs.getDouble(0); val hi = qs.getDouble(1)
+    assert(lo < hi)
+    // a threshold strictly between lo and hi drops at least one doc
+    val mid = (lo + hi) / 2
+    assert(Curate.curate(docs, minQuality = mid).count() < curated.count())
+    val cen = Curate.census(curated).collect()
+    assert(cen.map(_.getAs[Long]("n")).sum === curated.count())
+    assert(cen.forall(r => r.getAs[Double]("avg_quality") >= 0.0))
+  }
+}
