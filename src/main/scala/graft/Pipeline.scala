@@ -245,14 +245,20 @@ object Pipeline {
       // quality score → content-hash split → parquet partitioned by split
       val minQ = opts.sliding(2).collectFirst {
         case Seq("--min-quality", v) => v.toDouble }.getOrElse(0.0)
+      val benchDir = opts.sliding(2).collectFirst {
+        case Seq("--benchmark", v) => v }
       val spark = session()
-      val docs = graft.tables.Tables.documents(spark, in)
+      def load(dir: String) = graft.tables.Tables.documents(spark, dir)
         .select(org.apache.spark.sql.functions.col("doc_id"),
           org.apache.spark.sql.functions.col("source"),
           org.apache.spark.sql.functions.col("text"))
+      val docs = benchDir.foldLeft(load(in))((d, b) =>
+        graft.ml.Curate.decontaminate(d, load(b)))
       val curated = graft.ml.Curate.curate(docs, minQ)
       curated.write.mode("overwrite").partitionBy("split").parquet(out)
-      val census = graft.ml.Curate.census(spark.read.parquet(out)).collect()
+      // census from the plan, not a sink re-read: a fully-filtered corpus
+      // writes zero part files and parquet cannot infer an empty schema
+      val census = graft.ml.Curate.census(curated).collect()
       census.foreach(r => println(
         s"curated: split=${r.getString(0)} source=${r.getString(1)} " +
           s"n=${r.getLong(2)} avg_quality=${r.getDouble(3)}"))

@@ -39,6 +39,25 @@ object Curate {
       .filter(col("quality") >= minQuality)
       .withColumn("split", TextOps.splitName(col("text")))
 
+  /** Drop documents sharing any word 4-gram with the benchmark corpus
+    * (the `dedup_decontaminate` gate's semantics as a row-level stage).
+    * The benchmark n-gram set is eval-corpus-sized, so membership is an
+    * explicitly broadcast LEFT SEMI — the training corpus never shuffles
+    * by n-gram; the flagged ids anti-join back on doc_id.
+    */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame): DataFrame = {
+    val benchGrams = benchmark
+      .select(split(col("text"), " ").as("w"))
+      .select(explode(expr(TextOps.wordNGramsExpr(4))).as("g"))
+      .distinct()
+    val contaminated = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), explode(expr(TextOps.wordNGramsExpr(4))).as("g"))
+      .join(broadcast(benchGrams), Seq("g"), "left_semi")
+      .select(col("doc_id")).distinct()
+    docs.join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
   /** Per-(split, source) census of a curated corpus. */
   def census(curated: DataFrame): DataFrame =
     curated.groupBy(col("split"), col("source"))

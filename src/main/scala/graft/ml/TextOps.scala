@@ -42,6 +42,18 @@ object TextOps {
       + lit(0.3) * least(lit(1.0), avgWordLen / 8.0))
   }
 
+  /** SQL expression for the distinct word n-grams of a word-array column
+    * named `w` — guarded for short docs (sequence(0, -1) counts DOWN in
+    * Spark and would index w[-1] under ANSI). Shared by the
+    * `dedup_decontaminate` gate and the Curate decontamination stage.
+    */
+  def wordNGramsExpr(n: Int): String = {
+    val parts = (0 until n).map(j => s"w[i+$j]").mkString(", ")
+    s"CASE WHEN size(w) >= $n THEN " +
+      s"transform(sequence(0, size(w)-$n), i -> concat_ws(' ', $parts)) " +
+      "ELSE array() END"
+  }
+
   /** Deterministic 80/10/10 split: a pure function of the content hash
     * (the `dataset_split_hash` contract) — stable across runs,
     * partitionings, and corpus growth.

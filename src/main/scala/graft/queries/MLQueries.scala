@@ -1197,11 +1197,8 @@ $blockSql
       "dedup_decontaminate",
       (s, d) => {
         val g4 = words(s, d)
-          .select(col("doc_id"), explode(expr(
-            "CASE WHEN size(w) >= 4 THEN " +
-              "transform(sequence(0, size(w)-4), " +
-              "i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3])) " +
-              "ELSE array() END")).as("g"))
+          .select(col("doc_id"),
+            explode(expr(graft.ml.TextOps.wordNGramsExpr(4))).as("g"))
           .distinct()
         val bench = g4.filter(col("doc_id") % 50 === 0).select(col("g")).distinct()
         val contaminated = g4.filter(col("doc_id") % 50 =!= 0)

@@ -41,6 +41,19 @@ class CurateSpec extends SparkSpec {
       again.map(_.getAs[String]("split")).toSeq)
   }
 
+  test("decontaminate drops exactly the docs sharing a 4-gram with the benchmark") {
+    import spark.implicits._
+    // doc 1 shares the 4-gram "quick brown fox jumps"; doc 5 shares none
+    val bench = Seq((100L, "b", "a very quick brown fox jumps high today"))
+      .toDF("doc_id", "source", "text")
+    val kept = Curate.decontaminate(docs, bench)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept === Seq(3L, 4L, 5L))  // 1 and its dup 2 both flagged
+    // benchmark membership must be a broadcast LEFT SEMI in the plan
+    val p = Curate.decontaminate(docs, bench).queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"))
+  }
+
   test("min-quality gate filters and census aggregates per (split, source)") {
     val curated = Curate.curate(docs)
     val qs = curated.select(min(col("quality")), max(col("quality")))
