@@ -310,6 +310,107 @@ object CoreQueries {
              |FROM events WHERE event_type = 'purchase'
              |ORDER BY user_id, day""".stripMargin)),
 
+    // Set INTERSECT — the companion of EXCEPT above: (user, day) pairs
+    // that BOTH errored and purchased. Catalyst plans both as a
+    // distinct + join on the full tuple, so the shape is one keyed
+    // shuffle per side at any scale.
+    NamedQuery(
+      "set_intersect_users",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .withColumn("day", date_trunc("day", col("ts")).cast("date"))
+        ev.filter(col("event_type") === "error").select(col("user_id"), col("day"))
+          .intersect(ev.filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("day")))
+          .orderBy(col("user_id"), col("day"))
+      },
+      Some("""SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+             |FROM events WHERE event_type = 'error'
+             |INTERSECT
+             |SELECT user_id, CAST(date_trunc('day', ts) AS DATE)
+             |FROM events WHERE event_type = 'purchase'
+             |ORDER BY user_id, day""".stripMargin)),
+
+    // FULL OUTER join — completes the outer-join family (left outer /
+    // semi / anti are above): per-user click and purchase activity where
+    // either side may be absent. Both inputs pre-aggregate to one row per
+    // user BEFORE the join, so the full-outer shuffle carries user-level
+    // rows, not raw events.
+    NamedQuery(
+      "join_full_outer_activity",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy(col("user_id")).agg(count(lit(1)).as("n_clicks"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id")).agg(count(lit(1)).as("n_purchases"))
+        clicks.join(purchases, Seq("user_id"), "full_outer")
+          .select(col("user_id"),
+            coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+            coalesce(col("n_purchases"), lit(0L)).as("n_purchases"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+             |  CAST(COALESCE(c.n_clicks, 0) AS BIGINT) AS n_clicks,
+             |  CAST(COALESCE(p.n_purchases, 0) AS BIGINT) AS n_purchases
+             |FROM (SELECT user_id, COUNT(*) AS n_clicks FROM events
+             |      WHERE event_type = 'click' GROUP BY 1) c
+             |FULL OUTER JOIN (SELECT user_id, COUNT(*) AS n_purchases FROM events
+             |      WHERE event_type = 'purchase' GROUP BY 1) p
+             |  ON c.user_id = p.user_id
+             |ORDER BY user_id""".stripMargin)),
+
+    // Statistical moments WITHOUT the engines' native stddev/corr (whose
+    // float accumulation orders differ): n, Σx, Σx², Σy, Σy², Σxy as
+    // decimal-exact sums (order-independent), then mean / sample stddev /
+    // Pearson correlation assembled in double with textually identical
+    // arithmetic in both engines. The per-group sums are one partial+final
+    // aggregation — the mergeable-moments shape every distributed stats
+    // library uses, here with exact partials.
+    NamedQuery(
+      "stats_moments",
+      (s, d) => {
+        val dec8 = org.apache.spark.sql.types.DecimalType(28, 8)
+        val e = Tables.events(s, d)
+          .withColumn("x", col("value"))
+          .withColumn("y", hour(col("ts")).cast("double"))
+        val agg = e.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("x").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+              .cast("double").as("sx"),
+            sum((col("x") * col("x")).cast(dec8)).cast("double").as("sxx"),
+            sum(col("y").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+              .cast("double").as("sy"),
+            sum((col("y") * col("y")).cast(dec8)).cast("double").as("syy"),
+            sum((col("x") * col("y")).cast(dec8)).cast("double").as("sxy"))
+        agg.select(col("event_type"), col("n"),
+          r6(col("sx") / col("n")).as("mean_value"),
+          r6(sqrt((col("sxx") - col("sx") * col("sx") / col("n"))
+            / (col("n") - 1))).as("stddev_value"),
+          r6((col("sxy") - col("sx") * col("sy") / col("n"))
+            / (sqrt(col("sxx") - col("sx") * col("sx") / col("n"))
+              * sqrt(col("syy") - col("sy") * col("sy") / col("n"))))
+            .as("corr_value_hour"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""WITH agg AS (
+              |  SELECT event_type, COUNT(*) AS n,
+              |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+              |    CAST(SUM(CAST(value * value AS DECIMAL(28,8))) AS DOUBLE) AS sxx,
+              |    CAST(SUM(CAST(CAST(hour(ts) AS DOUBLE) AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+              |    CAST(SUM(CAST(CAST(hour(ts) AS DOUBLE) * CAST(hour(ts) AS DOUBLE)
+              |      AS DECIMAL(28,8))) AS DOUBLE) AS syy,
+              |    CAST(SUM(CAST(value * CAST(hour(ts) AS DOUBLE) AS DECIMAL(28,8)))
+              |      AS DOUBLE) AS sxy
+              |  FROM events GROUP BY 1
+              |)
+              |SELECT event_type, CAST(n AS BIGINT) AS n,
+              |  ${r6Sql("sx / n")} AS mean_value,
+              |  ${r6Sql("sqrt((sxx - sx * sx / n) / (n - 1))")} AS stddev_value,
+              |  ${r6Sql("(sxy - sx * sy / n) / (sqrt(sxx - sx * sx / n) " +
+                 "* sqrt(syy - sy * sy / n))")} AS corr_value_hour
+              |FROM agg ORDER BY event_type""".stripMargin)),
+
     // B22 shape: top-K membership via left-semi join (the top-5 side is tiny
     // → broadcast semi join; no shuffle of the fact table).
     NamedQuery(
