@@ -310,6 +310,43 @@ object CoreQueries {
              |FROM events WHERE event_type = 'purchase'
              |ORDER BY user_id, day""".stripMargin)),
 
+    // LAG (offset window) — inter-event gaps per user: delta between each
+    // event and its predecessor in (ts, event_id) order, aggregated to a
+    // per-user cadence profile. User-partitioned window ⇒ fully parallel;
+    // the gap sum stays integer micros (exact), only the average divides.
+    NamedQuery(
+      "window_lag_delta",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us"), col("event_id"))
+        Tables.events(s, d)
+          .withColumn("ts_us", expr("ts_ns div 1000"))
+          .withColumn("prev", lag(col("ts_us"), 1).over(w))
+          .filter(col("prev").isNotNull)
+          .withColumn("delta", col("ts_us") - col("prev"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_gaps"),
+            sum(col("delta")).as("total_gap_us"),
+            max(col("delta")).as("max_gap_us"))
+          .select(col("user_id"), col("n_gaps"),
+            r2(col("total_gap_us").cast("double") / col("n_gaps")).as("avg_gap_us"),
+            col("max_gap_us"))
+          .orderBy(col("user_id"))
+      },
+      Some(s"""WITH e AS (
+              |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+              |), gaps AS (
+              |  SELECT user_id,
+              |    ts_us - LAG(ts_us, 1) OVER (
+              |      PARTITION BY user_id ORDER BY ts_us, event_id) AS delta
+              |  FROM e
+              |)
+              |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+              |  ${r2Sql("CAST(SUM(delta) AS DOUBLE) / COUNT(*)")} AS avg_gap_us,
+              |  CAST(MAX(delta) AS BIGINT) AS max_gap_us
+              |FROM gaps WHERE delta IS NOT NULL
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Set INTERSECT — the companion of EXCEPT above: (user, day) pairs
     // that BOTH errored and purchased. Catalyst plans both as a
     // distinct + join on the full tuple, so the shape is one keyed
