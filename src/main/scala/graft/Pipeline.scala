@@ -143,8 +143,8 @@ object Pipeline {
       // last global sort in this stage) for huge name cardinality
       val hashTokens = opts.contains("--hash-tokens")
       if (opts.contains("--rename-user")) df = JsonlProcess.renameUsers(df, hashTokens)
-      if (opts.contains("--rename-schemas")) df = JsonlProcess.renameSchemas(df)
-      if (opts.contains("--rename-catalogs")) df = JsonlProcess.renameCatalogs(df)
+      if (opts.contains("--rename-schemas")) df = JsonlProcess.renameSchemas(df, hashTokens)
+      if (opts.contains("--rename-catalogs")) df = JsonlProcess.renameCatalogs(df, hashTokens)
       if (opts.contains("--remove-locations")) df = JsonlProcess.removeLocations(df)
       if (opts.contains("--remove-query")) df = JsonlProcess.removeQuery(df)
       opts.sliding(2).foreach {
@@ -254,11 +254,14 @@ object Pipeline {
           org.apache.spark.sql.functions.col("text"))
       val docs = benchDir.foldLeft(load(in))((d, b) =>
         graft.ml.Curate.decontaminate(d, load(b)))
-      val curated = graft.ml.Curate.curate(docs, minQ)
+      // cache: the write and the census otherwise re-run the whole
+      // dedup/decontamination pipeline twice
+      val curated = graft.ml.Curate.curate(docs, minQ).cache()
       curated.write.mode("overwrite").partitionBy("split").parquet(out)
       // census from the plan, not a sink re-read: a fully-filtered corpus
       // writes zero part files and parquet cannot infer an empty schema
       val census = graft.ml.Curate.census(curated).collect()
+      curated.unpersist()
       census.foreach(r => println(
         s"curated: split=${r.getString(0)} source=${r.getString(1)} " +
           s"n=${r.getLong(2)} avg_quality=${r.getDouble(3)}"))

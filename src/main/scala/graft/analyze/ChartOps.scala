@@ -33,6 +33,13 @@ object ChartOps {
     * residual so Σ == 100 (`analyze.py:474-476`).
     *
     * Output: (key, value, pct), kept rows first (desc), rest last.
+    *
+    * Cache ownership: the two cached intermediates below are key-bounded
+    * (per-key aggregate; ≤ top assembled rows) and stay pinned until the
+    * session clears them — correct for the CLI commands (one analyze/
+    * report run per session) and for Bench (which clearCache()s between
+    * queries); a long-lived service embedding many pie calls should
+    * `spark.catalog.clearCache()` per batch.
     */
   def pie(counts: DataFrame, keyCol: String, valueCol: String, top: Int = 20): DataFrame = {
     // pre-aggregate by key: callers pass per-key aggregates (unique keys,

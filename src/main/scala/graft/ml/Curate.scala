@@ -32,7 +32,9 @@ object Curate {
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("digest")).orderBy(col("doc_id"))))
       .filter(col("rn") === 1)
-      .drop("rn")
+      // digest is dedup-internal — and it hashes the PRE-scrub text, so
+      // shipping it would leak a fingerprint of the unredacted content
+      .drop("rn", "digest")
       .withColumn("text", TextOps.scrubPii(col("text")))
       .withColumn("quality",
         TextOps.qualityScore(split(col("text"), " "), length(col("text")).cast("long")))

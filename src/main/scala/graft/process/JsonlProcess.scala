@@ -196,7 +196,7 @@ object JsonlProcess {
     * both name fields through one explode).
     */
   private def sharedDict(df: DataFrame, fromInput: Column => Column,
-      segIdx: Int, prefix: String): Map[String, String] = {
+      segIdx: Int, prefix: String, hashTokens: Boolean = false): Map[String, String] = {
     val fromInputs = df.select(col("query_id"), explode(col("inputs")).as("inp"))
       .select(col("query_id"), fromInput(col("inp")).as("old_name"))
     val nodeNames = df.select(col("query_id"), explode(col("plan_nodes")).as("n"))
@@ -204,15 +204,30 @@ object JsonlProcess {
         explode(array(col("n.table_name"), col("n.deepest_table"))).as("tn"))
       .filter(isThreePart(col("tn")))
       .select(col("query_id"), seg(col("tn"), segIdx).as("old_name"))
-    fromInputs.unionAll(nodeNames)
+    val names = fromInputs.unionAll(nodeNames)
       .filter(col("old_name").isNotNull && col("old_name") =!= "")
       .groupBy(col("old_name")).agg(min(col("query_id")).as("first_seen"))
-      .orderBy(col("first_seen"), col("old_name"))
-      .collect()
-      .zipWithIndex
-      .map { case (r, i) => r.getString(0) -> s"$prefix$i" }
-      .toMap
+    // hash mode: tokens are a pure function of the name (md5 prefix) — no
+    // first-seen ordering anywhere, same contract as obfuscateColumn's
+    // hash mode; 12 hex chars ≈ 2^48 space, collisions negligible at
+    // catalog-metadata cardinality
+    if (hashTokens)
+      names.select(col("old_name")).collect()
+        .map(r => r.getString(0) -> s"$prefix${md5Hex(r.getString(0)).take(12)}")
+        .toMap
+    else
+      names
+        .orderBy(col("first_seen"), col("old_name"))
+        .collect()
+        .zipWithIndex
+        .map { case (r, i) => r.getString(0) -> s"$prefix$i" }
+        .toMap
   }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
 
   /** The compact-JSON escape of a name as Jackson stores it: the raw
     * element carries `we\"b` for a name `get_json_object` reports as
@@ -288,16 +303,18 @@ object JsonlProcess {
     * every schema occurrence — inputs' `schema` field + the middle segment
     * of 3-part table names.
     */
-  def renameSchemas(df: DataFrame): DataFrame =
-    applyDict(df, sharedDict(df, i => get_json_object(i, "$.schema"), 1, "schema"),
+  def renameSchemas(df: DataFrame, hashTokens: Boolean = false): DataFrame =
+    applyDict(df,
+      sharedDict(df, i => get_json_object(i, "$.schema"), 1, "schema", hashTokens),
       "schema", 1)
 
   /** `--rename-catalogs` (`jsonl_process.py:138-140`): one dictionary over
     * the catalog/connector occurrences — inputs' `connectorId` field + the
     * first segment of 3-part table names.
     */
-  def renameCatalogs(df: DataFrame): DataFrame =
-    applyDict(df, sharedDict(df, i => get_json_object(i, "$.connectorId"), 0, "catalog"),
+  def renameCatalogs(df: DataFrame, hashTokens: Boolean = false): DataFrame =
+    applyDict(df,
+      sharedDict(df, i => get_json_object(i, "$.connectorId"), 0, "catalog", hashTokens),
       "connectorId", 0)
 
   /** `--remove-locations` (`jsonl_process.py:142-145`): blank the values

@@ -413,11 +413,9 @@ object CoreQueries {
           .withColumn("y", hour(col("ts")).cast("double"))
         val agg = e.groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"),
-            sum(col("x").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
-              .cast("double").as("sx"),
+            dsum(col("x")).as("sx"),
             sum((col("x") * col("x")).cast(dec8)).cast("double").as("sxx"),
-            sum(col("y").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
-              .cast("double").as("sy"),
+            dsum(col("y")).as("sy"),
             sum((col("y") * col("y")).cast(dec8)).cast("double").as("syy"),
             sum((col("x") * col("y")).cast(dec8)).cast("double").as("sxy"))
         agg.select(col("event_type"), col("n"),
@@ -432,9 +430,9 @@ object CoreQueries {
       },
       Some(s"""WITH agg AS (
               |  SELECT event_type, COUNT(*) AS n,
-              |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+              |    ${dsumSql("value")} AS sx,
               |    CAST(SUM(CAST(value * value AS DECIMAL(28,8))) AS DOUBLE) AS sxx,
-              |    CAST(SUM(CAST(CAST(hour(ts) AS DOUBLE) AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+              |    ${dsumSql("CAST(hour(ts) AS DOUBLE)")} AS sy,
               |    CAST(SUM(CAST(CAST(hour(ts) AS DOUBLE) * CAST(hour(ts) AS DOUBLE)
               |      AS DECIMAL(28,8))) AS DOUBLE) AS syy,
               |    CAST(SUM(CAST(value * CAST(hour(ts) AS DOUBLE) AS DECIMAL(28,8)))

@@ -817,11 +817,18 @@ $blockSql
         // qv offset by +1e6 keeps the value non-negative (elements are
         // within [-1, 1]) purely for symmetry with the checksum's modulus
         // arithmetic; the offset cancels out of the mean re-quantization.
+        // The explode iterates the FIXED 1..64 index domain (not the raw
+        // array, same contract as embedding_quantize_int8): an
+        // off-contract short vector yields null qv rows that sum() skips
+        // while count(*) counts — exactly the oracle's NULL-skipping SUM
+        // over CROSS JOIN generate_series(1,64) — instead of silently
+        // averaging over a different member count per engine.
         val expl = assigned
-          .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
-          .select(col("cell"), (col("pos") + 1).cast("long").as("dim"),
-            (floor(col("v").cast("double") * lit(1000000.0) + lit(0.5)).cast("long")
-              + lit(1000000L)).as("qv"))
+          .select(col("cell"), col("embedding"),
+            explode(expr("sequence(CAST(1 AS BIGINT), CAST(64 AS BIGINT))")).as("dim"))
+          .select(col("cell"), col("dim"),
+            (floor(expr("CAST(try_element_at(embedding, CAST(dim AS INT)) AS DOUBLE)")
+              * lit(1000000.0) + lit(0.5)).cast("long") + lit(1000000L)).as("qv"))
         val dims = expl.groupBy(col("cell"), col("dim"))
           .agg(sum(col("qv")).as("qsum"), count(lit(1)).as("cnt"))
           // qsum ≤ n·2e6 stays exact in a double up to n ~ 4.5e9 members
@@ -890,18 +897,22 @@ $blockSql
           // this family pins via its index folds) — filtering the raw
           // array would silently disagree with the oracle on any
           // off-contract vector
+          // try_element_at everywhere (not just amax): a short vector makes
+          // the null predicate false-y in filter() and the null checksum
+          // term coalesce to 0 — matching the oracle's NULL-excluding
+          // COUNT(*) WHERE and NULL-skipping SUM instead of throwing
           .withColumn("n_pos", expr("CASE WHEN amax = 0.0 THEN CAST(0 AS BIGINT) " +
             "ELSE CAST(size(filter(sequence(1, 64), i -> " +
-            "CAST(element_at(embedding, i) AS DOUBLE) / amax * 127.0 + 0.5 >= 1.0)) " +
+            "CAST(try_element_at(embedding, i) AS DOUBLE) / amax * 127.0 + 0.5 >= 1.0)) " +
             "AS BIGINT) END"))
           .withColumn("n_neg", expr("CASE WHEN amax = 0.0 THEN CAST(0 AS BIGINT) " +
             "ELSE CAST(size(filter(sequence(1, 64), i -> " +
-            "CAST(element_at(embedding, i) AS DOUBLE) / amax * 127.0 + 0.5 < 0.0)) " +
+            "CAST(try_element_at(embedding, i) AS DOUBLE) / amax * 127.0 + 0.5 < 0.0)) " +
             "AS BIGINT) END"))
           .withColumn("q_checksum", expr("CASE WHEN amax = 0.0 THEN CAST(0 AS BIGINT) " +
             "ELSE aggregate(sequence(1, 64), CAST(0 AS BIGINT), (acc, i) -> " +
-            "acc + (floor(CAST(element_at(embedding, i) AS DOUBLE) / amax * 127.0 + 0.5) " +
-            "+ 128) * i) END"))
+            "acc + coalesce((floor(CAST(try_element_at(embedding, i) AS DOUBLE) " +
+            "/ amax * 127.0 + 0.5) + 128) * i, CAST(0 AS BIGINT))) END"))
           .select(col("vec_id"), col("scale"), col("n_pos"), col("n_neg"), col("q_checksum"))
           .orderBy(col("vec_id")),
       Some(s"""WITH base AS (

@@ -199,6 +199,33 @@ class JsonlProcessSpec extends SparkSpec {
     assert(out === Array("""{"location":"","table":"t"}"""))
   }
 
+  test("renameSchemas hash-token mode: pure-function tokens, no first-seen order") {
+    val d = Seq(
+      ("q1", Seq("""{"connectorId":"hive","schema":"web","table":"t"}""",
+        """{"connectorId":"hive","schema":"ads","table":"t"}""")),
+      ("q2", Seq("""{"connectorId":"hive","schema":"web","table":"u"}""")))
+      .toDF("query_id", "inputs")
+      .withColumn("plan_nodes", expr(
+        "CAST(array() AS array<struct<fragment_id:string,fragment_idx:int," +
+          "node_id:string,node_type:string,parent_id:string,depth:int," +
+          "dfs_order:int,subtree_end:int,table_name:string," +
+          "deepest_table:string,join_type:string,join_distribution:string," +
+          "has_criteria:boolean>>)"))
+    val toks = JsonlProcess.renameSchemas(d, hashTokens = true)
+      .select(explode(col("inputs"))).collect().map(_.getString(0))
+      .map(s => s.split("\"schema\":\"")(1).split("\"")(0))
+    // injective, prefixed, 12-hex tokens; same name → same token everywhere
+    assert(toks.toSet.size === 2)
+    assert(toks.forall(t => t.startsWith("schema") && t.length === 6 + 12))
+    assert(toks(0) === toks(2))
+    // stable across runs and independent of row order (pure function)
+    val again = JsonlProcess.renameSchemas(d.orderBy(col("query_id").desc),
+      hashTokens = true)
+      .select(explode(col("inputs"))).collect().map(_.getString(0))
+      .map(s => s.split("\"schema\":\"")(1).split("\"")(0))
+    assert(again.toSet === toks.toSet)
+  }
+
   test("renameSchemas handles a schema name carrying an escaped quote") {
     val d = Seq(
       ("q1", Seq("""{"connectorId":"hive","schema":"we\"b","table":"t"}"""),
