@@ -119,6 +119,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window"))
   }
 
+  test("stats_moments: one partial+final aggregation pair carries all six moments") {
+    val p = plan("stats_moments")
+    // moments are mergeable partials: exactly one aggregation exchange
+    // (the second Exchange is the result orderBy), never a pass per moment
+    assert(p.contains("partial_count") && p.contains("partial_sum"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1)
+  }
+
+  test("set_intersect_users: distinct sides meet in a broadcast LEFT SEMI") {
+    val p = plan("set_intersect_users")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"))
+  }
+
   test("skew_salted_agg: two-stage aggregation — salted exchange then key exchange") {
     val p = plan("skew_salted_agg")
     // stage 1 shuffles on (user_id, salt) — a hot key splits 8 ways;
