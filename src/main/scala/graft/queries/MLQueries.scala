@@ -101,6 +101,41 @@ object MLQueries {
       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)""".stripMargin
 
+  /** MinHash signature: 16 universal-hash permutation minima over
+    * md5-prefix shingle ids, all in ONE aggregation pass (no 16× row
+    * explosion — the shuffle carries one row per doc, not sixteen).
+    * sid < 2^31 keeps sid * (2654435761 + 15*40503) < 2^63. Multipliers
+    * must dwarf the modulus or (a*sid+b) never wraps and every
+    * "permutation" degenerates to min(sid). Shared by the LSH banding
+    * gate and the sketch-calibration gate — one signature contract.
+    */
+  private def minhashPerms(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(s, d).withColumn("sid", hashId(col("sh"), 2147483647L))
+    val mins = (0 until 16).map(k =>
+      min((col("sid") * (lit(2654435761L) + lit(k.toLong) * 40503L)
+        + lit(17L) + lit(k.toLong) * 131L) % lit(2147483647L)).as(s"mh$k"))
+    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** Oracle twin of [[minhashPerms]]: CTE chain ending in
+    * `perms(doc_id, mh0..mh15)`.
+    */
+  private val minhashPermsSql: String = {
+    val minExprs = (0 until 16).map(k =>
+      s"    MIN((sid * (2654435761 + $k * 40503) + 17 + $k * 131) % 2147483647) AS mh$k")
+      .mkString(",\n|")
+    s"""sh AS (
+       |  $shinglesSql
+       |), withids AS (
+       |  SELECT doc_id, ${hashIdSql("sh", 2147483647L)} AS sid FROM sh
+       |), perms AS (
+       |  SELECT doc_id,
+       |$minExprs
+       |  FROM withids
+       |  GROUP BY doc_id
+       |)""".stripMargin
+  }
+
   /** wid modulus: (wid*64 + 63) * 2654435761 must stay < 2^63, so wid
     * < ~5.4e7; 33554393 (< 2^25) leaves 2× headroom.
     */
@@ -278,18 +313,7 @@ $blockSql
     NamedQuery(
       "dedup_minhash_lsh",
       (s, d) => {
-        // sid < 2^31 keeps sid * (2654435761 + 15*40503) < 2^63.
-        val sh = shingles(s, d).withColumn("sid", hashId(col("sh"), 2147483647L))
-        // all 16 minima in ONE aggregation pass (no 16x row explosion —
-        // the shuffle carries one row per doc, not sixteen). Multipliers
-        // must dwarf the modulus or (a*sid+b) never wraps and every
-        // "permutation" degenerates to min(sid).
-        val mins = (0 until 16).map(k =>
-          min((col("sid") * (lit(2654435761L) + lit(k.toLong) * 40503L)
-            + lit(17L) + lit(k.toLong) * 131L) % lit(2147483647L)).as(s"mh$k"))
-        val perms = sh
-          .groupBy(col("doc_id"))
-          .agg(mins.head, mins.tail: _*)
+        val perms = minhashPerms(s, d)
         val sigs = (0 until 4).map(b => (b, s"concat_ws('_', mh${4 * b}, mh${4 * b + 1}, mh${4 * b + 2}, mh${4 * b + 3})"))
         val stackExpr = "stack(4, " +
           sigs.map { case (b, sig) => s"CAST($b AS BIGINT), $sig" }.mkString(", ") +
@@ -301,31 +325,7 @@ $blockSql
             max(col("bucket_n")).as("max_bucket"))
           .orderBy(col("band"))
       },
-      Some(s"""WITH sh AS (
-              |  $shinglesSql
-              |), withids AS (
-              |  SELECT doc_id, ${hashIdSql("sh", 2147483647L)} AS sid FROM sh
-              |), perms AS (
-              |  SELECT doc_id,
-              |    MIN((sid * (2654435761 + 0 * 40503) + 17 + 0 * 131) % 2147483647) AS mh0,
-              |    MIN((sid * (2654435761 + 1 * 40503) + 17 + 1 * 131) % 2147483647) AS mh1,
-              |    MIN((sid * (2654435761 + 2 * 40503) + 17 + 2 * 131) % 2147483647) AS mh2,
-              |    MIN((sid * (2654435761 + 3 * 40503) + 17 + 3 * 131) % 2147483647) AS mh3,
-              |    MIN((sid * (2654435761 + 4 * 40503) + 17 + 4 * 131) % 2147483647) AS mh4,
-              |    MIN((sid * (2654435761 + 5 * 40503) + 17 + 5 * 131) % 2147483647) AS mh5,
-              |    MIN((sid * (2654435761 + 6 * 40503) + 17 + 6 * 131) % 2147483647) AS mh6,
-              |    MIN((sid * (2654435761 + 7 * 40503) + 17 + 7 * 131) % 2147483647) AS mh7,
-              |    MIN((sid * (2654435761 + 8 * 40503) + 17 + 8 * 131) % 2147483647) AS mh8,
-              |    MIN((sid * (2654435761 + 9 * 40503) + 17 + 9 * 131) % 2147483647) AS mh9,
-              |    MIN((sid * (2654435761 + 10 * 40503) + 17 + 10 * 131) % 2147483647) AS mh10,
-              |    MIN((sid * (2654435761 + 11 * 40503) + 17 + 11 * 131) % 2147483647) AS mh11,
-              |    MIN((sid * (2654435761 + 12 * 40503) + 17 + 12 * 131) % 2147483647) AS mh12,
-              |    MIN((sid * (2654435761 + 13 * 40503) + 17 + 13 * 131) % 2147483647) AS mh13,
-              |    MIN((sid * (2654435761 + 14 * 40503) + 17 + 14 * 131) % 2147483647) AS mh14,
-              |    MIN((sid * (2654435761 + 15 * 40503) + 17 + 15 * 131) % 2147483647) AS mh15
-              |  FROM withids
-              |  GROUP BY doc_id
-              |), bands AS (
+      Some(s"""WITH $minhashPermsSql, bands AS (
               |  SELECT doc_id, CAST(0 AS BIGINT) AS band, concat_ws('_', mh0, mh1, mh2, mh3) AS sig FROM perms
               |  UNION ALL SELECT doc_id, CAST(1 AS BIGINT) AS band, concat_ws('_', mh4, mh5, mh6, mh7) AS sig FROM perms
               |  UNION ALL SELECT doc_id, CAST(2 AS BIGINT) AS band, concat_ws('_', mh8, mh9, mh10, mh11) AS sig FROM perms
@@ -438,6 +438,94 @@ $blockSql
               |JOIN documents a ON a.doc_id = p.doc_a
               |JOIN documents b ON b.doc_id = p.doc_b
               |ORDER BY sim DESC, doc_a, doc_b LIMIT 20""".stripMargin)),
+
+    // Sketch calibration — the estimator-quality measurement every sketch
+    // deployment runs before trusting it at 100 TB: for a bounded batch
+    // of candidate pairs, the MinHash ESTIMATE of Jaccard similarity (the
+    // fraction of the 16 permutation minima that agree) side by side with
+    // the EXACT 3-gram Jaccard, ranked by estimation error. Reuses the
+    // verified signature contract (minhashPerms) and the verified shingle
+    // universe (shingles), so the calibration measures exactly the sketch
+    // the dedup gates deploy. Plan: signatures join pairwise on the
+    // bounded batch; exact Jaccard is a per-pair intersection join over
+    // the two docs' distinct shingles — candidate-bounded, never all-pairs.
+    NamedQuery(
+      "sketch_minhash_calibration",
+      (s, d) => {
+        val pairs = hammingPairs(s, d)
+          .orderBy(col("doc_a"), col("doc_b")).limit(1000)
+          .select(col("doc_a"), col("doc_b"))
+        val perms = minhashPerms(s, d)
+        def side(suffix: String) = perms.select(
+          col("doc_id").as(s"doc_$suffix") +:
+            (0 until 16).map(k => col(s"mh$k").as(s"mh${k}_$suffix")): _*)
+        val agree = (0 until 16)
+          .map(k => when(col(s"mh${k}_a") === col(s"mh${k}_b"), 1).otherwise(0))
+          .reduce(_ + _)
+        val est = pairs.join(side("a"), "doc_a").join(side("b"), "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+            r6(agree.cast("double") / 16.0).as("est"))
+        val g = shingles(s, d)
+        val sizes = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+        val inter = pairs
+          .join(g.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
+          .join(g.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+          .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+        val exact = pairs
+          .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+          .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+          .join(inter, Seq("doc_a", "doc_b"), "left")
+          .withColumn("inter", coalesce(col("inter"), lit(0L)))
+          .select(col("doc_a"), col("doc_b"), r6(col("inter").cast("double")
+            / (col("n_a") + col("n_b") - col("inter"))).as("jac"))
+        est.join(exact, Seq("doc_a", "doc_b"))
+          .withColumn("err", r6(abs(col("est") - col("jac"))))
+          .orderBy(col("err").desc, col("doc_a"), col("doc_b"))
+          .limit(20)
+      },
+      Some(s"""WITH $simhashSigsSql, nib AS (
+              |  SELECT doc_id, sig0, sig1, sig2, sig3, k,
+              |    CASE k WHEN 0 THEN sig0 WHEN 1 THEN sig1 WHEN 2 THEN sig2
+              |      ELSE sig3 END AS v
+              |  FROM sigs CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS k)
+              |), cand AS (
+              |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |    bit_count(xor(a.sig0, b.sig0)) + bit_count(xor(a.sig1, b.sig1))
+              |      + bit_count(xor(a.sig2, b.sig2)) + bit_count(xor(a.sig3, b.sig3))
+              |      AS dist
+              |  FROM nib a JOIN nib b
+              |    ON a.k = b.k AND a.v = b.v AND a.doc_id < b.doc_id
+              |), pairs AS (
+              |  SELECT doc_a, doc_b FROM cand WHERE dist <= 3
+              |  ORDER BY doc_a, doc_b LIMIT 1000
+              |), $minhashPermsSql, est AS (
+              |  SELECT p.doc_a, p.doc_b, ${r6Sql("(" + (0 until 16).map(k =>
+                 s"(CASE WHEN a.mh$k = b.mh$k THEN 1 ELSE 0 END)").mkString(" + ")
+                 + ") / 16.0")} AS est
+              |  FROM pairs p
+              |  JOIN perms a ON a.doc_id = p.doc_a
+              |  JOIN perms b ON b.doc_id = p.doc_b
+              |), sizes AS (
+              |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1
+              |), inter AS (
+              |  SELECT p.doc_a, p.doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+              |  FROM pairs p
+              |  JOIN sh ga ON ga.doc_id = p.doc_a
+              |  JOIN sh gb ON gb.doc_id = p.doc_b AND gb.sh = ga.sh
+              |  GROUP BY 1, 2
+              |), exact AS (
+              |  SELECT p.doc_a, p.doc_b,
+              |    ${r6Sql("COALESCE(i.inter, 0) * 1.0 " +
+                 "/ (sa.n_sh + sb.n_sh - COALESCE(i.inter, 0))")} AS jac
+              |  FROM pairs p
+              |  JOIN sizes sa ON sa.doc_id = p.doc_a
+              |  JOIN sizes sb ON sb.doc_id = p.doc_b
+              |  LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+              |)
+              |SELECT e.doc_a, e.doc_b, e.est, x.jac,
+              |  ${r6Sql("ABS(e.est - x.jac)")} AS err
+              |FROM est e JOIN exact x ON x.doc_a = e.doc_a AND x.doc_b = e.doc_b
+              |ORDER BY err DESC, e.doc_a, e.doc_b LIMIT 20""".stripMargin)),
 
     // Connected components over the near-dup pair graph — the step that
     // turns pairwise matches into dedup decisions (pairs → clusters →
