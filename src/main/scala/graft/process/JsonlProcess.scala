@@ -207,13 +207,17 @@ object JsonlProcess {
     val names = fromInputs.unionAll(nodeNames)
       .filter(col("old_name").isNotNull && col("old_name") =!= "")
       .groupBy(col("old_name")).agg(min(col("query_id")).as("first_seen"))
-    // hash mode: tokens are a pure function of the name (md5 prefix) — no
-    // first-seen ordering anywhere, same contract as obfuscateColumn's
-    // hash mode; 12 hex chars ≈ 2^48 space, collisions negligible at
-    // catalog-metadata cardinality
+    // hash mode: tokens are a pure function of the name — SAME derivation
+    // (engine md5, 16 hex chars) as hashToken above, computed in the same
+    // aggregation job; no first-seen ordering anywhere. The dictionary is
+    // still collected (applyDict rewrites both nested carriers from a map
+    // literal), so hash mode removes the total-order sort but keeps the
+    // catalog-metadata-sized driver map.
     if (hashTokens)
-      names.select(col("old_name")).collect()
-        .map(r => r.getString(0) -> s"$prefix${md5Hex(r.getString(0)).take(12)}")
+      names.select(col("old_name"),
+        concat(lit(prefix), substring(md5(col("old_name")), 1, 16)).as("tok"))
+        .collect()
+        .map(r => r.getString(0) -> r.getString(1))
         .toMap
     else
       names
@@ -223,11 +227,6 @@ object JsonlProcess {
         .map { case (r, i) => r.getString(0) -> s"$prefix$i" }
         .toMap
   }
-
-  private def md5Hex(s: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString
 
   /** The compact-JSON escape of a name as Jackson stores it: the raw
     * element carries `we\"b` for a name `get_json_object` reports as

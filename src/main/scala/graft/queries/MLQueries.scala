@@ -136,6 +136,29 @@ object MLQueries {
        |)""".stripMargin
   }
 
+  /** Oracle twin of the [[hammingPairs]] candidate construction — the
+    * nib/cand CTE pair (pigeonhole block explode + blockwise-agreeing
+    * candidate join with exact Hamming distance), ending in
+    * `cand(doc_a, doc_b, dist)`. ONE definition spliced into every gate
+    * that consumes candidate pairs (hamming / levenshtein / connected
+    * components / calibration), so the candidate set cannot drift
+    * between oracles.
+    */
+  private val hammingCandSql: String =
+    """nib AS (
+      |  SELECT doc_id, sig0, sig1, sig2, sig3, k,
+      |    CASE k WHEN 0 THEN sig0 WHEN 1 THEN sig1 WHEN 2 THEN sig2
+      |      ELSE sig3 END AS v
+      |  FROM sigs CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS k)
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    bit_count(xor(a.sig0, b.sig0)) + bit_count(xor(a.sig1, b.sig1))
+      |      + bit_count(xor(a.sig2, b.sig2)) + bit_count(xor(a.sig3, b.sig3))
+      |      AS dist
+      |  FROM nib a JOIN nib b
+      |    ON a.k = b.k AND a.v = b.v AND a.doc_id < b.doc_id
+      |)""".stripMargin
+
   /** wid modulus: (wid*64 + 63) * 2654435761 must stay < 2^63, so wid
     * < ~5.4e7; 33554393 (< 2^25) leaves 2× headroom.
     */
@@ -367,19 +390,7 @@ $blockSql
           // sorted materialization)
           .orderBy(col("doc_a"), col("doc_b"))
           .limit(5000),
-      Some(s"""WITH $simhashSigsSql, nib AS (
-              |  SELECT doc_id, sig0, sig1, sig2, sig3, k,
-              |    CASE k WHEN 0 THEN sig0 WHEN 1 THEN sig1 WHEN 2 THEN sig2
-              |      ELSE sig3 END AS v
-              |  FROM sigs CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS k)
-              |), cand AS (
-              |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-              |    bit_count(xor(a.sig0, b.sig0)) + bit_count(xor(a.sig1, b.sig1))
-              |      + bit_count(xor(a.sig2, b.sig2)) + bit_count(xor(a.sig3, b.sig3))
-              |      AS dist
-              |  FROM nib a JOIN nib b
-              |    ON a.k = b.k AND a.v = b.v AND a.doc_id < b.doc_id
-              |)
+      Some(s"""WITH $simhashSigsSql, $hammingCandSql
               |SELECT doc_a, doc_b, CAST(dist AS BIGINT) AS dist
               |FROM cand WHERE dist <= 3
               |ORDER BY doc_a, doc_b LIMIT 5000""".stripMargin)),
@@ -414,19 +425,7 @@ $blockSql
           .orderBy(col("sim").desc, col("doc_a"), col("doc_b"))
           .limit(20)
       },
-      Some(s"""WITH $simhashSigsSql, nib AS (
-              |  SELECT doc_id, sig0, sig1, sig2, sig3, k,
-              |    CASE k WHEN 0 THEN sig0 WHEN 1 THEN sig1 WHEN 2 THEN sig2
-              |      ELSE sig3 END AS v
-              |  FROM sigs CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS k)
-              |), cand AS (
-              |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-              |    bit_count(xor(a.sig0, b.sig0)) + bit_count(xor(a.sig1, b.sig1))
-              |      + bit_count(xor(a.sig2, b.sig2)) + bit_count(xor(a.sig3, b.sig3))
-              |      AS dist
-              |  FROM nib a JOIN nib b
-              |    ON a.k = b.k AND a.v = b.v AND a.doc_id < b.doc_id
-              |), pairs AS (
+      Some(s"""WITH $simhashSigsSql, $hammingCandSql, pairs AS (
               |  SELECT doc_a, doc_b, dist FROM cand WHERE dist <= 3
               |  ORDER BY doc_a, doc_b LIMIT 1000
               |)
@@ -452,6 +451,12 @@ $blockSql
     NamedQuery(
       "sketch_minhash_calibration",
       (s, d) => {
+        // NOT cached (measured): the three consumers of the pair batch
+        // share their heavy exchanges via ReuseExchange already — caching
+        // the pair batch and the shingle universe benched 45% SLOWER
+        // (6.45 s vs 4.45 s at sf0.1) because the InMemoryRelation
+        // materialization jobs cost more than the shared-exchange tails
+        // they replace.
         val pairs = hammingPairs(s, d)
           .orderBy(col("doc_a"), col("doc_b")).limit(1000)
           .select(col("doc_a"), col("doc_b"))
@@ -483,19 +488,7 @@ $blockSql
           .orderBy(col("err").desc, col("doc_a"), col("doc_b"))
           .limit(20)
       },
-      Some(s"""WITH $simhashSigsSql, nib AS (
-              |  SELECT doc_id, sig0, sig1, sig2, sig3, k,
-              |    CASE k WHEN 0 THEN sig0 WHEN 1 THEN sig1 WHEN 2 THEN sig2
-              |      ELSE sig3 END AS v
-              |  FROM sigs CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS k)
-              |), cand AS (
-              |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-              |    bit_count(xor(a.sig0, b.sig0)) + bit_count(xor(a.sig1, b.sig1))
-              |      + bit_count(xor(a.sig2, b.sig2)) + bit_count(xor(a.sig3, b.sig3))
-              |      AS dist
-              |  FROM nib a JOIN nib b
-              |    ON a.k = b.k AND a.v = b.v AND a.doc_id < b.doc_id
-              |), pairs AS (
+      Some(s"""WITH $simhashSigsSql, $hammingCandSql, pairs AS (
               |  SELECT doc_a, doc_b FROM cand WHERE dist <= 3
               |  ORDER BY doc_a, doc_b LIMIT 1000
               |), $minhashPermsSql, est AS (
@@ -607,19 +600,7 @@ $blockSql
           .select(col("doc_id"), col("comp").as("component_id"), col("component_size"))
           .orderBy(col("doc_id"))
       },
-      Some(s"""WITH RECURSIVE $simhashSigsSql, nib AS (
-              |  SELECT doc_id, sig0, sig1, sig2, sig3, k,
-              |    CASE k WHEN 0 THEN sig0 WHEN 1 THEN sig1 WHEN 2 THEN sig2
-              |      ELSE sig3 END AS v
-              |  FROM sigs CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS k)
-              |), cand AS (
-              |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-              |    bit_count(xor(a.sig0, b.sig0)) + bit_count(xor(a.sig1, b.sig1))
-              |      + bit_count(xor(a.sig2, b.sig2)) + bit_count(xor(a.sig3, b.sig3))
-              |      AS dist
-              |  FROM nib a JOIN nib b
-              |    ON a.k = b.k AND a.v = b.v AND a.doc_id < b.doc_id
-              |), edges AS (
+      Some(s"""WITH RECURSIVE $simhashSigsSql, $hammingCandSql, edges AS (
               |  SELECT doc_a AS s, doc_b AS d FROM cand WHERE dist <= 3
               |  UNION SELECT doc_b, doc_a FROM cand WHERE dist <= 3
               |), reach AS (

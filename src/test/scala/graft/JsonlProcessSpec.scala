@@ -214,9 +214,10 @@ class JsonlProcessSpec extends SparkSpec {
     val toks = JsonlProcess.renameSchemas(d, hashTokens = true)
       .select(explode(col("inputs"))).collect().map(_.getString(0))
       .map(s => s.split("\"schema\":\"")(1).split("\"")(0))
-    // injective, prefixed, 12-hex tokens; same name → same token everywhere
+    // injective, prefixed, 16-hex tokens (the module-wide hash-token
+    // contract); same name → same token everywhere
     assert(toks.toSet.size === 2)
-    assert(toks.forall(t => t.startsWith("schema") && t.length === 6 + 12))
+    assert(toks.forall(t => t.startsWith("schema") && t.length === 6 + 16))
     assert(toks(0) === toks(2))
     // stable across runs and independent of row order (pure function)
     val again = JsonlProcess.renameSchemas(d.orderBy(col("query_id").desc),
