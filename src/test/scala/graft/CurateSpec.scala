@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
 import graft.ml.{Curate, TextOps}
 
 /** The composed curation pipeline: dedup survivors, scrubbed text,
@@ -52,6 +53,34 @@ class CurateSpec extends SparkSpec {
     // benchmark membership must be a broadcast LEFT SEMI in the plan
     val p = Curate.decontaminate(docs, bench).queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"))
+  }
+
+  test("property: generated PII never survives scrubbing; quality stays in [0,1]") {
+    import spark.implicits._
+    val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString).map(_.take(8))
+    val ssn = for (a <- Gen.choose(0, 999); b <- Gen.choose(0, 99); c <- Gen.choose(0, 9999))
+      yield f"$a%03d-$b%02d-$c%04d"
+    val phone = for (a <- Gen.choose(0, 999); b <- Gen.choose(0, 9999))
+      yield f"$a%03d-$b%04d"
+    val email = for (u <- word; h <- word) yield s"$u@$h.com"
+    val doc = for {
+      ws <- Gen.nonEmptyListOf(word); pii <- Gen.oneOf(ssn, phone, email)
+      pos <- Gen.choose(0, ws.length)
+    } yield (ws.take(pos) ++ Seq(pii) ++ ws.drop(pos)).mkString(" ")
+    val prop = Prop.forAll(Gen.listOfN(8, doc)) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, "s", t) }
+        .toDF("doc_id", "source", "text")
+      val rows = df.select(
+        TextOps.scrubPii(col("text")).as("scrubbed"),
+        TextOps.qualityScore(split(col("text"), " "),
+          length(col("text")).cast("long")).as("q")).collect()
+      rows.forall { r =>
+        val t = r.getString(0); val q = r.getDouble(1)
+        Seq(TextOps.SsnPat, TextOps.PhonePat, TextOps.EmailPat)
+          .forall(p => p.r.findFirstIn(t).isEmpty) && q >= 0.0 && q <= 1.0
+      }
+    }
+    assert(SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop).passed)
   }
 
   test("min-quality gate filters and census aggregates per (split, source)") {
