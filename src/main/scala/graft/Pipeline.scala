@@ -240,6 +240,23 @@ object Pipeline {
       println(s"featurized ${spark.read.parquet(out).count()} media records to $out$desc")
       spark.stop()
 
+    case "ann" :: in :: out :: opts =>
+      // composed ANN: Lloyd-built IVF coarse quantizer + cell probe
+      def opt(name: String, default: Int) = opts.sliding(2).collectFirst {
+        case Seq(`name`, v) => v.toInt }.getOrElse(default)
+      val (k, iters, topK, nQueries) =
+        (opt("--k", 8), opt("--iters", 2), opt("--topk", 3), opt("--queries", 5))
+      val spark = session()
+      val emb = graft.tables.Tables.embeddings(spark, in)
+      val model = graft.ml.AnnIndex.build(emb, k, iters)
+      val hits = graft.ml.AnnIndex.probe(emb, model,
+        queryIds = (0L until nQueries.toLong), topK = topK)
+      hits.write.mode("overwrite").parquet(out)
+      println(s"ann: k=$k iters=$iters -> " +
+        s"${spark.read.parquet(out).count()} ranked neighbors " +
+        s"for $nQueries queries to $out")
+      spark.stop()
+
     case "curate" :: in :: out :: opts =>
       // composed training-data curation: exact dedup → PII scrub →
       // quality score → content-hash split → parquet partitioned by split
@@ -312,7 +329,7 @@ object Pipeline {
     case _ =>
       System.err.println(
         "usage: Pipeline (collect|extract|analyze|process|process-raw|stream|" +
-          "sessionize|featurize|curate|report|explain) <in> <out> [opts]")
+          "sessionize|featurize|curate|ann|report|explain) <in> <out> [opts]")
       sys.exit(2)
   }
 }

@@ -1,0 +1,116 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps.{vecDot, vecNorm}
+import graft.queries.QueryDsl.r6
+
+/** The composed ANN product path: BUILD an IVF coarse quantizer with
+  * Lloyd iterations (the `embedding_kmeans_iter` gate's contract — r6
+  * cosine assignment to literal centroids with lowest-id argmax ties,
+  * micro-unit integer means so every round is order-independent and
+  * deterministic at any parallelism), then PROBE it (the
+  * `similarity_ann_ivf` gate's contract — candidates from the query's
+  * cell only, ranked by rounded cosine with a neighbor-id tie-break).
+  *
+  * Scale shape per round/probe: assignment is k codegen'd dots per row
+  * against plan-literal centroids (no join, no shuffle); the update is
+  * one (cell, dim)-keyed aggregation; the centroid table collected per
+  * round is k×64 longs. The probe joins on cell id, cutting candidates
+  * ~k× exactly like a real IVF index.
+  */
+object AnnIndex {
+
+  /** cell id → centroid vector; cells keep their seed vec_ids. */
+  final case class Model(centroids: Seq[(Long, Array[Float])])
+
+  private def centNorm(v: Array[Float]): Double =
+    math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
+
+  /** Nearest-centroid cell per row (adds `cell`, keeps input columns).
+    * Same argmax contract as the judged gates: r6-rounded cosine, ties to
+    * the lowest centroid id.
+    */
+  def assignCells(df: DataFrame, model: Model): DataFrame = {
+    val cents = model.centroids.sortBy(_._1)
+    val scored = cents.foldLeft(df.withColumn("__norm", vecNorm(col("embedding")))) {
+      case (d, (cid, cv)) =>
+        d.withColumn(s"__csim_$cid",
+          r6(vecDot(col("embedding"), typedLit(cv)) / (col("__norm") * lit(centNorm(cv)))))
+    }
+    val ids = cents.map(_._1)
+    val cell = ids.foldRight(lit(-1L)) { (cid, els) =>
+      when(ids.filter(_ != cid).map(o => col(s"__csim_$cid") >= col(s"__csim_$o"))
+        .reduceOption(_ && _).getOrElse(lit(true)), lit(cid)).otherwise(els)
+    }
+    scored.withColumn("cell", cell)
+      .drop("__norm").drop(ids.map(i => s"__csim_$i"): _*)
+  }
+
+  /** Lloyd build: seeds = the `k` lowest vec_ids; `iters` rounds of
+    * assign + micro-unit integer mean update (empty cells keep their
+    * previous centroid). Deterministic: integer sums are exact and
+    * order-independent, so every engine/partitioning produces the same
+    * model.
+    */
+  def build(embeddings: DataFrame, k: Int = 8, iters: Int = 2): Model = {
+    val dim = 64
+    var model = Model(embeddings
+      .orderBy(col("vec_id")).limit(k)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getSeq[Float](r.fieldIndex("embedding")).toArray))
+      .toSeq)
+    for (_ <- 0 until iters) {
+      val assigned = assignCells(embeddings.select(col("vec_id"), col("embedding")), model)
+      val qmeans = assigned
+        .select(col("cell"), col("embedding"),
+          explode(expr(s"sequence(CAST(1 AS BIGINT), CAST($dim AS BIGINT))")).as("d"))
+        .select(col("cell"), col("d"),
+          floor(expr("CAST(try_element_at(embedding, CAST(d AS INT)) AS DOUBLE)")
+            * lit(1000000.0) + lit(0.5)).cast("long").as("qv"))
+        .groupBy(col("cell"), col("d"))
+        .agg(sum(col("qv")).as("qsum"), count(col("qv")).as("cnt"))
+        .withColumn("qmean",
+          floor(col("qsum").cast("double") / col("cnt") + lit(0.5)).cast("long"))
+        .select(col("cell"), col("d"), col("qmean"))
+        .collect()
+        .groupBy(_.getAs[Long]("cell"))
+      model = Model(model.centroids.map { case (cid, prev) =>
+        qmeans.get(cid) match {
+          case Some(rows) =>
+            val v = Array.fill(dim)(0.0f)
+            rows.foreach(r => v(r.getAs[Long]("d").toInt - 1) =
+              (r.getAs[Long]("qmean") / 1000000.0).toFloat)
+            (cid, v)
+          case None => (cid, prev) // empty cell: centroid carries over
+        }
+      })
+    }
+    model
+  }
+
+  /** Top-`topK` cell-mate neighbors per query (same ranking contract as
+    * the judged similarity family: rounded cosine desc, neighbor-id
+    * tie-break).
+    */
+  def probe(embeddings: DataFrame, model: Model, queryIds: Seq[Long],
+      topK: Int = 3): DataFrame = {
+    val assigned = assignCells(embeddings.select(col("vec_id"), col("embedding")), model)
+      .withColumn("norm", vecNorm(col("embedding")))
+    val q = assigned.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("ea"),
+        col("norm").as("norm_a"), col("cell"))
+    val c = assigned.filter(!col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("eb"),
+        col("norm").as("norm_b"), col("cell"))
+    q.join(c, Seq("cell"))
+      .withColumn("sim", r6(vecDot(col("ea"), col("eb")) / (col("norm_a") * col("norm_b"))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("neighbor_id"))))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+}

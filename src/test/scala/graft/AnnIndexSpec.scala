@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ml.AnnIndex
+import graft.tables.Tables
+
+/** The composed ANN build/probe path over the sf0.001 embeddings. */
+class AnnIndexSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+  private def emb = Tables.embeddings(spark, d)
+
+  test("build is deterministic and every vector lands in a seed cell") {
+    val m1 = AnnIndex.build(emb, k = 4, iters = 2)
+    val m2 = AnnIndex.build(emb, k = 4, iters = 2)
+    assert(m1.centroids.map(_._1) === Seq(0L, 1L, 2L, 3L))
+    // integer-mean update ⇒ bit-identical centroids across runs
+    assert(m1.centroids.map(_._2.toSeq) === m2.centroids.map(_._2.toSeq))
+    val cells = AnnIndex.assignCells(emb.select(col("vec_id"), col("embedding")), m1)
+      .select("cell").distinct().collect().map(_.getLong(0)).toSet
+    assert(cells.subsetOf(Set(0L, 1L, 2L, 3L)) && cells.nonEmpty)
+    assert(AnnIndex.assignCells(emb.select(col("vec_id"), col("embedding")), m1)
+      .count() === emb.count())
+  }
+
+  test("iterating Lloyd does not worsen the assignment objective") {
+    def objective(m: AnnIndex.Model): Double = {
+      // mean r6-cosine to the assigned centroid — build maximizes this
+      val a = AnnIndex.assignCells(emb.select(col("vec_id"), col("embedding")), m)
+      val cents = m.centroids.toMap
+      val rows = a.collect()
+      rows.map { r =>
+        val v = r.getSeq[Float](r.fieldIndex("embedding")).toArray
+        val c = cents(r.getAs[Long]("cell"))
+        val dot = v.indices.map(i => v(i).toDouble * c(i).toDouble).sum
+        val nv = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+        val nc = math.sqrt(c.map(x => x.toDouble * x.toDouble).sum)
+        dot / (nv * nc)
+      }.sum / rows.length
+    }
+    val seeds = AnnIndex.build(emb, k = 4, iters = 0)
+    val trained = AnnIndex.build(emb, k = 4, iters = 2)
+    assert(objective(trained) >= objective(seeds) - 1e-9)
+  }
+
+  test("probe returns ranked cell-mate neighbors with the gate's contract") {
+    val m = AnnIndex.build(emb, k = 4, iters = 1)
+    val out = AnnIndex.probe(emb, m, queryIds = Seq(0L, 1L, 2L), topK = 3).collect()
+    assert(out.nonEmpty)
+    val byQuery = out.groupBy(_.getAs[Long]("query_id"))
+    byQuery.foreach { case (_, rows) =>
+      assert(rows.length <= 3)
+      // ranks contiguous from 1; sims non-increasing; self never a neighbor
+      assert(rows.map(_.getAs[Int]("rank")).toSeq === (1 to rows.length))
+      val sims = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+      assert(rows.forall(r =>
+        !Seq(0L, 1L, 2L).contains(r.getAs[Long]("neighbor_id"))))
+    }
+  }
+}
