@@ -75,6 +75,62 @@ object MLQueries {
        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, sim
        |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
+  /** IVF cell assignment shared by the ANN probe, the Lloyd-iteration
+    * gate, and the recall-calibration gate: coarse quantizer = the first
+    * 8 corpus vectors (a k-means stand-in with a deterministic seed).
+    * k ≪ N always, so the centroid table lives on the driver and ships
+    * inside the plan as array literals — cell assignment is then a
+    * genuinely NARROW map (8 codegen'd dots per row; no join, no shuffle,
+    * no row explosion). Argmax ties go to the lowest centroid id,
+    * matching the oracle's ROW_NUMBER (csim DESC, cent_id). Returns
+    * `(vec_id, embedding, norm, cell)`.
+    */
+  private def ivfAssigned(s: SparkSession, d: String): DataFrame = {
+    val cents = Tables.embeddings(s, d)
+      .filter(col("vec_id") < 8).select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    // index-order fold with per-element float→double casts — the exact
+    // arithmetic of vecNorm/duckNorm, so both engines see one value.
+    def centNorm(v: Array[Float]): Double =
+      math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
+    val scored = cents.foldLeft(
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), vecNorm(col("embedding")).as("norm"))) {
+      case (df, (cid, cv)) =>
+        df.withColumn(s"csim_$cid",
+          r6(vecDot(col("embedding"), typedLit(cv)) / (col("norm") * lit(centNorm(cv)))))
+    }
+    // first centroid (ascending id) whose sim >= all others
+    val ids = cents.map(_._1)
+    val cell = ids.foldRight(lit(-1L)) { (cid, els) =>
+      // reduceOption: with a single centroid the comparison set is
+      // empty and the winner is unconditional
+      when(ids.filter(_ != cid).map(o => col(s"csim_$cid") >= col(s"csim_$o"))
+        .reduceOption(_ && _).getOrElse(lit(true)), lit(cid)).otherwise(els)
+    }
+    scored.select(col("vec_id"), col("embedding"), col("norm"), cell.as("cell"))
+  }
+
+  /** Oracle twin of [[ivfAssigned]]: the `csims`/`assigned` CTE pair
+    * ending in `assigned(vec_id, cell)` — ONE definition spliced into
+    * every IVF-consuming oracle so the assignment cannot drift.
+    */
+  private val ivfAssignSql: String =
+    s"""csims AS (
+       |  SELECT e.vec_id, c.vec_id AS cent_id,
+       |    ${r6Sql(duckDot("e.embedding", "c.embedding") +
+          s" / (${duckNorm("e.embedding")} * ${duckNorm("c.embedding")})")} AS csim
+       |  FROM embeddings e JOIN embeddings c ON c.vec_id < 8
+       |), assigned AS (
+       |  SELECT vec_id, cent_id AS cell FROM (
+       |    SELECT vec_id, cent_id, ROW_NUMBER() OVER (
+       |      PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS crn
+       |    FROM csims
+       |  ) WHERE crn = 1
+       |)""".stripMargin
+
   /** distinct 3-word shingles per document. Guarded for <3-word docs:
     * sequence(0, -1) counts DOWN in Spark, which would index w[-1] and
     * throw under ANSI mode (DuckDB's generate_series is simply empty).
@@ -776,44 +832,15 @@ $blockSql
               |  WHERE qa.vec_id < 5
               |)""".stripMargin, k = 3))),
 
-    // IVF-style ANN: coarse quantizer = the first 8 corpus vectors (a
-    // k-means stand-in with a deterministic seed). k ≪ N always, so the
-    // centroid table lives on the driver and ships inside the plan as
-    // array literals — cell assignment is then a genuinely NARROW map
-    // (8 codegen'd dots per row; no join, no shuffle, no row explosion),
-    // cheap enough to recompute for the query and candidate sides rather
-    // than cache. Argmax ties go to the lowest centroid id, matching the
-    // oracle's ROW_NUMBER (csim DESC, cent_id). The probe is one equi-join
-    // on cell id — candidates drop ~k× exactly like a real IVF index.
+    // IVF-style ANN: cell assignment via the shared [[ivfAssigned]]
+    // helper (driver-literal centroids, narrow codegen'd map — see its
+    // scaladoc), cheap enough to recompute for the query and candidate
+    // sides rather than cache. The probe is one equi-join on cell id —
+    // candidates drop ~k× exactly like a real IVF index.
     NamedQuery(
       "similarity_ann_ivf",
       (s, d) => {
-        val cents = Tables.embeddings(s, d)
-          .filter(col("vec_id") < 8).select(col("vec_id"), col("embedding"))
-          .collect()
-          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-          .sortBy(_._1)
-        // index-order fold with per-element float→double casts — the exact
-        // arithmetic of vecNorm/duckNorm, so both engines see one value.
-        def centNorm(v: Array[Float]): Double =
-          math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
-        val scored = cents.foldLeft(
-          Tables.embeddings(s, d)
-            .select(col("vec_id"), col("embedding"), vecNorm(col("embedding")).as("norm"))) {
-          case (df, (cid, cv)) =>
-            df.withColumn(s"csim_$cid",
-              r6(vecDot(col("embedding"), typedLit(cv)) / (col("norm") * lit(centNorm(cv)))))
-        }
-        // first centroid (ascending id) whose sim >= all others
-        val ids = cents.map(_._1)
-        val cell = ids.foldRight(lit(-1L)) { (cid, els) =>
-          // reduceOption: with a single centroid the comparison set is
-          // empty and the winner is unconditional
-          when(ids.filter(_ != cid).map(o => col(s"csim_$cid") >= col(s"csim_$o"))
-            .reduceOption(_ && _).getOrElse(lit(true)), lit(cid)).otherwise(els)
-        }
-        val assigned = scored
-          .select(col("vec_id"), col("embedding"), col("norm"), cell.as("cell"))
+        val assigned = ivfAssigned(s, d)
         val q = assigned.filter(col("vec_id") < 5)
           .select(col("vec_id").as("query_id"), col("embedding").as("ea"),
             col("norm").as("norm_a"), col("cell"))
@@ -822,18 +849,7 @@ $blockSql
             col("norm").as("norm_b"), col("cell"))
         cosineTopK(q, c, Seq("cell"), k = 3)
       },
-      Some(topKSql(s"""csims AS (
-              |  SELECT e.vec_id, c.vec_id AS cent_id,
-              |    ${r6Sql(duckDot("e.embedding", "c.embedding") +
-                s" / (${duckNorm("e.embedding")} * ${duckNorm("c.embedding")})")} AS csim
-              |  FROM embeddings e JOIN embeddings c ON c.vec_id < 8
-              |), assigned AS (
-              |  SELECT vec_id, cent_id AS cell FROM (
-              |    SELECT vec_id, cent_id, ROW_NUMBER() OVER (
-              |      PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS crn
-              |    FROM csims
-              |  ) WHERE crn = 1
-              |), sims AS (
+      Some(topKSql(s"""$ivfAssignSql, sims AS (
               |  SELECT qa.vec_id AS query_id, cb.vec_id AS neighbor_id,
               |    ${r6Sql(duckDot("a.embedding", "b.embedding") +
                 s" / (${duckNorm("a.embedding")} * ${duckNorm("b.embedding")})")} AS sim
@@ -846,9 +862,10 @@ $blockSql
 
     // One Lloyd (k-means) iteration — the scale path for BUILDING the IVF
     // index the ANN gate probes: assign every vector to its nearest seed
-    // centroid (same 8 driver-literal seeds and the same rounded-cosine /
-    // lowest-id argmax contract as similarity_ann_ivf, so the two gates
-    // cannot drift), then recompute each centroid as the member mean.
+    // centroid (the shared [[ivfAssigned]] helper — literally the same
+    // seeds and rounded-cosine / lowest-id argmax as similarity_ann_ivf,
+    // so the gates cannot drift), then recompute each centroid as the
+    // member mean.
     // Means are computed in MICRO-units: each element is quantized to
     // floor(v·1e6+0.5) first, summed exactly as integers, and the mean
     // re-quantized — no float summation anywhere, so the result is
@@ -863,26 +880,7 @@ $blockSql
     NamedQuery(
       "embedding_kmeans_iter",
       (s, d) => {
-        val cents = Tables.embeddings(s, d)
-          .filter(col("vec_id") < 8).select(col("vec_id"), col("embedding"))
-          .collect()
-          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-          .sortBy(_._1)
-        def centNorm(v: Array[Float]): Double =
-          math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
-        val scored = cents.foldLeft(
-          Tables.embeddings(s, d)
-            .select(col("vec_id"), col("embedding"), vecNorm(col("embedding")).as("norm"))) {
-          case (df, (cid, cv)) =>
-            df.withColumn(s"csim_$cid",
-              r6(vecDot(col("embedding"), typedLit(cv)) / (col("norm") * lit(centNorm(cv)))))
-        }
-        val ids = cents.map(_._1)
-        val cell = ids.foldRight(lit(-1L)) { (cid, els) =>
-          when(ids.filter(_ != cid).map(o => col(s"csim_$cid") >= col(s"csim_$o"))
-            .reduceOption(_ && _).getOrElse(lit(true)), lit(cid)).otherwise(els)
-        }
-        val assigned = scored.select(col("vec_id"), col("embedding"), cell.as("cell"))
+        val assigned = ivfAssigned(s, d).select(col("vec_id"), col("embedding"), col("cell"))
         // qv offset by +1e6 keeps the value non-negative (elements are
         // within [-1, 1]) purely for symmetry with the checksum's modulus
         // arithmetic; the offset cancels out of the mean re-quantization.
@@ -911,18 +909,7 @@ $blockSql
               % lit(2147483647L)).as("centroid_checksum"))
           .orderBy(col("cell"))
       },
-      Some(s"""WITH csims AS (
-              |  SELECT e.vec_id, c.vec_id AS cent_id,
-              |    ${r6Sql(duckDot("e.embedding", "c.embedding") +
-                s" / (${duckNorm("e.embedding")} * ${duckNorm("c.embedding")})")} AS csim
-              |  FROM embeddings e JOIN embeddings c ON c.vec_id < 8
-              |), assigned AS (
-              |  SELECT vec_id, cent_id AS cell FROM (
-              |    SELECT vec_id, cent_id, ROW_NUMBER() OVER (
-              |      PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS crn
-              |    FROM csims
-              |  ) WHERE crn = 1
-              |), expl AS (
+      Some(s"""WITH $ivfAssignSql, expl AS (
               |  SELECT a.cell, CAST(i AS BIGINT) AS dim,
               |    CAST(FLOOR(CAST(e.embedding[i] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
               |      + 1000000 AS qv
@@ -939,6 +926,73 @@ $blockSql
               |  CAST(SUM(((qmean + 1000000) % 2147483647) * dim) % 2147483647 AS BIGINT)
               |    AS centroid_checksum
               |FROM dims GROUP BY 1 ORDER BY cell""".stripMargin)),
+
+    // ANN recall calibration — the measurement run before trusting an
+    // approximate index at scale (the vector sibling of
+    // sketch_minhash_calibration): recall@3 of the IVF probe against the
+    // exact brute-force top-3, per query. Both sides share the judged
+    // contracts (ivfAssigned cells, cosineTopK ranking), so this gate
+    // measures exactly the index the similarity_ann_ivf gate ships. At
+    // 100 TB the same query runs over a SAMPLE of queries (the exact side
+    // is a cross join — calibration is always sampled); the plan is the
+    // two existing top-k pipelines plus one tiny (query_id,
+    // neighbor_id)-keyed join, nothing new to scale.
+    NamedQuery(
+      "similarity_recall_calibration",
+      (s, d) => {
+        val assigned = ivfAssigned(s, d)
+        val q = assigned.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding").as("ea"),
+            col("norm").as("norm_a"), col("cell"))
+        val c = assigned.filter(col("vec_id") >= 5)
+          .select(col("vec_id").as("neighbor_id"), col("embedding").as("eb"),
+            col("norm").as("norm_b"), col("cell"))
+        val ann = cosineTopK(q, c, Seq("cell"), k = 3)
+          .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1L))
+        val exact = cosineTopK(q.drop("cell"), c.drop("cell"), Nil, k = 3)
+          .select(col("query_id"), col("neighbor_id"))
+        exact.join(ann, Seq("query_id", "neighbor_id"), "left")
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).as("n_exact"),
+            sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_hits"))
+          .withColumn("recall",
+            r6(col("n_hits").cast("double") / col("n_exact")))
+          .orderBy(col("query_id"))
+      },
+      Some(s"""WITH $ivfAssignSql, annsims AS (
+              |  SELECT qa.vec_id AS query_id, cb.vec_id AS neighbor_id,
+              |    ${r6Sql(duckDot("a.embedding", "b.embedding") +
+                s" / (${duckNorm("a.embedding")} * ${duckNorm("b.embedding")})")} AS sim
+              |  FROM assigned qa
+              |  JOIN assigned cb ON qa.cell = cb.cell AND cb.vec_id >= 5
+              |  JOIN embeddings a ON a.vec_id = qa.vec_id
+              |  JOIN embeddings b ON b.vec_id = cb.vec_id
+              |  WHERE qa.vec_id < 5
+              |), ann AS (
+              |  SELECT query_id, neighbor_id FROM (
+              |    SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+              |      PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+              |    FROM annsims
+              |  ) WHERE rank <= 3
+              |), exsims AS (
+              |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+              |    ${r6Sql(duckDot("a.embedding", "b.embedding") +
+                s" / (${duckNorm("a.embedding")} * ${duckNorm("b.embedding")})")} AS sim
+              |  FROM embeddings a JOIN embeddings b ON b.vec_id >= 5
+              |  WHERE a.vec_id < 5
+              |), ex AS (
+              |  SELECT query_id, neighbor_id FROM (
+              |    SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+              |      PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+              |    FROM exsims
+              |  ) WHERE rank <= 3
+              |)
+              |SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+              |  CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
+              |  ${r6Sql("CAST(COUNT(a.neighbor_id) AS DOUBLE) / COUNT(*)")} AS recall
+              |FROM ex e LEFT JOIN ann a
+              |  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // Symmetric int8 quantization of the embedding column — the standard
     // vector-compression step before ANN indexing (4× smaller, dot
@@ -1262,6 +1316,80 @@ $blockSql
               |FROM ws JOIN bs ON ws.doc_id = bs.doc_id
               |ORDER BY rep_score DESC, ws.doc_id LIMIT 20""".stripMargin)),
 
+    // Keyword extraction — per-source top terms by tf-idf. The idf is the
+    // integer proxy (1000000 div df) (the simhash weighting convention):
+    // ranking by tf·(1e6 div df) is monotone in tf·idf at any fixed df
+    // and keeps every score an exact int64 — no float log whose last bits
+    // could differ between engines. Plan: one (source, word) aggregation
+    // for tf, one word-keyed distinct-doc aggregation for df, a word-
+    // keyed join (vocabulary-sized — AQE broadcasts it when small), and a
+    // per-source WindowGroupLimit for the top-5: each partition forwards
+    // only local top-5 candidates, no global sort.
+    NamedQuery(
+      "text_keywords_tfidf",
+      (s, d) => {
+        val wordDocs = words(s, d)
+          .select(col("doc_id"), explode(col("w")).as("word"))
+        val tf = wordDocs
+          .join(Tables.documents(s, d).select(col("doc_id"), col("source")), "doc_id")
+          .groupBy(col("source"), col("word")).agg(count(lit(1)).as("tf"))
+        val dfreq = wordDocs.distinct()
+          .groupBy(col("word")).agg(count(lit(1)).as("df"))
+        tf.join(dfreq, "word")
+          .withColumn("score_micro", col("tf") * expr("1000000 div df"))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(col("source"))
+              .orderBy(col("score_micro").desc, col("word"))))
+          .filter(col("rank") <= 5)
+          .select(col("source"), col("rank"), col("word"),
+            col("tf"), col("df"), col("score_micro"))
+          .orderBy(col("source"), col("rank"))
+      },
+      Some("""WITH wd AS (
+             |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents
+             |), tf AS (
+             |  SELECT d.source, word, CAST(COUNT(*) AS BIGINT) AS tf
+             |  FROM wd JOIN documents d USING (doc_id) GROUP BY 1, 2
+             |), dfs AS (
+             |  SELECT word, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+             |  FROM wd GROUP BY 1
+             |)
+             |SELECT source, CAST(rank AS BIGINT) AS rank, word, tf, df, score_micro
+             |FROM (
+             |  SELECT source, word, tf, df, tf * (1000000 // df) AS score_micro,
+             |    ROW_NUMBER() OVER (PARTITION BY source
+             |      ORDER BY tf * (1000000 // df) DESC, word) AS rank
+             |  FROM tf JOIN dfs USING (word)
+             |) WHERE rank <= 5 ORDER BY source, rank""".stripMargin)),
+
+    // Boilerplate n-gram mining — the cross-document twin of
+    // text_repetition_score (which is within-document): the corpus-wide
+    // most-shared word trigrams by document frequency, the C4-style
+    // signal for template/boilerplate spans to strip before training.
+    // Plan: generator explode → one trigram-keyed aggregation (the
+    // distinct-doc count is the standard two-phase partial distinct) →
+    // TakeOrdered top-20. No vocabulary table, no join; the trigram key
+    // space shards uniformly at any corpus size.
+    NamedQuery(
+      "text_boilerplate_ngrams",
+      (s, d) =>
+        words(s, d)
+          .select(col("doc_id"),
+            explode(expr(graft.ml.TextOps.wordNGramsExpr(3))).as("g"))
+          .groupBy(col("g"))
+          .agg(countDistinct(col("doc_id")).as("df"),
+            count(lit(1)).as("occurrences"))
+          .orderBy(col("df").desc, col("g"))
+          .limit(20),
+      Some("""WITH grams AS (
+             |  SELECT doc_id, UNNEST(list_transform(generate_series(1, len(w)-2),
+             |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+             |)
+             |SELECT g, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+             |  CAST(COUNT(*) AS BIGINT) AS occurrences
+             |FROM grams GROUP BY 1 ORDER BY df DESC, g LIMIT 20""".stripMargin)),
+
     // Benchmark decontamination — remove training documents that share any
     // word 4-gram with the held-out benchmark slice (doc_id%50==0 stands in
     // for the eval set; 4 was chosen empirically: on this 31-word-vocabulary
@@ -1315,6 +1443,51 @@ $blockSql
              |    AS contam_id_checksum
              |FROM documents d LEFT JOIN contam c ON d.doc_id = c.doc_id
              |WHERE d.doc_id % 50 <> 0
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Incremental dedup — the INGEST-time shape of exact dedup: a new
+    // batch (doc_id%10<>0 stands in for today's crawl) is deduplicated
+    // against an already-ingested corpus (doc_id%10==0) by content
+    // digest. Only (digest, source, doc_id) ever moves — payloads stay at
+    // the scan on both sides; the membership test is one digest-keyed
+    // join (left + null-flag so the censuses fall out of the same pass).
+    // At 100 TB the existing-corpus side is itself huge, so the correct
+    // plan is the shuffle join on digest this query gets — NOT a
+    // broadcast (contrast dedup_decontaminate, where the reference side
+    // is eval-sized and broadcast is right). Within-batch duplicates are
+    // dedup_exact_canonical's job; this gate is batch-vs-corpus only.
+    // Judged output = per-source batch/kept censuses + the kept-id
+    // checksum pinning exactly which documents survived.
+    NamedQuery(
+      "dedup_incremental_anti",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), md5(col("text")).as("digest"))
+        val existing = docs.filter(col("doc_id") % 10 === 0)
+          .select(col("digest")).distinct()
+          .withColumn("dup", lit(1L))
+        docs.filter(col("doc_id") % 10 =!= 0)
+          .join(existing, Seq("digest"), "left")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_batch"),
+            sum(when(col("dup").isNull, 1L).otherwise(0L)).as("n_kept"),
+            (sum(when(col("dup").isNull, col("doc_id") % lit(2147483647L))
+              .otherwise(lit(0L))) % lit(2147483647L)).as("kept_id_checksum"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH docs AS (
+             |  SELECT doc_id, source, md5(text) AS digest FROM documents
+             |), existing AS (
+             |  SELECT DISTINCT digest FROM docs WHERE doc_id % 10 = 0
+             |)
+             |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_batch,
+             |  CAST(SUM(CASE WHEN e.digest IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_kept,
+             |  CAST(SUM(CASE WHEN e.digest IS NULL
+             |      THEN b.doc_id % 2147483647 ELSE 0 END) % 2147483647 AS BIGINT)
+             |    AS kept_id_checksum
+             |FROM docs b LEFT JOIN existing e ON b.digest = e.digest
+             |WHERE b.doc_id % 10 <> 0
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // Deterministic train/val/test split — THE reproducibility primitive
@@ -1371,6 +1544,59 @@ $blockSql
               |    ORDER BY ${hashIdSql("text", 2147483647L)}, doc_id) AS rank
               |  FROM documents
               |) WHERE rank <= 20 ORDER BY source, rank""".stripMargin)),
+
+    // Quality-weighted deterministic sampling — importance sampling
+    // without a random number generator: each document is accepted with
+    // probability equal to its quality score by comparing a content-hash
+    // draw (uniform on [0, 1e6), salted so it is independent of the
+    // split/stratified hashes) against the score in micro-units. The
+    // acceptance decision is a pure function of the content — stable
+    // across runs, partitionings, and engines, and upsampling later never
+    // flips earlier decisions. score is already r6-rounded so score·1e6
+    // is integral up to float error; the +0.5 floor makes the threshold
+    // exact. Plan: narrow map per row + one aggregation — nothing
+    // shuffles but the per-source census. Judged output pins membership
+    // (kept-id checksum) AND the expected-acceptance mass (Σ thresholds),
+    // so both the draw and the scoring are verified.
+    NamedQuery(
+      "sample_weighted_hash",
+      (s, d) =>
+        Tables.documents(s, d)
+          .withColumn("w", split(col("text"), " "))
+          .withColumn("score", graft.ml.TextOps.qualityScore(col("w"), col("n_chars")))
+          .withColumn("thresh",
+            floor(col("score") * lit(1000000.0) + lit(0.5)).cast("long"))
+          .withColumn("hk", hashId(concat(lit("wsample|"), col("text")), 1000000L))
+          .withColumn("kept", col("hk") < col("thresh"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_total"),
+            sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+            sum(col("thresh")).as("expect_micro"),
+            (sum(when(col("kept"), col("doc_id") % lit(2147483647L))
+              .otherwise(lit(0L))) % lit(2147483647L)).as("kept_id_checksum"))
+          .orderBy(col("source")),
+      Some(s"""WITH feat AS (
+              |  SELECT doc_id, source, text,
+              |    CAST(len(w) AS BIGINT) AS n_words,
+              |    CAST(len(list_filter(w, x -> list_contains(['the','a','of'], x)))
+              |      AS DOUBLE) / len(w) AS stop_ratio,
+              |    CAST(n_chars - (len(w) - 1) AS DOUBLE) / len(w) AS avg_word_len
+              |  FROM (SELECT doc_id, source, text, n_chars,
+              |        string_split(text, ' ') AS w FROM documents)
+              |), samp AS (
+              |  SELECT doc_id, source,
+              |    CAST(FLOOR((${r6Sql("0.4 * least(1.0, CAST(n_words AS DOUBLE) / 100.0) " +
+                 "+ 0.3 * (1.0 - stop_ratio) + 0.3 * least(1.0, avg_word_len / 8.0)")})
+              |      * 1000000.0 + 0.5) AS BIGINT) AS thresh,
+              |    ${hashIdSql("'wsample|' || text", 1000000L)} AS hk
+              |  FROM feat
+              |)
+              |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_total,
+              |  CAST(SUM(CASE WHEN hk < thresh THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+              |  CAST(SUM(thresh) AS BIGINT) AS expect_micro,
+              |  CAST(SUM(CASE WHEN hk < thresh THEN doc_id % 2147483647 ELSE 0 END)
+              |    % 2147483647 AS BIGINT) AS kept_id_checksum
+              |FROM samp GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // Multimodal plumbing (metadata over opaque bytes): texts as binary
     // payloads — byte sizes + content digests per source. The decode /

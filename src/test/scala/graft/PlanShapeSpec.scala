@@ -163,4 +163,46 @@ class PlanShapeSpec extends SparkSpec {
     // top-20 repetitive docs is a TakeOrdered, not a full sort
     assert(plan("text_repetition_score").contains("TakeOrderedAndProject(limit=20"))
   }
+
+  test("sample_weighted_hash: acceptance is a narrow map — no join, no window") {
+    val p = plan("sample_weighted_hash")
+    // score, threshold, and hash draw are all per-row projections on the
+    // scan; only the per-source census aggregation shuffles
+    assert(!p.contains("Join"), "weighted sampling must not need a join")
+    assert(!p.contains("Window"), "weighted sampling must not need a window")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1)
+  }
+
+  test("dedup_incremental_anti: digest-keyed join carries no payload column") {
+    val p = plan("dedup_incremental_anti")
+    assert(p.contains("Join"))
+    // the payload is consumed by the md5 projection at the scan and never
+    // survives past it: every plan line naming the text column is either a
+    // scan or the digest projection itself
+    val leaks = p.linesIterator.filter(_.contains("text#"))
+      .filterNot(l => l.contains("FileScan") || l.contains("ReadSchema")
+        || l.contains("md5(") || l.contains("DataFilters"))
+    assert(leaks.isEmpty, s"payload leaked past the digest projection: ${leaks.mkString("; ")}")
+  }
+
+  test("text_keywords_tfidf: per-source top-5 plans as WindowGroupLimit") {
+    val p = plan("text_keywords_tfidf")
+    assert(p.contains("WindowGroupLimit"))
+    assert(!p.contains("WindowExec: No Partition"))
+  }
+
+  test("text_boilerplate_ngrams: top-20 is a TakeOrdered over the aggregate") {
+    val p = plan("text_boilerplate_ngrams")
+    assert(p.contains("TakeOrderedAndProject(limit=20"))
+    assert(!p.contains("Join") && !p.contains("Window"))
+  }
+
+  test("similarity_recall_calibration: both sides keep the shared contracts") {
+    val p = plan("similarity_recall_calibration")
+    // IVF side: literal centroids — no vec_id exchange; exact side: the
+    // brute-force pipeline; both rank via partial WindowGroupLimit
+    assert(!p.contains("Exchange hashpartitioning(vec_id"))
+    assert(p.contains("float_vec_dot(embedding"))
+    assert(p.contains("WindowGroupLimit"))
+  }
 }
