@@ -255,6 +255,15 @@ object Pipeline {
       println(s"ann: k=$k iters=$iters -> " +
         s"${spark.read.parquet(out).count()} ranked neighbors " +
         s"for $nQueries queries to $out")
+      if (opts.contains("--recall")) {
+        // calibration pass: recall@topK of the built index vs exact
+        // brute force over the same query sample (gate contract)
+        graft.ml.AnnIndex.recall(emb, model,
+          queryIds = (0L until nQueries.toLong), topK = topK)
+          .collect().foreach(r => println(
+            s"ann recall: query=${r.getLong(0)} " +
+              s"hits=${r.getLong(2)}/${r.getLong(1)} recall=${r.getDouble(3)}"))
+      }
       spark.stop()
 
     case "curate" :: in :: out :: opts =>
@@ -273,7 +282,10 @@ object Pipeline {
         graft.ml.Curate.decontaminate(d, load(b)))
       // cache: the write and the census otherwise re-run the whole
       // dedup/decontamination pipeline twice
-      val curated = graft.ml.Curate.curate(docs, minQ).cache()
+      val base = graft.ml.Curate.curate(docs, minQ)
+      val curated =
+        (if (opts.contains("--sample-weighted"))
+          graft.ml.Curate.sampleWeighted(base) else base).cache()
       curated.write.mode("overwrite").partitionBy("split").parquet(out)
       // census from the plan, not a sink re-read: a fully-filtered corpus
       // writes zero part files and parquet cannot infer an empty schema

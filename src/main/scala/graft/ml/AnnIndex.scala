@@ -90,6 +90,39 @@ object AnnIndex {
     model
   }
 
+  /** Recall@`topK` of this index's probe against the exact brute-force
+    * top-`topK`, per query (the `similarity_recall_calibration` gate's
+    * semantics over an arbitrary built model) — the measurement run
+    * before trusting the index at scale. At 100 TB the exact side is a
+    * cross join, so this always runs over a SAMPLE of queries.
+    */
+  def recall(embeddings: DataFrame, model: Model, queryIds: Seq[Long],
+      topK: Int = 3): DataFrame = {
+    val ann = probe(embeddings, model, queryIds, topK)
+      .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1L))
+    val e = embeddings.select(col("vec_id"), col("embedding"),
+      vecNorm(col("embedding")).as("norm"))
+    val q = e.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("ea"),
+        col("norm").as("norm_a"))
+    val c = e.filter(!col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("eb"),
+        col("norm").as("norm_b"))
+    val exact = q.crossJoin(c)
+      .withColumn("sim", r6(vecDot(col("ea"), col("eb")) / (col("norm_a") * col("norm_b"))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("neighbor_id"))))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("neighbor_id"))
+    exact.join(ann, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_hits"))
+      .withColumn("recall", r6(col("n_hits").cast("double") / col("n_exact")))
+      .orderBy(col("query_id"))
+  }
+
   /** Top-`topK` cell-mate neighbors per query (same ranking contract as
     * the judged similarity family: rounded cosine desc, neighbor-id
     * tie-break).

@@ -60,6 +60,20 @@ object Curate {
     docs.join(contaminated, Seq("doc_id"), "left_anti")
   }
 
+  /** Quality-weighted downsampling of a curated corpus (the
+    * `sample_weighted_hash` gate's semantics as a row-level stage):
+    * accept each document with probability equal to its quality score by
+    * comparing a salted content-hash draw (uniform on [0, 1e6)) against
+    * the score in micro-units. No RNG: the decision is a pure function of
+    * the content, so re-running after corpus growth never flips earlier
+    * decisions. Narrow map — expects the `quality` column [[curate]]
+    * computed (over the same text column being hashed).
+    */
+  def sampleWeighted(curated: DataFrame): DataFrame =
+    curated.filter(
+      graft.queries.QueryDsl.hashId(concat(lit("wsample|"), col("text")), 1000000L)
+        < floor(col("quality") * lit(1000000.0) + lit(0.5)).cast("long"))
+
   /** Per-(split, source) census of a curated corpus. */
   def census(curated: DataFrame): DataFrame =
     curated.groupBy(col("split"), col("source"))

@@ -43,6 +43,29 @@ class AnnIndexSpec extends SparkSpec {
     assert(objective(trained) >= objective(seeds) - 1e-9)
   }
 
+  test("recall: a single-cell index is exhaustive, so recall@k is exactly 1") {
+    // with k=1 every candidate shares the query's cell — the probe IS the
+    // brute force, so the calibration must report recall 1.0 per query
+    val m = AnnIndex.build(emb, k = 1, iters = 1)
+    val rows = AnnIndex.recall(emb, m, queryIds = Seq(0L, 1L, 2L), topK = 3).collect()
+    assert(rows.map(_.getAs[Long]("query_id")).toSeq === Seq(0L, 1L, 2L))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_hits") === r.getAs[Long]("n_exact"))
+      assert(r.getAs[Double]("recall") === 1.0)
+    }
+  }
+
+  test("recall of a multi-cell index is in [0,1] and counts real hits only") {
+    val m = AnnIndex.build(emb, k = 4, iters = 1)
+    val rows = AnnIndex.recall(emb, m, queryIds = Seq(0L, 1L, 2L), topK = 3).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, h) = (r.getAs[Long]("n_exact"), r.getAs[Long]("n_hits"))
+      assert(n === 3L && h >= 0L && h <= n)
+      assert(r.getAs[Double]("recall") >= 0.0 && r.getAs[Double]("recall") <= 1.0)
+    }
+  }
+
   test("probe returns ranked cell-mate neighbors with the gate's contract") {
     val m = AnnIndex.build(emb, k = 4, iters = 1)
     val out = AnnIndex.probe(emb, m, queryIds = Seq(0L, 1L, 2L), topK = 3).collect()

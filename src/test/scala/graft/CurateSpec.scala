@@ -83,6 +83,28 @@ class CurateSpec extends SparkSpec {
     assert(SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop).passed)
   }
 
+  test("sampleWeighted: deterministic, subset, and quality-1.0 docs always kept") {
+    import spark.implicits._
+    // 100 long non-stopword words → quality exactly 1.0 (thresh = 1e6,
+    // every hash draw < 1e6 accepts); a 1-word doc scores low
+    val perfect = (1 to 100).map(i => f"verylongword$i%04d").mkString(" ")
+    val many = (0 until 40).map(i => (i.toLong, s"s${i % 3}", s"$perfect tail$i")) :+
+      (99L, "s9", "tiny")
+    val curated = Curate.curate(many.toDF("doc_id", "source", "text"))
+    val kept = Curate.sampleWeighted(curated)
+    val ids = kept.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // pure function of content: second run identical
+    val again = Curate.sampleWeighted(curated)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids === again)
+    val all = curated.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.forall(all.contains))
+    // every quality-1.0 doc is unconditionally kept
+    val perfectIds = curated.filter(col("quality") === 1.0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(perfectIds.nonEmpty && perfectIds.subsetOf(ids.toSet))
+  }
+
   test("min-quality gate filters and census aggregates per (split, source)") {
     val curated = Curate.curate(docs)
     val qs = curated.select(min(col("quality")), max(col("quality")))
