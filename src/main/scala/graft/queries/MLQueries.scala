@@ -578,7 +578,9 @@ $blockSql
 
     // Connected components over the near-dup pair graph — the step that
     // turns pairwise matches into dedup decisions (pairs → clusters →
-    // canonical doc). Iterative min-label propagation: every doc starts
+    // canonical doc; the output's is_canonical flag IS the keep decision:
+    // per component the best-quality member survives, ties to the lowest
+    // doc_id). Iterative min-label propagation: every doc starts
     // as its own component; each round takes the min over neighbors'
     // labels; converges in O(cluster diameter) rounds (near-dup clusters
     // are near-cliques, so 2-3 here; the 25-round cap is a safety valve).
@@ -652,8 +654,20 @@ $blockSql
         require(changed == 0,
           s"connected components did not converge within $iter rounds ($changed labels still moving)")
         val sizes = labels.groupBy(col("comp")).agg(count(lit(1)).as("component_size"))
-        labels.join(sizes, "comp")
-          .select(col("doc_id"), col("comp").as("component_id"), col("component_size"))
+        // canonical selection — the KEEP decision that finishes the dedup
+        // workflow: per component, the best-quality member wins (the
+        // text_quality_score contract; ties to the lowest doc_id). A
+        // component-partitioned window — components are near-dup clusters,
+        // so partitions stay small at any corpus size.
+        val quality = Tables.documents(s, d)
+          .select(col("doc_id"), graft.ml.TextOps.qualityScore(
+            split(col("text"), " "), col("n_chars")).as("q"))
+        labels.join(sizes, "comp").join(quality, "doc_id")
+          .withColumn("is_canonical",
+            when(row_number().over(Window.partitionBy(col("comp"))
+              .orderBy(col("q").desc, col("doc_id"))) === 1, 1L).otherwise(0L))
+          .select(col("doc_id"), col("comp").as("component_id"),
+            col("component_size"), col("is_canonical"))
           .orderBy(col("doc_id"))
       },
       Some(s"""WITH RECURSIVE $simhashSigsSql, $hammingCandSql, edges AS (
@@ -665,12 +679,25 @@ $blockSql
               |  SELECT e.s, reach.r FROM edges e JOIN reach ON reach.doc = e.d
               |), comp AS (
               |  SELECT doc, MIN(r) AS component_id FROM reach GROUP BY doc
+              |), qual AS (
+              |  SELECT doc_id,
+              |    ${r6Sql("0.4 * least(1.0, CAST(len(w) AS DOUBLE) / 100.0) " +
+                 "+ 0.3 * (1.0 - CAST(len(list_filter(w, x -> " +
+                 "list_contains(['the','a','of'], x))) AS DOUBLE) / len(w)) " +
+                 "+ 0.3 * least(1.0, (CAST(n_chars - (len(w) - 1) AS DOUBLE) " +
+                 "/ len(w)) / 8.0)")} AS q
+              |  FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS w
+              |        FROM documents)
               |)
               |SELECT c.doc AS doc_id, c.component_id,
-              |  CAST(sz.cnt AS BIGINT) AS component_size
+              |  CAST(sz.cnt AS BIGINT) AS component_size,
+              |  CAST(CASE WHEN ROW_NUMBER() OVER (PARTITION BY c.component_id
+              |      ORDER BY q.q DESC, c.doc) = 1 THEN 1 ELSE 0 END AS BIGINT)
+              |    AS is_canonical
               |FROM comp c
               |JOIN (SELECT component_id, COUNT(*) AS cnt FROM comp GROUP BY 1) sz
               |  USING (component_id)
+              |JOIN qual q ON q.doc_id = c.doc
               |ORDER BY doc_id""".stripMargin)),
 
     // n-gram Jaccard near-dup over the DF-CAPPED shingle universe:
