@@ -120,8 +120,11 @@ object Pipeline {
           val df = f()
           df.coalesce(1).write.mode("overwrite").parquet(s"$out/$name")
           written += 1
-        } catch { // per-analyzer isolation, like analyze.py:1269-1272
-          case e: Exception => System.err.println(s"[analyze] $name failed: ${e.getMessage}")
+        } catch {
+          // per-analyzer isolation (analyze.py:1269-1272) unless
+          // `--fail-on-error` (analyze.py:1213) asks the whole run to abort
+          case e: Exception if !rest.contains("--fail-on-error") =>
+            System.err.println(s"[analyze] $name failed: ${e.getMessage}")
         }
       }
       println(s"wrote $written/${selected.size} analyzer tables to $out")
