@@ -1625,6 +1625,96 @@ $blockSql
               |    % 2147483647 AS BIGINT) AS kept_id_checksum
               |FROM samp GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Length-outlier filtering — the "drop too-short / too-long documents"
+    // curation pass, with thresholds LEARNED from the corpus rather than
+    // hard-coded: per source, keep documents whose word count lies inside
+    // the [p10, p90] band of that source's length distribution. The
+    // thresholds table is one row per source (tiny at any corpus size —
+    // explicitly broadcast), so the filter is map-side; the exact R-7
+    // percentile is the quantile_thresholds contract (approx_percentile is
+    // the documented 100 TB escape hatch, same plan shape). Judged output
+    // pins the kept membership per source.
+    NamedQuery(
+      "filter_length_outliers",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            size(split(col("text"), " ")).cast("long").as("n_words"))
+        val thr = docs.groupBy(col("source"))
+          .agg(r2(expr("percentile(n_words, 0.1)")).as("lo"),
+            r2(expr("percentile(n_words, 0.9)")).as("hi"))
+        docs.join(broadcast(thr), "source")
+          .withColumn("kept", col("n_words") >= col("lo") && col("n_words") <= col("hi"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_total"),
+            sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+            (sum(when(col("kept"), col("doc_id") % lit(2147483647L))
+              .otherwise(lit(0L))) % lit(2147483647L)).as("kept_id_checksum"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH docs AS (
+              |  SELECT doc_id, source,
+              |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+              |  FROM documents
+              |), thr AS (
+              |  SELECT source, ${r2Sql("quantile_cont(n_words, 0.1)")} AS lo,
+              |    ${r2Sql("quantile_cont(n_words, 0.9)")} AS hi
+              |  FROM docs GROUP BY 1
+              |)
+              |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_total,
+              |  CAST(SUM(CASE WHEN n_words >= lo AND n_words <= hi
+              |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+              |  CAST(SUM(CASE WHEN n_words >= lo AND n_words <= hi
+              |      THEN doc_id % 2147483647 ELSE 0 END) % 2147483647 AS BIGINT)
+              |    AS kept_id_checksum
+              |FROM docs d JOIN thr USING (source)
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Sequence packing — the training-batch prep step: concatenate
+    // documents into fixed token-budget chunks (512 here). Greedy
+    // streaming packing in content-hash order: a chunk takes consecutive
+    // docs until the running token total crosses the budget (documents
+    // straddle boundaries — the standard pre-tokenization packing
+    // approximation). The window partitions by (source, shard) with the
+    // shard derived from the content hash: at 100 TB a per-source-only
+    // window would sort one source's billions of docs in one partition;
+    // sharding bounds every partition while keeping assignment a pure
+    // function of content (deterministic across runs and engines). Judged
+    // output = per-chunk census, which pins the whole packing.
+    NamedQuery(
+      "pack_sequences_greedy",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            size(split(col("text"), " ")).cast("long").as("tokens"),
+            hashId(col("text"), 2147483647L).as("hk"))
+          .withColumn("shard", col("hk") % 8)
+        val w = Window.partitionBy(col("source"), col("shard"))
+          .orderBy(col("hk"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        docs.withColumn("cum", sum(col("tokens")).over(w))
+          .withColumn("chunk_id", expr("(cum - tokens) div 512"))
+          .groupBy(col("source"), col("shard"), col("chunk_id"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("token_sum"))
+          .orderBy(col("source"), col("shard"), col("chunk_id"))
+      },
+      Some(s"""WITH docs AS (
+              |  SELECT doc_id, source,
+              |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+              |    ${hashIdSql("text", 2147483647L)} AS hk
+              |  FROM documents
+              |), packed AS (
+              |  SELECT source, hk % 8 AS shard, tokens,
+              |    SUM(tokens) OVER (PARTITION BY source, hk % 8
+              |      ORDER BY hk, doc_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              |  FROM docs
+              |)
+              |SELECT source, shard, (cum - tokens) // 512 AS chunk_id,
+              |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |  CAST(SUM(tokens) AS BIGINT) AS token_sum
+              |FROM packed GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
     // Multimodal plumbing (metadata over opaque bytes): texts as binary
     // payloads — byte sizes + content digests per source. The decode /
     // feature-extract stage is the stubbed Multimodal pipeline (library +

@@ -197,6 +197,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join") && !p.contains("Window"))
   }
 
+  test("filter_length_outliers: learned thresholds broadcast, filter map-side") {
+    val p = plan("filter_length_outliers")
+    // the per-source threshold table is tiny at any corpus size — the row
+    // filter must join it broadcast, never shuffling the corpus by source
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("percentile"))
+  }
+
+  test("pack_sequences_greedy: packing window is sharded, never per-source-global") {
+    val p = plan("pack_sequences_greedy")
+    assert(p.contains("Window"))
+    assert(!p.contains("WindowExec: No Partition"))
+    // partition key must include the hash shard alongside source — a
+    // source-only window would sort one source's full corpus in one task
+    assert(p.contains("hashpartitioning(source") && p.contains("shard"))
+  }
+
   test("similarity_recall_calibration: both sides keep the shared contracts") {
     val p = plan("similarity_recall_calibration")
     // IVF side: literal centroids — no vec_id exchange; exact side: the
