@@ -9,10 +9,12 @@ import graft.process.JsonlProcess
   * equivalents of the reference's entry points:
   *
   *   extract <queryInfoDir> <outDir>   (extract.py: QueryInfo JSON → summary)
-  *   analyze <summaryPath> <outDir> [--filter NAME] [--limit N]
+  *   analyze <summaryPath> <outDir> [--filter NAME] [--limit N] [--fail-on-error]
   *                                     (analyze.py: 28 analyzer tables + metrics;
   *                                      --filter runs exactly one analyzer,
-  *                                      --limit keeps the first N summaries)
+  *                                      --limit keeps the first N summaries,
+  *                                      --fail-on-error aborts on the first
+  *                                      analyzer failure instead of isolating it)
   *   process <summaryPath> <outDir> [--rename-user] [--rename-schemas]
   *           [--rename-catalogs] [--remove-locations] [--remove-query]
   *           [--filter-user NAME] [--filter-schema NAME] [--hash-tokens]
@@ -25,6 +27,13 @@ import graft.process.JsonlProcess
   *                                      key-based rows/2-part-name parity path)
   *   report <summaryPath> <out.html|out.zip>   (self-contained HTML, zip-wrapped
   *                                              when the target ends in .zip)
+  *   curate <docsDir> <outDir> [--min-quality Q] [--benchmark DIR]
+  *          [--sample-weighted]         (dedup → scrub → score → split; optional
+  *                                       decontamination and quality-weighted
+  *                                       downsampling)
+  *   ann <embDir> <outDir> [--k N] [--iters N] [--topk N] [--queries N]
+  *       [--recall]                     (Lloyd-built IVF index + probe; --recall
+  *                                       prints recall@topK vs brute force)
   *
   * summaryPath accepts parquet (preferred at scale) or jsonl(.gz) written by
   * `extract`. Analyzer results land as one parquet dir per analyzer.
@@ -259,10 +268,12 @@ object Pipeline {
         s"${spark.read.parquet(out).count()} ranked neighbors " +
         s"for $nQueries queries to $out")
       if (opts.contains("--recall")) {
-        // calibration pass: recall@topK of the built index vs exact
-        // brute force over the same query sample (gate contract)
+        // calibration pass: recall@topK of the built index vs exact brute
+        // force over the same query sample (gate contract). The ann side
+        // reads the parquet just written — the probe is not recomputed.
         graft.ml.AnnIndex.recall(emb, model,
-          queryIds = (0L until nQueries.toLong), topK = topK)
+          queryIds = (0L until nQueries.toLong), topK = topK,
+          annHits = Some(spark.read.parquet(out)))
           .collect().foreach(r => println(
             s"ann recall: query=${r.getLong(0)} " +
               s"hits=${r.getLong(2)}/${r.getLong(1)} recall=${r.getDouble(3)}"))

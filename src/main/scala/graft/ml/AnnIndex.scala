@@ -90,30 +90,50 @@ object AnnIndex {
     model
   }
 
-  /** Recall@`topK` of this index's probe against the exact brute-force
-    * top-`topK`, per query (the `similarity_recall_calibration` gate's
-    * semantics over an arbitrary built model) — the measurement run
-    * before trusting the index at scale. At 100 TB the exact side is a
-    * cross join, so this always runs over a SAMPLE of queries.
+  /** THE ranking contract of the similarity family (MLQueries.cosineTopK's
+    * twin): rounded cosine desc, neighbor-id tie-break, top-`topK` per
+    * query. One definition for [[probe]] and [[recall]]'s exact side, so
+    * the calibration always measures the exact ranking the index ships.
+    * Input must carry (query_id, ea, norm_a) × (neighbor_id, eb, norm_b).
     */
-  def recall(embeddings: DataFrame, model: Model, queryIds: Seq[Long],
-      topK: Int = 3): DataFrame = {
-    val ann = probe(embeddings, model, queryIds, topK)
-      .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1L))
-    val e = embeddings.select(col("vec_id"), col("embedding"),
-      vecNorm(col("embedding")).as("norm"))
-    val q = e.filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("query_id"), col("embedding").as("ea"),
-        col("norm").as("norm_a"))
-    val c = e.filter(!col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("neighbor_id"), col("embedding").as("eb"),
-        col("norm").as("norm_b"))
-    val exact = q.crossJoin(c)
+  private def rankTopK(joined: DataFrame, topK: Int): DataFrame =
+    joined
       .withColumn("sim", r6(vecDot(col("ea"), col("eb")) / (col("norm_a") * col("norm_b"))))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("sim").desc, col("neighbor_id"))))
       .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+      .orderBy(col("query_id"), col("rank"))
+
+  /** Query/candidate sides over (vec_id, embedding[, cell]) rows. */
+  private def sides(e: DataFrame, queryIds: Seq[Long], extra: Seq[String])
+      : (DataFrame, DataFrame) = {
+    val withNorm = e.withColumn("norm", vecNorm(col("embedding")))
+    val q = withNorm.filter(col("vec_id").isin(queryIds: _*))
+      .select((Seq(col("vec_id").as("query_id"), col("embedding").as("ea"),
+        col("norm").as("norm_a")) ++ extra.map(col)): _*)
+    val c = withNorm.filter(!col("vec_id").isin(queryIds: _*))
+      .select((Seq(col("vec_id").as("neighbor_id"), col("embedding").as("eb"),
+        col("norm").as("norm_b")) ++ extra.map(col)): _*)
+    (q, c)
+  }
+
+  /** Recall@`topK` of this index's probe against the exact brute-force
+    * top-`topK`, per query (the `similarity_recall_calibration` gate's
+    * semantics over an arbitrary built model) — the measurement run
+    * before trusting the index at scale. At 100 TB the exact side is a
+    * cross join, so this always runs over a SAMPLE of queries. Pass
+    * `annHits` (a previously computed/persisted [[probe]] result with
+    * query_id + neighbor_id columns) to avoid re-running the probe.
+    */
+  def recall(embeddings: DataFrame, model: Model, queryIds: Seq[Long],
+      topK: Int = 3, annHits: Option[DataFrame] = None): DataFrame = {
+    val ann = annHits.getOrElse(probe(embeddings, model, queryIds, topK))
+      .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1L))
+    val (q, c) = sides(embeddings.select(col("vec_id"), col("embedding")),
+      queryIds, extra = Nil)
+    val exact = rankTopK(q.crossJoin(c), topK)
       .select(col("query_id"), col("neighbor_id"))
     exact.join(ann, Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("query_id"))
@@ -130,20 +150,7 @@ object AnnIndex {
   def probe(embeddings: DataFrame, model: Model, queryIds: Seq[Long],
       topK: Int = 3): DataFrame = {
     val assigned = assignCells(embeddings.select(col("vec_id"), col("embedding")), model)
-      .withColumn("norm", vecNorm(col("embedding")))
-    val q = assigned.filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("query_id"), col("embedding").as("ea"),
-        col("norm").as("norm_a"), col("cell"))
-    val c = assigned.filter(!col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("neighbor_id"), col("embedding").as("eb"),
-        col("norm").as("norm_b"), col("cell"))
-    q.join(c, Seq("cell"))
-      .withColumn("sim", r6(vecDot(col("ea"), col("eb")) / (col("norm_a") * col("norm_b"))))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("sim").desc, col("neighbor_id"))))
-      .filter(col("rank") <= topK)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
-      .orderBy(col("query_id"), col("rank"))
+    val (q, c) = sides(assigned, queryIds, extra = Seq("cell"))
+    rankTopK(q.join(c, Seq("cell")), topK)
   }
 }

@@ -71,8 +71,7 @@ object Curate {
     */
   def sampleWeighted(curated: DataFrame): DataFrame =
     curated.filter(
-      graft.queries.QueryDsl.hashId(concat(lit("wsample|"), col("text")), 1000000L)
-        < floor(col("quality") * lit(1000000.0) + lit(0.5)).cast("long"))
+      TextOps.sampleDraw(col("text")) < TextOps.sampleThreshold(col("quality")))
 
   /** Per-(split, source) census of a curated corpus. */
   def census(curated: DataFrame): DataFrame =

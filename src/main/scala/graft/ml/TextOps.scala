@@ -54,6 +54,21 @@ object TextOps {
       "ELSE array() END"
   }
 
+  /** Salted content-hash draw of the weighted-sampling contract
+    * (`sample_weighted_hash`): uniform on [0, 1e6), independent of the
+    * split/stratified hashes via the salt. ONE definition for the judged
+    * gate and the Curate product stage.
+    */
+  def sampleDraw(text: Column): Column =
+    hashId(concat(lit("wsample|"), text), 1000000L)
+
+  /** Micro-unit acceptance threshold of the same contract: quality is
+    * r6-rounded so quality·1e6 is integral up to float error; the +0.5
+    * floor makes the threshold exact.
+    */
+  def sampleThreshold(quality: Column): Column =
+    floor(quality * lit(1000000.0) + lit(0.5)).cast("long")
+
   /** Deterministic 80/10/10 split: a pure function of the content hash
     * (the `dataset_split_hash` contract) — stable across runs,
     * partitionings, and corpus growth.

@@ -43,6 +43,24 @@ object MLQueries {
   private def words(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(col("doc_id"), split(col("text"), " ").as("w"))
 
+  /** Oracle twin of TextOps.qualityScore over `documents`: CTE ending in
+    * `qual(doc_id, source, text, n_words, q)`. ONE definition spliced into
+    * every quality-consuming oracle (text_quality_score /
+    * sample_weighted_hash / the components gate's canonical selection), so
+    * the judged quality contract cannot drift between gates.
+    */
+  private val qualSql: String =
+    s"""qual AS (
+       |  SELECT doc_id, source, text, CAST(len(w) AS BIGINT) AS n_words,
+       |    ${r6Sql("0.4 * least(1.0, CAST(len(w) AS DOUBLE) / 100.0) " +
+          "+ 0.3 * (1.0 - CAST(len(list_filter(w, x -> " +
+          "list_contains(['the','a','of'], x))) AS DOUBLE) / len(w)) " +
+          "+ 0.3 * least(1.0, (CAST(n_chars - (len(w) - 1) AS DOUBLE) " +
+          "/ len(w)) / 8.0)")} AS q
+       |  FROM (SELECT doc_id, source, text, n_chars,
+       |        string_split(text, ' ') AS w FROM documents)
+       |)""".stripMargin
+
   /** Shared probe scaffold of the similarity family (bruteforce / LSH /
     * IVF): join queries `(query_id, ea, norm_a, …)` to candidates
     * `(neighbor_id, eb, norm_b, …)` — on the index's bucket/cell column, or
@@ -679,16 +697,7 @@ $blockSql
               |  SELECT e.s, reach.r FROM edges e JOIN reach ON reach.doc = e.d
               |), comp AS (
               |  SELECT doc, MIN(r) AS component_id FROM reach GROUP BY doc
-              |), qual AS (
-              |  SELECT doc_id,
-              |    ${r6Sql("0.4 * least(1.0, CAST(len(w) AS DOUBLE) / 100.0) " +
-                 "+ 0.3 * (1.0 - CAST(len(list_filter(w, x -> " +
-                 "list_contains(['the','a','of'], x))) AS DOUBLE) / len(w)) " +
-                 "+ 0.3 * least(1.0, (CAST(n_chars - (len(w) - 1) AS DOUBLE) " +
-                 "/ len(w)) / 8.0)")} AS q
-              |  FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS w
-              |        FROM documents)
-              |)
+              |), $qualSql
               |SELECT c.doc AS doc_id, c.component_id,
               |  CAST(sz.cnt AS BIGINT) AS component_size,
               |  CAST(CASE WHEN ROW_NUMBER() OVER (PARTITION BY c.component_id
@@ -1149,17 +1158,9 @@ $blockSql
           .select(col("doc_id"), col("n_words"), col("score"))
           .orderBy(col("score").desc, col("doc_id"))
           .limit(20),
-      Some(s"""WITH feat AS (
-              |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
-              |    CAST(len(list_filter(w, x -> list_contains(['the','a','of'], x)))
-              |      AS DOUBLE) / len(w) AS stop_ratio,
-              |    CAST(n_chars - (len(w) - 1) AS DOUBLE) / len(w) AS avg_word_len
-              |  FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents)
-              |)
-              |SELECT doc_id, n_words,
-              |  ${r6Sql("0.4 * least(1.0, CAST(n_words AS DOUBLE) / 100.0) " +
-                "+ 0.3 * (1.0 - stop_ratio) + 0.3 * least(1.0, avg_word_len / 8.0)")} AS score
-              |FROM feat ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
+      Some(s"""WITH $qualSql
+              |SELECT doc_id, n_words, q AS score
+              |FROM qual ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
 
     // Token counting: whitespace tokens + a BPE-ish regex lexer count.
     NamedQuery(
@@ -1591,9 +1592,10 @@ $blockSql
         Tables.documents(s, d)
           .withColumn("w", split(col("text"), " "))
           .withColumn("score", graft.ml.TextOps.qualityScore(col("w"), col("n_chars")))
-          .withColumn("thresh",
-            floor(col("score") * lit(1000000.0) + lit(0.5)).cast("long"))
-          .withColumn("hk", hashId(concat(lit("wsample|"), col("text")), 1000000L))
+          // draw + threshold come from TextOps (shared with the Curate
+          // product stage — ONE definition, like the rest of the contract)
+          .withColumn("thresh", graft.ml.TextOps.sampleThreshold(col("score")))
+          .withColumn("hk", graft.ml.TextOps.sampleDraw(col("text")))
           .withColumn("kept", col("hk") < col("thresh"))
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n_total"),
@@ -1602,21 +1604,11 @@ $blockSql
             (sum(when(col("kept"), col("doc_id") % lit(2147483647L))
               .otherwise(lit(0L))) % lit(2147483647L)).as("kept_id_checksum"))
           .orderBy(col("source")),
-      Some(s"""WITH feat AS (
-              |  SELECT doc_id, source, text,
-              |    CAST(len(w) AS BIGINT) AS n_words,
-              |    CAST(len(list_filter(w, x -> list_contains(['the','a','of'], x)))
-              |      AS DOUBLE) / len(w) AS stop_ratio,
-              |    CAST(n_chars - (len(w) - 1) AS DOUBLE) / len(w) AS avg_word_len
-              |  FROM (SELECT doc_id, source, text, n_chars,
-              |        string_split(text, ' ') AS w FROM documents)
-              |), samp AS (
+      Some(s"""WITH $qualSql, samp AS (
               |  SELECT doc_id, source,
-              |    CAST(FLOOR((${r6Sql("0.4 * least(1.0, CAST(n_words AS DOUBLE) / 100.0) " +
-                 "+ 0.3 * (1.0 - stop_ratio) + 0.3 * least(1.0, avg_word_len / 8.0)")})
-              |      * 1000000.0 + 0.5) AS BIGINT) AS thresh,
+              |    CAST(FLOOR(q * 1000000.0 + 0.5) AS BIGINT) AS thresh,
               |    ${hashIdSql("'wsample|' || text", 1000000L)} AS hk
-              |  FROM feat
+              |  FROM qual
               |)
               |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_total,
               |  CAST(SUM(CASE WHEN hk < thresh THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
@@ -1710,7 +1702,7 @@ $blockSql
               |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
               |  FROM docs
               |)
-              |SELECT source, shard, (cum - tokens) // 512 AS chunk_id,
+              |SELECT source, shard, CAST((cum - tokens) // 512 AS BIGINT) AS chunk_id,
               |  CAST(COUNT(*) AS BIGINT) AS n_docs,
               |  CAST(SUM(tokens) AS BIGINT) AS token_sum
               |FROM packed GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
