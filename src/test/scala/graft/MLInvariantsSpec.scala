@@ -1,0 +1,62 @@
+package graft
+
+/** Structural invariants of the newest training-data gates — properties
+  * the DuckDB oracle's value-compare implies but is worth stating (and
+  * keeping) explicitly: they document WHAT the operators guarantee, not
+  * just that two engines agree.
+  */
+class MLInvariantsSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  test("pack_sequences_greedy: every chunk but the last per shard meets the budget") {
+    // greedy streaming packing: a chunk closes only when the running
+    // total crosses 512, so any chunk that is FOLLOWED by another chunk
+    // in its (source, shard) must hold >= 512 tokens (docs straddle
+    // boundaries; only the tail chunk may come up short)
+    val rows = SparkEntry.queries("pack_sequences_greedy")(spark, d).collect()
+    val byShard = rows.groupBy(r => (r.getAs[String]("source"), r.getAs[Long]("shard")))
+    assert(byShard.nonEmpty)
+    byShard.foreach { case (_, chunks) =>
+      val sorted = chunks.sortBy(_.getAs[Long]("chunk_id"))
+      sorted.dropRight(1).foreach { c =>
+        assert(c.getAs[Long]("token_sum") >= 512L,
+          s"non-final chunk under budget: $c")
+      }
+      // chunk ids are the floor of the running start offset — first is 0
+      assert(sorted.head.getAs[Long]("chunk_id") === 0L)
+    }
+    // packing conserves tokens: chunk sums add up to the corpus total
+    val corpusTokens = graft.tables.Tables.documents(spark, d)
+      .selectExpr("CAST(size(split(text, ' ')) AS BIGINT) AS t")
+      .collect().map(_.getLong(0)).sum
+    assert(rows.map(_.getAs[Long]("token_sum")).sum === corpusTokens)
+  }
+
+  test("text_keywords_tfidf: dense ranks 1..5 per source, scores non-increasing") {
+    val rows = SparkEntry.queries("text_keywords_tfidf")(spark, d).collect()
+    val bySource = rows.groupBy(_.getAs[String]("source"))
+    assert(bySource.nonEmpty)
+    bySource.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq === (1 to sorted.length))
+      val scores = sorted.map(_.getAs[Long]("score_micro"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      // score is exactly the integer contract tf * (1e6 div df)
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("score_micro") ===
+          r.getAs[Long]("tf") * (1000000L / r.getAs[Long]("df")))
+      }
+    }
+  }
+
+  test("filter_length_outliers: kept counts stay within totals and never empty a source") {
+    val rows = SparkEntry.queries("filter_length_outliers")(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, k) = (r.getAs[Long]("n_total"), r.getAs[Long]("n_kept"))
+      // a [p10, p90] band always contains the median: some doc survives
+      assert(k >= 1L && k <= n)
+    }
+  }
+}
