@@ -27,16 +27,31 @@ final class Collector(
     coordinator: String,
     user: String = "analyzer",
     basicAuth: Option[(String, String)] = None,
+    endpoint: String = "/v1/query",
+    userRequestHeader: Option[String] = None,
     http: HttpClient = HttpClient.newHttpClient()) {
 
   private val mapper = new ObjectMapper()
   val doneStates: Set[String] = Set("FINISHED", "FAILED")
 
+  // --username-request-header (collect.py:38-48): when set, send the
+  // username in exactly that ONE header (warning on a non-standard name,
+  // like the reference); otherwise both Trino and Presto headers.
+  private val reqHeaders: Seq[(String, String)] = userRequestHeader match {
+    case Some(h) =>
+      if (h != "X-Trino-User" && h != "X-Presto-User")
+        System.err.println(s"[collect] username request header '$h' is not " +
+          "X-Trino-User or X-Presto-User, collecting JSONs might fail")
+      Seq(h -> user)
+    case None => Seq("X-Trino-User" -> user, "X-Presto-User" -> user)
+  }
+
   private def get(url: String): Option[String] = {
     val b = HttpRequest.newBuilder(URI.create(url))
-      .header("X-Trino-User", user)
-      .header("X-Presto-User", user)
-    basicAuth.foreach { case (u, p) =>
+    reqHeaders.foreach { case (k, v) => b.header(k, v) }
+    // basic auth only when BOTH parts are present (collect.py:50-55's
+    // `if all([username, password])`)
+    basicAuth.filter { case (u, p) => u.nonEmpty && p.nonEmpty }.foreach { case (u, p) =>
       b.header("Authorization", "Basic " + Base64.getEncoder
         .encodeToString(s"$u:$p".getBytes(StandardCharsets.UTF_8)))
     }
@@ -48,18 +63,23 @@ final class Collector(
     }
   }
 
-  /** ids of queries in a done state, from `GET /v1/query`. */
+  /** ids of queries in a done state, from `GET {endpoint}` — sorted, the
+    * reference's download order (`for query_id in sorted(ids)`,
+    * collect.py:100).
+    */
   def listDone(): Seq[String] =
-    get(s"$coordinator/v1/query").toSeq.flatMap { body =>
+    get(s"$coordinator$endpoint").toSeq.flatMap { body =>
       mapper.readTree(body).elements.asScala.collect {
         case q if Option(q.get("state")).exists(s => doneStates(s.asText)) =>
           q.get("queryId").asText
       }.toSeq
-    }
+    }.sorted
 
-  /** full QueryInfo JSON for one id (`?pretty`, like the reference). */
+  /** full QueryInfo JSON for one id (`{endpoint}/{id}?pretty` — the detail
+    * URL shares the configured endpoint, collect.py:105).
+    */
   def queryInfo(id: String): Option[String] =
-    get(s"$coordinator/v1/query/$id?pretty")
+    get(s"$coordinator$endpoint/$id?pretty")
 
   /** One poll cycle: fetch every done query not already on disk. Returns
     * the number of new files written.

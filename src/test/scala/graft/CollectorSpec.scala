@@ -71,4 +71,26 @@ class CollectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     // never asked for the RUNNING/QUEUED queries
     assert(detailHits("20220101_000002_00002_bbbbb") === 0)
   }
+
+  test("custom endpoint prefixes the detail URL; custom header replaces both defaults") {
+    // the stub only serves /v1/query, so a collector pointed at a custom
+    // endpoint must fail its LIST call (proving the endpoint is honored
+    // end-to-end, list and detail share it — collect.py:87,105)
+    val out = java.nio.file.Files.createTempDirectory("graft-collect-ep").toString
+    val wrong = new Collector(s"http://localhost:$port", endpoint = "/custom/query")
+    assert(wrong.listDone() === Seq.empty)
+    assert(wrong.collectOnce(out, delayMs = 0) === 0)
+    // --username-request-header: the Trino default header must be ABSENT
+    // when a custom (Presto-only) header is configured
+    val presto = new Collector(s"http://localhost:$port", user = "tester",
+      userRequestHeader = Some("X-Presto-User"))
+    assert(presto.listDone().nonEmpty)
+    assert(lastUserHeader === None) // X-Trino-User was not sent
+  }
+
+  test("ids are processed in sorted order (the reference's download order)") {
+    val c = new Collector(s"http://localhost:$port")
+    val ids = c.listDone()
+    assert(ids === ids.sorted && ids.nonEmpty)
+  }
 }
