@@ -26,6 +26,7 @@ import graft.process.JsonlProcess
   *   process-raw <queryInfoDir> <outDir> [--remove-query] [--rename-schemas]
   *           [--rename-catalogs] [--remove-locations] [--rename-user]
   *           [--rename-partitions] [--filter-schema NAME] [--limit N]
+  *           [--fail-on-error]
   *                                     (jsonl_process.py semantics over the RAW
   *                                      nested JSON, before any flatten — the
   *                                      key-based rows/2-part-name parity path)
@@ -190,7 +191,8 @@ object Pipeline {
         },
         limit = opts.sliding(2).collectFirst {
           case List("--limit", n) => n.toInt
-        })
+        },
+        failOnError = opts.contains("--fail-on-error"))
       graft.process.RawProcess.process(spark, in, o)
         .write.mode("overwrite").option("compression", "gzip").text(out)
       println(s"raw-processed ${spark.read.text(out).count()} documents to $out")

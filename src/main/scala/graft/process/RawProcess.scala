@@ -52,7 +52,10 @@ object RawProcess {
       renameUser: Boolean = false,
       renamePartitions: Boolean = false,
       filterSchema: Option[String] = None,
-      limit: Option[Int] = None)
+      limit: Option[Int] = None,
+      // --fail-on-error (jsonl_process.py:106): abort the whole run on
+      // the first unparseable document instead of the default drop
+      failOnError: Boolean = false)
 
   /** Obfuscator groups: id → (token prefix, keys in reference dict order). */
   private val groups: Seq[(String, String, Seq[String])] = Seq(
@@ -223,7 +226,11 @@ object RawProcess {
           alterAll(root, actions, (g, name) => { seen += ((g, name)); "" })
           seen.zipWithIndex.map { case ((g, n), i) => (g, n, path, i) }.toSeq
         }
-      } catch { case _: Exception => Seq.empty }
+      } catch {
+        case e: Exception =>
+          if (opts.failOnError) throw e // --fail-on-error: abort the run
+          Seq.empty
+      }
     }.toDF("group", "name", "path", "occ")
     // first occurrence per (group, name) across the corpus, then the
     // reference's sequential numbering = rank of that first occurrence
@@ -265,7 +272,11 @@ object RawProcess {
               (g, name) => d.get(g).flatMap(_.get(name)).getOrElse(name))
             Some(mapper.writeValueAsString(root))
           }
-        } catch { case _: Exception => None }
+        } catch {
+          case e: Exception =>
+            if (opts.failOnError) throw e // --fail-on-error: abort the run
+            None
+        }
       }
     }
   }

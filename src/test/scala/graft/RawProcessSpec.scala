@@ -54,6 +54,14 @@ class RawProcessSpec extends SparkSpec {
     assert(out("q1").get("query").asText() === "SELECT secret FROM web.logs")
   }
 
+  test("--fail-on-error aborts on the unparseable document instead of dropping it") {
+    // jsonl_process.py:106 — d4.json is not JSON, so the run must throw
+    val e = intercept[org.apache.spark.SparkException] {
+      run(Options(failOnError = true))
+    }
+    assert(e.getMessage != null)
+  }
+
   test("--remove-query blanks query AND nested rows keys (the raw-only carrier)") {
     val out = run(Options(removeQuery = true))
     assert(out("q1").get("query").asText() === "")
