@@ -43,7 +43,14 @@ object Bench {
       (dt, ok)
     }
 
-    run("hash_agg_sum") // warmup: session init, codegen, parquet footers
+    // warmup: session init, codegen paths, and parquet footers — one cheap
+    // query per input family (lineitem / workload fixture / documents /
+    // embeddings / events), so the FIRST timed query of each family does
+    // not absorb that family's one-off open costs (measured: the first
+    // fixture gate ran ~8 s cold vs ~2 s warm purely from session-level
+    // init). Warmup results are discarded and never timed.
+    Seq("hash_agg_sum", "analyzer_metrics", "dedup_exact",
+      "similarity_topk_bruteforce", "date_trunc_agg").foreach(run)
 
     // SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the run (iteration aid; the
     // driver never sets it, so judged runs always cover the full registry).
