@@ -646,7 +646,14 @@ $blockSql
               least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"))
           val parent = stepped.select(col("doc_id").as("p_doc"), col("comp").as("p_comp"))
           // lazy checkpoint: the convergence count below is the action
-          // that materializes it — one job per round, not two
+          // that materializes it — one job per round, not two.
+          // Measured dead end, do not "optimize": pairing TWO
+          // propagate+jump passes per count (sound — labels are monotone,
+          // so zero net change over two passes certifies a fixpoint)
+          // benched 10.2 → 11.4 s at sf0.1: the inner pass is consumed
+          // twice inside the outer one (nbrMin + the left join), and
+          // without a materialization between them it re-executes, costing
+          // more than the saved count jobs.
           val jumped = stepped
             .join(parent, stepped("comp") === parent("p_doc"), "left")
             .select(stepped("doc_id"),
