@@ -1363,12 +1363,14 @@ $blockSql
     NamedQuery(
       "text_keywords_tfidf",
       (s, d) => {
-        val wordDocs = words(s, d)
-          .select(col("doc_id"), explode(col("w")).as("word"))
+        // source rides through the explosion — tf then needs no join back
+        // to documents (one narrow map feeds both aggregations)
+        val wordDocs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            explode(split(col("text"), " ")).as("word"))
         val tf = wordDocs
-          .join(Tables.documents(s, d).select(col("doc_id"), col("source")), "doc_id")
           .groupBy(col("source"), col("word")).agg(count(lit(1)).as("tf"))
-        val dfreq = wordDocs.distinct()
+        val dfreq = wordDocs.select(col("doc_id"), col("word")).distinct()
           .groupBy(col("word")).agg(count(lit(1)).as("df"))
         tf.join(dfreq, "word")
           .withColumn("score_micro", col("tf") * expr("1000000 div df"))
