@@ -14,10 +14,13 @@ import org.apache.spark.sql.functions._
   *  - records are co-partitioned by `media_id` before feature extraction so
   *    a downstream join against labels/captions is shuffle-free.
   *
-  * The codec itself is a STUB: this container has no image/audio libraries,
-  * so `decodeStub` derives a deterministic fake "signal" from the bytes.
-  * Swap `decodeStub` for a real decoder (JNI/ffmpeg/ImageIO) without
-  * touching any of the Spark plumbing — that boundary is the point.
+  * One codec is REAL: [[decodeWav]] is a full RIFF/WAVE chunk-walk +
+  * little-endian PCM16 reader (pure JVM, no native deps), judged by the
+  * `multimodal_decode_wav` gate against a DuckDB oracle. Payloads that are
+  * not WAV fall back to [[decodeStub]], the deterministic byte-histogram
+  * stand-in for the codecs this container lacks (JPEG/H.264/...). Swap the
+  * fallback for a real decoder (JNI/ffmpeg/ImageIO) without touching any of
+  * the Spark plumbing — that boundary is the point.
   */
 object Multimodal {
 
@@ -40,6 +43,132 @@ object Multimodal {
 
   val FeatureDim = 16
 
+  /** Decoded WAV metadata + exact integer sample statistics. Stats are
+    * integers (sums, not means) so the judged gate's oracle compare is
+    * engine-exact; `hist` buckets sample values into [[FeatureDim]] bins
+    * for the featurize stage.
+    */
+  final case class WavInfo(
+      nChannels: Long,
+      sampleRate: Long,
+      bitsPerSample: Long,
+      nFrames: Long,
+      durationMs: Long,
+      sumVal: Long,
+      sumAbs: Long,
+      hist: Array[Long])
+
+  private def readLE32(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL)) | ((b(off + 1) & 0xffL) << 8) |
+      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+  private def readLE16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+  private def tag(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** REAL decode for one public container format: RIFF/WAVE, uncompressed
+    * PCM 16-bit. Walks the chunk list (honoring the RIFF word-alignment pad
+    * on odd-sized chunks) to find `fmt ` and `data` — no fixed-44-byte-header
+    * assumption — then reads every little-endian 16-bit sample once,
+    * accumulating exact integer stats. Returns None for anything that is
+    * not a well-formed PCM16 WAV (bad magic, truncated chunk, non-PCM
+    * format tag, other bit depths), which routes the payload to
+    * [[decodeStub]] in [[featurize]].
+    */
+  private[graft] def decodeWav(b: Array[Byte]): Option[WavInfo] = {
+    if (b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return None
+    var off = 12
+    var fmt: Option[(Int, Int, Long, Int)] = None // (format, channels, rate, bits)
+    var dataOff = -1
+    var dataLen = -1L
+    while (off + 8 <= b.length && (fmt.isEmpty || dataOff < 0)) {
+      val id = tag(b, off)
+      val size = readLE32(b, off + 4)
+      val body = off + 8
+      if (body + size > b.length) return None // truncated chunk
+      id match {
+        case "fmt " =>
+          if (size < 16) return None
+          fmt = Some((readLE16(b, body), readLE16(b, body + 2),
+            readLE32(b, body + 4), readLE16(b, body + 14)))
+        case "data" =>
+          dataOff = body
+          dataLen = size
+        case _ => () // LIST/INFO/fact/... — skip
+      }
+      off = body + size.toInt + (size.toInt & 1) // odd chunks carry a pad byte
+    }
+    fmt match {
+      case Some((format, channels, rate, bits))
+          if format == 1 && bits == 16 && channels > 0 && rate > 0 && dataOff >= 0 =>
+        val blockAlign = channels * 2
+        if (dataLen % blockAlign != 0) return None
+        val nFrames = dataLen / blockAlign
+        var sumVal = 0L
+        var sumAbs = 0L
+        val hist = new Array[Long](FeatureDim)
+        var i = dataOff
+        val end = dataOff + dataLen.toInt
+        while (i < end) {
+          val v = readLE16(b, i).toShort.toInt // sign-extend
+          sumVal += v
+          sumAbs += math.abs(v)
+          hist(((v + 32768) * FeatureDim) >>> 16) += 1
+          i += 2
+        }
+        Some(WavInfo(channels, rate, bits, nFrames,
+          nFrames * 1000L / rate, sumVal, sumAbs, hist))
+      case _ => None
+    }
+  }
+
+  /** Deterministic PCM16 WAV payload for the judged gate: every header
+    * field and sample value is a pure function of `id`, so a DuckDB oracle
+    * can recompute the decoded stats analytically from the same formulas
+    * without ever parsing bytes. Odd ids carry an extra LIST chunk between
+    * `fmt ` and `data` so the decoder's chunk walk (not a fixed header
+    * offset) is what the gate exercises.
+    */
+  private[graft] def synthWav(id: Long): Array[Byte] = {
+    val channels = (1 + id % 2).toInt
+    val rate = (id % 3) match {
+      case 0 => 8000
+      case 1 => 16000
+      case _ => 44100
+    }
+    val frames = (100 + id % 400).toInt
+    val dataLen = frames * channels * 2
+    val listLen = if (id % 2 == 1) 12 else 0 // "LIST" + size + "INFO"
+    val total = 12 + 24 + listLen + 8 + dataLen
+    val buf = java.nio.ByteBuffer.allocate(total)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(total - 8)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(channels.toShort)
+      .putInt(rate)
+      .putInt(rate * channels * 2) // byte rate
+      .putShort((channels * 2).toShort) // block align
+      .putShort(16) // bits per sample
+    if (listLen > 0)
+      buf.put("LIST".getBytes("US-ASCII")).putInt(4)
+        .put("INFO".getBytes("US-ASCII"))
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < frames) {
+      var c = 0
+      while (c < channels) {
+        buf.putShort((((id * 131 + i * 7 + c * 13) % 65536) - 32768).toShort)
+        c += 1
+      }
+      i += 1
+    }
+    buf.array()
+  }
+
   /** STUB decode: a real implementation would decode pixels/samples here.
     * Deterministic fake: fold the byte histogram into FeatureDim buckets
     * and L2-normalize — stable across runs and partitionings.
@@ -54,6 +183,19 @@ object Multimodal {
     val norm = math.sqrt(acc.map(v => v.toDouble * v).sum).toFloat
     if (norm == 0f) acc else acc.map(_ / norm)
   }
+
+  /** Decode dispatch: real WAV parse when the payload is one, byte-histogram
+    * stub otherwise. Both paths emit an L2-normalized FeatureDim vector, so
+    * downstream similarity code never branches on the codec.
+    */
+  private[ml] def decode(payload: Array[Byte]): Array[Float] =
+    decodeWav(payload) match {
+      case Some(w) =>
+        val acc = w.hist.map(_.toFloat)
+        val norm = math.sqrt(acc.map(v => v.toDouble * v).sum).toFloat
+        if (norm == 0f) acc else acc.map(_ / norm)
+      case None => decodeStub(payload)
+    }
 
   /** "Frame sampling": n evenly spaced byte offsets (a video decoder would
     * seek keyframes; the offsets contract is identical).
@@ -79,7 +221,7 @@ object Multimodal {
           media_id = r.media_id,
           kind = r.kind,
           n_bytes = r.payload.length.toLong,
-          features = decodeStub(r.payload),
+          features = decode(r.payload),
           frame_offsets = sampleOffsets(r.payload.length.toLong, frames))
       }
     }

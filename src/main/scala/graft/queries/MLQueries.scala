@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.tables.Tables
 import graft.functions.VectorOps.{vecDot, vecNorm}
+import graft.ml.Multimodal
 import QueryDsl._
 
 /** Training-data pipeline operators over `documents` / `embeddings`:
@@ -1763,5 +1764,66 @@ $blockSql
              |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
              |  MIN(md5(text)) AS min_digest
              |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Multimodal REAL decode (RIFF/WAVE, PCM16): per document, synthesize a
+    // genuine WAV byte stream whose every header field and sample value is
+    // a pure function of doc_id (odd ids carry an extra LIST chunk so the
+    // parser must walk chunks, not assume a 44-byte header), then parse it
+    // back with ml.Multimodal.decodeWav — a real chunk-walk + little-endian
+    // PCM16 reader. Judged columns are the decoded metadata and exact
+    // integer sample sums. The oracle never sees the bytes: it recomputes
+    // the same values analytically from the generator formulas, so any
+    // parse defect (endianness, chunk offsets, alignment pad, blockAlign,
+    // sign extension) breaks the hash match. Plan: narrow mapPartitions
+    // over doc_id only — embarrassingly parallel, no shuffle, payloads
+    // never leave the task that synthesized them.
+    NamedQuery(
+      "multimodal_decode_wav",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions { ids =>
+            ids.map { id =>
+              val wav = Multimodal.synthWav(id)
+              val w = Multimodal.decodeWav(wav).getOrElse(throw new IllegalStateException(
+                s"synthesized WAV for doc $id failed to decode"))
+              (id, wav.length.toLong, w.nChannels, w.sampleRate, w.nFrames,
+                w.durationMs, w.sumVal, w.sumAbs)
+            }
+          }
+          .toDF("doc_id", "n_bytes", "n_channels", "sample_rate", "n_frames",
+            "duration_ms", "sum_val", "sum_abs")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH params AS (
+             |  SELECT doc_id,
+             |    1 + doc_id % 2 AS n_channels,
+             |    CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+             |      ELSE 44100 END AS sample_rate,
+             |    100 + doc_id % 400 AS n_frames
+             |  FROM documents
+             |), samples AS (
+             |  -- fixed 0..499 / 0..1 grids filtered per row: this DuckDB
+             |  -- build rejects correlated generate_series bounds
+             |  SELECT p.doc_id,
+             |    ((p.doc_id * 131 + t.i * 7 + u.c * 13) % 65536) - 32768 AS v
+             |  FROM params p
+             |  JOIN (SELECT UNNEST(generate_series(0, 499)) AS i) t
+             |    ON t.i < p.n_frames
+             |  JOIN (SELECT UNNEST(generate_series(0, 1)) AS c) u
+             |    ON u.c < p.n_channels
+             |)
+             |SELECT p.doc_id,
+             |  CAST(44 + p.n_frames * p.n_channels * 2
+             |    + CASE WHEN p.doc_id % 2 = 1 THEN 12 ELSE 0 END AS BIGINT) AS n_bytes,
+             |  CAST(p.n_channels AS BIGINT) AS n_channels,
+             |  CAST(p.sample_rate AS BIGINT) AS sample_rate,
+             |  CAST(p.n_frames AS BIGINT) AS n_frames,
+             |  CAST(p.n_frames * 1000 // p.sample_rate AS BIGINT) AS duration_ms,
+             |  CAST(SUM(s.v) AS BIGINT) AS sum_val,
+             |  CAST(SUM(ABS(s.v)) AS BIGINT) AS sum_abs
+             |FROM params p JOIN samples s USING (doc_id)
+             |GROUP BY p.doc_id, p.n_channels, p.sample_rate, p.n_frames
+             |ORDER BY p.doc_id""".stripMargin)),
   )
 }

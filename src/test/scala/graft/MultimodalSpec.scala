@@ -36,4 +36,84 @@ class MultimodalSpec extends SparkSpec {
       .map(r => r.media_id -> r.features.toSeq).toMap
     assert(a === b)
   }
+
+  // --- real WAV decode ---
+
+  /** Hand-built mono 8 kHz PCM16 WAV with known samples — independent of
+    * synthWav, so a shared bug in writer+reader can't self-confirm.
+    */
+  private def goldenWav(samples: Seq[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+    buf.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(8000).putInt(16000).putShort(2).putShort(16)
+    buf.put("data".getBytes).putInt(dataLen)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  test("decodeWav parses a golden hand-built WAV exactly") {
+    val w = Multimodal.decodeWav(goldenWav(Seq[Short](0, 1000, -1000, -32768))).get
+    assert(w.nChannels === 1L)
+    assert(w.sampleRate === 8000L)
+    assert(w.bitsPerSample === 16L)
+    assert(w.nFrames === 4L)
+    assert(w.durationMs === 0L) // 4 frames / 8 kHz = 0 whole ms
+    assert(w.sumVal === -32768L)
+    assert(w.sumAbs === 34768L)
+    assert(w.hist.sum === 4L)
+    assert(w.hist(0) === 1L) // -32768 lands in the first bucket
+    assert(w.hist(7) === 1L) // -1000 → (31768*16)/65536 = 7
+    assert(w.hist(8) === 2L) // 0 and 1000 land in the middle bucket
+  }
+
+  test("decodeWav rejects malformed payloads (stub fallback path)") {
+    val good = goldenWav(Seq[Short](1, 2, 3))
+    assert(Multimodal.decodeWav(Array.empty[Byte]).isEmpty)
+    assert(Multimodal.decodeWav("RIFFxxxx".getBytes).isEmpty)
+    val badMagic = good.clone(); badMagic(0) = 'X'.toByte
+    assert(Multimodal.decodeWav(badMagic).isEmpty)
+    val truncated = good.dropRight(3) // mid-sample: data chunk overruns
+    assert(Multimodal.decodeWav(truncated).isEmpty)
+    val nonPcm = good.clone(); nonPcm(20) = 3 // format tag = IEEE float
+    assert(Multimodal.decodeWav(nonPcm).isEmpty)
+  }
+
+  test("synthWav round-trips through decodeWav matching the analytic formulas") {
+    for (id <- 0L to 16L) { // covers both parities (LIST chunk walk) and all rates
+      val bytes = Multimodal.synthWav(id)
+      val w = Multimodal.decodeWav(bytes).get
+      val channels = 1 + id % 2
+      val rate = Seq(8000, 16000, 44100)((id % 3).toInt)
+      val frames = 100 + id % 400
+      assert(w.nChannels === channels)
+      assert(w.sampleRate === rate.toLong)
+      assert(w.nFrames === frames)
+      assert(w.durationMs === frames * 1000 / rate)
+      val vs = for (i <- 0L until frames; c <- 0L until channels)
+        yield ((id * 131 + i * 7 + c * 13) % 65536) - 32768
+      assert(w.sumVal === vs.sum)
+      assert(w.sumAbs === vs.map(math.abs).sum)
+      assert(bytes.length === 44 + frames * channels * 2 + (if (id % 2 == 1) 12 else 0))
+    }
+  }
+
+  test("featurize routes WAV payloads through the real decoder") {
+    val wav = Multimodal.synthWav(6L)
+    val recs = Seq(
+      Multimodal.MediaRecord(1L, "audio", wav, None, None, None),
+      Multimodal.MediaRecord(2L, "image", "not a wav".getBytes, None, None, None))
+    val out = Multimodal.featurize(recs.toDS()).collect().map(r => r.media_id -> r).toMap
+    // WAV path: features = normalized sample histogram, not the byte stub
+    val hist = Multimodal.decodeWav(wav).get.hist.map(_.toDouble)
+    val norm = math.sqrt(hist.map(v => v * v).sum)
+    out(1L).features.zip(hist.map(_ / norm)).foreach { case (got, want) =>
+      assert(math.abs(got - want) < 1e-5)
+    }
+    // non-WAV path: still the stub
+    assert(out(2L).features.toSeq !== out(1L).features.toSeq)
+    assert(math.abs(math.sqrt(out(2L).features.map(v => v.toDouble * v).sum) - 1.0) < 1e-5)
+  }
 }
