@@ -48,19 +48,33 @@ object AnnIndex {
       .drop("__norm").drop(ids.map(i => s"__csim_$i"): _*)
   }
 
+  /** [[build]] plus the last round's per-cell member census — what the
+    * `ann_build_two_rounds` gate judges (cells absent from the final
+    * assignment carry census 0 and their previous centroid).
+    */
+  final case class BuildResult(model: Model, census: Map[Long, Long])
+
   /** Lloyd build: seeds = the `k` lowest vec_ids; `iters` rounds of
     * assign + micro-unit integer mean update (empty cells keep their
     * previous centroid). Deterministic: integer sums are exact and
     * order-independent, so every engine/partitioning produces the same
     * model.
     */
-  def build(embeddings: DataFrame, k: Int = 8, iters: Int = 2): Model = {
+  def build(embeddings: DataFrame, k: Int = 8, iters: Int = 2): Model =
+    buildDetailed(embeddings, k, iters).model
+
+  /** The full Lloyd loop behind [[build]]; also reports the final round's
+    * census so the judged gate can pin assignment membership, not just
+    * centroid values.
+    */
+  def buildDetailed(embeddings: DataFrame, k: Int = 8, iters: Int = 2): BuildResult = {
     val dim = 64
     var model = Model(embeddings
       .orderBy(col("vec_id")).limit(k)
       .collect()
       .map(r => (r.getAs[Long]("vec_id"), r.getSeq[Float](r.fieldIndex("embedding")).toArray))
       .toSeq)
+    var census = Map.empty[Long, Long]
     for (_ <- 0 until iters) {
       val assigned = assignCells(embeddings.select(col("vec_id"), col("embedding")), model)
       val qmeans = assigned
@@ -73,9 +87,12 @@ object AnnIndex {
         .agg(sum(col("qv")).as("qsum"), count(col("qv")).as("cnt"))
         .withColumn("qmean",
           floor(col("qsum").cast("double") / col("cnt") + lit(0.5)).cast("long"))
-        .select(col("cell"), col("d"), col("qmean"))
+        .select(col("cell"), col("d"), col("qmean"), col("cnt"))
         .collect()
         .groupBy(_.getAs[Long]("cell"))
+      census = qmeans.map { case (cid, rows) =>
+        cid -> rows.map(_.getAs[Long]("cnt")).max
+      }
       model = Model(model.centroids.map { case (cid, prev) =>
         qmeans.get(cid) match {
           case Some(rows) =>
@@ -87,7 +104,7 @@ object AnnIndex {
         }
       })
     }
-    model
+    BuildResult(model, census)
   }
 
   /** THE ranking contract of the similarity family (MLQueries.cosineTopK's

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.tables.Tables
 import graft.functions.VectorOps.{vecDot, vecNorm}
-import graft.ml.Multimodal
+import graft.ml.{AnnIndex, Multimodal}
 import QueryDsl._
 
 /** Training-data pipeline operators over `documents` / `embeddings`:
@@ -1037,6 +1037,100 @@ $blockSql
               |FROM ex e LEFT JOIN ann a
               |  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
               |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // The Lloyd BUILD judged end-to-end: run the PRODUCT ml.AnnIndex build
+    // (k=8, iters=2 — seed centroids, then two full assign+update rounds)
+    // and emit, per cell, the final round's member census plus micro-unit
+    // integer checksums pinning every coordinate of the final model. The
+    // oracle unrolls BOTH rounds in SQL: round-1 assignment to the seed
+    // vectors (the shared ivfAssignSql contract), round-1 micro-unit
+    // integer means stored as float32 exactly like Model (the
+    // CAST(... AS FLOAT) is load-bearing — the product keeps centroids in
+    // Array[Float], and the round-2 cosine must see the same rounded
+    // values), round-2 assignment against those derived centroids, and the
+    // round-2 update. Empty cells carry their previous centroid with
+    // census 0 in both engines. Any drift in the loop — seed choice,
+    // argmax tie-break, mean rounding, float storage, carry-over — breaks
+    // the hash match. Scale shape per round: k codegen'd dots per row for
+    // assignment (no join, no shuffle) + one (cell, dim)-keyed
+    // aggregation; only k×64 longs ever reach the driver.
+    NamedQuery(
+      "ann_build_two_rounds",
+      (s, d) => {
+        import s.implicits._
+        val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+        val r = AnnIndex.buildDetailed(e, k = 8, iters = 2)
+        r.model.centroids.sortBy(_._1).map { case (cid, v) =>
+          // float(qmean/1e6)*1e6 is within 0.06 of the integer qmean, so
+          // floor(+0.5) recovers it exactly — quantization is lossless here
+          val q = v.map(x => math.floor(x.toDouble * 1000000.0 + 0.5).toLong)
+          (cid, r.census.getOrElse(cid, 0L),
+            q.map(x => x * x).sum,
+            q.zipWithIndex.map { case (x, i) =>
+              ((x + 1000000L) % 2147483647L) * (i + 1L)
+            }.sum % 2147483647L)
+        }.toSeq.toDF("cell", "n_assigned", "norm2_micro", "centroid_checksum")
+          .orderBy(col("cell"))
+      },
+      Some(s"""WITH $ivfAssignSql, expl1 AS (
+              |  SELECT a.cell, CAST(i AS BIGINT) AS dim,
+              |    CAST(FLOOR(CAST(e.embedding[i] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS qv
+              |  FROM assigned a JOIN embeddings e USING (vec_id)
+              |  CROSS JOIN generate_series(1, 64) t(i)
+              |), seedgrid AS (
+              |  SELECT e.vec_id AS cell, CAST(i AS BIGINT) AS dim,
+              |    CAST(e.embedding[i] AS FLOAT) AS sv
+              |  FROM embeddings e CROSS JOIN generate_series(1, 64) t(i)
+              |  WHERE e.vec_id < 8
+              |), cent1 AS (
+              |  -- round-1 model: micro-unit mean re-quantized, stored float32;
+              |  -- empty cells carry the seed vector
+              |  SELECT g.cell, g.dim, COALESCE(
+              |    CAST(CAST(u.qmean AS DOUBLE) / 1000000.0 AS FLOAT), g.sv) AS v
+              |  FROM seedgrid g LEFT JOIN (
+              |    SELECT cell, dim,
+              |      CAST(FLOOR(CAST(SUM(qv) AS DOUBLE) / COUNT(qv) + 0.5) AS BIGINT) AS qmean
+              |    FROM expl1 GROUP BY 1, 2
+              |  ) u ON u.cell = g.cell AND u.dim = g.dim
+              |), enorm AS (
+              |  SELECT vec_id,
+              |    sqrt(SUM(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS n
+              |  FROM embeddings CROSS JOIN generate_series(1, 64) t(i) GROUP BY 1
+              |), pair2 AS (
+              |  SELECT e.vec_id, c.cell,
+              |    SUM(CAST(e.embedding[c.dim] AS DOUBLE) * CAST(c.v AS DOUBLE)) AS dot,
+              |    sqrt(SUM(CAST(c.v AS DOUBLE) * CAST(c.v AS DOUBLE))) AS cnorm
+              |  FROM embeddings e CROSS JOIN cent1 c GROUP BY 1, 2
+              |), assigned2 AS (
+              |  SELECT vec_id, cell FROM (
+              |    SELECT p.vec_id, p.cell, ROW_NUMBER() OVER (PARTITION BY p.vec_id
+              |      ORDER BY ${r6Sql("p.dot / (en.n * p.cnorm)")} DESC, p.cell) AS crn
+              |    FROM pair2 p JOIN enorm en USING (vec_id)
+              |  ) WHERE crn = 1
+              |), expl2 AS (
+              |  SELECT a.cell, CAST(i AS BIGINT) AS dim,
+              |    CAST(FLOOR(CAST(e.embedding[i] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS qv
+              |  FROM assigned2 a JOIN embeddings e USING (vec_id)
+              |  CROSS JOIN generate_series(1, 64) t(i)
+              |), upd2 AS (
+              |  SELECT cell, dim, COUNT(qv) AS cnt,
+              |    CAST(FLOOR(CAST(SUM(qv) AS DOUBLE) / COUNT(qv) + 0.5) AS BIGINT) AS qmean
+              |  FROM expl2 GROUP BY 1, 2
+              |), cent2 AS (
+              |  -- final model: round-2 means where present, else the carried
+              |  -- round-1 float re-quantized exactly as the gate quantizes it
+              |  SELECT c.cell, c.dim, COALESCE(u.qmean,
+              |    CAST(FLOOR(CAST(c.v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS q
+              |  FROM cent1 c LEFT JOIN upd2 u ON u.cell = c.cell AND u.dim = c.dim
+              |), census AS (
+              |  SELECT cell, MAX(cnt) AS n_assigned FROM upd2 GROUP BY 1
+              |)
+              |SELECT c.cell, CAST(COALESCE(cs.n_assigned, 0) AS BIGINT) AS n_assigned,
+              |  CAST(SUM(q * q) AS BIGINT) AS norm2_micro,
+              |  CAST(SUM(((q + 1000000) % 2147483647) * dim) % 2147483647 AS BIGINT)
+              |    AS centroid_checksum
+              |FROM cent2 c LEFT JOIN census cs USING (cell)
+              |GROUP BY c.cell, cs.n_assigned ORDER BY c.cell""".stripMargin)),
 
     // Symmetric int8 quantization of the embedding column — the standard
     // vector-compression step before ANN indexing (4× smaller, dot
