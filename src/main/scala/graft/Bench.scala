@@ -43,19 +43,11 @@ object Bench {
       (dt, ok)
     }
 
-    // warmup: session init, codegen paths, and parquet footers — one cheap
-    // query per input family (lineitem / workload fixture / documents /
-    // embeddings / events), so the FIRST timed query of each family does
-    // not absorb that family's one-off open costs (measured: the first
-    // fixture gate ran ~8 s cold vs ~2 s warm purely from session-level
-    // init). Warmup results are discarded and never timed.
-    Seq("hash_agg_sum", "analyzer_metrics", "dedup_exact",
-      "similarity_topk_bruteforce", "date_trunc_agg").foreach(run)
-
     // SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the run (iteration aid; the
     // driver never sets it, so judged runs always cover the full registry).
     // Blank tokens are dropped so an exported-but-empty variable means
-    // "no filter", not a silently empty run; unknown names fail loudly.
+    // "no filter", not a silently empty run; unknown names fail loudly —
+    // and BEFORE any warmup work, so a typo costs nothing.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty)
@@ -63,20 +55,60 @@ object Bench {
       val unknown = names.diff(SparkEntry.queries.keySet)
       require(unknown.isEmpty, s"unknown bench queries: ${unknown.mkString(",")}")
     }
-    val results = SparkEntry.queries.keys.toSeq.sorted
+    val selected = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
-      .map(n => n -> run(n))
+
+    // warmup: session init, codegen paths, and parquet footers — one cheap
+    // query per input family (lineitem+TPC-H / workload fixture / documents
+    // / embeddings / events), so the FIRST timed query of each family does
+    // not absorb that family's one-off open costs (measured: the first
+    // fixture gate ran ~8 s cold vs ~2 s warm purely from session-level
+    // init). A filtered run warms only the families its queries read
+    // (prefix classification; the TPC-H/events default warms both of its
+    // candidates — over-warming is harmless, a cold family is not).
+    // Warmup results are discarded and never timed.
+    def families(n: String): Set[String] =
+      if (n.startsWith("analyzer_")) Set("analyzer_metrics")
+      else if (n.startsWith("similarity_") || n.startsWith("embedding_") ||
+        n.startsWith("ann_")) Set("similarity_topk_bruteforce")
+      else if (n.startsWith("dedup_") || n.startsWith("text_") ||
+        n.startsWith("multimodal_") || n.startsWith("sample_") ||
+        n.startsWith("sketch_") || n.startsWith("pack_") ||
+        n.startsWith("filter_") || n.startsWith("dataset_"))
+        Set("dedup_exact", "similarity_topk_bruteforce") // embedding-cosine dedup reads both
+      else Set("hash_agg_sum", "date_trunc_agg")
+    selected.flatMap(families).distinct.sorted.foreach(run)
+
+    // Two timed passes per gate: COLD (first run after the family warmup —
+    // what the headline total reports, comparable across rounds) and WARM
+    // (immediate re-run, caches still cleared in between) — the
+    // steady-state cost of the plan itself. A cold/warm gap far above the
+    // plan's work is measurement noise (JIT, GC pressure from earlier
+    // gates), not a regression; recording both makes that call readable
+    // from bench_details.json instead of burning an isolation run.
+    // SPARK_GRAFT_BENCH_WARM=0 skips the warm pass (halves iteration time).
+    val warmPass = sys.env.get("SPARK_GRAFT_BENCH_WARM").forall(_ != "0")
+    val results = selected.map { n =>
+      val cold = run(n)
+      val warm = if (warmPass && cold._2) Some(run(n)) else None
+      (n, cold, warm)
+    }
     // a crashed query reports null, not its (short) elapsed time — a fast-
     // looking total must not hide failures
-    val qs = results.map { case (k, (v, ok)) => "\"" + k + "\":" + (if (ok) v else "null") }
-      .mkString("{", ",", "}")
-    val failed = results.collect { case (k, (_, false)) => "\"" + k + "\"" }
-    val total = results.collect { case (_, (v, true)) => v }.sum
+    def num(t: (Double, Boolean)): String = if (t._2) t._1.toString else "null"
+    val qs = results.map { case (k, cold, warm) =>
+      val w = warm.map(t => s""","warm":${num(t)}""").getOrElse("")
+      s""""$k":{"cold":${num(cold)}$w}"""
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, (_, false), _) => "\"" + k + "\"" }
+    val total = results.collect { case (_, (v, true), _) => v }.sum
     val failedField =
       if (failed.isEmpty) "" else s""","failed":${failed.mkString("[", ",", "]")}"""
-    // The per-query map (~60 entries, >3 kB on one line) goes to stderr and a
-    // sidecar file only: a capture window that tails stdout must always see
-    // the one compact, parseable metric line below intact.
+    // The per-query map (~100 entries, >3 kB on one line) goes to stderr and
+    // a sidecar file only: a capture window that tails stdout must always see
+    // the one compact, parseable metric line below intact. The headline
+    // "value" remains the cold-pass total — same meaning as every prior
+    // round; warm times live only inside the per-query objects.
     val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$failedField,"sf":"$sfDir"}"""
     System.err.println(detail)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_details.json"), detail + "\n")
