@@ -33,9 +33,11 @@ import graft.process.JsonlProcess
   *   report <summaryPath> <out.html|out.zip>   (self-contained HTML, zip-wrapped
   *                                              when the target ends in .zip)
   *   curate <docsDir> <outDir> [--min-quality Q] [--benchmark DIR]
-  *          [--sample-weighted]         (dedup → scrub → score → split; optional
-  *                                       decontamination and quality-weighted
-  *                                       downsampling)
+  *          [--against CURATED_DIR] [--sample-weighted]
+  *                                      (dedup → scrub → score → split; optional
+  *                                       decontamination, incremental dedup
+  *                                       against an existing curated corpus,
+  *                                       and quality-weighted downsampling)
   *   ann <embDir> <outDir> [--k N] [--iters N] [--topk N] [--queries N]
   *       [--recall]                     (Lloyd-built IVF index + probe; --recall
   *                                       prints recall@topK vs brute force)
@@ -297,6 +299,8 @@ object Pipeline {
         case Seq("--min-quality", v) => v.toDouble }.getOrElse(0.0)
       val benchDir = opts.sliding(2).collectFirst {
         case Seq("--benchmark", v) => v }
+      val againstDir = opts.sliding(2).collectFirst {
+        case Seq("--against", v) => v }
       val spark = session()
       def load(dir: String) = graft.tables.Tables.documents(spark, dir)
         .select(org.apache.spark.sql.functions.col("doc_id"),
@@ -306,7 +310,11 @@ object Pipeline {
         graft.ml.Curate.decontaminate(d, load(b)))
       // cache: the write and the census otherwise re-run the whole
       // dedup/decontamination pipeline twice
-      val base = graft.ml.Curate.curate(docs, minQ)
+      // --against: incremental run — drop batch documents already present
+      // (by scrubbed-content digest) in an existing curated corpus, so
+      // re-ingesting overlapping dumps appends only genuinely new content
+      val base = againstDir.foldLeft(graft.ml.Curate.curate(docs, minQ))((c, a) =>
+        graft.ml.Curate.dedupAgainst(c, spark.read.parquet(a)))
       val curated =
         (if (opts.contains("--sample-weighted"))
           graft.ml.Curate.sampleWeighted(base) else base).cache()

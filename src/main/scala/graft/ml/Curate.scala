@@ -60,6 +60,26 @@ object Curate {
     docs.join(contaminated, Seq("doc_id"), "left_anti")
   }
 
+  /** Incremental ingest: drop batch documents whose content digest already
+    * exists in the curated corpus (the `dedup_incremental_anti` gate's
+    * contract as a product stage — run it on a CURATED batch against the
+    * existing curated output, so both sides digest the same scrubbed
+    * content). Correctly a SHUFFLE join, not a broadcast: both sides are
+    * corpus-scale (contrast [[decontaminate]], whose eval-sized n-gram set
+    * ships map-side). The digest-keyed exchange carries only (digest,
+    * doc_id) — payloads are pruned before the anti join and re-attached by
+    * a doc_id-keyed semi join afterwards (which AQE turns into a broadcast
+    * when the surviving-id set is small, the common incremental case).
+    */
+  def dedupAgainst(batch: DataFrame, corpus: DataFrame): DataFrame = {
+    val existing = corpus.select(md5(col("text")).as("digest")).distinct()
+    val keptIds = batch
+      .select(col("doc_id"), md5(col("text")).as("digest"))
+      .join(existing, Seq("digest"), "left_anti")
+      .select(col("doc_id"))
+    batch.join(keptIds, Seq("doc_id"), "left_semi")
+  }
+
   /** Quality-weighted downsampling of a curated corpus (the
     * `sample_weighted_hash` gate's semantics as a row-level stage):
     * accept each document with probability equal to its quality score by

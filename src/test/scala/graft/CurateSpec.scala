@@ -105,6 +105,50 @@ class CurateSpec extends SparkSpec {
     assert(perfectIds.nonEmpty && perfectIds.subsetOf(ids.toSet))
   }
 
+  test("dedupAgainst matches the dedup_incremental_anti gate's survivors") {
+    // same data, same partition as the gate: corpus = doc_id%10==0 slice,
+    // batch = the rest, both over raw sf0.001 documents — the product
+    // stage must reproduce the judged per-source counts and id checksum
+    val d = "/root/testdata/sf0.001"
+    val all = graft.tables.Tables.documents(spark, d)
+      .select(col("doc_id"), col("source"), col("text"))
+    val kept = Curate.dedupAgainst(
+      all.filter(col("doc_id") % 10 =!= 0),
+      all.filter(col("doc_id") % 10 === 0))
+    val got = kept.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        (sum(col("doc_id") % lit(2147483647L)) % lit(2147483647L)).as("ck"))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_kept"), r.getAs[Long]("ck"))).toMap
+    val gate = SparkEntry.queries("dedup_incremental_anti")(spark, d)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_kept"), r.getAs[Long]("kept_id_checksum"))).toMap
+    // a source whose batch docs all collide appears in the gate with
+    // n_kept=0 but has no surviving rows here
+    assert(got.keySet.subsetOf(gate.keySet))
+    gate.foreach { case (src, v) => assert(got.getOrElse(src, (0L, 0L)) === v) }
+    // survivors keep their full rows (payload re-attached after the
+    // id-only digest join)
+    assert(kept.columns.toSeq === Seq("doc_id", "source", "text"))
+  }
+
+  test("dedupAgainst prunes the payload off the digest-keyed anti join") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.LeftAnti
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val batch = Seq((1L, "s", "aa"), (2L, "s", "bb")).toDF("doc_id", "source", "text")
+    val corpus = Seq((10L, "s", "aa")).toDF("doc_id", "source", "text")
+    val lp = Curate.dedupAgainst(batch, corpus).queryExecution.optimizedPlan
+    val anti = lp.collect { case j: Join if j.joinType == LeftAnti => j }
+    assert(anti.nonEmpty)
+    // the digest join's inputs are id+digest only — the payload re-attaches
+    // later via the doc_id-keyed semi join
+    anti.foreach { j =>
+      assert(j.left.output.map(_.name).toSet === Set("doc_id", "digest"))
+      assert(j.right.output.map(_.name).toSet === Set("digest"))
+    }
+  }
+
   test("min-quality gate filters and census aggregates per (split, source)") {
     val curated = Curate.curate(docs)
     val qs = curated.select(min(col("quality")), max(col("quality")))
