@@ -4,6 +4,9 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues}
 
 /** One document on the stream. */
 final case class StreamDoc(doc_id: Long, ts: Timestamp, text: String)
@@ -34,4 +37,154 @@ object DedupStream {
       .withColumn("digest", md5(col("text")))
       .withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark("digest")
+
+  // --- streaming NEAR-dup: the simhash-block twin ---
+
+  private val HashA = 2654435761L
+  private val HashP = 2147483647L
+  private val WidMod = 33554393L
+
+  /** Per-document 4×16-bit simhash blocks — the batch `simhashSigs`
+    * contract (same md5-prefix word ids, same (wid·64+b)·A+91 bit-hash
+    * family, same >0 sign rule and block packing) evaluated at df ≡ 1:
+    * document frequency is a corpus-global statistic that cannot exist
+    * in-stream, and dropping the constant 1e6 weight factor never changes
+    * an accumulator's sign. Pure function of the text, so the streaming
+    * operator and any batch replay agree bit for bit.
+    */
+  private[graft] def simhashBlocks(text: String): Array[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val counts = scala.collection.mutable.LongMap.empty[Long]
+    text.split(" ").foreach { w =>
+      val hex = md.digest(w.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+      val wid = java.lang.Long.parseLong(hex.substring(0, 15), 16) % WidMod
+      counts(wid) = counts.getOrElse(wid, 0L) + 1L
+      md.reset()
+    }
+    val acc = new Array[Long](64)
+    counts.foreach { case (wid, cnt) =>
+      val base = wid * 64L
+      var b = 0
+      while (b < 64) {
+        val g = ((base + b) * HashA + 91L) % HashP % 2L
+        acc(b) += (g * 2L - 1L) * cnt
+        b += 1
+      }
+    }
+    Array.tabulate(4) { blk =>
+      (0 until 16).map(i => if (acc(16 * blk + i) > 0) 1L << i else 0L).sum
+    }
+  }
+
+  /** Hamming distance between two 4-block signatures. */
+  private[graft] def hamming(a: Array[Long], b: Array[Long]): Int =
+    (0 until 4).map(i => java.lang.Long.bitCount(a(i) ^ b(i))).sum
+
+  /** One signature within a pigeonhole bucket's state: ids + timestamps
+    * only — like the exact twin, the state store never holds payloads.
+    */
+  final case class SigEntry(docId: Long, tsMs: Long,
+      s0: Long, s1: Long, s2: Long, s3: Long) {
+    def sig: Array[Long] = Array(s0, s1, s2, s3)
+  }
+  final case class BlockRow(doc_id: Long, ts: Timestamp, k: Int, v: Long,
+      s0: Long, s1: Long, s2: Long, s3: Long)
+  final case class Verdict(doc_id: Long, ts: Timestamp, hit: Int)
+
+  /** One pigeonhole bucket's stateful logic: verify every block collision
+    * with the full Hamming distance, record every arriving signature, and
+    * expire state as the event-time watermark advances. Timers only clean
+    * up groups that stop receiving traffic; live groups prune inline.
+    */
+  private class NearDupProcessor
+      extends StatefulProcessor[(Int, Long), BlockRow, Verdict] {
+    @transient private var entries: ListState[SigEntry] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      entries = getHandle.getListState[SigEntry]("entries",
+        Encoders.product[SigEntry], TTLConfig.NONE)
+
+    override def handleInputRows(key: (Int, Long), rows: Iterator[BlockRow],
+        timers: TimerValues): Iterator[Verdict] = {
+      val wm = timers.getCurrentWatermarkInMs()
+      var kept = entries.get().filter(_.tsMs >= wm).toList
+      val out = rows.toSeq.sortBy(_.doc_id).map { r =>
+        val sig = Array(r.s0, r.s1, r.s2, r.s3)
+        // predecessor = earlier-batch entry or lower-id same-batch entry
+        // (kept grows in doc_id order within this batch)
+        val dup = kept.exists(e => e.docId != r.doc_id && hamming(e.sig, sig) <= 3)
+        kept = SigEntry(r.doc_id, r.ts.getTime, r.s0, r.s1, r.s2, r.s3) :: kept
+        Verdict(r.doc_id, r.ts, if (dup) 1 else 0)
+      }
+      entries.put(kept.toArray)
+      // clean the group up once the watermark passes its newest entry
+      getHandle.registerTimer(kept.map(_.tsMs).max + 1)
+      out.iterator
+    }
+
+    override def handleExpiredTimer(key: (Int, Long), timers: TimerValues,
+        timer: ExpiredTimerInfo): Iterator[Verdict] = {
+      val wm = timers.getCurrentWatermarkInMs()
+      val kept = entries.get().filter(_.tsMs >= wm).toArray
+      if (kept.isEmpty) entries.clear() else entries.put(kept)
+      Iterator.empty
+    }
+  }
+
+  /** Streaming NEAR dedup — the continuous twin of the batch
+    * `dedup_simhash_hamming` pipeline: first-seen content survives, later
+    * documents within Hamming distance ≤ 3 of ANY earlier in-watermark
+    * document are dropped.
+    *
+    * Shape mirrors the batch hammingPairs contract exactly: the 64-bit
+    * signature splits into 4×16-bit blocks; dist ≤ 3 pigeonholes at least
+    * one block equal, so candidates are exact matches on (block index,
+    * block value) — the state shards by the same 262,144-key space the
+    * batch join shuffles on — and every block collision is then verified
+    * with the full exact Hamming distance before anything is dropped.
+    * Every arriving signature enters its 4 buckets' state whether or not
+    * it survives (same reachability a batch connected-components pass
+    * gets: a doc near a dropped doc is still a dup), entries expire once
+    * the event-time watermark passes (state is O(in-watermark docs × 4),
+    * ids + 4 longs each, never payloads), and a second watermarked
+    * aggregation ANDs the four bucket verdicts per document — a doc
+    * survives iff no bucket found a verified predecessor. Survivor rows
+    * emit when the watermark passes their event time.
+    *
+    * Built on `transformWithState` (not flatMapGroupsWithState): its
+    * event-time-column form re-marks the verdict stream's event time,
+    * which is what makes the downstream AND-aggregation a legal chained
+    * stateful operator — fMGWS has no such output contract and Spark's
+    * correctness checker rejects the chain. Requires the RocksDB state
+    * store provider (set here; it is the provider a production deployment
+    * of this operator would run anyway).
+    *
+    * Determinism contract (the spec's batch-replay equality): within a
+    * micro-batch each bucket processes its docs in doc_id order and a
+    * predecessor means (earlier batch) ∨ (same batch ∧ lower doc_id), so
+    * when arrival order follows doc_id the survivor set equals a greedy
+    * sequential replay over the same data.
+    */
+  def dedupNear(docs: Dataset[StreamDoc], delay: String = "1 hour"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val blocks = docs.map { doc =>
+      val s = simhashBlocks(doc.text)
+      (doc.doc_id, doc.ts, s(0), s(1), s(2), s(3))
+    }.toDF("doc_id", "ts", "s0", "s1", "s2", "s3")
+      .withWatermark("ts", delay)
+      .select(col("doc_id"), col("ts"), col("s0"), col("s1"), col("s2"), col("s3"),
+        expr("stack(4, 0, s0, 1, s1, 2, s2, 3, s3) AS (k, v)"))
+      .as[BlockRow]
+    blocks
+      .groupByKey(r => (r.k, r.v))
+      .transformWithState(new NearDupProcessor, "ts", OutputMode.Append)
+      .groupBy(col("doc_id"), col("ts"))
+      .agg(max(col("hit")).as("hit"))
+      .filter(col("hit") === 0)
+      .select(col("doc_id"), col("ts"))
+  }
 }
