@@ -31,14 +31,18 @@ import graft.ingest.WorkloadViews
   */
 object AnalyzerGates {
 
-  /** Committed fixture location. Absolute by default (the driver's DuckDB
-    * run and the Spark session may have different working directories), but
-    * overridable — system property first (testable in-JVM), then env var —
-    * so the jar works from any checkout location.
+  /** Committed fixture location. Resolution order: system property
+    * (testable in-JVM) → env var → the fixture on the classpath (any
+    * checkout's test run finds its own copy under target/test-classes;
+    * only file: URLs qualify — parquet cannot be read out of a jar entry)
+    * → the absolute repo path the driver's out-of-JVM DuckDB run needs.
     */
   def fixtureDir: String =
     sys.props.get("graft.gate.fixtureDir")
       .orElse(sys.env.get("GRAFT_GATE_FIXTURE_DIR"))
+      .orElse(Option(getClass.getResource("/workload_gate_parquet"))
+        .filter(_.getProtocol == "file")
+        .map(u => java.nio.file.Paths.get(u.toURI).toString))
       .getOrElse("/root/repo/src/test/resources/workload_gate_parquet")
   private def P = s"$fixtureDir/*.parquet"
 

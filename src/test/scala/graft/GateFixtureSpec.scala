@@ -40,6 +40,19 @@ class GateFixtureSpec extends SparkSpec {
     assert(AnalyzerGates.fixtureDir.endsWith("workload_gate_parquet"))
   }
 
+  test("without overrides the fixture resolves via the classpath first") {
+    // neither the property nor (in sbt test) the env var is set here, so
+    // the resolved dir must be THIS checkout's classpath copy (a real
+    // directory), not the absolute /root/repo fallback — i.e. the gates
+    // run unchanged from any checkout location
+    assume(sys.env.get("GRAFT_GATE_FIXTURE_DIR").isEmpty)
+    val dir = AnalyzerGates.fixtureDir
+    assert(dir === java.nio.file.Paths.get(
+      getClass.getResource("/workload_gate_parquet").toURI).toString)
+    assert(new java.io.File(dir).isDirectory)
+    assert(new java.io.File(dir).listFiles().exists(_.getName.endsWith(".parquet")))
+  }
+
   test("operator_wall over the fixture hits the designed exact pie") {
     val rows = Analyzers.operatorWall(WorkloadViews(committed)).collect()
       .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSeq
