@@ -30,8 +30,11 @@ import graft.process.JsonlProcess
   *                                     (jsonl_process.py semantics over the RAW
   *                                      nested JSON, before any flatten — the
   *                                      key-based rows/2-part-name parity path)
-  *   report <summaryPath> <out.html|out.zip>   (self-contained HTML, zip-wrapped
-  *                                              when the target ends in .zip)
+  *   report <summaryPath> <out.html|out.zip> [--colorblind]
+  *                                     (self-contained HTML with inline SVG
+  *                                      charts, zip-wrapped when the target
+  *                                      ends in .zip; --colorblind swaps the
+  *                                      palette like the reference's option)
   *   curate <docsDir> <outDir> [--min-quality Q] [--benchmark DIR]
   *          [--against CURATED_DIR] [--sample-weighted]
   *                                      (dedup → scrub → score → split; optional
@@ -329,14 +332,16 @@ object Pipeline {
       println(s"curated ${census.map(_.getLong(2)).sum} documents to $out")
       spark.stop()
 
-    case "report" :: in :: out :: _ =>
+    case "report" :: in :: out :: opts =>
       // single self-contained HTML artifact; a `.zip` target wraps it as
       // output.html exactly like the reference (analyze.py:1284-1290 —
       // suffix-dispatched, DEFLATE entry). Tables are the judged results,
-      // the HTML is sugar.
+      // the HTML is sugar; --colorblind swaps the SVG palette like the
+      // reference's Bokeh option.
       val spark = session()
       val html = graft.report.Report.render(
-        graft.ingest.WorkloadViews(readSummaries(spark, in)))
+        graft.ingest.WorkloadViews(readSummaries(spark, in)),
+        colorblind = opts.contains("--colorblind"))
       if (out.endsWith(".zip")) {
         val zos = new java.util.zip.ZipOutputStream(
           new java.io.FileOutputStream(out))

@@ -1,6 +1,7 @@
 package graft.report
 
 import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types.{NumericType, StructType, TimestampType}
 import graft.analyze.Analyzers
 import graft.ingest.WorkloadViews
 
@@ -9,12 +10,27 @@ import graft.ingest.WorkloadViews
   * self-contained HTML file — no external assets, no JS dependencies
   * (the reference embeds Bokeh; the judged parity is on the computed
   * tables, so this renderer keeps the artifact simple: per-analyzer
-  * tables with inline CSS bar gauges for percent columns).
+  * sections, each a static inline SVG chart — pie, bars, or scatter by
+  * result shape — above the data table, with inline CSS bar gauges for
+  * percent columns).
   *
   * Deterministic: analyzers sorted by name, rows in each analyzer's own
-  * orderBy, floats printed with fixed precision.
+  * orderBy, floats printed with fixed precision, SVG coordinates through
+  * one Locale.ROOT "%.2f" — the artifact is byte-identical across runs.
+  *
+  * Palettes mirror the reference's Bokeh dispatch (`analyze.py:708-713`):
+  * Category10 by default, Colorblind[8] behind the `colorblind` flag —
+  * both public Bokeh/matplotlib palettes.
   */
 object Report {
+
+  private val Category10 = Seq("#1f77b4", "#ff7f0e", "#2ca02c", "#d62728",
+    "#9467bd", "#8c564b", "#e377c2", "#7f7f7f", "#bcbd22", "#17becf")
+  private val Colorblind8 = Seq("#0072b2", "#e69f00", "#f0e442", "#009e73",
+    "#56b4e9", "#d55e00", "#cc79a7", "#000000")
+
+  private def f2(d: Double): String =
+    String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
 
   private def esc(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
@@ -23,6 +39,112 @@ object Report {
     case null => ""
     case d: java.lang.Double => if (d == d.longValue.toDouble) d.longValue.toString else f"$d%.4f"
     case x => x.toString
+  }
+
+  // ---- static SVG charts ------------------------------------------------
+
+  private def pieSvg(slices: Seq[(String, Double)], palette: Seq[String]): String = {
+    val total = slices.map(_._2).filter(_ > 0).sum
+    val (cx, cy, r) = (90.0, 92.0, 78.0)
+    var a = -math.Pi / 2
+    val paths = slices.zipWithIndex.map { case ((_, v), i) =>
+      val frac = if (total <= 0) 0.0 else math.max(0.0, v) / total
+      val a1 = a + frac * 2 * math.Pi
+      val color = palette(i % palette.size)
+      val p =
+        if (frac >= 0.99999)
+          s"""<circle cx="${f2(cx)}" cy="${f2(cy)}" r="${f2(r)}" fill="$color"/>"""
+        else if (frac <= 0) ""
+        else {
+          val (x0, y0) = (cx + r * math.cos(a), cy + r * math.sin(a))
+          val (x1, y1) = (cx + r * math.cos(a1), cy + r * math.sin(a1))
+          val large = if (a1 - a > math.Pi) 1 else 0
+          s"""<path d="M${f2(cx)},${f2(cy)} L${f2(x0)},${f2(y0)} """ +
+            s"""A${f2(r)},${f2(r)} 0 $large 1 ${f2(x1)},${f2(y1)} Z" fill="$color"/>"""
+        }
+      a = a1
+      p
+    }
+    val legend = slices.zipWithIndex.flatMap { case ((k, v), i) =>
+      val y = 22 + i * 15
+      Seq(
+        s"""<rect x="190" y="${y - 9}" width="10" height="10" fill="${palette(i % palette.size)}"/>""",
+        s"""<text x="206" y="$y">${esc(k)} (${f2(v)}%)</text>""")
+    }
+    val h = math.max(184, 22 + slices.size * 15)
+    s"""<svg class="chart" viewBox="0 0 470 $h" font-size="11" font-family="sans-serif" xmlns="http://www.w3.org/2000/svg">${(paths ++ legend).mkString}</svg>"""
+  }
+
+  private def barSvg(items: Seq[(String, Double)], color: String): String = {
+    if (items.isEmpty) return ""
+    val vmax = math.max(items.map(_._2).max, 1e-9)
+    val n = items.size
+    val bw = 430.0 / n
+    val bars = items.zipWithIndex.map { case ((_, v), i) =>
+      val h = math.max(0.0, v) / vmax * 120.0
+      s"""<rect x="${f2(30 + i * bw)}" y="${f2(140 - h)}" width="${f2(math.max(1.0, bw - 2))}" height="${f2(h)}" fill="$color"/>"""
+    }
+    val step = math.max(1, math.ceil(n / 12.0).toInt)
+    val labels = items.zipWithIndex.collect { case ((k, _), i) if i % step == 0 =>
+      s"""<text x="${f2(30 + i * bw + bw / 2)}" y="154" text-anchor="middle">${esc(k.take(16))}</text>"""
+    }
+    val axis = Seq(
+      s"""<text x="26" y="24" text-anchor="end">${f2(vmax)}</text>""",
+      s"""<text x="26" y="140" text-anchor="end">0</text>""",
+      """<line x1="30" y1="140" x2="460" y2="140" stroke="#999"/>""")
+    s"""<svg class="chart" viewBox="0 0 470 160" font-size="9" font-family="sans-serif" xmlns="http://www.w3.org/2000/svg">${(bars ++ labels ++ axis).mkString}</svg>"""
+  }
+
+  private def scatterSvg(pts: Seq[(Double, Double)], color: String): String = {
+    if (pts.isEmpty) return ""
+    val (xs, ys) = (pts.map(_._1), pts.map(_._2))
+    val (x0, x1) = (xs.min, xs.max)
+    val (y0, y1) = (ys.min, ys.max)
+    def sx(x: Double) = if (x1 == x0) 245.0 else 40 + (x - x0) / (x1 - x0) * 410.0
+    def sy(y: Double) = if (y1 == y0) 75.0 else 135 - (y - y0) / (y1 - y0) * 120.0
+    val dots = pts.map { case (x, y) =>
+      s"""<circle cx="${f2(sx(x))}" cy="${f2(sy(y))}" r="2.5" fill="$color" fill-opacity="0.6"/>"""
+    }
+    val axis = Seq(
+      """<line x1="40" y1="135" x2="450" y2="135" stroke="#999"/>""",
+      """<line x1="40" y1="15" x2="40" y2="135" stroke="#999"/>""",
+      s"""<text x="40" y="148">${f2(x0)}</text>""",
+      s"""<text x="450" y="148" text-anchor="end">${f2(x1)}</text>""",
+      s"""<text x="36" y="138" text-anchor="end">${f2(y0)}</text>""",
+      s"""<text x="36" y="22" text-anchor="end">${f2(y1)}</text>""")
+    s"""<svg class="chart" viewBox="0 0 470 160" font-size="9" font-family="sans-serif" xmlns="http://www.w3.org/2000/svg">${(dots ++ axis).mkString}</svg>"""
+  }
+
+  /** One SVG per analyzer, dispatched on the result shape: the pie contract
+    * (key, value, pct), the histogram contract (label, pct), two-column
+    * trends (bucket, value) as bars, and anything whose first two columns
+    * are plottable (numeric/timestamp — the scatter families) as a scatter.
+    */
+  private def chart(schema: StructType, rows: Array[Row], palette: Seq[String]): String = {
+    def plottable(i: Int) = schema.fields(i).dataType match {
+      case _: NumericType | TimestampType => true
+      case _ => false
+    }
+    def num(r: Row, i: Int): Double = r.get(i) match {
+      case n: java.lang.Number => n.doubleValue()
+      case t: java.sql.Timestamp => t.getTime.toDouble
+      case _ => 0.0
+    }
+    val names = schema.fieldNames.toSeq
+    if (rows.isEmpty) ""
+    else if (names == Seq("key", "value", "pct"))
+      pieSvg(rows.toSeq.map(r => (String.valueOf(r.get(0)), num(r, 2))), palette)
+    else if (names.length == 2 && plottable(1)) // histograms + trends
+      barSvg(rows.toSeq.filter(_.get(1) != null)
+        .map(r => (fmt(r.get(0)), num(r, 1))), palette.head)
+    else if (names.contains("x") && names.contains("y")) {
+      val (xi, yi) = (names.indexOf("x"), names.indexOf("y"))
+      scatterSvg(rows.toSeq.filter(r => r.get(xi) != null && r.get(yi) != null)
+        .map(r => (num(r, xi), num(r, yi))), palette.head)
+    } else if (names.length >= 2 && plottable(0) && plottable(1))
+      scatterSvg(rows.toSeq.filter(r => r.get(0) != null && r.get(1) != null)
+        .map(r => (num(r, 0), num(r, 1))), palette.head)
+    else ""
   }
 
   private def table(cols: Array[String], rows: Array[Row]): String = {
@@ -41,8 +163,11 @@ object Report {
     s"<table><thead><tr>$header</tr></thead><tbody>\n$body\n</tbody></table>"
   }
 
-  /** Full report HTML from the derived views. */
-  def render(views: WorkloadViews): String = {
+  /** Full report HTML from the derived views. `colorblind` mirrors the
+    * reference's palette switch (`analyze.py:708-713`).
+    */
+  def render(views: WorkloadViews, colorblind: Boolean = false): String = {
+    val palette = if (colorblind) Colorblind8 else Category10
     val m: Row = Analyzers.metrics(views).collect()(0)
     val metricCells = m.schema.fields.zipWithIndex.map { case (f, i) =>
       s"""<div class="metric"><span>${esc(f.name)}</span><b>${esc(fmt(m.get(i)))}</b></div>"""
@@ -55,7 +180,8 @@ object Report {
           val df = f()
           val rows = df.limit(101).collect()
           if (rows.isEmpty) "<p class=\"empty\">not enough data</p>" // analyze.py:1250-1251
-          else table(df.columns, rows.take(100)) +
+          else chart(df.schema, rows.take(100), palette) +
+            table(df.columns, rows.take(100)) +
             (if (rows.length > 100) "<p class='empty'>(first 100 rows)</p>" else "")
         } catch { case e: Exception => s"<p class=\"empty\">failed: ${esc(e.getMessage)}</p>" }
       s"""<section><h2 id="${esc(name)}">${esc(name)}</h2>\n$body\n</section>"""
@@ -68,6 +194,7 @@ object Report {
        |.metrics { display: flex; flex-wrap: wrap; gap: 1rem; }
        |.metric { border: 1px solid #ddd; border-radius: 6px; padding: .5rem .9rem; }
        |.metric span { display: block; font-size: .75rem; color: #666; }
+       |.chart { max-width: 470px; display: block; margin-bottom: .6rem; }
        |table { border-collapse: collapse; font-size: .85rem; width: 100%; }
        |th, td { text-align: left; padding: .25rem .6rem; border-bottom: 1px solid #eee; white-space: nowrap; }
        |td { font-variant-numeric: tabular-nums; position: relative; }
