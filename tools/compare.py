@@ -47,12 +47,25 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
     failures = []
-    for qdir in sorted(p for p in out_dir.iterdir() if p.is_dir()):
+    result_dirs = sorted(p for p in out_dir.iterdir() if p.is_dir())
+    # parity sweep: every oracle must have a Spark result to judge — a gate
+    # that crashed inside Verify would otherwise vanish from this report
+    # and read as "0 failures". (Skipped for SPARK_GRAFT_VERIFY_ONLY-style
+    # partial dumps: pass the subset explicitly via compare of that dir.)
+    present = {p.name for p in result_dirs}
+    if len(present) > len(oracle) // 2:  # full dump, not a filtered run
+        for name in sorted(set(oracle) - present):
+            print(f"✗ {name}: oracle present but NO SPARK RESULT (query crashed?)")
+            failures.append(name)
+    for qdir in result_dirs:
         name = qdir.name
         spark_df = con.execute(
             f"SELECT * FROM read_parquet('{qdir}/*.parquet')").df()
         if name not in oracle:
-            print(f"  {name}: NO-ORACLE rows={len(spark_df)}")
+            # every judged gate ships an oracle (RegistrySpec pins this);
+            # a result without one is a contract break, not a weaker check
+            print(f"✗ {name}: NO-ORACLE rows={len(spark_df)}")
+            failures.append(name)
             continue
         try:
             duck_df = con.execute(oracle[name]).df()
