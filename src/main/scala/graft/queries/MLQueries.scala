@@ -1767,11 +1767,15 @@ $blockSql
               |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // Sequence packing — the training-batch prep step: concatenate
-    // documents into fixed token-budget chunks (512 here). Greedy
-    // streaming packing in content-hash order: a chunk takes consecutive
-    // docs until the running token total crosses the budget (documents
-    // straddle boundaries — the standard pre-tokenization packing
-    // approximation). The window partitions by (source, shard) with the
+    // documents into fixed token-budget chunks (512 here). Grid-window
+    // assignment in content-hash order: each doc lands in chunk
+    // floor(start_offset / 512) of its shard, where start_offset is the
+    // running token total before it. After a doc overshoots a 512
+    // boundary the next doc starts mid-window, so windows can be skipped
+    // entirely or close short of 512 of their own tokens — weaker than
+    // per-chunk-budget-reset greedy packing, but a pure prefix-sum (one
+    // window function, no sequential fold) and the standard
+    // pre-tokenization approximation. The window partitions by (source, shard) with the
     // shard derived from the content hash: at 100 TB a per-source-only
     // window would sort one source's billions of docs in one partition;
     // sharding bounds every partition while keeping assignment a pure
