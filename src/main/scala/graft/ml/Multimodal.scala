@@ -169,6 +169,99 @@ object Multimodal {
     buf.array()
   }
 
+  /** Decoded PPM (Netpbm P6) metadata + exact integer channel sums —
+    * the image sibling of [[WavInfo]].
+    */
+  final case class PpmInfo(
+      width: Long,
+      height: Long,
+      maxval: Long,
+      rSum: Long,
+      gSum: Long,
+      bSum: Long,
+      hist: Array[Long])
+
+  /** REAL decode for a second public format: binary PPM (`P6`). Parses
+    * the ASCII header — magic, whitespace-separated width/height/maxval,
+    * `#` comments skipped to end of line (the part naive parsers get
+    * wrong) — then reads exactly width×height×3 single-byte RGB samples,
+    * accumulating exact integer channel sums. Returns None for anything
+    * malformed: wrong magic, maxval > 255 (two-byte samples), truncated
+    * or oversized pixel data.
+    */
+  private[graft] def decodePpm(b: Array[Byte]): Option[PpmInfo] = {
+    if (b.length < 2 || b(0) != 'P' || b(1) != '6') return None
+    var off = 2
+    def skipSeparators(): Boolean = {
+      var progressed = false
+      var more = true
+      while (more && off < b.length) {
+        val c = b(off).toChar
+        if (c == '#') { // comment runs to end of line
+          while (off < b.length && b(off) != '\n') off += 1
+          progressed = true
+        } else if (c.isWhitespace) { off += 1; progressed = true }
+        else more = false
+      }
+      progressed
+    }
+    def readInt(): Option[Long] = {
+      if (!skipSeparators()) return None // header tokens must be separated
+      val start = off
+      var v = 0L
+      while (off < b.length && b(off) >= '0' && b(off) <= '9' && v < Int.MaxValue) {
+        v = v * 10 + (b(off) - '0'); off += 1
+      }
+      if (off == start) None else Some(v)
+    }
+    val header = for {
+      w <- readInt(); h <- readInt(); m <- readInt()
+    } yield (w, h, m)
+    header match {
+      case Some((w, h, m))
+          if w > 0 && h > 0 && m > 0 && m <= 255 &&
+            off < b.length && b(off).toChar.isWhitespace =>
+        off += 1 // exactly ONE whitespace byte separates maxval from pixels
+        val n = w * h
+        if (b.length - off != 3 * n) return None // truncated or trailing junk
+        val sums = new Array[Long](3)
+        val hist = new Array[Long](FeatureDim)
+        var i = 0L
+        while (i < 3 * n) {
+          val v = b(off + i.toInt) & 0xff
+          sums((i % 3).toInt) += v
+          hist(v * FeatureDim / 256) += 1
+          i += 1
+        }
+        Some(PpmInfo(w, h, m, sums(0), sums(1), sums(2), hist))
+      case _ => None
+    }
+  }
+
+  /** Deterministic P6 payload for the judged gate — every header field
+    * and pixel value a pure function of `id` (odd ids carry a `#`
+    * comment line so the decoder's comment handling is exercised), so a
+    * DuckDB oracle recomputes the decoded stats analytically. Pixel p's
+    * channel c holds (id·37 + p·5 + c·11) mod 256.
+    */
+  private[graft] def synthPpm(id: Long): Array[Byte] = {
+    val w = (4 + id % 13).toInt
+    val h = (3 + id % 7).toInt
+    val header = "P6\n" + (if (id % 2 == 1) "# g\n" else "") + s"$w $h\n255\n"
+    val out = new Array[Byte](header.length + 3 * w * h)
+    System.arraycopy(header.getBytes("US-ASCII"), 0, out, 0, header.length)
+    var p = 0
+    while (p < w * h) {
+      var c = 0
+      while (c < 3) {
+        out(header.length + 3 * p + c) = ((id * 37 + p * 5 + c * 11) % 256).toByte
+        c += 1
+      }
+      p += 1
+    }
+    out
+  }
+
   /** STUB decode: a real implementation would decode pixels/samples here.
     * Deterministic fake: fold the byte histogram into FeatureDim buckets
     * and L2-normalize — stable across runs and partitionings.
@@ -184,18 +277,21 @@ object Multimodal {
     if (norm == 0f) acc else acc.map(_ / norm)
   }
 
-  /** Decode dispatch: real WAV parse when the payload is one, byte-histogram
-    * stub otherwise. Both paths emit an L2-normalized FeatureDim vector, so
-    * downstream similarity code never branches on the codec.
+  /** Decode dispatch: real WAV/PPM parse when the payload is one,
+    * byte-histogram stub otherwise. Every path emits an L2-normalized
+    * FeatureDim vector, so downstream similarity code never branches on
+    * the codec.
     */
-  private[ml] def decode(payload: Array[Byte]): Array[Float] =
-    decodeWav(payload) match {
-      case Some(w) =>
-        val acc = w.hist.map(_.toFloat)
-        val norm = math.sqrt(acc.map(v => v.toDouble * v).sum).toFloat
-        if (norm == 0f) acc else acc.map(_ / norm)
-      case None => decodeStub(payload)
+  private[ml] def decode(payload: Array[Byte]): Array[Float] = {
+    def normed(hist: Array[Long]): Array[Float] = {
+      val acc = hist.map(_.toFloat)
+      val norm = math.sqrt(acc.map(v => v.toDouble * v).sum).toFloat
+      if (norm == 0f) acc else acc.map(_ / norm)
     }
+    decodeWav(payload).map(w => normed(w.hist))
+      .orElse(decodePpm(payload).map(p => normed(p.hist)))
+      .getOrElse(decodeStub(payload))
+  }
 
   /** "Frame sampling": n evenly spaced byte offsets (a video decoder would
     * seek keyframes; the offsets contract is identical).

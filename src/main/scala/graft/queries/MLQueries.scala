@@ -1923,5 +1923,58 @@ $blockSql
              |FROM params p JOIN samples s USING (doc_id)
              |GROUP BY p.doc_id, p.n_channels, p.sample_rate, p.n_frames
              |ORDER BY p.doc_id""".stripMargin)),
+
+    // The image sibling of multimodal_decode_wav: binary PPM (P6).
+    // synthPpm writes a genuine Netpbm header (ASCII width/height/maxval;
+    // odd ids carry a `#` comment line, the part naive parsers break on)
+    // + RGB bytes, all pure functions of doc_id; ml.Multimodal.decodePpm
+    // parses it back — header tokenizer with comment skipping, strict
+    // single-separator and exact-payload-length checks — and the judged
+    // columns are the decoded geometry plus exact per-channel integer
+    // sums, which pin every pixel byte. Oracle recomputes analytically
+    // from the generator formulas; same narrow no-shuffle plan as the
+    // WAV gate.
+    NamedQuery(
+      "multimodal_decode_ppm",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions { ids =>
+            ids.map { id =>
+              val ppm = Multimodal.synthPpm(id)
+              val p = Multimodal.decodePpm(ppm).getOrElse(throw new IllegalStateException(
+                s"synthesized PPM for doc $id failed to decode"))
+              (id, ppm.length.toLong, p.width, p.height, p.maxval,
+                p.rSum, p.gSum, p.bSum)
+            }
+          }
+          .toDF("doc_id", "n_bytes", "width", "height", "maxval",
+            "r_sum", "g_sum", "b_sum")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH params AS (
+             |  SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+             |  FROM documents
+             |), px AS (
+             |  SELECT p.doc_id,
+             |    (p.doc_id * 37 + t.p * 5) % 256 AS r,
+             |    (p.doc_id * 37 + t.p * 5 + 11) % 256 AS g,
+             |    (p.doc_id * 37 + t.p * 5 + 22) % 256 AS b
+             |  FROM params p
+             |  JOIN (SELECT UNNEST(generate_series(0, 199)) AS p) t
+             |    ON t.p < p.w * p.h
+             |)
+             |SELECT p.doc_id,
+             |  CAST(3 + CASE WHEN p.doc_id % 2 = 1 THEN 4 ELSE 0 END
+             |    + len(CAST(p.w AS VARCHAR)) + 1 + len(CAST(p.h AS VARCHAR))
+             |    + 1 + 4 + 3 * p.w * p.h AS BIGINT) AS n_bytes,
+             |  CAST(p.w AS BIGINT) AS width,
+             |  CAST(p.h AS BIGINT) AS height,
+             |  CAST(255 AS BIGINT) AS maxval,
+             |  CAST(SUM(x.r) AS BIGINT) AS r_sum,
+             |  CAST(SUM(x.g) AS BIGINT) AS g_sum,
+             |  CAST(SUM(x.b) AS BIGINT) AS b_sum
+             |FROM params p JOIN px x USING (doc_id)
+             |GROUP BY p.doc_id, p.w, p.h ORDER BY p.doc_id""".stripMargin)),
   )
 }

@@ -100,6 +100,47 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("decodePpm parses a golden hand-built P6 exactly (incl. comments)") {
+    // 2x2 image, known channel values, a comment line in the header —
+    // independent of synthPpm so writer+reader can't self-confirm
+    val pixels = Array[Int](
+      10, 20, 30, 40, 50, 60,
+      70, 80, 90, 255, 0, 128)
+    val header = "P6\n# made by hand\n2 2\n255\n"
+    val bytes = header.getBytes("US-ASCII") ++ pixels.map(_.toByte)
+    val p = Multimodal.decodePpm(bytes).get
+    assert(p.width === 2L && p.height === 2L && p.maxval === 255L)
+    assert(p.rSum === 10L + 40 + 70 + 255)
+    assert(p.gSum === 20L + 50 + 80 + 0)
+    assert(p.bSum === 30L + 60 + 90 + 128)
+    assert(p.hist.sum === 12L)
+  }
+
+  test("decodePpm rejects malformed payloads") {
+    val good = Multimodal.synthPpm(4L)
+    assert(Multimodal.decodePpm(Array.empty[Byte]).isEmpty)
+    assert(Multimodal.decodePpm("P5\n2 2\n255\n".getBytes).isEmpty) // grayscale magic
+    assert(Multimodal.decodePpm(good.dropRight(1)).isEmpty) // truncated pixels
+    assert(Multimodal.decodePpm(good :+ 0.toByte).isEmpty)  // trailing junk
+    // 16-bit maxval (2-byte samples) is out of contract
+    assert(Multimodal.decodePpm("P6\n1 1\n65535\n".getBytes ++ Array[Byte](1, 2, 3, 4, 5, 6)).isEmpty)
+  }
+
+  test("synthPpm round-trips through decodePpm matching the analytic formulas") {
+    for (id <- 0L to 16L) { // both parities → comment-line handling
+      val bytes = Multimodal.synthPpm(id)
+      val p = Multimodal.decodePpm(bytes).get
+      val (w, h) = (4 + id % 13, 3 + id % 7)
+      assert(p.width === w && p.height === h && p.maxval === 255L)
+      def chan(c: Int) = (0L until w * h).map(px => (id * 37 + px * 5 + c * 11) % 256).sum
+      assert(p.rSum === chan(0))
+      assert(p.gSum === chan(1))
+      assert(p.bSum === chan(2))
+      assert(bytes.length === 3 + (if (id % 2 == 1) 4 else 0) +
+        w.toString.length + 1 + h.toString.length + 1 + 4 + 3 * w * h)
+    }
+  }
+
   test("featurize routes WAV payloads through the real decoder") {
     val wav = Multimodal.synthWav(6L)
     val recs = Seq(

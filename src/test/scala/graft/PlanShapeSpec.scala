@@ -222,4 +222,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("float_vec_dot(embedding"))
     assert(p.contains("WindowGroupLimit"))
   }
+
+  test("multimodal decode gates: narrow synth+decode map, id-only scan") {
+    for (name <- Seq("multimodal_decode_wav", "multimodal_decode_ppm")) {
+      val p = plan(name)
+      // synth + decode run inside one mapPartitions over doc_id alone —
+      // payloads never exist outside the task that synthesized them; the
+      // only exchange is the output-order range sort
+      assert(p.contains("ReadSchema: struct<doc_id:bigint>"), name)
+      assert(!p.contains("Join") && !p.contains("HashAggregate"), name)
+      assert(!p.contains("Exchange hashpartitioning"), name)
+    }
+  }
 }
