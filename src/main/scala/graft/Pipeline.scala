@@ -44,6 +44,11 @@ import graft.process.JsonlProcess
   *   ann <embDir> <outDir> [--k N] [--iters N] [--topk N] [--queries N]
   *       [--recall]                     (Lloyd-built IVF index + probe; --recall
   *                                       prints recall@topK vs brute force)
+  *   dedup-stream <docsDir> <outDir> [--near]
+  *                                     (streaming dedup twins over documents as
+  *                                      a bounded file stream; exact digests by
+  *                                      default, --near = simhash blocks; both
+  *                                      cross-checked against a batch replay)
   *
   * summaryPath accepts parquet (preferred at scale) or jsonl(.gz) written by
   * `extract`. Analyzer results land as one parquet dir per analyzer.
@@ -253,6 +258,74 @@ object Pipeline {
       } else println(s"sessionized: 0 sealed sessions to $out/sessions")
       spark.stop()
 
+    case "dedup-stream" :: in :: out :: opts =>
+      // streaming dedup twins driven end-to-end over the documents table
+      // as a bounded file-source stream (AvailableNow = drain-and-stop).
+      // Event time is synthesized deterministically (doc_id seconds), so
+      // arrival order follows doc_id — the twins' batch-equality
+      // contract. Default: exact twin (dropDuplicatesWithinWatermark);
+      // --near: the simhash block twin. The cross-check replays the same
+      // rule in batch and compares survivor sets on the sealed window.
+      val spark = session()
+      import spark.implicits._
+      import org.apache.spark.sql.functions.{col, expr, md5, min => smin}
+      val near = opts.contains("--near")
+      val schema = spark.read.parquet(s"$in/documents.parquet").schema
+      val docs = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(in)
+        .select(col("doc_id"),
+          expr("timestamp_seconds(1700000000 + doc_id)").as("ts"),
+          col("text"))
+        .as[graft.streaming.StreamDoc]
+      val delay = "10 seconds"
+      val deduped =
+        if (near) graft.streaming.DedupStream.dedupNear(docs, delay)
+        else graft.streaming.DedupStream.dedup(docs, delay)
+      val q = deduped.writeStream.format("parquet")
+        .option("path", s"$out/survivors").option("checkpointLocation", s"$out/checkpoint")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val hasData = Option(new java.io.File(s"$out/survivors").listFiles())
+        .exists(_.exists(_.getName.endsWith(".parquet")))
+      val streamed: Set[Long] =
+        if (hasData) spark.read.parquet(s"$out/survivors")
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+        else Set.empty
+      val all = spark.read.parquet(s"$in/documents.parquet")
+        .select(col("doc_id"), col("text")).orderBy(col("doc_id"))
+      if (near) {
+        // batch replay of the operator's exact rule (shared signature fn);
+        // the near twin's survivor aggregates seal only once the watermark
+        // passes them, so compare on the sealed id window
+        val rows = all.collect().map(r => (r.getLong(0), r.getString(1)))
+        val seen = scala.collection.mutable.ListBuffer.empty[Array[Long]]
+        val expected = rows.flatMap { case (id, text) =>
+          val s = graft.streaming.DedupStream.simhashBlocks(text)
+          val dup = seen.exists(e =>
+            (0 until 4).exists(i => s(i) == e(i)) &&
+              graft.streaming.DedupStream.hamming(s, e) <= 3)
+          seen += s
+          if (dup) None else Some(id)
+        }.toSet
+        val maxId = rows.map(_._1).max
+        val sealedIds = rows.map(_._1).filter(_ < maxId - 10).toSet
+        val (g, w) = (expected & sealedIds, streamed & sealedIds)
+        require(g == w, s"near-dup stream/batch mismatch: only-batch=${(g -- w).take(5)} only-stream=${(w -- g).take(5)}")
+        println(s"dedup-stream --near: ${streamed.size} survivors sealed " +
+          s"(batch replay matches on all ${sealedIds.size} sealed docs) to $out/survivors")
+      } else {
+        // exact twin emits immediately — survivors must equal the batch
+        // canonical set (min doc_id per digest) exactly
+        val batch = all.groupBy(md5(col("text")).as("digest"))
+          .agg(smin(col("doc_id")).as("doc_id"))
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+        require(batch == streamed, s"exact stream/batch mismatch: ${(batch diff streamed).take(5)} / ${(streamed diff batch).take(5)}")
+        println(s"dedup-stream: ${streamed.size} survivors " +
+          s"(= batch canonical set) to $out/survivors")
+      }
+      spark.stop()
+
     case "featurize" :: in :: out :: _ =>
       // multimodal demo: documents-as-media → stubbed decode → features
       val spark = session()
@@ -394,7 +467,7 @@ object Pipeline {
     case _ =>
       System.err.println(
         "usage: Pipeline (collect|extract|analyze|process|process-raw|stream|" +
-          "sessionize|featurize|curate|ann|report|explain) <in> <out> [opts]")
+          "sessionize|dedup-stream|featurize|curate|ann|report|explain) <in> <out> [opts]")
       sys.exit(2)
   }
 }
