@@ -143,17 +143,25 @@ class MultimodalSpec extends SparkSpec {
 
   test("featurize routes WAV payloads through the real decoder") {
     val wav = Multimodal.synthWav(6L)
+    val ppm = Multimodal.synthPpm(6L)
     val recs = Seq(
       Multimodal.MediaRecord(1L, "audio", wav, None, None, None),
-      Multimodal.MediaRecord(2L, "image", "not a wav".getBytes, None, None, None))
+      Multimodal.MediaRecord(2L, "image", "not a wav".getBytes, None, None, None),
+      Multimodal.MediaRecord(3L, "image", ppm, None, None, None))
     val out = Multimodal.featurize(recs.toDS()).collect().map(r => r.media_id -> r).toMap
-    // WAV path: features = normalized sample histogram, not the byte stub
-    val hist = Multimodal.decodeWav(wav).get.hist.map(_.toDouble)
-    val norm = math.sqrt(hist.map(v => v * v).sum)
-    out(1L).features.zip(hist.map(_ / norm)).foreach { case (got, want) =>
-      assert(math.abs(got - want) < 1e-5)
+    // WAV/PPM paths: features = normalized decoded histograms, not the byte stub
+    def expect(hist: Array[Long]): Array[Double] = {
+      val h = hist.map(_.toDouble)
+      val norm = math.sqrt(h.map(v => v * v).sum)
+      h.map(_ / norm)
     }
-    // non-WAV path: still the stub
+    out(1L).features.zip(expect(Multimodal.decodeWav(wav).get.hist)).foreach {
+      case (got, want) => assert(math.abs(got - want) < 1e-5)
+    }
+    out(3L).features.zip(expect(Multimodal.decodePpm(ppm).get.hist)).foreach {
+      case (got, want) => assert(math.abs(got - want) < 1e-5)
+    }
+    // undecodable payload: still the stub
     assert(out(2L).features.toSeq !== out(1L).features.toSeq)
     assert(math.abs(math.sqrt(out(2L).features.map(v => v.toDouble * v).sum) - 1.0) < 1e-5)
   }
