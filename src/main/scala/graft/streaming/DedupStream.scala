@@ -169,8 +169,13 @@ object DedupStream {
   def dedupNear(docs: Dataset[StreamDoc], delay: String = "1 hour"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // transformWithState needs a column-family-capable provider; upgrade
+    // the default HDFS-backed one to RocksDB, but leave any custom
+    // provider the session already configured alone
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    if (spark.conf.getOption(providerKey).forall(_.contains("HDFSBackedStateStoreProvider")))
+      spark.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val blocks = docs.map { doc =>
       val s = simhashBlocks(doc.text)
       (doc.doc_id, doc.ts, s(0), s(1), s(2), s(3))
