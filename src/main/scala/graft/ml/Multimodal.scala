@@ -39,7 +39,12 @@ object Multimodal {
       // fixed-dim feature vector a real encoder would emit
       features: Array[Float],
       // per-frame/chunk sample offsets ("frame sampling")
-      frame_offsets: Array[Long])
+      frame_offsets: Array[Long],
+      // typed metadata from the REAL decoders; None when only the
+      // byte-histogram fallback could handle the payload
+      width: Option[Long] = None,
+      height: Option[Long] = None,
+      duration_ms: Option[Long] = None)
 
   val FeatureDim = 16
 
@@ -277,21 +282,28 @@ object Multimodal {
     if (norm == 0f) acc else acc.map(_ / norm)
   }
 
+  private def normed(hist: Array[Long]): Array[Float] = {
+    val acc = hist.map(_.toFloat)
+    val norm = math.sqrt(acc.map(v => v.toDouble * v).sum).toFloat
+    if (norm == 0f) acc else acc.map(_ / norm)
+  }
+
   /** Decode dispatch: real WAV/PPM parse when the payload is one,
     * byte-histogram stub otherwise. Every path emits an L2-normalized
     * FeatureDim vector, so downstream similarity code never branches on
-    * the codec.
+    * the codec; the real codecs additionally surface their typed
+    * metadata (duration for audio, geometry for images) in one pass.
     */
-  private[ml] def decode(payload: Array[Byte]): Array[Float] = {
-    def normed(hist: Array[Long]): Array[Float] = {
-      val acc = hist.map(_.toFloat)
-      val norm = math.sqrt(acc.map(v => v.toDouble * v).sum).toFloat
-      if (norm == 0f) acc else acc.map(_ / norm)
+  private[ml] def decode(payload: Array[Byte])
+      : (Array[Float], Option[Long], Option[Long], Option[Long]) =
+    decodeWav(payload) match {
+      case Some(w) => (normed(w.hist), None, None, Some(w.durationMs))
+      case None =>
+        decodePpm(payload) match {
+          case Some(p) => (normed(p.hist), Some(p.width), Some(p.height), None)
+          case None => (decodeStub(payload), None, None, None)
+        }
     }
-    decodeWav(payload).map(w => normed(w.hist))
-      .orElse(decodePpm(payload).map(p => normed(p.hist)))
-      .getOrElse(decodeStub(payload))
-  }
 
   /** "Frame sampling": n evenly spaced byte offsets (a video decoder would
     * seek keyframes; the offsets contract is identical).
@@ -313,12 +325,16 @@ object Multimodal {
     partitioned.mapPartitions { it =>
       // per-partition init of a real codec would happen HERE, once
       it.map { r =>
+        val (features, width, height, durationMs) = decode(r.payload)
         MediaFeatures(
           media_id = r.media_id,
           kind = r.kind,
           n_bytes = r.payload.length.toLong,
-          features = decode(r.payload),
-          frame_offsets = sampleOffsets(r.payload.length.toLong, frames))
+          features = features,
+          frame_offsets = sampleOffsets(r.payload.length.toLong, frames),
+          width = width,
+          height = height,
+          duration_ms = durationMs)
       }
     }
   }

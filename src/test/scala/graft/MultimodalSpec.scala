@@ -164,5 +164,12 @@ class MultimodalSpec extends SparkSpec {
     // undecodable payload: still the stub
     assert(out(2L).features.toSeq !== out(1L).features.toSeq)
     assert(math.abs(math.sqrt(out(2L).features.map(v => v.toDouble * v).sum) - 1.0) < 1e-5)
+    // typed metadata surfaces from the real decoders only
+    assert(out(1L).duration_ms === Some(Multimodal.decodeWav(wav).get.durationMs))
+    assert(out(1L).width === None && out(1L).height === None)
+    assert(out(3L).width === Some(Multimodal.decodePpm(ppm).get.width))
+    assert(out(3L).height === Some(Multimodal.decodePpm(ppm).get.height))
+    assert(out(3L).duration_ms === None)
+    assert(out(2L).width === None && out(2L).duration_ms === None)
   }
 }
