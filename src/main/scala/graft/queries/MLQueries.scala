@@ -1863,6 +1863,39 @@ $blockSql
              |  MIN(md5(text)) AS min_digest
              |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Sliding-window chunking with overlap — the context-window prep step
+    // (RAG indexing / long-doc training): 32-token chunks at stride 16,
+    // so consecutive chunks share half their tokens and no boundary
+    // sentence is ever lost to a hard cut (contrast pack_sequences_greedy,
+    // which concatenates docs into disjoint grid windows). Judged output
+    // pins every chunk's exact content via an md5 over the joined tokens.
+    // Plan: narrow map + generator (per-doc chunk count from one size()
+    // computation), no join, no aggregation — embarrassingly parallel at
+    // any corpus size; the only exchange is the output-order sort.
+    NamedQuery(
+      "text_chunk_sliding",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .withColumn("n", size(col("w")).cast("long"))
+          .select(col("doc_id"), col("w"), col("n"),
+            explode(expr("sequence(CAST(0 AS BIGINT), (n - 1) div 16)")).as("chunk_idx"))
+          .select(col("doc_id"), col("chunk_idx"),
+            least(lit(32L), col("n") - col("chunk_idx") * 16).as("n_tokens"),
+            md5(expr("concat_ws(' ', slice(w, CAST(chunk_idx * 16 + 1 AS INT), 32))"))
+              .as("chunk_digest"))
+          .orderBy(col("doc_id"), col("chunk_idx")),
+      Some("""SELECT d.doc_id, t.i AS chunk_idx,
+             |  CAST(LEAST(32, d.n - t.i * 16) AS BIGINT) AS n_tokens,
+             |  md5(array_to_string(d.w[(t.i * 16 + 1):(t.i * 16 + 32)], ' '))
+             |    AS chunk_digest
+             |FROM (SELECT doc_id, string_split(text, ' ') AS w,
+             |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+             |      FROM documents) d
+             |JOIN (SELECT CAST(UNNEST(generate_series(0, 63)) AS BIGINT) AS i) t
+             |  ON t.i * 16 < d.n
+             |ORDER BY doc_id, chunk_idx""".stripMargin)),
+
     // Multimodal REAL decode (RIFF/WAVE, PCM16): per document, synthesize a
     // genuine WAV byte stream whose every header field and sample value is
     // a pure function of doc_id (odd ids carry an extra LIST chunk so the

@@ -43,6 +43,30 @@ class MLInvariantsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("token_sum")).sum === corpusTokens)
   }
 
+  test("text_chunk_sliding: contiguous windows, stride-bounded tails, full coverage") {
+    val rows = SparkEntry.queries("text_chunk_sliding")(spark, d).collect()
+    val words = graft.tables.Tables.documents(spark, d)
+      .selectExpr("doc_id", "CAST(size(split(text, ' ')) AS BIGINT) AS n")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.keySet === words.keySet) // every doc chunks
+    byDoc.foreach { case (id, cs) =>
+      val n = words(id)
+      val sorted = cs.sortBy(_.getAs[Long]("chunk_idx"))
+      // chunk ids contiguous from 0, count = (n-1) div 16 + 1
+      assert(sorted.map(_.getAs[Long]("chunk_idx")).toSeq ===
+        (0L to (n - 1) / 16))
+      sorted.foreach { c =>
+        val (i, t) = (c.getAs[Long]("chunk_idx"), c.getAs[Long]("n_tokens"))
+        assert(t === math.min(32L, n - i * 16)) // exact window arithmetic
+      }
+      // overlap: every non-final chunk holds more than one stride of
+      // tokens, so consecutive windows genuinely share content
+      sorted.dropRight(1).foreach(c => assert(c.getAs[Long]("n_tokens") === 32L ||
+        c.getAs[Long]("n_tokens") > 16L))
+    }
+  }
+
   test("text_keywords_tfidf: dense ranks 1..5 per source, scores non-increasing") {
     val rows = SparkEntry.queries("text_keywords_tfidf")(spark, d).collect()
     val bySource = rows.groupBy(_.getAs[String]("source"))
