@@ -141,6 +141,33 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("decoders never throw on arbitrary or corrupted bytes") {
+    // media payloads are untrusted input: any byte sequence must decode
+    // to Some(stats) or None, never an exception — fuzz with random
+    // buffers plus single-byte corruptions of valid payloads (the
+    // adversarial case: mostly-valid headers with poisoned fields)
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 200) {
+      val buf = new Array[Byte](rnd.nextInt(200))
+      rnd.nextBytes(buf)
+      Multimodal.decodeWav(buf)
+      Multimodal.decodePpm(buf)
+    }
+    for (id <- 0L to 4L; _ <- 1 to 50) {
+      val wav = Multimodal.synthWav(id)
+      wav(rnd.nextInt(wav.length)) = rnd.nextInt(256).toByte
+      Multimodal.decodeWav(wav)
+      val ppm = Multimodal.synthPpm(id)
+      ppm(rnd.nextInt(ppm.length)) = rnd.nextInt(256).toByte
+      Multimodal.decodePpm(ppm)
+    }
+    // truncations at every prefix length of one valid payload each
+    val wav = Multimodal.synthWav(3L)
+    val ppm = Multimodal.synthPpm(3L)
+    for (len <- 0 until wav.length) Multimodal.decodeWav(wav.take(len))
+    for (len <- 0 until ppm.length) Multimodal.decodePpm(ppm.take(len))
+  }
+
   test("featurize routes WAV payloads through the real decoder") {
     val wav = Multimodal.synthWav(6L)
     val ppm = Multimodal.synthPpm(6L)
