@@ -1863,6 +1863,81 @@ $blockSql
              |  MIN(md5(text)) AS min_digest
              |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // BM25 ranked retrieval — the lexical-search complement of the vector
+    // similarity family (what a data pipeline runs for decontamination
+    // lookups and hard-negative mining). Query = the corpus's 3 highest-df
+    // words (deterministic, self-contained); per matching (doc, term):
+    //   score = idf · tf·(k1+1) / (tf + k1·(1 − b + b·len/avgdl))
+    // with k1 = 1.2, b = 0.75, made INTEGER-EXACT by clearing
+    // denominators: with TL = Σ len and N docs (avgdl = TL/N),
+    //   score_micro = idf_proxy · 22·tf·TL div (10·tf·TL + 3·TL + 9·len·N)
+    // where idf_proxy = 1000000 div df (the judged tfidf contract — no
+    // float log anywhere). Every product stays < 2^63 at judged scales
+    // (≈6e14 at sf0.1); at 100 TB the same formula runs with TL rescaled
+    // to per-mille units. Plan: one (doc, word) aggregation feeds both tf
+    // and df (no second scan), the 3 query terms are a TakeOrdered
+    // broadcast into the scoring join, per-doc totals are one keyed
+    // aggregation, and the final top-10 is a TakeOrdered — no global
+    // sort, no all-pairs anything.
+    NamedQuery(
+      "text_bm25_retrieval",
+      (s, d) => {
+        val w = words(s, d)
+        val lens = w.select(col("doc_id"), size(col("w")).cast("long").as("len"))
+        val totals = lens.agg(sum(col("len")).as("tl"), count(lit(1)).as("n_docs"))
+        val wcounts = w
+          .select(col("doc_id"), explode(col("w")).as("word"))
+          .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+        val dfreq = wcounts.groupBy(col("word")).agg(count(lit(1)).as("df"))
+        val qterms = dfreq.orderBy(col("df").desc, col("word")).limit(3)
+        wcounts
+          .join(broadcast(qterms), "word")
+          .join(lens, "doc_id")
+          .crossJoin(broadcast(totals))
+          .withColumn("score_micro",
+            expr("((1000000 div df) * 22 * tf * tl) div " +
+              "(10 * tf * tl + 3 * tl + 9 * len * n_docs)"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_terms"), sum(col("score_micro")).as("score_micro"))
+          .orderBy(col("score_micro").desc, col("doc_id")).limit(10)
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("score_micro").desc, col("doc_id"))))
+          .select(col("rank").cast("long").as("rank"), col("doc_id"),
+            col("n_terms"), col("score_micro"))
+          .orderBy(col("rank"))
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+             |), lens AS (
+             |  SELECT doc_id, CAST(len(w) AS BIGINT) AS len FROM w
+             |), totals AS (
+             |  SELECT CAST(SUM(len) AS BIGINT) AS tl,
+             |    CAST(COUNT(*) AS BIGINT) AS n_docs FROM lens
+             |), wcounts AS (
+             |  SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+             |    SELECT doc_id, UNNEST(w) AS word FROM w
+             |  ) GROUP BY 1, 2
+             |), dfreq AS (
+             |  SELECT word, CAST(COUNT(*) AS BIGINT) AS df
+             |  FROM wcounts GROUP BY 1
+             |), qterms AS (
+             |  SELECT word, df FROM dfreq ORDER BY df DESC, word LIMIT 3
+             |), scored AS (
+             |  SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+             |    CAST(SUM(((1000000 // q.df) * 22 * c.tf * t.tl) //
+             |      (10 * c.tf * t.tl + 3 * t.tl + 9 * l.len * t.n_docs))
+             |      AS BIGINT) AS score_micro
+             |  FROM wcounts c
+             |  JOIN qterms q USING (word)
+             |  JOIN lens l ON l.doc_id = c.doc_id
+             |  CROSS JOIN totals t
+             |  GROUP BY 1
+             |)
+             |SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id)
+             |    AS BIGINT) AS rank,
+             |  doc_id, n_terms, score_micro
+             |FROM scored ORDER BY score_micro DESC, doc_id LIMIT 10""".stripMargin)),
+
     // Sliding-window chunking with overlap — the context-window prep step
     // (RAG indexing / long-doc training): 32-token chunks at stride 16,
     // so consecutive chunks share half their tokens and no boundary

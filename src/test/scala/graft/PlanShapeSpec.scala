@@ -223,6 +223,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"))
   }
 
+  test("text_bm25_retrieval: TakeOrdered query terms broadcast, top-10 TakeOrdered") {
+    val p = plan("text_bm25_retrieval")
+    // 3 query terms via per-partition top-k, broadcast into the scoring
+    // join; final top-10 likewise TakeOrdered — the ranking window only
+    // ever sees those ≤10 rows, never a partition-less corpus sort
+    assert(p.contains("TakeOrderedAndProject(limit=3"))
+    assert(p.contains("TakeOrderedAndProject(limit=10"))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("WindowExec: No Partition"))
+  }
+
   test("multimodal decode gates: narrow synth+decode map, id-only scan") {
     for (name <- Seq("multimodal_decode_wav", "multimodal_decode_ppm")) {
       val p = plan(name)
