@@ -1944,9 +1944,14 @@ $blockSql
     // sentence is ever lost to a hard cut (contrast pack_sequences_greedy,
     // which concatenates docs into disjoint grid windows). Judged output
     // pins every chunk's exact content via an md5 over the joined tokens.
-    // Plan: narrow map + generator (per-doc chunk count from one size()
-    // computation), no join, no aggregation — embarrassingly parallel at
-    // any corpus size; the only exchange is the output-order sort.
+    // The chunk grid is EXPLICITLY capped at 256 windows per doc (4,096+
+    // tokens) in BOTH engines — the least() below and the oracle's fixed
+    // 0..255 grid are one contract, so a longer-than-cap doc truncates
+    // identically everywhere instead of silently diverging (raise both
+    // together if the corpus ever carries >4k-token docs; judged fixtures
+    // top out at 100). Plan: narrow map + generator (per-doc chunk count
+    // from one size() computation), no join, no aggregation —
+    // embarrassingly parallel; the only exchange is the output-order sort.
     NamedQuery(
       "text_chunk_sliding",
       (s, d) =>
@@ -1954,7 +1959,8 @@ $blockSql
           .select(col("doc_id"), split(col("text"), " ").as("w"))
           .withColumn("n", size(col("w")).cast("long"))
           .select(col("doc_id"), col("w"), col("n"),
-            explode(expr("sequence(CAST(0 AS BIGINT), (n - 1) div 16)")).as("chunk_idx"))
+            explode(expr("sequence(CAST(0 AS BIGINT), least((n - 1) div 16, CAST(255 AS BIGINT)))"))
+              .as("chunk_idx"))
           .select(col("doc_id"), col("chunk_idx"),
             least(lit(32L), col("n") - col("chunk_idx") * 16).as("n_tokens"),
             md5(expr("concat_ws(' ', slice(w, CAST(chunk_idx * 16 + 1 AS INT), 32))"))
@@ -1967,7 +1973,7 @@ $blockSql
              |FROM (SELECT doc_id, string_split(text, ' ') AS w,
              |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n
              |      FROM documents) d
-             |JOIN (SELECT CAST(UNNEST(generate_series(0, 63)) AS BIGINT) AS i) t
+             |JOIN (SELECT CAST(UNNEST(generate_series(0, 255)) AS BIGINT) AS i) t
              |  ON t.i * 16 < d.n
              |ORDER BY doc_id, chunk_idx""".stripMargin)),
 

@@ -56,9 +56,7 @@ object DedupStream {
     val md = java.security.MessageDigest.getInstance("MD5")
     val counts = scala.collection.mutable.LongMap.empty[Long]
     text.split(" ").foreach { w =>
-      val hex = md.digest(w.getBytes("UTF-8"))
-        .map(b => f"${b & 0xff}%02x").mkString
-      val wid = java.lang.Long.parseLong(hex.substring(0, 15), 16) % WidMod
+      val wid = wordId(md, w)
       counts(wid) = counts.getOrElse(wid, 0L) + 1L
       md.reset()
     }
@@ -75,6 +73,20 @@ object DedupStream {
     Array.tabulate(4) { blk =>
       (0 until 16).map(i => if (acc(16 * blk + i) > 0) 1L << i else 0L).sum
     }
+  }
+
+  /** md5-prefix word id — the QueryDsl.hashIdSql contract ("first 15 hex
+    * digits parsed base 16, mod m") computed without the hex-format/
+    * substring/parse string churn: 15 hex digits = top 60 bits of the
+    * first 8 digest bytes = big-endian long >>> 4. Spec-pinned against
+    * the string spelling.
+    */
+  private[graft] def wordId(md: java.security.MessageDigest, w: String): Long = {
+    val dig = md.digest(w.getBytes("UTF-8"))
+    var top = 0L
+    var i = 0
+    while (i < 8) { top = (top << 8) | (dig(i) & 0xffL); i += 1 }
+    (top >>> 4) % WidMod
   }
 
   /** Hamming distance between two 4-block signatures. */

@@ -70,6 +70,17 @@ class DedupStreamSpec extends SparkSpec {
     }.toSeq
   }
 
+  test("wordId keeps the hashIdSql 15-hex-digit contract bit for bit") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for (w <- Seq("alpha001", "the", "zzz", "ünïcode", "", "a b", "0")) {
+      val hex = md.digest(w.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+      md.reset()
+      val viaString = java.lang.Long.parseLong(hex.substring(0, 15), 16) % 33554393L
+      assert(DedupStream.wordId(md, w) === viaString, s"word: $w")
+      md.reset()
+    }
+  }
+
   test("streaming near-dup drops verified block collisions, matching batch replay") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -53,9 +53,10 @@ class MLInvariantsSpec extends SparkSpec {
     byDoc.foreach { case (id, cs) =>
       val n = words(id)
       val sorted = cs.sortBy(_.getAs[Long]("chunk_idx"))
-      // chunk ids contiguous from 0, count = (n-1) div 16 + 1
+      // chunk ids contiguous from 0, count = (n-1) div 16 + 1 (capped at
+      // 256 windows — the explicit cross-engine grid contract)
       assert(sorted.map(_.getAs[Long]("chunk_idx")).toSeq ===
-        (0L to (n - 1) / 16))
+        (0L to math.min((n - 1) / 16, 255L)))
       sorted.foreach { c =>
         val (i, t) = (c.getAs[Long]("chunk_idx"), c.getAs[Long]("n_tokens"))
         assert(t === math.min(32L, n - i * 16)) // exact window arithmetic

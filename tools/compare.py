@@ -50,13 +50,13 @@ def main():
     result_dirs = sorted(p for p in out_dir.iterdir() if p.is_dir())
     # parity sweep: every oracle must have a Spark result to judge — a gate
     # that crashed inside Verify would otherwise vanish from this report
-    # and read as "0 failures". (Skipped for SPARK_GRAFT_VERIFY_ONLY-style
-    # partial dumps: pass the subset explicitly via compare of that dir.)
+    # and read as "0 failures". Verify filters oracle_sql.json by the same
+    # SPARK_GRAFT_VERIFY_ONLY set it filters results by, so this holds
+    # exactly on every dump, full or filtered.
     present = {p.name for p in result_dirs}
-    if len(present) > len(oracle) // 2:  # full dump, not a filtered run
-        for name in sorted(set(oracle) - present):
-            print(f"✗ {name}: oracle present but NO SPARK RESULT (query crashed?)")
-            failures.append(name)
+    for name in sorted(set(oracle) - present):
+        print(f"✗ {name}: oracle present but NO SPARK RESULT (query crashed?)")
+        failures.append(name)
     for qdir in result_dirs:
         name = qdir.name
         spark_df = con.execute(
