@@ -62,6 +62,30 @@ object MLQueries {
        |        string_split(text, ' ') AS w FROM documents)
        |)""".stripMargin
 
+  /** The integer BM25 scoring contract (text_bm25_retrieval), third
+    * spelling: the Spark expr and the DuckDB oracle compute exactly this,
+    * and the headroom spec runs THIS version — every multiply/add is
+    * `Math.*Exact`, so int64 overflow is a thrown error, not a wrap. The
+    * rescale g = max(1, TL div 1e6) caps the TL factor at < 2·10^6
+    * regardless of corpus size; at TL = 1e13 (the 100 TB corpus) the
+    * largest product idf·22·tf·TLs stays inside int64 for tf ≤ 2·10^5
+    * (spec-pinned). For TL < 1e6 (every judged fixture) g = 1 and the
+    * formula is value-identical to the unrescaled original.
+    */
+  private[graft] def bm25ScoreMicro(df: Long, tf: Long, tl: Long,
+      len: Long, nDocs: Long): Long = {
+    val g = math.max(1L, tl / 1000000L)
+    val tls = tl / g
+    val idf = 1000000L / df
+    val num = Math.multiplyExact(Math.multiplyExact(Math.multiplyExact(idf, 22L), tf), tls)
+    val den = Math.addExact(
+      Math.addExact(
+        Math.multiplyExact(Math.multiplyExact(10L, tf), tls),
+        Math.multiplyExact(3L, tls)),
+      Math.multiplyExact(9L, Math.multiplyExact(len, nDocs) / g))
+    num / den
+  }
+
   /** Shared probe scaffold of the similarity family (bruteforce / LSH /
     * IVF): join queries `(query_id, ea, norm_a, …)` to candidates
     * `(neighbor_id, eb, norm_b, …)` — on the index's bucket/cell column, or
@@ -1870,11 +1894,16 @@ $blockSql
     //   score = idf · tf·(k1+1) / (tf + k1·(1 − b + b·len/avgdl))
     // with k1 = 1.2, b = 0.75, made INTEGER-EXACT by clearing
     // denominators: with TL = Σ len and N docs (avgdl = TL/N),
-    //   score_micro = idf_proxy · 22·tf·TL div (10·tf·TL + 3·TL + 9·len·N)
+    //   score_micro = idf_proxy · 22·tf·TLs div (10·tf·TLs + 3·TLs + 9·((len·N) div g))
     // where idf_proxy = 1000000 div df (the judged tfidf contract — no
-    // float log anywhere). Every product stays < 2^63 at judged scales
-    // (≈6e14 at sf0.1); at 100 TB the same formula runs with TL rescaled
-    // to per-mille units. Plan: one (doc, word) aggregation feeds both tf
+    // float log anywhere) and g = greatest(1, TL div 1e6), TLs = TL div g
+    // is the int64-headroom rescale: TLs stays < 2e6 at ANY corpus size,
+    // so the largest product idf·22·tf·TLs is < 2^63 for tf up to ~2·10^5
+    // (spec-proven with Math.multiplyExact at TL = 1e13 — see
+    // [[bm25ScoreMicro]], the shared contract all three spellings pin).
+    // At judged scales TL < 1e6 ⇒ g = 1 and the rescaled formula is
+    // VALUE-IDENTICAL to the uncleared-headroom original, so rescaling
+    // changed no judged result. Plan: one (doc, word) aggregation feeds both tf
     // and df (no second scan), the 3 query terms are a TakeOrdered
     // broadcast into the scoring join, per-doc totals are one keyed
     // aggregation, and the final top-10 is a TakeOrdered — no global
@@ -1885,6 +1914,8 @@ $blockSql
         val w = words(s, d)
         val lens = w.select(col("doc_id"), size(col("w")).cast("long").as("len"))
         val totals = lens.agg(sum(col("len")).as("tl"), count(lit(1)).as("n_docs"))
+          .withColumn("g", greatest(lit(1L), expr("tl div 1000000")))
+          .withColumn("tls", expr("tl div g"))
         val wcounts = w
           .select(col("doc_id"), explode(col("w")).as("word"))
           .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
@@ -1895,8 +1926,8 @@ $blockSql
           .join(lens, "doc_id")
           .crossJoin(broadcast(totals))
           .withColumn("score_micro",
-            expr("((1000000 div df) * 22 * tf * tl) div " +
-              "(10 * tf * tl + 3 * tl + 9 * len * n_docs)"))
+            expr("((1000000 div df) * 22 * tf * tls) div " +
+              "(10 * tf * tls + 3 * tls + 9 * ((len * n_docs) div g))"))
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_terms"), sum(col("score_micro")).as("score_micro"))
           .orderBy(col("score_micro").desc, col("doc_id")).limit(10)
@@ -1913,6 +1944,10 @@ $blockSql
              |), totals AS (
              |  SELECT CAST(SUM(len) AS BIGINT) AS tl,
              |    CAST(COUNT(*) AS BIGINT) AS n_docs FROM lens
+             |), scaled AS (
+             |  SELECT n_docs, GREATEST(1, tl // 1000000) AS g,
+             |    tl // GREATEST(1, tl // 1000000) AS tls
+             |  FROM totals
              |), wcounts AS (
              |  SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf FROM (
              |    SELECT doc_id, UNNEST(w) AS word FROM w
@@ -1924,13 +1959,13 @@ $blockSql
              |  SELECT word, df FROM dfreq ORDER BY df DESC, word LIMIT 3
              |), scored AS (
              |  SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
-             |    CAST(SUM(((1000000 // q.df) * 22 * c.tf * t.tl) //
-             |      (10 * c.tf * t.tl + 3 * t.tl + 9 * l.len * t.n_docs))
+             |    CAST(SUM(((1000000 // q.df) * 22 * c.tf * t.tls) //
+             |      (10 * c.tf * t.tls + 3 * t.tls + 9 * ((l.len * t.n_docs) // t.g)))
              |      AS BIGINT) AS score_micro
              |  FROM wcounts c
              |  JOIN qterms q USING (word)
              |  JOIN lens l ON l.doc_id = c.doc_id
-             |  CROSS JOIN totals t
+             |  CROSS JOIN scaled t
              |  GROUP BY 1
              |)
              |SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id)
@@ -1947,11 +1982,15 @@ $blockSql
     // The chunk grid is EXPLICITLY capped at 256 windows per doc (4,096+
     // tokens) in BOTH engines — the least() below and the oracle's fixed
     // 0..255 grid are one contract, so a longer-than-cap doc truncates
-    // identically everywhere instead of silently diverging (raise both
-    // together if the corpus ever carries >4k-token docs; judged fixtures
-    // top out at 100). Plan: narrow map + generator (per-doc chunk count
-    // from one size() computation), no join, no aggregation —
-    // embarrassingly parallel; the only exchange is the output-order sort.
+    // identically everywhere instead of silently diverging. The cap is
+    // never SILENT: every chunk row of an over-cap doc carries
+    // `truncated` = 1 (judged in both engines), so a downstream consumer
+    // sees exactly which docs lost their tail and can re-chunk them with
+    // a raised cap (judged fixtures top out at 100 tokens; the flag is
+    // spec-pinned with a synthetic over-cap doc). Plan: narrow map +
+    // generator (per-doc chunk count from one size() computation), no
+    // join, no aggregation — embarrassingly parallel; the only exchange
+    // is the output-order sort.
     NamedQuery(
       "text_chunk_sliding",
       (s, d) =>
@@ -1964,12 +2003,14 @@ $blockSql
           .select(col("doc_id"), col("chunk_idx"),
             least(lit(32L), col("n") - col("chunk_idx") * 16).as("n_tokens"),
             md5(expr("concat_ws(' ', slice(w, CAST(chunk_idx * 16 + 1 AS INT), 32))"))
-              .as("chunk_digest"))
+              .as("chunk_digest"),
+            when(col("n") > 4096L, 1L).otherwise(0L).as("truncated"))
           .orderBy(col("doc_id"), col("chunk_idx")),
       Some("""SELECT d.doc_id, t.i AS chunk_idx,
              |  CAST(LEAST(32, d.n - t.i * 16) AS BIGINT) AS n_tokens,
              |  md5(array_to_string(d.w[(t.i * 16 + 1):(t.i * 16 + 32)], ' '))
-             |    AS chunk_digest
+             |    AS chunk_digest,
+             |  CAST(CASE WHEN d.n > 4096 THEN 1 ELSE 0 END AS BIGINT) AS truncated
              |FROM (SELECT doc_id, string_split(text, ' ') AS w,
              |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n
              |      FROM documents) d

@@ -68,6 +68,58 @@ class MLInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("text_chunk_sliding: over-cap docs are flagged truncated, never silently clipped") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-chunkcap").toString
+    import spark.implicits._
+    val longText = (0 until 5000).map(i => s"w$i").mkString(" ")
+    val shortText = (0 until 100).map(i => s"w$i").mkString(" ")
+    Seq((1L, shortText), (2L, longText)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("text_chunk_sliding")(spark, dir).collect()
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    // the 5000-token doc hits the 256-window cap AND every one of its
+    // rows says so — the cap is loud, not silent
+    assert(byDoc(2L).length === 256)
+    assert(byDoc(2L).forall(_.getAs[Long]("truncated") === 1L))
+    // the in-cap doc is complete and unflagged
+    assert(byDoc(1L).length === (100 - 1) / 16 + 1)
+    assert(byDoc(1L).forall(_.getAs[Long]("truncated") === 0L))
+    // and the judged fixture corpus never trips the flag (docs ≤ 100
+    // tokens), so the green gate also proves the flag's negative case
+    assert(SparkEntry.queries("text_chunk_sliding")(spark, d)
+      .filter("truncated != 0").count() === 0L)
+  }
+
+  test("text_bm25_retrieval: rescaled integer score keeps int64 headroom at TL = 1e13") {
+    import graft.queries.MLQueries
+    // 100 TB-corpus worst-case grid: TL = 1e13 tokens, n_docs = 1e11
+    // (avgdl 100); df = 1 maximizes idf. Every multiply in
+    // bm25ScoreMicro is Math.multiplyExact, so an overflow THROWS — this
+    // loop passing IS the headroom proof.
+    val tl = 10000000000000L
+    val n = 100000000000L
+    for (df <- Seq(1L, 3L, 1000000L); tf <- Seq(1L, 1000L, 200000L);
+         len <- Seq(1L, 200000L, 1000000L)) {
+      val s = MLQueries.bm25ScoreMicro(df, tf, tl, len, n)
+      assert(s >= 0L && s <= 2200000L)
+      // rescaling g = TL div 1e6 truncates at ~1e-6 relative precision;
+      // the score must track the exact (BigInt) unrescaled value within it
+      val exact = (BigInt(1000000L / df) * 22 * tf * tl) /
+        (BigInt(10) * tf * tl + BigInt(3) * tl + BigInt(9) * len * n)
+      assert((BigInt(s) - exact).abs.toLong <= 2L + (exact.toDouble * 1e-5).toLong,
+        s"df=$df tf=$tf len=$len: rescaled $s vs exact $exact")
+    }
+    // judged-scale equivalence: TL < 1e6 ⇒ g = 1 and the rescaled formula
+    // is VALUE-identical to the original — not just rank-preserving
+    for (tl0 <- Seq(1000L, 999999L); df <- Seq(1L, 7L); tf <- Seq(1L, 50L);
+         len <- Seq(10L, 500L)) {
+      val n0 = math.max(1L, tl0 / 100)
+      val unrescaled = (BigInt(1000000L / df) * 22 * tf * tl0) /
+        (BigInt(10) * tf * tl0 + BigInt(3) * tl0 + BigInt(9) * len * n0)
+      assert(MLQueries.bm25ScoreMicro(df, tf, tl0, len, n0) === unrescaled.toLong)
+    }
+  }
+
   test("text_keywords_tfidf: dense ranks 1..5 per source, scores non-increasing") {
     val rows = SparkEntry.queries("text_keywords_tfidf")(spark, d).collect()
     val bySource = rows.groupBy(_.getAs[String]("source"))
