@@ -11,6 +11,42 @@ import org.apache.spark.sql.SparkSession
   * (`count()` would let Catalyst drop sorts and skip result projection).
   */
 object Bench {
+
+  /** Warmup classification: one cheap query per input family
+    * (lineitem+TPC-H / workload fixture / documents / embeddings /
+    * events), so the FIRST timed query of each family does not absorb
+    * that family's one-off open costs (measured: the first fixture gate
+    * ran ~8 s cold vs ~2 s warm purely from session-level init). The
+    * TPC-H/events branch is an EXPLICIT prefix allowlist, not a
+    * catch-all: a gate with an unrecognized prefix fails loudly here —
+    * before any warmup work — instead of silently running its family
+    * cold and absorbing one-off init into its headline cold time.
+    * RegistrySpec runs this over the whole registry, so a new family is
+    * classified deliberately at test time, not discovered at bench time.
+    */
+  private val TpchEventPrefixes = Set(
+    "array_", "broadcast_", "coalesce_", "concat_", "cube_", "date_",
+    "dict_", "equi_", "explode_", "greatest_", "hash_", "histogram_",
+    "join_", "json_", "pivot_", "quantile_", "regexp_", "rollup_",
+    "scan_", "scatter_", "set_", "skew_", "stats_", "string_", "topk_",
+    "topn_", "union_", "unit_", "window_")
+
+  private[graft] def families(n: String): Set[String] =
+    if (n.startsWith("analyzer_")) Set("analyzer_metrics")
+    else if (n.startsWith("similarity_") || n.startsWith("embedding_") ||
+      n.startsWith("ann_")) Set("similarity_topk_bruteforce")
+    else if (n.startsWith("dedup_") || n.startsWith("text_") ||
+      n.startsWith("multimodal_") || n.startsWith("sample_") ||
+      n.startsWith("sketch_") || n.startsWith("pack_") ||
+      n.startsWith("filter_") || n.startsWith("dataset_") ||
+      n.startsWith("curate_"))
+      Set("dedup_exact", "similarity_topk_bruteforce") // embedding-cosine dedup reads both
+    else if (TpchEventPrefixes.exists(n.startsWith))
+      Set("hash_agg_sum", "date_trunc_agg")
+    else throw new IllegalArgumentException(
+      s"gate '$n' has no warmup family — add its prefix to Bench.families " +
+        "so its input family is warmed deliberately")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -58,26 +94,7 @@ object Bench {
     val selected = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
 
-    // warmup: session init, codegen paths, and parquet footers — one cheap
-    // query per input family (lineitem+TPC-H / workload fixture / documents
-    // / embeddings / events), so the FIRST timed query of each family does
-    // not absorb that family's one-off open costs (measured: the first
-    // fixture gate ran ~8 s cold vs ~2 s warm purely from session-level
-    // init). A filtered run warms only the families its queries read
-    // (prefix classification; the TPC-H/events default warms both of its
-    // candidates — over-warming is harmless, a cold family is not).
-    // Warmup results are discarded and never timed.
-    def families(n: String): Set[String] =
-      if (n.startsWith("analyzer_")) Set("analyzer_metrics")
-      else if (n.startsWith("similarity_") || n.startsWith("embedding_") ||
-        n.startsWith("ann_")) Set("similarity_topk_bruteforce")
-      else if (n.startsWith("dedup_") || n.startsWith("text_") ||
-        n.startsWith("multimodal_") || n.startsWith("sample_") ||
-        n.startsWith("sketch_") || n.startsWith("pack_") ||
-        n.startsWith("filter_") || n.startsWith("dataset_"))
-        Set("dedup_exact", "similarity_topk_bruteforce") // embedding-cosine dedup reads both
-      else Set("hash_agg_sum", "date_trunc_agg")
-    selected.flatMap(families).distinct.sorted.foreach(run)
+    selected.flatMap(Bench.families).distinct.sorted.foreach(run)
 
     // Two timed passes per gate: COLD (first run after the family warmup —
     // what the headline total reports, comparable across rounds) and WARM

@@ -286,7 +286,11 @@ object Pipeline {
           expr("timestamp_seconds(1700000000 + doc_id)").as("ts"),
           col("text"))
         .as[graft.streaming.StreamDoc]
-      val delay = "10 seconds"
+      // ONE constant feeds both the watermark delay string and the
+      // sealed-window cutoff below — editing either in isolation would
+      // turn the cross-check flaky instead of failing loudly
+      val delaySeconds = 10L
+      val delay = s"$delaySeconds seconds"
       val deduped =
         if (near) graft.streaming.DedupStream.dedupNear(docs, delay)
         else graft.streaming.DedupStream.dedup(docs, delay)
@@ -318,7 +322,7 @@ object Pipeline {
           if (dup) None else Some(id)
         }.toSet
         val maxId = rows.map(_._1).max
-        val sealedIds = rows.map(_._1).filter(_ < maxId - 10).toSet
+        val sealedIds = rows.map(_._1).filter(_ < maxId - delaySeconds).toSet
         val (g, w) = (expected & sealedIds, streamed & sealedIds)
         require(g == w, s"near-dup stream/batch mismatch: only-batch=${(g -- w).take(5)} only-stream=${(w -- g).take(5)}")
         println(s"dedup-stream --near: ${streamed.size} survivors sealed " +

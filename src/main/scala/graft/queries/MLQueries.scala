@@ -1805,6 +1805,11 @@ $blockSql
     // sharding bounds every partition while keeping assignment a pure
     // function of content (deterministic across runs and engines). Judged
     // output = per-chunk census, which pins the whole packing.
+    //
+    // NAME CAVEAT: "greedy" is the gate's historical judged name (kept
+    // for round-over-round comparability); the semantics are the WEAKER
+    // grid-window assignment described above, not budget-reset greedy —
+    // do not trust the name over this comment.
     NamedQuery(
       "pack_sequences_greedy",
       (s, d) => {

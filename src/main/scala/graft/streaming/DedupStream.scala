@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.Encoders
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode,
-  StatefulProcessor, TTLConfig, TimeMode, TimerValues}
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** One document on the stream. */
 final case class StreamDoc(doc_id: Long, ts: Timestamp, text: String)
@@ -104,18 +104,36 @@ object DedupStream {
       s0: Long, s1: Long, s2: Long, s3: Long)
   final case class Verdict(doc_id: Long, ts: Timestamp, hit: Int)
 
+  /** Local-mode spec diagnostic: when enabled, every near-dup bucket
+    * records how many cleanup timers it holds after timer bookkeeping, so
+    * the one-live-timer invariant below is observable from a spec (static
+    * state — meaningful under local[n] where tasks share the JVM; costs a
+    * listTimers() scan per batch, so it is never enabled outside specs).
+    */
+  @volatile private[graft] var timerDiagEnabled = false
+  private[graft] val maxLiveTimers = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** One pigeonhole bucket's stateful logic: verify every block collision
     * with the full Hamming distance, record every arriving signature, and
     * expire state as the event-time watermark advances. Timers only clean
     * up groups that stop receiving traffic; live groups prune inline.
+    * Single-timer bookkeeping: each group tracks its registered expiry in
+    * value state and deletes the old timer before registering a later one
+    * — without that, a busy group stacks one pending timer per batch,
+    * each firing a redundant prune once the watermark passes (idempotent,
+    * but needless state-store churn).
     */
   private class NearDupProcessor
       extends StatefulProcessor[(Int, Long), BlockRow, Verdict] {
     @transient private var entries: ListState[SigEntry] = _
+    @transient private var lastTimer: ValueState[Long] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       entries = getHandle.getListState[SigEntry]("entries",
         Encoders.product[SigEntry], TTLConfig.NONE)
+      lastTimer = getHandle.getValueState[Long]("lastTimer",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
 
     override def handleInputRows(key: (Int, Long), rows: Iterator[BlockRow],
         timers: TimerValues): Iterator[Verdict] = {
@@ -130,8 +148,19 @@ object DedupStream {
         Verdict(r.doc_id, r.ts, if (dup) 1 else 0)
       }
       entries.put(kept.toArray)
-      // clean the group up once the watermark passes its newest entry
-      getHandle.registerTimer(kept.map(_.tsMs).max + 1)
+      // clean the group up once the watermark passes its newest entry —
+      // ONE live timer per group: a batch that extends the newest event
+      // time moves the timer (delete + register); one that does not
+      // leaves the standing timer alone
+      val newExpiry = kept.map(_.tsMs).max + 1
+      val prev = if (lastTimer.exists()) lastTimer.get() else Long.MinValue
+      if (newExpiry > prev) {
+        if (prev != Long.MinValue) getHandle.deleteTimer(prev)
+        getHandle.registerTimer(newExpiry)
+        lastTimer.update(newExpiry)
+      }
+      if (timerDiagEnabled)
+        maxLiveTimers.getAndAccumulate(getHandle.listTimers().size, math.max(_, _))
       out.iterator
     }
 
@@ -140,6 +169,10 @@ object DedupStream {
       val wm = timers.getCurrentWatermarkInMs()
       val kept = entries.get().filter(_.tsMs >= wm).toArray
       if (kept.isEmpty) entries.clear() else entries.put(kept)
+      // the fired timer is the tracked one (unless a later batch already
+      // moved it); drop stale bookkeeping so the next batch re-registers
+      if (lastTimer.exists() && lastTimer.get() <= timer.getExpiryTimeInMs())
+        lastTimer.clear()
       Iterator.empty
     }
   }

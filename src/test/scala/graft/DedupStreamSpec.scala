@@ -81,6 +81,32 @@ class DedupStreamSpec extends SparkSpec {
     }
   }
 
+  test("near-dup buckets hold exactly one live cleanup timer across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // same text every batch → the same four (block, value) groups receive
+    // rows in every one of the four batches, each extending the newest
+    // event time — the exact pattern that used to stack one pending timer
+    // per batch. The diagnostic records the live-timer count per bucket
+    // AFTER bookkeeping; max must stay at 1.
+    DedupStream.timerDiagEnabled = true
+    DedupStream.maxLiveTimers.set(0)
+    val stream = MemoryStream[StreamDoc]
+    val q = DedupStream.dedupNear(stream.toDS(), "10 minutes")
+      .writeStream.format("memory").queryName("neardup_timer_test")
+      .outputMode("append").start()
+    try {
+      for (b <- 0 until 4) {
+        stream.addData(StreamDoc(b + 1, ts(b), "aaa bbb ccc"))
+        q.processAllAvailable()
+      }
+      assert(DedupStream.maxLiveTimers.get() === 1)
+    } finally {
+      q.stop()
+      DedupStream.timerDiagEnabled = false
+    }
+  }
+
   test("streaming near-dup drops verified block collisions, matching batch replay") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

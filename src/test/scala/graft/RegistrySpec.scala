@@ -19,6 +19,14 @@ class RegistrySpec extends AnyFunSuite {
     assert(queries.size >= 107, s"registry shrank to ${queries.size}")
   }
 
+  test("every registered query classifies into a bench warmup family") {
+    // Bench.families throws on an unrecognized name prefix; running it
+    // over the full registry here means a new gate family gets classified
+    // deliberately at test time, not discovered as a cold-start outlier
+    // in the round's bench numbers
+    SparkEntry.queries.keySet.foreach(n => Bench.families(n))
+  }
+
   test("oracle SQL references only the driver's tables or the gate fixture") {
     // every oracle runs in DuckDB with exactly the sf tables + the
     // committed fixture parquet registered — a stray table name would die
