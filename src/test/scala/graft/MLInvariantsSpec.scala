@@ -137,6 +137,18 @@ class MLInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("dedup_connected_components: reliable-checkpoint opt-in is output-identical") {
+    // default path = localCheckpoint (executor storage); the opt-in swaps
+    // every lineage cut in the loop for a reliable checkpoint() — the
+    // 100 TB executor-loss posture. Same labels, same canonicals.
+    val dflt = SparkEntry.queries("dedup_connected_components")(spark, d).collect()
+    spark.conf.set("spark.graft.reliableCheckpoint", "true")
+    try {
+      val reliable = SparkEntry.queries("dedup_connected_components")(spark, d).collect()
+      assert(reliable.toSeq === dflt.toSeq)
+    } finally spark.conf.unset("spark.graft.reliableCheckpoint")
+  }
+
   test("filter_length_outliers: kept counts stay within totals and never empty a source") {
     val rows = SparkEntry.queries("filter_length_outliers")(spark, d).collect()
     assert(rows.nonEmpty)
