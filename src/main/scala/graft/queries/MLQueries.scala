@@ -366,15 +366,18 @@ object MLQueries {
           .select(col("doc_id") +: blocks: _*)
   }
 
-  /** Oracle CTE block ending in `sigs(doc_id, sig0..sig3)`, shared by the
-    * signature gate and the Hamming join gate (pre-resolved, no margin).
-    * Generated for the 64 accumulators / 4 blocks so the Scala and SQL
-    * twins cannot drift bit by bit.
+  /** Oracle CTE block ending in `sigs(doc_id, sig0..sig3)`, generated for
+    * the 64 accumulators / 4 blocks so the Scala and SQL twins cannot
+    * drift bit by bit. Parameterized ONLY by the accumulator weight —
+    * the batch gates weight by tf·idf (`cnt * (1000000 // df)`), the
+    * streaming twin by tf alone (`cnt`; df is corpus-global and cannot
+    * exist in-stream — the DedupStream.simhashBlocks contract). One
+    * generator, so the two weightings cannot diverge anywhere else.
     */
-  private val simhashSigsSql: String = {
+  private def simhashSigsSqlWith(weight: String): String = {
     val accSql = (0 until 64).map(b =>
       s"    SUM(((((wid * 64 + $b) * 2654435761 + 91) % 2147483647 % 2) * 2 - 1)" +
-        s" * cnt * (1000000 // df)) AS acc$b").mkString(",\n")
+        s" * $weight) AS acc$b").mkString(",\n")
     val blockSql = (0 until 4).map { blk =>
       val bits = (0 until 16)
         .map(i => s"(CASE WHEN acc${16 * blk + i} > 0 THEN ${1L << i} ELSE 0 END)")
@@ -400,6 +403,14 @@ $blockSql
   FROM bits
 )"""
   }
+
+  /** Batch signature CTE (tf·idf weighting) — the judged simhash family. */
+  private val simhashSigsSql: String = simhashSigsSqlWith("cnt * (1000000 // df)")
+
+  /** Streaming signature CTE (tf-only weighting) — the
+    * DedupStream.simhashBlocks contract, for the dedup_stream_near gate.
+    */
+  private val streamSigsSql: String = simhashSigsSqlWith("cnt")
 
   /** Near-dup pairs at Hamming distance ≤ 3 over the 64-bit signatures
     * (shared by the pair gate and the connected-components gate). Both
@@ -2221,5 +2232,57 @@ $blockSql
               |  CAST(SUM(${hashIdSql("text", 2147483647L)}) % 2147483647 AS BIGINT)
               |    AS text_checksum
               |FROM kept GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // The streaming near-dup twin, judged end-to-end: the gate runs the
+    // REAL transformWithState operator (DedupStream.dedupNear — RocksDB
+    // state, 4×16-bit pigeonhole buckets, chained AND-aggregation) over
+    // the documents table as a bounded file stream with event time
+    // synthesized from doc_id (ts = epoch + doc_id seconds, so arrival
+    // order follows doc_id — the operator's determinism contract), under
+    // Trigger.AvailableNow. The oracle replays the operator's exact
+    // greedy rule in SQL: a doc is dropped iff ANY lower-id doc shares a
+    // signature block AND verifies at Hamming ≤ 3 (dropped docs still
+    // block later ones — every signature enters state), over the
+    // STREAMING tf-only signature contract ([[streamSigsSql]] — df is
+    // corpus-global and cannot exist in-stream). Append-mode survivors
+    // seal only once the watermark (10 s delay) passes their event time,
+    // so both engines cut at doc_id < max - 10 — the same sealed window
+    // the dedup-stream CLI cross-checks. The memory sink holds sealed
+    // doc_ids only (a production run writes parquet, as the CLI does).
+    NamedQuery(
+      "dedup_stream_near",
+      (s, d) => {
+        import s.implicits._
+        val schema = s.read.parquet(s"$d/documents.parquet").schema
+        val docs = s.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet").parquet(d)
+          .select(col("doc_id"),
+            expr("timestamp_seconds(1700000000 + doc_id)").as("ts"),
+            col("text"))
+          .as[graft.streaming.StreamDoc]
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft-neardup-gate").toString
+        val sink = s"dedup_stream_near_sink_${streamSinkSeq.incrementAndGet()}"
+        val q = graft.streaming.DedupStream.dedupNear(docs, "10 seconds")
+          .writeStream.format("memory").queryName(sink)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(sink).select(col("doc_id")).orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $streamSigsSql, $hammingCandSql
+              |SELECT d.doc_id FROM documents d
+              |WHERE d.doc_id < (SELECT MAX(doc_id) - 10 FROM documents)
+              |  AND NOT EXISTS (SELECT 1 FROM cand c
+              |                  WHERE c.doc_b = d.doc_id AND c.dist <= 3)
+              |ORDER BY d.doc_id""".stripMargin)),
   )
+
+  /** Distinct memory-sink names per dedup_stream_near invocation (bench
+    * runs the gate twice in one session; the sink table must not
+    * accumulate).
+    */
+  private val streamSinkSeq = new java.util.concurrent.atomic.AtomicLong(0)
 }
