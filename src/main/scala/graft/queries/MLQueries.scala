@@ -2191,6 +2191,57 @@ $blockSql
              |FROM params p JOIN px x USING (doc_id)
              |GROUP BY p.doc_id, p.w, p.h ORDER BY p.doc_id""".stripMargin)),
 
+    // Multimodal REAL decode #3 — the first COMPRESSED format: PNG
+    // (non-interlaced 8-bit RGB). Per document, synthesize a genuine PNG
+    // whose geometry and every RAW pixel value are pure functions of
+    // doc_id, with each scanline filtered by type y mod 5 (h ≥ 5, so all
+    // five PNG filters appear in every payload) and the pixel data
+    // zlib-wrapped in a stored deflate block (byte length analytic:
+    // 68 + h·(1+3w)); then decode it back with ml.Multimodal.decodePng —
+    // a real chunk walk + CRC32 verify + Inflater + Sub/Up/Average/Paeth
+    // unfilter. The oracle never sees bytes: it recomputes the channel
+    // sums from the generator formulas, so any defect in the
+    // filter/unfilter arithmetic, the zlib framing, or the chunk CRCs
+    // breaks the match. Plan: narrow mapPartitions over doc_id only —
+    // payloads never leave the task that synthesized them.
+    NamedQuery(
+      "multimodal_decode_png",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions { ids =>
+            ids.map { id =>
+              val png = Multimodal.synthPng(id)
+              val p = Multimodal.decodePng(png).getOrElse(throw new IllegalStateException(
+                s"synthesized PNG for doc $id failed to decode"))
+              (id, png.length.toLong, p.width, p.height, p.rSum, p.gSum, p.bSum)
+            }
+          }
+          .toDF("doc_id", "n_bytes", "width", "height", "r_sum", "g_sum", "b_sum")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH params AS (
+             |  SELECT doc_id, 4 + doc_id % 9 AS w, 5 + doc_id % 6 AS h
+             |  FROM documents
+             |), px AS (
+             |  SELECT p.doc_id,
+             |    (p.doc_id * 53 + t.p * 7) % 256 AS r,
+             |    (p.doc_id * 53 + t.p * 7 + 19) % 256 AS g,
+             |    (p.doc_id * 53 + t.p * 7 + 38) % 256 AS b
+             |  FROM params p
+             |  JOIN (SELECT UNNEST(generate_series(0, 119)) AS p) t
+             |    ON t.p < p.w * p.h
+             |)
+             |SELECT p.doc_id,
+             |  CAST(68 + p.h * (1 + 3 * p.w) AS BIGINT) AS n_bytes,
+             |  CAST(p.w AS BIGINT) AS width,
+             |  CAST(p.h AS BIGINT) AS height,
+             |  CAST(SUM(x.r) AS BIGINT) AS r_sum,
+             |  CAST(SUM(x.g) AS BIGINT) AS g_sum,
+             |  CAST(SUM(x.b) AS BIGINT) AS b_sum
+             |FROM params p JOIN px x USING (doc_id)
+             |GROUP BY p.doc_id, p.w, p.h ORDER BY p.doc_id""".stripMargin)),
+
     // The COMPOSED curation product, judged end-to-end: the gate runs the
     // REAL ml.Curate pipeline (exact dedup keeping the first-seen doc →
     // PII scrub → quality score over the scrubbed text → binding

@@ -141,6 +141,61 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("decodePng decodes the JDK ImageIO encoder's output exactly") {
+    // a genuinely INDEPENDENT PNG writer: java's ImageIO, which emits
+    // real entropy-coded DEFLATE (not synthPng's stored blocks) and its
+    // own filter choices — so this proves (a) the Inflater path on
+    // compressed data, (b) unfiltering whatever filters a foreign
+    // encoder picked, (c) no synth/decode bug pair can self-confirm
+    val (w, h) = (23, 17)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var rs = 0L; var gs = 0L; var bs = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = ((x * 31 + y * 7) % 256, (x * 13 + y * 57) % 256, (x + y * 101) % 256)
+      rs += r; gs += g; bs += b
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", baos))
+    val p = Multimodal.decodePng(baos.toByteArray).get
+    assert(p.width === w.toLong && p.height === h.toLong && p.bitDepth === 8L)
+    assert(p.rSum === rs && p.gSum === gs && p.bSum === bs)
+    assert(p.hist.sum === 3L * w * h)
+  }
+
+  test("decodePng rejects malformed payloads") {
+    val good = Multimodal.synthPng(7L)
+    assert(Multimodal.decodePng(Array.empty[Byte]).isEmpty)
+    assert(Multimodal.decodePng("not a png at all, nope".getBytes).isEmpty)
+    val badSig = good.clone(); badSig(0) = 'X'.toByte
+    assert(Multimodal.decodePng(badSig).isEmpty)
+    // flip a pixel byte inside IDAT: the chunk CRC must catch it
+    val badCrc = good.clone(); badCrc(8 + 25 + 8 + 10) = (badCrc(8 + 25 + 8 + 10) ^ 0x5a).toByte
+    assert(Multimodal.decodePng(badCrc).isEmpty)
+    assert(Multimodal.decodePng(good.dropRight(5)).isEmpty) // truncated IEND
+    // interlaced flag is out of contract (IHDR byte 12, with CRC refreshed)
+    val inter = good.clone(); inter(8 + 8 + 12) = 1.toByte
+    val crc = new java.util.zip.CRC32(); crc.update(inter, 8 + 4, 4 + 13)
+    val cv = crc.getValue
+    for (i <- 0 until 4) inter(8 + 8 + 13 + i) = ((cv >> (24 - 8 * i)) & 0xff).toByte
+    assert(Multimodal.decodePng(inter).isEmpty)
+  }
+
+  test("synthPng round-trips through decodePng matching the analytic formulas") {
+    for (id <- 0L to 16L) { // covers every (w, h) residue pair and all filters
+      val bytes = Multimodal.synthPng(id)
+      val p = Multimodal.decodePng(bytes).get
+      val (w, h) = (4 + id % 9, 5 + id % 6)
+      assert(p.width === w && p.height === h && p.bitDepth === 8L)
+      def chan(c: Int) = (0L until w * h).map(px => (id * 53 + px * 7 + c * 19) % 256).sum
+      assert(p.rSum === chan(0))
+      assert(p.gSum === chan(1))
+      assert(p.bSum === chan(2))
+      assert(bytes.length === 68 + h * (1 + 3 * w))
+    }
+  }
+
   test("decoders never throw on arbitrary or corrupted bytes") {
     // media payloads are untrusted input: any byte sequence must decode
     // to Some(stats) or None, never an exception — fuzz with random
@@ -152,6 +207,7 @@ class MultimodalSpec extends SparkSpec {
       rnd.nextBytes(buf)
       Multimodal.decodeWav(buf)
       Multimodal.decodePpm(buf)
+      Multimodal.decodePng(buf)
     }
     for (id <- 0L to 4L; _ <- 1 to 50) {
       val wav = Multimodal.synthWav(id)
@@ -160,21 +216,28 @@ class MultimodalSpec extends SparkSpec {
       val ppm = Multimodal.synthPpm(id)
       ppm(rnd.nextInt(ppm.length)) = rnd.nextInt(256).toByte
       Multimodal.decodePpm(ppm)
+      val png = Multimodal.synthPng(id)
+      png(rnd.nextInt(png.length)) = rnd.nextInt(256).toByte
+      Multimodal.decodePng(png)
     }
     // truncations at every prefix length of one valid payload each
     val wav = Multimodal.synthWav(3L)
     val ppm = Multimodal.synthPpm(3L)
+    val png = Multimodal.synthPng(3L)
     for (len <- 0 until wav.length) Multimodal.decodeWav(wav.take(len))
     for (len <- 0 until ppm.length) Multimodal.decodePpm(ppm.take(len))
+    for (len <- 0 until png.length) Multimodal.decodePng(png.take(len))
   }
 
   test("featurize routes WAV payloads through the real decoder") {
     val wav = Multimodal.synthWav(6L)
     val ppm = Multimodal.synthPpm(6L)
+    val png = Multimodal.synthPng(6L)
     val recs = Seq(
       Multimodal.MediaRecord(1L, "audio", wav, None, None, None),
       Multimodal.MediaRecord(2L, "image", "not a wav".getBytes, None, None, None),
-      Multimodal.MediaRecord(3L, "image", ppm, None, None, None))
+      Multimodal.MediaRecord(3L, "image", ppm, None, None, None),
+      Multimodal.MediaRecord(4L, "image", png, None, None, None))
     val out = Multimodal.featurize(recs.toDS()).collect().map(r => r.media_id -> r).toMap
     // WAV/PPM paths: features = normalized decoded histograms, not the byte stub
     def expect(hist: Array[Long]): Array[Double] = {
@@ -198,5 +261,13 @@ class MultimodalSpec extends SparkSpec {
     assert(out(3L).height === Some(Multimodal.decodePpm(ppm).get.height))
     assert(out(3L).duration_ms === None)
     assert(out(2L).width === None && out(2L).duration_ms === None)
+    // PNG path: real inflate+unfilter decode, geometry surfaced
+    val pinfo = Multimodal.decodePng(png).get
+    out(4L).features.zip(expect(pinfo.hist)).foreach {
+      case (got, want) => assert(math.abs(got - want) < 1e-5)
+    }
+    assert(out(4L).width === Some(pinfo.width))
+    assert(out(4L).height === Some(pinfo.height))
+    assert(out(4L).duration_ms === None)
   }
 }
