@@ -60,23 +60,31 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def run(name: String): (Double, Boolean) = {
+    def run(name: String): (Double, Boolean, String) = {
       val t0 = System.nanoTime()
+      var df: org.apache.spark.sql.DataFrame = null
       val ok =
         try {
-          SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+          df = SparkEntry.queries(name)(spark, sfDir)
+          df.write.format("noop").mode("overwrite").save()
           true
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
         }
       val dt = (System.nanoTime() - t0) / 1e9
+      // plan fingerprint OUTSIDE the timed window, from the df the timed
+      // run constructed (planning is cheap and never re-executes the
+      // query) — lets the next round separate plan drift from noise
+      // mechanically; see PlanFingerprint
+      val fp = if (ok) try PlanFingerprint.of(df) catch { case _: Throwable => "err" }
+        else "err"
       // each query is timed self-contained: drop every cached relation the
       // query built (outside its timed window) so no gate inherits another's
       // cache hits — or its heap pressure; with ~85 gates the accumulated
       // InMemoryRelations otherwise inflate later queries ~25% via GC
       spark.catalog.clearCache()
-      (dt, ok)
+      (dt, ok, fp)
     }
 
     // SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the run (iteration aid; the
@@ -112,13 +120,13 @@ object Bench {
     }
     // a crashed query reports null, not its (short) elapsed time — a fast-
     // looking total must not hide failures
-    def num(t: (Double, Boolean)): String = if (t._2) t._1.toString else "null"
+    def num(t: (Double, Boolean, String)): String = if (t._2) t._1.toString else "null"
     val qs = results.map { case (k, cold, warm) =>
       val w = warm.map(t => s""","warm":${num(t)}""").getOrElse("")
-      s""""$k":{"cold":${num(cold)}$w}"""
+      s""""$k":{"cold":${num(cold)}$w,"plan":"${cold._3}"}"""
     }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, (_, false), _) => "\"" + k + "\"" }
-    val total = results.collect { case (_, (v, true), _) => v }.sum
+    val failed = results.collect { case (k, (_, false, _), _) => "\"" + k + "\"" }
+    val total = results.collect { case (_, (v, true, _), _) => v }.sum
     val failedField =
       if (failed.isEmpty) "" else s""","failed":${failed.mkString("[", ",", "]")}"""
     // The per-query map (~100 entries, >3 kB on one line) goes to stderr and

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Stable fingerprint of a gate's physical plan — the mechanical "did the
+  * plan drift?" signal. bench_details.json records one per gate next to
+  * {cold, warm}, so a round-over-round timing delta with an UNCHANGED
+  * fingerprint is measurement noise by construction, while a changed
+  * fingerprint flags plan drift without anyone reading plan diffs; and
+  * PlanFingerprintSpec pins the fingerprints at the fixture scale against
+  * a committed snapshot, so accidental plan drift fails `sbt test` before
+  * it ever reaches a bench.
+  *
+  * Normalization strips everything that legitimately varies run-to-run —
+  * expression/exchange ids, file paths and locations, statistics, the
+  * streaming gate's per-invocation sink name — leaving operator structure,
+  * join strategies, pushed filters, and read schemas: exactly the things a
+  * plan review checks.
+  */
+object PlanFingerprint {
+
+  def of(df: DataFrame): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(normalize(df.queryExecution.executedPlan.toString)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"${b & 0xff}%02x").mkString
+  }
+
+  private[graft] def normalize(plan: String): String =
+    plan
+      .replaceAll("#\\d+L?", "#x") // expression ids
+      .replaceAll("\\[(plan_)?id=#?\\d+\\]", "[id=x]") // exchange/plan ids
+      .replaceAll("\\$\\$Lambda\\$?[\\d/]*0x[0-9a-f]+(@[0-9a-f]+)?", "\\$\\$Lambda\\$x")
+      .replaceAll("@[0-9a-f]{6,}", "@x") // JVM identity hashes
+      .replaceAll("Location: [^\\n]*", "Location: <loc>")
+      .replaceAll("file:[^,\\]\\s)]+", "<path>")
+      .replaceAll("/tmp/[^,\\]\\s)]+", "<tmp>")
+      .replaceAll("dedup_stream_near_sink_\\d+", "dedup_stream_near_sink_<n>")
+      .replaceAll("Statistics\\([^)]*\\)", "Statistics(<s>)")
+      .replaceAll("size=\\d+", "size=<n>")
+      .replaceAll("rows=\\d+", "rows=<n>")
+}
