@@ -21,14 +21,34 @@ object PlanFingerprint {
 
   def of(df: DataFrame): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    md.digest(normalize(df.queryExecution.executedPlan.toString)
+    md.digest(normalize(planString(df))
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map(b => f"${b & 0xff}%02x").mkString
+  }
+
+  /** Renders the executed plan with string truncation effectively off.
+    * Spark truncates scan metadata (`DataFilters: [... `) at
+    * `spark.sql.maxMetadataStringLength` BEFORE [[normalize]] rewrites
+    * expression ids to `#x` — so two identical plans whose global id
+    * counters happen to differ in digit count truncate at different
+    * characters and fingerprint differently. Render untruncated (confs
+    * restored after), normalize, and the string is id-width-independent.
+    */
+  private[graft] def planString(df: DataFrame): String = {
+    val conf = df.sparkSession.conf
+    val metaKey = "spark.sql.maxMetadataStringLength"
+    val fieldsKey = "spark.sql.debug.maxToStringFields"
+    val (oldMeta, oldFields) = (conf.get(metaKey), conf.get(fieldsKey))
+    conf.set(metaKey, "100000")
+    conf.set(fieldsKey, "10000")
+    try df.queryExecution.executedPlan.toString
+    finally { conf.set(metaKey, oldMeta); conf.set(fieldsKey, oldFields) }
   }
 
   private[graft] def normalize(plan: String): String =
     plan
       .replaceAll("#\\d+L?", "#x") // expression ids
+      .replaceAll("lambda x_\\d+", "lambda x_") // global lambda-var counter
       .replaceAll("\\[(plan_)?id=#?\\d+\\]", "[id=x]") // exchange/plan ids
       .replaceAll("\\$\\$Lambda\\$?[\\d/]*0x[0-9a-f]+(@[0-9a-f]+)?", "\\$\\$Lambda\\$x")
       .replaceAll("@[0-9a-f]{6,}", "@x") // JVM identity hashes

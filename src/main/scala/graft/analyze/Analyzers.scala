@@ -232,17 +232,23 @@ object Analyzers {
 
   // ---- header metrics (`analyze.py:1177-1193`) -----------------------
 
-  /** Exact at test scale; at 100 TB swap countDistinct for
-    * approx_count_distinct (SURVEY §2.A27) — one pass, no exact-distinct
-    * shuffle explosion.
+  /** Exact distinct counts via `size(collect_set(..))`, NOT two
+    * `countDistinct`s in one aggregate: multiple distinct groups trigger
+    * Spark's RewriteDistinctAggregates, whose gid assignment iterates a
+    * HashMap keyed by exprId-hashed attribute sets — the Expand/grouping
+    * order then varies run-to-run (plan-fingerprint flake) and the Expand
+    * triples the rows through the shuffle. collect_set keeps ONE partial+
+    * final aggregation pass; its state is vocabulary-bounded (users,
+    * days — never raw rows). At 100 TB swap for approx_count_distinct
+    * (SURVEY §2.A27) if the user vocabulary ever stops being bounded.
     */
   def metrics(v: WorkloadViews): DataFrame =
     v.base.agg(
-      countDistinct(date_trunc("day", col("ts"))).as("days"),
+      size(collect_set(date_trunc("day", col("ts")))).cast("long").as("days"),
       (sum(col("cpu_time")) / 86400.0).as("cpu_days"),
       (sum(col("scheduled_time")) / 86400.0).as("scheduled_days"),
       count(lit(1)).as("queries"),
       sum(col("input_rows")).as("input_rows"),
       (sum(col("input_size")) / 1e12).as("input_tb"),
-      countDistinct(col("user")).as("users"))
+      size(collect_set(col("user"))).cast("long").as("users"))
 }

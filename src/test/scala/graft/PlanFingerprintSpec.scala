@@ -23,7 +23,18 @@ class PlanFingerprintSpec extends SparkSpec {
     // planning only — except dedup_stream_near, whose construction drives
     // its bounded stream once (the fingerprint then pins the sink scan)
     val got = SparkEntry.queries.keys.toSeq.sorted.map { n =>
-      n -> PlanFingerprint.of(SparkEntry.queries(n)(spark, d))
+      // cache-clean per gate, mirroring Bench's per-gate clearCache():
+      // pie-family gates materialize a bounded cache at construction, and
+      // a later gate sharing that subtree would otherwise fingerprint an
+      // InMemoryRelation swap-in that depends on loop order, not its plan
+      spark.catalog.clearCache()
+      val df = SparkEntry.queries(n)(spark, d)
+      sys.env.get("SPARK_GRAFT_FP_DUMP").foreach { dir =>
+        Files.createDirectories(Paths.get(dir))
+        Files.writeString(Paths.get(dir, s"$n.txt"),
+          PlanFingerprint.normalize(PlanFingerprint.planString(df)))
+      }
+      n -> PlanFingerprint.of(df)
     }
     if (sys.env.get("SPARK_GRAFT_REGEN_FINGERPRINTS").contains("1")) {
       Files.createDirectories(snapshot.getParent)

@@ -119,6 +119,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window"))
   }
 
+  test("pie: distributed part is TakeOrdered + broadcast anti-join, no window; gate tail is local") {
+    import spark.implicits._
+    // the workload-sized part of the pie family (per-key aggregate →
+    // scalar total broadcast → TakeOrdered top-19 → broadcast anti-join
+    // remainder) — pinned HERE because the judged pie gates' own plans
+    // are now the bounded ≤20-row driver tail (one collect replaced the
+    // former four-job scheduling tail)
+    val counts = Seq(("a", 5.0), ("b", 3.0), ("c", 1.0)).toDF("k", "v")
+    val p = graft.analyze.ChartOps.pieDistributed(counts, "k", "v", 20)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject(limit=19"))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"))
+    assert(!p.contains("Window"))
+    assert(plan("analyzer_operator_input").contains("LocalTableScan"))
+  }
+
   test("stats_moments: one partial+final aggregation pair carries all six moments") {
     val p = plan("stats_moments")
     // moments are mergeable partials: exactly one aggregation exchange
