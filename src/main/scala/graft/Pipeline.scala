@@ -44,6 +44,12 @@ import graft.process.JsonlProcess
   *   ann <embDir> <outDir> [--k N] [--iters N] [--topk N] [--queries N]
   *       [--recall]                     (Lloyd-built IVF index + probe; --recall
   *                                       prints recall@topK vs brute force)
+  *   stream <queryInfoDir> <outDir> [--follow] [--trend day|hour]
+  *                                     (continuous collect+extract: file-source
+  *                                      stream → exactly-once parquet; --trend
+  *                                      also runs the B1–B6 live-dashboard
+  *                                      aggregation over the same stream and
+  *                                      lands it at outDir/trend_<bucket>)
   *   dedup-stream <docsDir> <outDir> [--near]
   *                                     (streaming dedup twins over documents as
   *                                      a bounded file stream; exact digests by
@@ -220,6 +226,21 @@ object Pipeline {
         else writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       q.awaitTermination()
       println(s"streamed ${spark.read.parquet(s"$out/data").count()} summaries to $out/data")
+      // optional live-dashboard twin: the B1–B6 trend aggregation over the
+      // same landed stream (spec-proven equal to the batch analyzers),
+      // drained Complete into memory (state = one row per bucket) and
+      // landed as parquet for inspection
+      opts.sliding(2).collectFirst { case Seq("--trend", b) => b }.foreach { bucket =>
+        val t = graft.streaming.StreamingIngest
+          .trendByBucket(graft.streaming.StreamingIngest.summaries(spark, in), bucket)
+          .writeStream.format("memory").queryName("stream_trend")
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        t.awaitTermination()
+        val trend = spark.table("stream_trend").orderBy(bucket)
+        trend.write.mode("overwrite").parquet(s"$out/trend_$bucket")
+        println(s"trend twin ($bucket): ${trend.count()} buckets to $out/trend_$bucket")
+      }
       spark.stop()
 
     case "sessionize" :: eventsDir :: out :: _ =>

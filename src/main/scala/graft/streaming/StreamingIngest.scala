@@ -59,4 +59,41 @@ object StreamingIngest {
       .groupBy(window(col("ts"), "1 hour").as("hour"))
       .agg(count(lit(1)).as("n_queries"),
         sum(col("scheduled_time")).as("scheduled_secs"))
+
+  /** B1–B6 as ONE continuous windowed aggregation per time bucket
+    * (`"day"` | `"hour"`) — the streaming twin of the batch trend
+    * analyzers (SURVEY §2.B; the reference's `collect --loop` continuous
+    * posture, `collect.py:151-166`). Same FAILED filter and
+    * query-id-derived event time as [[graft.ingest.WorkloadViews]]`.base`;
+    * the grouping is an epoch-aligned tumbling event-time window whose
+    * `start` equals `date_trunc(bucket, ts)` in a UTC session, and the
+    * measure expressions are written EXACTLY as the batch analyzers write
+    * them (divide-then-sum), so each measure column projects to the
+    * corresponding batch result: scheduled_days/scheduled_hours (B1/B2),
+    * input_tb (B3/B4), n_queries (B5/B6). StreamingIngestSpec proves the
+    * equality on the committed workload fixture.
+    *
+    * Scale: all three measures ride one aggregation; state is one row per
+    * bucket — bounded by the covered time span, never by row count. Run
+    * Complete into a memory/KV dashboard sink (watermark unused), or
+    * Append with the 2 h watermark for sealed-bucket emission. One
+    * divergence from batch by construction: a malformed query_id (null
+    * event time) is dropped by the window, where the batch analyzer
+    * surfaces a null bucket.
+    */
+  def trendByBucket(summaries: Dataset[QuerySummary], bucket: String): DataFrame = {
+    require(bucket == "day" || bucket == "hour", s"unsupported bucket: $bucket")
+    summaries.toDF()
+      .filter(col("state") =!= "FAILED")
+      .withColumn("ts", to_timestamp(substring(col("query_id"), 1, 15), "yyyyMMdd_HHmmss"))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), if (bucket == "day") "1 day" else "1 hour").as("w"))
+      .agg(
+        sum(col("scheduled_time") / 86400.0).as("scheduled_days"),
+        sum(col("scheduled_time") / 3600.0).as("scheduled_hours"),
+        sum(col("input_size") / 1e12).as("input_tb"),
+        count(lit(1)).as("n_queries"))
+      .select(col("w.start").as(bucket), col("scheduled_days"),
+        col("scheduled_hours"), col("input_tb"), col("n_queries"))
+  }
 }

@@ -46,6 +46,46 @@ class StreamingIngestSpec extends SparkSpec {
       Seq("20220101_123000_00001_abcde", "20220102_093000_00003_cdefg"))
   }
 
+  test("B1-B6 streaming trend twins equal the batch analyzers on the same landed data") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.analyze.Analyzers
+    import graft.ingest.WorkloadViews
+    import graft.queries.AnalyzerGates
+    // land the committed workload-gate docs — the SAME data the judged
+    // batch analyzer gates read (as the extracted parquet fixture,
+    // GateFixtureSpec pins the two representations together)
+    val tmpIn = java.nio.file.Files.createTempDirectory("graft-trend-twin-in")
+    val srcDir = java.nio.file.Paths.get(resourcePath("workload_gate"))
+    java.nio.file.Files.list(srcDir).forEach { p =>
+      if (p.getFileName.toString.endsWith(".json"))
+        java.nio.file.Files.copy(p, tmpIn.resolve(p.getFileName.toString))
+    }
+    for (bucket <- Seq("day", "hour")) {
+      val q = StreamingIngest
+        .trendByBucket(StreamingIngest.summaries(spark, tmpIn.toString), bucket)
+        .writeStream.format("memory").queryName(s"trend_twin_$bucket")
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000), s"trend_twin_$bucket did not finish")
+    }
+    val v = WorkloadViews(spark.read.parquet(AnalyzerGates.fixtureDir))
+    def rows(df: DataFrame): Seq[Seq[Any]] = df.collect().toSeq.map(_.toSeq)
+    def twin(bucket: String, measure: String): DataFrame =
+      spark.table(s"trend_twin_$bucket")
+        .select(col(bucket), col(measure)).orderBy(col(bucket))
+    // six exact twins: same bucket timestamps, same measure values
+    assert(rows(twin("day", "scheduled_days")) === rows(Analyzers.scheduledByDate(v)))
+    assert(rows(twin("hour", "scheduled_hours")) === rows(Analyzers.scheduledByHour(v)))
+    assert(rows(twin("day", "input_tb")) === rows(Analyzers.inputByDate(v)))
+    assert(rows(twin("hour", "input_tb")) === rows(Analyzers.inputByHour(v)))
+    assert(rows(twin("day", "n_queries")) === rows(Analyzers.queriesByDate(v)))
+    assert(rows(twin("hour", "n_queries")) === rows(Analyzers.queriesByHour(v)))
+    // and the data was non-trivial: multiple buckets on both grains
+    assert(spark.table("trend_twin_hour").count() >= 2)
+  }
+
   test("hourly trend aggregates event time from query ids") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
