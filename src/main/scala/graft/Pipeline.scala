@@ -221,15 +221,21 @@ object Pipeline {
       val ds = graft.streaming.StreamingIngest.summaries(spark, in)
       val writer = graft.streaming.StreamingIngest
         .writer(ds, s"$out/data", s"$out/checkpoint")
+      val follow = opts.contains("--follow")
       val q =
-        if (opts.contains("--follow")) writer.start()
+        if (follow) writer.start()
         else writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      println(s"streamed ${spark.read.parquet(s"$out/data").count()} summaries to $out/data")
+      if (!follow) {
+        q.awaitTermination()
+        println(s"streamed ${spark.read.parquet(s"$out/data").count()} summaries to $out/data")
+      }
       // optional live-dashboard twin: the B1–B6 trend aggregation over the
       // same landed stream (spec-proven equal to the batch analyzers),
       // drained Complete into memory (state = one row per bucket) and
-      // landed as parquet for inspection
+      // landed as parquet for inspection. Runs BEFORE the follow-mode
+      // await (which by design never returns): under --follow the trend
+      // drains whatever has landed at startup, once — a periodic refresh
+      // would belong to a scheduler, not this CLI.
       opts.sliding(2).collectFirst { case Seq("--trend", b) => b }.foreach { bucket =>
         val t = graft.streaming.StreamingIngest
           .trendByBucket(graft.streaming.StreamingIngest.summaries(spark, in), bucket)
@@ -241,6 +247,7 @@ object Pipeline {
         trend.write.mode("overwrite").parquet(s"$out/trend_$bucket")
         println(s"trend twin ($bucket): ${trend.count()} buckets to $out/trend_$bucket")
       }
+      if (follow) q.awaitTermination() // tails the ingest; Ctrl-C to stop
       spark.stop()
 
     case "sessionize" :: eventsDir :: out :: _ =>

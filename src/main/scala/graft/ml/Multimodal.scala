@@ -331,9 +331,14 @@ object Multimodal {
           val depthTypeEtc = (b(off + 16) & 0xff, b(off + 17) & 0xff,
             b(off + 18) & 0xff, b(off + 19) & 0xff, b(off + 20) & 0xff)
           if (depthTypeEtc != ((8, 2, 0, 0, 0))) return None // 8-bit RGB only
-          // memory guard for untrusted input: cap decoded pixel data
-          if (width <= 0 || height <= 0 ||
-            height * (1L + 3L * width) > (1L << 28)) return None
+          // memory guard for untrusted input: cap decoded pixel data.
+          // Division form — width/height are untrusted unsigned 32-bit
+          // values, and height * (1 + 3*width) can exceed Long range
+          // (wrap negative, pass the cap, crash on array alloc), so the
+          // product is never formed: bound width first, then compare
+          // height against the cap divided by the row stride.
+          if (width <= 0 || height <= 0 || width > (1L << 28) ||
+            height > (1L << 28) / (1L + 3L * width)) return None
         case "IDAT" =>
           if (!ihdrSeen) return None
           idat.write(b, off + 8, len.toInt)

@@ -101,7 +101,8 @@ object MLQueries {
     */
   private def ckpt(df: DataFrame, eager: Boolean = true): DataFrame = {
     val s = df.sparkSession
-    val reliable = sys.env.contains("SPARK_GRAFT_RELIABLE_CHECKPOINT") ||
+    val reliable =
+      sys.env.get("SPARK_GRAFT_RELIABLE_CHECKPOINT").exists(_.toBoolean) ||
       s.conf.getOption("spark.graft.reliableCheckpoint").exists(_.toBoolean)
     if (reliable) {
       if (s.sparkContext.getCheckpointDir.isEmpty)
@@ -118,8 +119,14 @@ object MLQueries {
     * rescale g = max(1, TL div 1e6) caps the TL factor at < 2·10^6
     * regardless of corpus size; at TL = 1e13 (the 100 TB corpus) the
     * largest product idf·22·tf·TLs stays inside int64 for tf ≤ 2·10^5
-    * (spec-pinned). For TL < 1e6 (every judged fixture) g = 1 and the
-    * formula is value-identical to the unrescaled original.
+    * (spec-pinned). The len·N denominator term is likewise rescaled
+    * BEFORE multiplying — (len div g)·N + ((len mod g)·N) div g, exact
+    * because (len div g)·g·N divides g evenly — so a skewed corpus
+    * (one multi-trillion-token doc, billions of docs) can't overflow
+    * it either: len div g ≤ TLs < 2e6 and len mod g < g ≤ 1e7 bound
+    * both products for N up to ~9·10^11. For TL < 1e6 (every judged
+    * fixture) g = 1 and the formula is value-identical to the
+    * unrescaled original.
     */
   private[graft] def bm25ScoreMicro(df: Long, tf: Long, tl: Long,
       len: Long, nDocs: Long): Long = {
@@ -131,7 +138,9 @@ object MLQueries {
       Math.addExact(
         Math.multiplyExact(Math.multiplyExact(10L, tf), tls),
         Math.multiplyExact(3L, tls)),
-      Math.multiplyExact(9L, Math.multiplyExact(len, nDocs) / g))
+      Math.multiplyExact(9L, Math.addExact(
+        Math.multiplyExact(len / g, nDocs),
+        Math.multiplyExact(len % g, nDocs) / g)))
     num / den
   }
 
@@ -1953,7 +1962,11 @@ $blockSql
     //   score = idf · tf·(k1+1) / (tf + k1·(1 − b + b·len/avgdl))
     // with k1 = 1.2, b = 0.75, made INTEGER-EXACT by clearing
     // denominators: with TL = Σ len and N docs (avgdl = TL/N),
-    //   score_micro = idf_proxy · 22·tf·TLs div (10·tf·TLs + 3·TLs + 9·((len·N) div g))
+    //   score_micro = idf_proxy · 22·tf·TLs
+    //               div (10·tf·TLs + 3·TLs + 9·((len div g)·N + ((len mod g)·N) div g))
+    // (the len·N term is rescaled BEFORE multiplying — exact, because
+    // (len div g)·g·N divides evenly — so one multi-trillion-token doc
+    // among billions of docs can't push len·N past int64)
     // where idf_proxy = 1000000 div df (the judged tfidf contract — no
     // float log anywhere) and g = greatest(1, TL div 1e6), TLs = TL div g
     // is the int64-headroom rescale: TLs stays < 2e6 at ANY corpus size,
@@ -1986,7 +1999,8 @@ $blockSql
           .crossJoin(broadcast(totals))
           .withColumn("score_micro",
             expr("((1000000 div df) * 22 * tf * tls) div " +
-              "(10 * tf * tls + 3 * tls + 9 * ((len * n_docs) div g))"))
+              "(10 * tf * tls + 3 * tls + " +
+              "9 * ((len div g) * n_docs + ((len % g) * n_docs) div g))"))
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_terms"), sum(col("score_micro")).as("score_micro"))
           .orderBy(col("score_micro").desc, col("doc_id")).limit(10)
@@ -2019,7 +2033,8 @@ $blockSql
              |), scored AS (
              |  SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
              |    CAST(SUM(((1000000 // q.df) * 22 * c.tf * t.tls) //
-             |      (10 * c.tf * t.tls + 3 * t.tls + 9 * ((l.len * t.n_docs) // t.g)))
+             |      (10 * c.tf * t.tls + 3 * t.tls +
+             |       9 * ((l.len // t.g) * t.n_docs + ((l.len % t.g) * t.n_docs) // t.g)))
              |      AS BIGINT) AS score_micro
              |  FROM wcounts c
              |  JOIN qterms q USING (word)

@@ -98,8 +98,11 @@ class MLInvariantsSpec extends SparkSpec {
     // loop passing IS the headroom proof.
     val tl = 10000000000000L
     val n = 100000000000L
+    // len = 1e12 is the skew case: one multi-trillion-token doc, so
+    // len·n_docs = 1e23 ≫ 2^63 — only the rescale-before-multiply
+    // denominator ((len div g)·n + ((len mod g)·n) div g) survives it
     for (df <- Seq(1L, 3L, 1000000L); tf <- Seq(1L, 1000L, 200000L);
-         len <- Seq(1L, 200000L, 1000000L)) {
+         len <- Seq(1L, 200000L, 1000000L, 1000000000000L)) {
       val s = MLQueries.bm25ScoreMicro(df, tf, tl, len, n)
       assert(s >= 0L && s <= 2200000L)
       // rescaling g = TL div 1e6 truncates at ~1e-6 relative precision;

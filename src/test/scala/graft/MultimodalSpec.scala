@@ -180,6 +180,20 @@ class MultimodalSpec extends SparkSpec {
     val cv = crc.getValue
     for (i <- 0 until 4) inter(8 + 8 + 13 + i) = ((cv >> (24 - 8 * i)) & 0xff).toByte
     assert(Multimodal.decodePng(inter).isEmpty)
+    // crafted dimensions with VALID CRCs whose height·stride product
+    // overflows int64: the guard must reject without ever forming the
+    // product (it used to wrap negative, pass the cap, and crash on the
+    // pixel-array allocation instead of returning None)
+    for ((hw, hh) <- Seq((0x80000000L, 0x60000000L), (0xffffffffL, 0xffffffffL),
+        (1L << 29, 4L), (4L, 0xffffffffL))) {
+      val t = good.clone()
+      for (i <- 0 until 4) t(16 + i) = ((hw >> (24 - 8 * i)) & 0xff).toByte
+      for (i <- 0 until 4) t(20 + i) = ((hh >> (24 - 8 * i)) & 0xff).toByte
+      val c = new java.util.zip.CRC32(); c.update(t, 8 + 4, 4 + 13)
+      for (i <- 0 until 4)
+        t(8 + 8 + 13 + i) = ((c.getValue >> (24 - 8 * i)) & 0xff).toByte
+      assert(Multimodal.decodePng(t).isEmpty, s"w=$hw h=$hh must be rejected")
+    }
   }
 
   test("synthPng round-trips through decodePng matching the analytic formulas") {
