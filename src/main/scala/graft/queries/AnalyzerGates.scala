@@ -252,6 +252,48 @@ object AnalyzerGates {
       (s, _) => tsStr(Analyzers.queriesByHour(views(s)), "hour"),
       Some(bucketSql("hour", "CAST(COUNT(*) AS BIGINT)", "n_queries"))),
 
+    // The B1–B6 STREAMING twin, judged as a real streaming query (the
+    // batch gates above judge the same math at rest): the committed
+    // fixture parquet is read back through a file-source STREAM into
+    // [[StreamingIngest.trendByBucket]] — one tumbling event-time window
+    // per bucket carrying all four trend measures — drained under
+    // AvailableNow in Complete mode into a memory sink. The oracle is the
+    // B2/B4/B6 batch SQL projected to the same columns in one statement.
+    // Known divergence by construction (documented at trendByBucket): a
+    // malformed query_id (null event time) is DROPPED by the stream's
+    // window where batch surfaces a null bucket — the fixture has none
+    // (its batch trend oracles strptime every query_id), so the twin is
+    // exact here; a corpus with malformed ids would judge the difference.
+    NamedQuery(
+      "analyzer_trend_stream",
+      (s, _) => {
+        import s.implicits._
+        val schema = s.read.parquet(fixtureDir).schema
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "*.parquet")
+          .parquet(fixtureDir)
+          .as[graft.model.QuerySummary]
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft-trend-gate").toString
+        val sink = s"analyzer_trend_stream_sink_${trendSinkSeq.incrementAndGet()}"
+        val q = graft.streaming.StreamingIngest.trendByBucket(stream, "hour")
+          .writeStream.format("memory").queryName(sink)
+          .option("checkpointLocation", ckpt)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        tsStr(s.table(sink), "hour").orderBy(col("hour"))
+      },
+      Some(s"""SELECT strftime(date_trunc('hour', $tsExpr), '%Y-%m-%d %H:%M:%S')
+              |    AS hour,
+              |  SUM(scheduled_time / 86400.0) AS scheduled_days,
+              |  SUM(scheduled_time / 3600.0) AS scheduled_hours,
+              |  SUM(input_size / 1e12) AS input_tb,
+              |  CAST(COUNT(*) AS BIGINT) AS n_queries
+              |FROM $summSql GROUP BY date_trunc('hour', $tsExpr)
+              |ORDER BY hour""".stripMargin)),
+
     // ---- B7-B9, B14-B16: per-query scatters (`analyze.py:217-457`) -----
     NamedQuery(
       "analyzer_peak_mem_by_query",
@@ -417,4 +459,10 @@ object AnalyzerGates {
               |  SUM(input_size) / 1e12 AS input_tb,
               |  CAST(COUNT(DISTINCT "user") AS BIGINT) AS users
               |FROM $summSql""".stripMargin)))
+
+  /** Distinct memory-sink names per analyzer_trend_stream invocation (the
+    * bench runs the gate twice in one session; the sink table must not
+    * accumulate across runs).
+    */
+  private val trendSinkSeq = new java.util.concurrent.atomic.AtomicLong(0)
 }
