@@ -82,6 +82,19 @@ object MLQueries {
       s"'${graft.ml.TextOps.PhonePat}', '[PHONE]', 'g'), " +
       s"'${graft.ml.TextOps.EmailPat}', '[EMAIL]', 'g')"
 
+  /** Committed JPEG gate fixture location (payloads + expected stats
+    * parquet) — the [[AnalyzerGates.fixtureDir]] resolution order:
+    * system property → env var → classpath (test runs) → the absolute
+    * repo path the driver's out-of-JVM DuckDB oracle run needs.
+    */
+  private[graft] def jpegFixtureDir: String =
+    sys.props.get("graft.gate.jpegFixtureDir")
+      .orElse(sys.env.get("GRAFT_JPEG_FIXTURE_DIR"))
+      .orElse(Option(getClass.getResource("/jpeg_gate"))
+        .filter(_.getProtocol == "file")
+        .map(u => java.nio.file.Paths.get(u.toURI).toString))
+      .getOrElse("/root/repo/src/test/resources/jpeg_gate")
+
   /** DuckDB twin of TextOps.splitName (md5 mod 100 → 80/10/10), shared
     * by the dataset_split_hash oracle and the curate_e2e_census chain.
     */
@@ -2256,6 +2269,41 @@ $blockSql
              |  CAST(SUM(x.b) AS BIGINT) AS b_sum
              |FROM params p JOIN px x USING (doc_id)
              |GROUP BY p.doc_id, p.w, p.h ORDER BY p.doc_id""".stripMargin)),
+
+    // Multimodal REAL decode #4 — the first LOSSY format: baseline JPEG
+    // via the JDK's own javax.imageio (pure JVM, public API). DCT
+    // quantization makes the decoded pixels a property of the decoder,
+    // not analytically replayable in SQL, so this gate uses the
+    // AnalyzerGates fixture-oracle pattern instead of the synth-formula
+    // one: 20 committed JPEG payloads (smooth gradients, geometry off the
+    // 8x8 DCT grid; JpegGateFixtureGen) are decoded by ml.Multimodal
+    // .decodeJpeg in a narrow mapPartitions, and the oracle reads the
+    // committed expected stats parquet. JpegGateSpec keeps the pair
+    // honest: decoded-vs-committed must be EXACT, and decoded-vs-SOURCE
+    // channel sums must sit within a closeness bound a fake decoder
+    // cannot meet (the stats were pinned at fixture build from the same
+    // decode, so gate + spec together prove byte-stable real decoding).
+    NamedQuery(
+      "multimodal_decode_jpeg",
+      (s, _) => {
+        import s.implicits._
+        s.read.parquet(s"$jpegFixtureDir/payloads.parquet")
+          .select(col("media_id"), col("payload"))
+          .as[(Long, Array[Byte])]
+          .mapPartitions { it =>
+            it.map { case (id, bytes) =>
+              val j = Multimodal.decodeJpeg(bytes)
+                .getOrElse(throw new IllegalStateException(
+                  s"committed JPEG for media $id failed to decode"))
+              (id, bytes.length.toLong, j.width, j.height, j.rSum, j.gSum, j.bSum)
+            }
+          }
+          .toDF("media_id", "n_bytes", "width", "height", "r_sum", "g_sum", "b_sum")
+          .orderBy(col("media_id"))
+      },
+      Some(s"""SELECT media_id, n_bytes, width, height, r_sum, g_sum, b_sum
+              |FROM read_parquet('$jpegFixtureDir/expected.parquet/*.parquet')
+              |ORDER BY media_id""".stripMargin)),
 
     // The COMPOSED curation product, judged end-to-end: the gate runs the
     // REAL ml.Curate pipeline (exact dedup keeping the first-seen doc →
