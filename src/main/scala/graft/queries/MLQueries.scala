@@ -82,6 +82,43 @@ object MLQueries {
       s"'${graft.ml.TextOps.PhonePat}', '[PHONE]', 'g'), " +
       s"'${graft.ml.TextOps.EmailPat}', '[EMAIL]', 'g')"
 
+  /** The full curation chain — dedup-within (first-seen survivor per
+    * content digest) → PII scrub → quality score over the scrubbed text →
+    * binding 0.65 filter → content-hash split — as CTEs suffixed `sfx`,
+    * over the documents rows satisfying `pred`. ONE spelling of the
+    * ml.Curate product semantics, shared by the curate_e2e_census (whole
+    * corpus) and curate_e2e_incremental (per-batch) oracles, so the
+    * judged chain cannot drift between the two product gates.
+    */
+  private def curateChainSql(pred: String, sfx: String): String =
+    s"""survivors$sfx AS (
+       |  SELECT doc_id, source, text FROM (
+       |    SELECT doc_id, source, text,
+       |      ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+       |    FROM documents WHERE $pred) WHERE rn = 1
+       |), scrub$sfx AS (
+       |  SELECT doc_id, source, ${piiScrubSql("text")} AS text
+       |  FROM survivors$sfx
+       |), squal$sfx AS (
+       |  SELECT doc_id, source, text, $qualityFormulaSql AS q
+       |  FROM (SELECT doc_id, source, text, string_split(text, ' ') AS w,
+       |        len(text) AS n_chars FROM scrub$sfx)
+       |), kept$sfx AS (
+       |  SELECT doc_id, source, text, q, ${splitSql("text")} AS split
+       |  FROM squal$sfx WHERE q >= 0.65
+       |)""".stripMargin
+
+  /** DuckDB twin of Curate.census over a curated relation `from` with
+    * columns (doc_id, source, text, q, split) — shared by both e2e gates.
+    */
+  private def censusSql(from: String): String =
+    s"""SELECT split, source, CAST(COUNT(*) AS BIGINT) AS n,
+       |  ${r2Sql("AVG(q)")} AS avg_quality,
+       |  CAST(SUM(doc_id % 2147483647) % 2147483647 AS BIGINT) AS id_checksum,
+       |  CAST(SUM(${hashIdSql("text", 2147483647L)}) % 2147483647 AS BIGINT)
+       |    AS text_checksum
+       |FROM $from GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Committed JPEG gate fixture location (payloads + expected stats
     * parquet) — the [[AnalyzerGates.fixtureDir]] resolution order:
     * system property → env var → classpath (test runs) → the absolute
@@ -2324,28 +2361,48 @@ $blockSql
       (s, d) => graft.ml.Curate.census(graft.ml.Curate.curate(
         Tables.documents(s, d).select(col("doc_id"), col("source"), col("text")),
         minQuality = 0.65)),
-      Some(s"""WITH survivors AS (
-              |  SELECT doc_id, source, text FROM (
-              |    SELECT doc_id, source, text,
-              |      ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
-              |    FROM documents) WHERE rn = 1
-              |), scrub AS (
-              |  SELECT doc_id, source, ${piiScrubSql("text")} AS text
-              |  FROM survivors
-              |), squal AS (
-              |  SELECT doc_id, source, text, $qualityFormulaSql AS q
-              |  FROM (SELECT doc_id, source, text, string_split(text, ' ') AS w,
-              |        len(text) AS n_chars FROM scrub)
-              |), kept AS (
-              |  SELECT doc_id, source, text, q, ${splitSql("text")} AS split
-              |  FROM squal WHERE q >= 0.65
+      Some(s"""WITH ${curateChainSql("TRUE", "")}
+              |${censusSql("kept")}""".stripMargin)),
+
+    // The INCREMENTAL posture of the curation product, judged end-to-end
+    // (the census gate above covers the full-corpus path; `curate
+    // --against` was only spec/CLI-judged as a stage until now): the
+    // corpus splits at the median doc_id into "already curated" (batch 1)
+    // and "new arrivals" (batch 2); the gate curates batch 2 — dedup
+    // WITHIN the batch, scrub, binding 0.65 quality filter, split — then
+    // runs the REAL Curate.dedupAgainst anti join to drop documents whose
+    // scrubbed digest already exists in batch 1's curated corpus, and
+    // censuses only the fresh survivors. The oracle replays
+    // dedup-within ∪ anti-join-against from the SAME shared SQL contracts
+    // (curateChainSql twice + NOT EXISTS on the scrubbed digest). Stage
+    // order is load-bearing and judged, exactly like the census gate.
+    // Scale: one digest-keyed shuffle per curate chain and a digest-only
+    // anti join (payloads pruned — the dedup_incremental_anti gate
+    // plan-asserts this shape); the median split is a one-row scalar
+    // aggregate on the driver, not a data collect.
+    NamedQuery(
+      "curate_e2e_incremental",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("text"))
+        val mid = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+        val corpus = graft.ml.Curate.curate(
+          docs.filter(col("doc_id") <= mid), minQuality = 0.65)
+        val fresh = graft.ml.Curate.dedupAgainst(
+          graft.ml.Curate.curate(docs.filter(col("doc_id") > mid), minQuality = 0.65),
+          corpus)
+        graft.ml.Curate.census(fresh)
+      },
+      Some(s"""WITH ${curateChainSql(
+               "doc_id <= (SELECT MAX(doc_id) // 2 FROM documents)", "1")},
+              |${curateChainSql(
+               "doc_id > (SELECT MAX(doc_id) // 2 FROM documents)", "2")},
+              |fresh AS (
+              |  SELECT k2.* FROM kept2 k2
+              |  WHERE NOT EXISTS (SELECT 1 FROM kept1 k1
+              |                    WHERE md5(k1.text) = md5(k2.text))
               |)
-              |SELECT split, source, CAST(COUNT(*) AS BIGINT) AS n,
-              |  ${r2Sql("AVG(q)")} AS avg_quality,
-              |  CAST(SUM(doc_id % 2147483647) % 2147483647 AS BIGINT) AS id_checksum,
-              |  CAST(SUM(${hashIdSql("text", 2147483647L)}) % 2147483647 AS BIGINT)
-              |    AS text_checksum
-              |FROM kept GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+              |${censusSql("fresh")}""".stripMargin)),
 
     // The streaming near-dup twin, judged end-to-end: the gate runs the
     // REAL transformWithState operator (DedupStream.dedupNear — RocksDB

@@ -93,6 +93,11 @@ object JpegGateFixtureGen {
         .findFirst().orElseThrow()
       java.nio.file.Files.move(part, dir.resolve("part-00000-merged.snappy.parquet"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // Hadoop LocalFS checksum sidecars reference the pre-rename names;
+      // they are never committed
+      java.nio.file.Files.list(dir)
+        .filter(_.getFileName.toString.startsWith("."))
+        .forEach(p => java.nio.file.Files.delete(p))
     }
     println(s"wrote $NImages payloads + expected stats to $out")
     spark.stop()
