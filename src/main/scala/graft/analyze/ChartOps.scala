@@ -45,14 +45,21 @@ object ChartOps {
     * Cache ownership: the cached per-key aggregate is vocabulary-bounded
     * (users, operator types, table names — never raw rows) and is
     * consumed by three sub-plans of the single collect (total broadcast,
-    * top-k, anti-join remainder); it stays pinned until the session
-    * clears it — correct for the CLI commands (one analyze/report run
-    * per session) and for Bench (which clearCache()s between queries); a
-    * long-lived service embedding many pie calls should
-    * `spark.catalog.clearCache()` per batch.
+    * top-k, anti-join remainder). [[pie]] unpersists it right after that
+    * collect, so repeated pie calls (an analyze run renders 9) never
+    * accumulate InMemoryRelations; a direct caller of THIS method owns
+    * the cache lifetime itself (use [[pieDistributedCached]] to get the
+    * handle).
     */
   private[graft] def pieDistributed(counts: DataFrame, keyCol: String,
-      valueCol: String, top: Int): DataFrame = {
+      valueCol: String, top: Int): DataFrame =
+    pieDistributedCached(counts, keyCol, valueCol, top)._1
+
+  /** [[pieDistributed]] plus the cached per-key aggregate it pins, so the
+    * caller can unpersist after consuming the result.
+    */
+  private[graft] def pieDistributedCached(counts: DataFrame, keyCol: String,
+      valueCol: String, top: Int): (DataFrame, DataFrame) = {
     // pre-aggregate by key: callers pass per-key aggregates (unique keys,
     // identity here), and a duplicate key can then never fall between the
     // kept set and the anti-joined remainder and silently lose its mass
@@ -82,7 +89,7 @@ object ChartOps {
       .groupBy().agg(sum(col("value")).as("value"))
       .filter(col("value").isNotNull)
       .select(lit("All the rest").as("key"), col("value"), lit(1L).as("is_rest"))
-    kept.unionAll(rest)
+    (kept.unionAll(rest), base)
   }
 
   /** `pie_chart` (`analyze.py:460-515`): input = (key, value) rows.
@@ -111,7 +118,10 @@ object ChartOps {
   def pie(counts: DataFrame, keyCol: String, valueCol: String, top: Int = 20): DataFrame = {
     val spark = counts.sparkSession
     import spark.implicits._
-    val rows = pieDistributed(counts, keyCol, valueCol, top).collect()
+    val (dist, base) = pieDistributedCached(counts, keyCol, valueCol, top)
+    // one collect consumes all three cache readers; the cache has no
+    // value past it, so drop it here rather than at session teardown
+    val rows = try dist.collect() finally base.unpersist()
     // output order: kept desc (value desc, key asc nulls-first), rest last
     // — the collect already delivers this order (TakeOrdered partition
     // then remainder row); the explicit sort just refuses to depend on it

@@ -21,6 +21,26 @@ class ChartOpsSpec extends SparkSpec {
     assert(kept === kept.sorted.reverse)
   }
 
+  test("pie leaves no cached relation behind (unpersists after its one collect)") {
+    import spark.implicits._
+    spark.catalog.clearCache()
+    val counts = (1 to 25).map(i => (s"k%02d".format(i), (100 - i).toDouble)).toDF("k", "v")
+    ChartOps.pie(counts, "k", "v").collect()
+    // an analyze run renders 9 pies; without the unpersist each pinned its
+    // per-key aggregate for the session — assert the cache registry is
+    // empty, not merely that some plan stopped using it
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "pie left an InMemoryRelation registered after returning")
+    // and the cache WAS live during the distributed consume (the helper
+    // hands the handle to the caller that owns it)
+    val (dist, base) = ChartOps.pieDistributedCached(counts, "k", "v", 20)
+    try {
+      dist.collect()
+      assert(base.storageLevel !== org.apache.spark.storage.StorageLevel.NONE)
+    } finally base.unpersist()
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
+
   test("pie: sub-0.1% keys are excluded from the top even when few keys") {
     import spark.implicits._
     val counts = Seq(("big1", 5000.0), ("big2", 3000.0), ("big3", 2000.0),
