@@ -35,6 +35,9 @@ object Report {
   private def esc(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
+  /** Attribute-position escape (tooltip payloads ride in `data-l="…"`). */
+  private def escA(s: String): String = esc(s).replace("\"", "&quot;")
+
   private def fmt(v: Any): String = v match {
     case null => ""
     case d: java.lang.Double => if (d == d.longValue.toDouble) d.longValue.toString else f"$d%.4f"
@@ -47,20 +50,21 @@ object Report {
     val total = slices.map(_._2).filter(_ > 0).sum
     val (cx, cy, r) = (90.0, 92.0, 78.0)
     var a = -math.Pi / 2
-    val paths = slices.zipWithIndex.map { case ((_, v), i) =>
+    val paths = slices.zipWithIndex.map { case ((k, v), i) =>
       val frac = if (total <= 0) 0.0 else math.max(0.0, v) / total
       val a1 = a + frac * 2 * math.Pi
       val color = palette(i % palette.size)
+      val tip = s"""data-l="${escA(k)}: ${f2(v)}%""""
       val p =
         if (frac >= 0.99999)
-          s"""<circle cx="${f2(cx)}" cy="${f2(cy)}" r="${f2(r)}" fill="$color"/>"""
+          s"""<circle cx="${f2(cx)}" cy="${f2(cy)}" r="${f2(r)}" fill="$color" $tip/>"""
         else if (frac <= 0) ""
         else {
           val (x0, y0) = (cx + r * math.cos(a), cy + r * math.sin(a))
           val (x1, y1) = (cx + r * math.cos(a1), cy + r * math.sin(a1))
           val large = if (a1 - a > math.Pi) 1 else 0
           s"""<path d="M${f2(cx)},${f2(cy)} L${f2(x0)},${f2(y0)} """ +
-            s"""A${f2(r)},${f2(r)} 0 $large 1 ${f2(x1)},${f2(y1)} Z" fill="$color"/>"""
+            s"""A${f2(r)},${f2(r)} 0 $large 1 ${f2(x1)},${f2(y1)} Z" fill="$color" $tip/>"""
         }
       a = a1
       p
@@ -80,9 +84,9 @@ object Report {
     val vmax = math.max(items.map(_._2).max, 1e-9)
     val n = items.size
     val bw = 430.0 / n
-    val bars = items.zipWithIndex.map { case ((_, v), i) =>
+    val bars = items.zipWithIndex.map { case ((k, v), i) =>
       val h = math.max(0.0, v) / vmax * 120.0
-      s"""<rect x="${f2(30 + i * bw)}" y="${f2(140 - h)}" width="${f2(math.max(1.0, bw - 2))}" height="${f2(h)}" fill="$color"/>"""
+      s"""<rect x="${f2(30 + i * bw)}" y="${f2(140 - h)}" width="${f2(math.max(1.0, bw - 2))}" height="${f2(h)}" fill="$color" data-l="${escA(k)}: ${f2(v)}"/>"""
     }
     val step = math.max(1, math.ceil(n / 12.0).toInt)
     val labels = items.zipWithIndex.collect { case ((k, _), i) if i % step == 0 =>
@@ -103,7 +107,7 @@ object Report {
     def sx(x: Double) = if (x1 == x0) 245.0 else 40 + (x - x0) / (x1 - x0) * 410.0
     def sy(y: Double) = if (y1 == y0) 75.0 else 135 - (y - y0) / (y1 - y0) * 120.0
     val dots = pts.map { case (x, y) =>
-      s"""<circle cx="${f2(sx(x))}" cy="${f2(sy(y))}" r="2.5" fill="$color" fill-opacity="0.6"/>"""
+      s"""<circle cx="${f2(sx(x))}" cy="${f2(sy(y))}" r="2.5" fill="$color" fill-opacity="0.6" data-l="(${f2(x)}, ${f2(y)})"/>"""
     }
     val axis = Seq(
       """<line x1="40" y1="135" x2="450" y2="135" stroke="#999"/>""",
@@ -194,7 +198,8 @@ object Report {
        |.metrics { display: flex; flex-wrap: wrap; gap: 1rem; }
        |.metric { border: 1px solid #ddd; border-radius: 6px; padding: .5rem .9rem; }
        |.metric span { display: block; font-size: .75rem; color: #666; }
-       |.chart { max-width: 470px; display: block; margin-bottom: .6rem; }
+       |.chart { max-width: 470px; display: block; margin-bottom: .6rem; cursor: grab; touch-action: none; }
+       |#tip { position: absolute; display: none; background: #222; color: #fff; padding: 2px 8px; border-radius: 4px; font-size: .75rem; pointer-events: none; white-space: nowrap; }
        |table { border-collapse: collapse; font-size: .85rem; width: 100%; }
        |th, td { text-align: left; padding: .25rem .6rem; border-bottom: 1px solid #eee; white-space: nowrap; }
        |td { font-variant-numeric: tabular-nums; position: relative; }
@@ -206,6 +211,65 @@ object Report {
        |$metricCells
        |</div>
        |$sections
+       |$InteractiveJs
        |</body></html>""".stripMargin
   }
+
+  /** Hover/zoom/pan shell for the inline SVG charts — the interactive
+    * layer the reference gets from Bokeh (`output.template.html`),
+    * hand-rolled vanilla JS with no external assets so the report stays
+    * one self-contained deterministic file: hover reads the `data-l`
+    * payload rendered on every slice/bar/dot; wheel zooms the SVG
+    * viewBox around the cursor; drag pans; double-click resets. A static
+    * string, so the byte-identical re-render contract is untouched, and
+    * the report degrades to the plain static charts with JS disabled.
+    */
+  private val InteractiveJs: String =
+    """<script>
+      |(function () {
+      |  "use strict";
+      |  var tip = document.createElement("div");
+      |  tip.id = "tip";
+      |  document.body.appendChild(tip);
+      |  document.addEventListener("mousemove", function (e) {
+      |    var t = e.target.closest ? e.target.closest("[data-l]") : null;
+      |    if (t) {
+      |      tip.textContent = t.getAttribute("data-l");
+      |      tip.style.display = "block";
+      |      tip.style.left = (e.pageX + 12) + "px";
+      |      tip.style.top = (e.pageY + 12) + "px";
+      |    } else {
+      |      tip.style.display = "none";
+      |    }
+      |  });
+      |  Array.prototype.forEach.call(document.querySelectorAll("svg.chart"), function (svg) {
+      |    var vb0 = svg.getAttribute("viewBox").split(/\s+/).map(Number);
+      |    var vb = vb0.slice();
+      |    function apply() { svg.setAttribute("viewBox", vb.join(" ")); }
+      |    svg.addEventListener("wheel", function (e) {
+      |      e.preventDefault();
+      |      var k = e.deltaY < 0 ? 0.85 : 1 / 0.85;
+      |      var r = svg.getBoundingClientRect();
+      |      var mx = vb[0] + (e.clientX - r.left) / r.width * vb[2];
+      |      var my = vb[1] + (e.clientY - r.top) / r.height * vb[3];
+      |      vb = [mx - (mx - vb[0]) * k, my - (my - vb[1]) * k, vb[2] * k, vb[3] * k];
+      |      apply();
+      |    }, { passive: false });
+      |    var drag = null;
+      |    svg.addEventListener("mousedown", function (e) {
+      |      e.preventDefault();
+      |      drag = [e.clientX, e.clientY, vb[0], vb[1]];
+      |    });
+      |    window.addEventListener("mousemove", function (e) {
+      |      if (!drag) { return; }
+      |      var r = svg.getBoundingClientRect();
+      |      vb[0] = drag[2] - (e.clientX - drag[0]) / r.width * vb[2];
+      |      vb[1] = drag[3] - (e.clientY - drag[1]) / r.height * vb[3];
+      |      apply();
+      |    });
+      |    window.addEventListener("mouseup", function () { drag = null; });
+      |    svg.addEventListener("dblclick", function () { vb = vb0.slice(); apply(); });
+      |  });
+      |})();
+      |</script>""".stripMargin
 }

@@ -24,6 +24,26 @@ class ReportSpec extends SparkSpec {
     assert(html.contains("<circle cx=")) // scatter points
   }
 
+  test("interactive shell: hover payloads on marks, one self-contained script") {
+    val html = Report.render(views)
+    // every mark family carries a hover payload for the JS tooltip
+    assert("""<path [^>]*data-l="""".r.findAllIn(html).nonEmpty, "pie slices")
+    assert("""<rect [^>]*data-l="""".r.findAllIn(html).nonEmpty, "bars")
+    assert("""<circle [^>]*data-l="""".r.findAllIn(html).nonEmpty, "scatter dots")
+    // exactly one embedded script, and the artifact stays self-contained:
+    // no external script/style/img references anywhere
+    assert("<script>".r.findAllIn(html).size === 1)
+    assert(!html.contains("src=\"http"), "no CDN script")
+    assert(!html.contains("href=\"http"), "no external stylesheet")
+    // the zoom/pan handlers target the charts and reset on dblclick
+    assert(html.contains("svg.chart") && html.contains("wheel")
+      && html.contains("dblclick"))
+    // tooltip payloads are attribute-escaped — a key containing a quote
+    // must never break out of data-l (fixture keys are clean; this pins
+    // the escape path itself)
+    assert(!"""data-l="[^"]*<""".r.findAllIn(html).hasNext)
+  }
+
   test("--colorblind swaps the palette without changing the chart count") {
     val default = Report.render(views)
     val cb = Report.render(views, colorblind = true)
