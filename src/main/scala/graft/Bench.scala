@@ -156,8 +156,12 @@ object Bench {
       // sub-resolution window) → -1, never a guess.
       val busy1 = sysBusySec()
       val cpu1 = processCpuSec()
+      // BOTH ends of each sample pair must be valid: a failed post-window
+      // read would otherwise make (busy1 - busy0) hugely negative, clamp
+      // to 0, and stamp a contended gate as provably quiet — the exact
+      // false alibi this instrumentation exists to prevent
       val other =
-        if (busy0 < 0 || cpu0 < 0 || dt < 0.05) -1.0
+        if (busy0 < 0 || busy1 < 0 || cpu0 < 0 || cpu1 < 0 || dt < 0.05) -1.0
         else math.max(0.0, ((busy1 - busy0) - (cpu1 - cpu0)) / dt)
       // plan fingerprint OUTSIDE the timed window, from the df the timed
       // run constructed (planning is cheap and never re-executes the

@@ -55,10 +55,12 @@ object PlanFingerprint {
       .replaceAll("Location: [^\\n]*", "Location: <loc>")
       .replaceAll("file:[^,\\]\\s)]+", "<path>")
       .replaceAll("/tmp/[^,\\]\\s)]+", "<tmp>")
-      // per-invocation memory-sink names of the streaming gates
-      // (dedup_stream_near, analyzer_trend_stream): the counter suffix
-      // must not make an unchanged plan fingerprint as drifted
-      .replaceAll("_sink_\\d+", "_sink_<n>")
+      // per-invocation memory-sink names of the streaming gates: the
+      // counter suffix must not make an unchanged plan fingerprint read
+      // as drifted. Anchored to the known gate prefixes — a bare
+      // `_sink_\d+` would also collapse DISTINCT stable relations that
+      // merely end in that pattern, masking real drift
+      .replaceAll("(dedup_stream_near|analyzer_trend_stream)_sink_\\d+", "$1_sink_<n>")
       .replaceAll("Statistics\\([^)]*\\)", "Statistics(<s>)")
       .replaceAll("size=\\d+", "size=<n>")
       .replaceAll("rows=\\d+", "rows=<n>")

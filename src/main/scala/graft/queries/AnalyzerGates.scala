@@ -273,6 +273,7 @@ object AnalyzerGates {
           .option("pathGlobFilter", "*.parquet")
           .parquet(fixtureDir)
           .as[graft.model.QuerySummary]
+        graft.streaming.GateStream.dropStaleSinks(s, "analyzer_trend_stream_sink_")
         val ckpt = java.nio.file.Files
           .createTempDirectory("graft-trend-gate").toString
         val sink = s"analyzer_trend_stream_sink_${trendSinkSeq.incrementAndGet()}"
@@ -283,6 +284,7 @@ object AnalyzerGates {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
+        graft.streaming.GateStream.deleteScratch(ckpt)
         tsStr(s.table(sink), "hour").orderBy(col("hour"))
       },
       Some(s"""SELECT strftime(date_trunc('hour', $tsExpr), '%Y-%m-%d %H:%M:%S')

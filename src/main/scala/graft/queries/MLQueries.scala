@@ -151,9 +151,13 @@ object MLQueries {
     */
   private def ckpt(df: DataFrame, eager: Boolean = true): DataFrame = {
     val s = df.sparkSession
+    // lenient flag parse — "1"/"true" enable (this repo's env-var
+    // convention is =1/=0, see SPARK_GRAFT_BENCH_WARM); anything else,
+    // including garbage, disables rather than throwing inside a gate
+    def flag(v: String) = v.equalsIgnoreCase("true") || v == "1"
     val reliable =
-      sys.env.get("SPARK_GRAFT_RELIABLE_CHECKPOINT").exists(_.toBoolean) ||
-      s.conf.getOption("spark.graft.reliableCheckpoint").exists(_.toBoolean)
+      sys.env.get("SPARK_GRAFT_RELIABLE_CHECKPOINT").exists(flag) ||
+      s.conf.getOption("spark.graft.reliableCheckpoint").exists(flag)
     if (reliable) {
       if (s.sparkContext.getCheckpointDir.isEmpty)
         s.sparkContext.setCheckpointDir(
@@ -2431,6 +2435,7 @@ $blockSql
             expr("timestamp_seconds(1700000000 + doc_id)").as("ts"),
             col("text"))
           .as[graft.streaming.StreamDoc]
+        graft.streaming.GateStream.dropStaleSinks(s, "dedup_stream_near_sink_")
         val ckpt = java.nio.file.Files
           .createTempDirectory("graft-neardup-gate").toString
         val sink = s"dedup_stream_near_sink_${streamSinkSeq.incrementAndGet()}"
@@ -2441,6 +2446,7 @@ $blockSql
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
+        graft.streaming.GateStream.deleteScratch(ckpt)
         s.table(sink).select(col("doc_id")).orderBy(col("doc_id"))
       },
       Some(s"""WITH $streamSigsSql, $hammingCandSql

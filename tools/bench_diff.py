@@ -47,13 +47,16 @@ def best_time(g):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    args, threshold, it = [], 1.0, iter(sys.argv[1:])
+    for a in it:
+        if a.startswith("--threshold"):
+            threshold = float(a.split("=", 1)[1] if "=" in a else next(it))
+        elif a.startswith("--"):
+            raise SystemExit(f"unknown option {a}")
+        else:
+            args.append(a)
     if len(args) != 2:
         raise SystemExit(__doc__.strip().splitlines()[2])
-    threshold = 1.0
-    for a in sys.argv[1:]:
-        if a.startswith("--threshold"):
-            threshold = float(a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
     old_doc, old = load(args[0])
     new_doc, new = load(args[1])
 
@@ -79,7 +82,11 @@ def main():
             buckets["noise"].append((name, to, tn, ""))
 
     def total(rows):
-        return sum((tn or 0) - (to or 0) for _, to, tn, _ in rows)
+        # a gate that crashed on one side has no before/after comparison:
+        # it stays visible in its bucket's row listing (with 'null') but
+        # must not smuggle its surviving side's full time into the nets
+        return sum(tn - to for _, to, tn, _ in rows
+                   if to is not None and tn is not None)
 
     old_v, new_v = old_doc.get("value"), new_doc.get("value")
     print(f"old: {args[0]}  value={old_v}  contended={old_doc.get('contended', False)}")
