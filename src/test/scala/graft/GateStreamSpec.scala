@@ -1,0 +1,53 @@
+package graft
+
+import graft.streaming.GateStream
+
+/** The streaming gates' housekeeping contract: repeated invocations (a
+  * bench session runs each gate for warmup + cold + warm) must not
+  * accumulate drained memory-sink views or scratch checkpoint dirs.
+  */
+class GateStreamSpec extends SparkSpec {
+
+  private def trendSinks: Seq[String] =
+    spark.catalog.listTables().collect()
+      .filter(t => t.isTemporary && t.name.startsWith("analyzer_trend_stream_sink_"))
+      .map(_.name).toSeq
+
+  private def scratchDirs(prefix: String): Seq[java.nio.file.Path] = {
+    import scala.jdk.CollectionConverters._
+    val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val stream = java.nio.file.Files.list(tmp)
+    try stream.iterator().asScala
+      .filter(_.getFileName.toString.startsWith(prefix)).toSeq
+    finally stream.close()
+  }
+
+  test("repeated trend-gate runs keep at most one live sink and no scratch checkpoints") {
+    val before = scratchDirs("graft-trend-gate").size
+    val gate = SparkEntry.queries("analyzer_trend_stream")
+    gate(spark, "/root/testdata/sf0.001").collect()
+    gate(spark, "/root/testdata/sf0.001").collect()
+    assert(trendSinks.size === 1,
+      s"expected exactly the latest sink view, got: $trendSinks")
+    assert(scratchDirs("graft-trend-gate").size <= before,
+      "drained AvailableNow checkpoints must be deleted")
+  }
+
+  test("dropStaleSinks only touches its own prefix; deleteScratch is total") {
+    import spark.implicits._
+    Seq(1).toDF("x").createOrReplaceTempView("unrelated_view")
+    GateStream.dropStaleSinks(spark, "analyzer_trend_stream_sink_")
+    assert(spark.catalog.tableExists("unrelated_view"))
+    spark.catalog.dropTempView("unrelated_view")
+    // missing dir, a file instead of a dir, nested content: never throws
+    GateStream.deleteScratch("/tmp/graft-does-not-exist-12345")
+    val f = java.nio.file.Files.createTempFile("graft-scratch-file", ".tmp")
+    GateStream.deleteScratch(f.toString)
+    assert(!java.nio.file.Files.exists(f))
+    val d = java.nio.file.Files.createTempDirectory("graft-scratch-dir")
+    java.nio.file.Files.createDirectories(d.resolve("a/b"))
+    java.nio.file.Files.writeString(d.resolve("a/b/c.txt"), "x")
+    GateStream.deleteScratch(d.toString)
+    assert(!java.nio.file.Files.exists(d))
+  }
+}
