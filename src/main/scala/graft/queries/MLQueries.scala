@@ -1862,6 +1862,70 @@ $blockSql
               |    % 2147483647 AS BIGINT) AS kept_id_checksum
               |FROM samp GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Temperature-flattened mixture sampling — the multi-source corpus
+    // rebalancing pass (the public XLM-R / multilingual-BERT recipe:
+    // sample sources proportional to n^T with T = 1/2, upweighting
+    // minority sources relative to their raw share) as a deterministic
+    // integer-exact operator. Per source: weight w_s = floor(sqrt(n_s·1e6))
+    // — IEEE-754 requires sqrt correctly rounded, so BOTH engines floor
+    // the same double (exact while n_s·1e6 < 2^53, i.e. any source under
+    // ~9·10^9 docs; a larger source needs a wider scale constant, noted
+    // here so the bound is explicit). The target size N div 2 is
+    // apportioned d_s = (N div 2)·w_s div Σw and acceptance is the salted
+    // content-hash draw against t_s = min(1e6, d_s·1e6 div n_s) — int64
+    // end-to-end past the sqrt, so the judged census is bit-stable at any
+    // parallelism. Content-keyed like the other sampling gates:
+    // duplicate texts decide together, corpus growth never flips an
+    // unchanged (source, text). t_s ∝ 1/sqrt(n_s): minority sources keep
+    // a strictly higher acceptance rate (spec-pinned). Plan: one
+    // source-keyed count aggregation, scalar totals broadcast, thresholds
+    // broadcast back into a narrow accept filter — the only shuffles are
+    // the two tiny per-source aggregations; a zero-kept source drops out
+    // of the census in both engines.
+    NamedQuery(
+      "sample_mixture_temperature",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("text"))
+        val per = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+          .withColumn("w_s", floor(sqrt(col("n_s") * lit(1000000L))).cast("long"))
+        val tot = per.agg(sum(col("w_s")).as("w_tot"), sum(col("n_s")).as("n_tot"))
+        val thr = per.crossJoin(broadcast(tot))
+          .withColumn("t_s", least(lit(1000000L),
+            expr("(((n_tot div 2) * w_s div w_tot) * 1000000) div n_s")))
+          .select(col("source"), col("n_s"), col("t_s"))
+        docs.join(broadcast(thr), Seq("source"))
+          .filter(hashId(concat(lit("mixture|"), col("text")), 1000000L) < col("t_s"))
+          .groupBy(col("source"), col("n_s"), col("t_s"))
+          .agg(count(lit(1)).as("kept"),
+            (sum(col("doc_id") % lit(2147483647L)) % lit(2147483647L))
+              .as("kept_id_checksum"))
+          .select(col("source"), col("n_s"), col("t_s"), col("kept"),
+            col("kept_id_checksum"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH per AS (
+              |  SELECT source, n_s,
+              |    CAST(FLOOR(SQRT(n_s * 1000000)) AS BIGINT) AS w_s
+              |  FROM (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s
+              |        FROM documents GROUP BY 1)
+              |), tot AS (
+              |  SELECT CAST(SUM(w_s) AS BIGINT) AS w_tot,
+              |    CAST(SUM(n_s) AS BIGINT) AS n_tot FROM per
+              |), thr AS (
+              |  SELECT p.source, p.n_s,
+              |    CAST(LEAST(1000000,
+              |      (((t.n_tot // 2) * p.w_s // t.w_tot) * 1000000) // p.n_s)
+              |      AS BIGINT) AS t_s
+              |  FROM per p CROSS JOIN tot t
+              |)
+              |SELECT d.source, th.n_s, th.t_s, CAST(COUNT(*) AS BIGINT) AS kept,
+              |  CAST(SUM(d.doc_id % 2147483647) % 2147483647 AS BIGINT)
+              |    AS kept_id_checksum
+              |FROM documents d JOIN thr th ON th.source = d.source
+              |WHERE ${hashIdSql("'mixture|' || d.text", 1000000L)} < th.t_s
+              |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin)),
+
     // Length-outlier filtering — the "drop too-short / too-long documents"
     // curation pass, with thresholds LEARNED from the corpus rather than
     // hard-coded: per source, keep documents whose word count lies inside

@@ -123,6 +123,29 @@ class MLInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("sample_mixture_temperature: minority sources get strictly higher acceptance") {
+    val rows = SparkEntry.queries("sample_mixture_temperature")(spark, d).collect()
+    assert(rows.nonEmpty)
+    // t_s ∝ 1/sqrt(n_s): a strictly larger source must get a strictly
+    // smaller (or capped-equal) acceptance threshold — the whole point of
+    // temperature flattening
+    val byN = rows.map(r => (r.getAs[Long]("n_s"), r.getAs[Long]("t_s"))).sortBy(_._1)
+    byN.sliding(2).foreach {
+      case Array((n1, t1), (n2, t2)) =>
+        if (n1 < n2) assert(t1 >= t2, s"n_s=$n1 t=$t1 vs n_s=$n2 t=$t2")
+        assert(t1 <= 1000000L && t2 <= 1000000L)
+      case _ =>
+    }
+    // kept never exceeds the source size, and the realized total tracks
+    // the N/2 target loosely (hash-draw variance; the thresholds
+    // themselves are deterministic and judged exactly by the gate)
+    rows.foreach(r => assert(r.getAs[Long]("kept") <= r.getAs[Long]("n_s")))
+    val nTot = rows.map(_.getAs[Long]("n_s")).sum
+    val kept = rows.map(_.getAs[Long]("kept")).sum
+    assert(kept > nTot / 4 && kept < 3 * nTot / 4,
+      s"kept $kept wildly off the n/2 target of ${nTot / 2}")
+  }
+
   test("text_keywords_tfidf: dense ranks 1..5 per source, scores non-increasing") {
     val rows = SparkEntry.queries("text_keywords_tfidf")(spark, d).collect()
     val bySource = rows.groupBy(_.getAs[String]("source"))

@@ -143,6 +143,14 @@ class PlanShapeSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 1)
   }
 
+  test("sample_mixture_temperature: thresholds broadcast back, no sort-merge join") {
+    val p = plan("sample_mixture_temperature")
+    // the per-source threshold table is tiny at any corpus size: it must
+    // ride a broadcast into the accept filter, never shuffle the docs
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("set_intersect_users: distinct sides meet in a broadcast LEFT SEMI") {
     val p = plan("set_intersect_users")
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"))
