@@ -947,6 +947,58 @@ $blockSql
               |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
               |ORDER BY sim DESC, vec_a, vec_b LIMIT 10""".stripMargin)),
 
+    // Semantic deduplication — the SemDeDup curation pass (Abbas et al.
+    // 2023, arXiv:2303.09540): cluster the embedding space with the shared
+    // IVF coarse quantizer, compare pairs ONLY within a cluster, and drop
+    // every vector that has an earlier (lower-id) same-cell neighbor at
+    // cosine >= 0.35 — keep-one-exemplar-per-semantic-group. Judged output
+    // is the per-cell census with the kept-membership checksum.
+    // Scale: the all-pairs matrix never exists — candidates are bounded by
+    // the largest cell (k grows with N at 100 TB so cell sizes stay flat),
+    // and the only wide ops are the self-join on cell and the final 8-row
+    // rollup. τ = 0.35 is calibrated to the synthetic corpus (max pair
+    // similarity ≈ 0.51); the operator semantics are threshold-free.
+    NamedQuery(
+      "dedup_semantic_clusters",
+      (s, d) => {
+        val mem = ivfAssigned(s, d) // (vec_id, embedding, norm, cell)
+        val a = mem.select(col("cell"), col("vec_id").as("vec_a"),
+          col("embedding").as("ea"), col("norm").as("norm_a"))
+        val b = mem.select(col("cell"), col("vec_id").as("vec_b"),
+          col("embedding").as("eb"), col("norm").as("norm_b"))
+        val dropped = a.join(b, Seq("cell"))
+          .filter(col("vec_a") < col("vec_b"))
+          .filter(r6(vecDot(col("ea"), col("eb"))
+            / (col("norm_a") * col("norm_b"))) >= 0.35)
+          .select(col("vec_b").as("vec_id")).distinct()
+        mem.join(dropped.withColumn("is_dup", lit(1L)), Seq("vec_id"), "left")
+          .groupBy(col("cell"))
+          .agg(count(lit(1)).as("n_members"),
+            sum(when(col("is_dup").isNull, 1L).otherwise(0L)).as("n_kept"),
+            (sum(when(col("is_dup").isNull, col("vec_id") % lit(2147483647L))
+              .otherwise(lit(0L))) % lit(2147483647L)).as("kept_id_checksum"))
+          .orderBy(col("cell"))
+      },
+      Some(s"""WITH $ivfAssignSql,
+              |mem AS (
+              |  SELECT a.vec_id, a.cell, e.embedding,
+              |    ${duckNorm("e.embedding")} AS nm
+              |  FROM assigned a JOIN embeddings e USING (vec_id)
+              |),
+              |dropped AS (
+              |  SELECT DISTINCT b.vec_id
+              |  FROM mem a JOIN mem b ON a.cell = b.cell AND a.vec_id < b.vec_id
+              |  WHERE ${r6Sql(duckDot("a.embedding", "b.embedding") +
+                 " / (a.nm * b.nm)")} >= 0.35
+              |)
+              |SELECT m.cell, CAST(COUNT(*) AS BIGINT) AS n_members,
+              |  CAST(SUM(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_kept,
+              |  CAST(SUM(CASE WHEN d.vec_id IS NULL THEN m.vec_id % 2147483647
+              |    ELSE 0 END) % 2147483647 AS BIGINT) AS kept_id_checksum
+              |FROM mem m LEFT JOIN dropped d ON d.vec_id = m.vec_id
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Brute-force cosine top-k: 5 query vectors × all candidates, k=5 via
     // ranking window. The canonical ANN correctness baseline.
     NamedQuery(
@@ -1411,6 +1463,66 @@ $blockSql
       Some(s"""WITH $qualSql
               |SELECT doc_id, n_words, q AS score
               |FROM qual ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // Model-based quality filtering — the fastText-style hashed linear
+    // classifier pass (the CCNet / LLaMA "quality classifier" curation
+    // stage): features are word unigrams + bigrams hashed into 1,024
+    // buckets via the md5-prefix hashId contract; the committed "model" is
+    // the deterministic weight formula w(b) = (b*2654435761) % 2003 - 1001
+    // with decision bias 10,000 (a stand-in for learned weights — swapping
+    // in a trained table changes no plan shape), and a document passes
+    // when its integer logit clears the bias. int64 end-to-end: |w| <=
+    // 1001, so a doc's logit stays far under 2^63 at any document length.
+    // Plan: two narrow explodes → one (doc_id, source) aggregate with
+    // map-side combine → per-source rollup; no joins, no vocabulary table,
+    // no driver state. At 100 TB a learned model is a broadcast int array
+    // indexed by bucket — the same narrow shape.
+    NamedQuery(
+      "text_quality_classifier",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+        val uni = docs.select(col("doc_id"), col("source"),
+          explode(col("w")).as("tok"))
+        val bi = docs.select(col("doc_id"), col("source"), explode(expr(
+          "CASE WHEN size(w) >= 2 THEN " +
+            "transform(sequence(0, size(w)-2), i -> concat_ws(' ', w[i], w[i+1])) " +
+            "ELSE array() END")).as("tok"))
+        val scored = uni.union(bi)
+          .withColumn("wgt",
+            (hashId(col("tok"), 1024L) * lit(2654435761L)) % lit(2003L) - lit(1001L))
+          .groupBy(col("doc_id"), col("source"))
+          .agg(sum(col("wgt")).as("logit"))
+        scored.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("logit") >= 10000L, 1L).otherwise(0L)).as("n_pass"),
+            (sum(when(col("logit") >= 10000L, col("doc_id") % lit(2147483647L))
+              .otherwise(lit(0L))) % lit(2147483647L)).as("pass_id_checksum"),
+            (sum(col("logit")) % lit(2147483647L)).as("logit_checksum"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH w AS (
+              |  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+              |), toks AS (
+              |  SELECT doc_id, source, UNNEST(w) AS tok FROM w
+              |  UNION ALL
+              |  SELECT doc_id, source,
+              |    UNNEST(list_transform(generate_series(1, len(w)-1),
+              |      i -> w[i] || ' ' || w[i+1])) AS tok
+              |  FROM w
+              |), scored AS (
+              |  SELECT doc_id, source,
+              |    CAST(SUM(((${hashIdSql("tok", 1024L)}) * 2654435761) % 2003 - 1001)
+              |      AS BIGINT) AS logit
+              |  FROM toks GROUP BY 1, 2
+              |)
+              |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |  CAST(SUM(CASE WHEN logit >= 10000 THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_pass,
+              |  CAST(SUM(CASE WHEN logit >= 10000 THEN doc_id % 2147483647
+              |    ELSE 0 END) % 2147483647 AS BIGINT) AS pass_id_checksum,
+              |  CAST(SUM(logit) % 2147483647 AS BIGINT) AS logit_checksum
+              |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // Token counting: whitespace tokens + a BPE-ish regex lexer count.
     NamedQuery(

@@ -146,6 +146,39 @@ class MLInvariantsSpec extends SparkSpec {
       s"kept $kept wildly off the n/2 target of ${nTot / 2}")
   }
 
+  test("dedup_semantic_clusters: cells partition the corpus, each keeps its exemplar") {
+    val rows = SparkEntry.queries("dedup_semantic_clusters")(spark, d).collect()
+    assert(rows.nonEmpty && rows.length <= 8)
+    rows.foreach { r =>
+      val cell = r.getAs[Long]("cell")
+      assert(cell >= 0L && cell < 8L)
+      val m = r.getAs[Long]("n_members")
+      val k = r.getAs[Long]("n_kept")
+      // keep-first semantics: a cell's lowest-id member has no earlier
+      // neighbor to lose to, so every non-empty cell keeps at least one
+      assert(k >= 1L && k <= m, s"cell $cell kept $k of $m")
+    }
+    // the coarse quantizer assigns every vector to exactly one cell:
+    // membership counts conserve the table
+    val total = graft.tables.Tables.embeddings(spark, d).count()
+    assert(rows.map(_.getAs[Long]("n_members")).sum === total)
+  }
+
+  test("text_quality_classifier: census conserves docs, model is a pure function") {
+    val rows = SparkEntry.queries("text_quality_classifier")(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val p = r.getAs[Long]("n_pass")
+      assert(p >= 0L && p <= r.getAs[Long]("n_docs"))
+    }
+    val total = graft.tables.Tables.documents(spark, d).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === total)
+    // committed-model scoring is a pure function of the text: a fresh
+    // plan reproduces every checksum bit-for-bit
+    val again = SparkEntry.queries("text_quality_classifier")(spark, d).collect()
+    assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
   test("text_keywords_tfidf: dense ranks 1..5 per source, scores non-increasing") {
     val rows = SparkEntry.queries("text_keywords_tfidf")(spark, d).collect()
     val bySource = rows.groupBy(_.getAs[String]("source"))

@@ -151,6 +151,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("dedup_semantic_clusters: pairs join on cell, never a cartesian product") {
+    val p = plan("dedup_semantic_clusters")
+    // within-cell pairing is an equi-join keyed on the cell id (broadcast
+    // at this sf, shuffle at scale — either way cell-keyed); the SemDeDup
+    // point is that the all-pairs matrix never exists
+    assert("Join \\[cell#\\d+L\\], \\[cell#\\d+L\\]".r.findFirstIn(p).isDefined)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // cell assignment is a narrow map on the scan: codegen'd kernel, no UDF
+    assert(p.contains("float_vec_dot("))
+  }
+
+  test("text_quality_classifier: join-free narrow explodes, map-side combine") {
+    val p = plan("text_quality_classifier")
+    // no vocabulary table, no weight join — the model is a formula in the
+    // projection; the only wide ops are the two keyed aggregations
+    assert(!p.contains("Join"))
+    assert(p.contains("Union"))
+    assert(p.contains("partial_sum"))
+    assert("Generate explode".r.findAllIn(p).size === 2) // unigrams + bigrams
+  }
+
   test("set_intersect_users: distinct sides meet in a broadcast LEFT SEMI") {
     val p = plan("set_intersect_users")
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"))
