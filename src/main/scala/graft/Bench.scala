@@ -246,8 +246,14 @@ object Bench {
     // "value" is the STEADY total (sum of per-gate min-of-passes — robust to
     // one-sided load bursts); "cold_total" keeps the old cold-pass meaning
     // for continuity with rounds ≤ 8.
+    // bench_format marks the artifact schema so cross-round tooling can
+    // detect semantic breaks instead of inferring them from field
+    // presence: 1 = rounds <= 8, "value" was the cold-pass total;
+    // 2 = round 9+, "value" is the steady total and cold_total carries
+    // the old meaning; 3 = round 10+, adds per-gate own_cpu/vs_ref and
+    // the run-level inflated_vs_reference self-check.
     val head = s""""metric":"total","value":$steadyTotal,"unit":"sec"""" +
-      s""","cold_total":$coldTotal$contField"""
+      s""","bench_format":3,"cold_total":$coldTotal$contField"""
     val detail = s"""{$head,"queries":$qs$failedField,"sf":"$sfDir"}"""
     System.err.println(detail)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_details.json"), detail + "\n")

@@ -2565,7 +2565,12 @@ $blockSql
       (s, d) => {
         val docs = Tables.documents(s, d)
           .select(col("doc_id"), col("source"), col("text"))
-        val mid = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+        // coalesce: MAX over an empty documents table is null and a bare
+        // getLong would NPE inside the gate — an empty corpus must flow
+        // through as an empty census instead (mid = 0 puts every row,
+        // i.e. none, in batch 2)
+        val mid = docs.agg(coalesce(max(col("doc_id")), lit(0L)))
+          .head().getLong(0) / 2
         val corpus = graft.ml.Curate.curate(
           docs.filter(col("doc_id") <= mid), minQuality = 0.65)
         val fresh = graft.ml.Curate.dedupAgainst(

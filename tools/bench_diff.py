@@ -11,11 +11,18 @@ buckets a reader can act on without re-running anything:
   contended      — same plan, but one side's window saw foreign CPU load
                    (the gate's own `contended` marker): the delta is
                    measurement noise until re-run on a quiet machine.
-  noise          — same plan, quiet machine, small delta (< threshold and
-                   < 50% relative): steady-state jitter, ignore.
-  drift          — same plan, quiet machine, delta >= threshold: no
-                   mechanical alibi; worth a look (data change, spill,
-                   JIT cliff).
+  inflated       — same plan, no contention markers, but the RUN-LEVEL
+                   ratio of same-plan totals says one whole side ran
+                   slow (>= 40% across many gates): per-gate markers
+                   provably miss bandwidth/bursty load (round 9: 1.86×
+                   inflation, zero contended flags), so these deltas are
+                   the suspect run's inflation, NOT attributable drift.
+  drift          — same plan, quiet machine, abs(delta) >= threshold
+                   (and >= 10% relative, so jitter on a huge gate does
+                   not alert): no mechanical alibi; worth a look (data
+                   change, spill, JIT cliff).
+  noise          — everything else on a same-plan quiet pair: steady-
+                   state jitter, ignore.
   added/removed  — gate exists on only one side.
 
 Compares STEADY times when both sides carry them (round >= 9 artifacts),
@@ -24,6 +31,12 @@ unless a side fails to parse; the tool adjudicates, it does not gate.
 """
 import json
 import sys
+
+# Run-level inflation trigger: same-plan quiet totals differ by >= 40%
+# across at least this many gates. One slow gate is that gate's story;
+# dozens moving together with identical plans is the machine's.
+INFLATED_RATIO = 1.4
+INFLATED_MIN_GATES = 8
 
 
 def load(path):
@@ -49,7 +62,9 @@ def best_time(g):
 def main():
     args, threshold, it = [], 1.0, iter(sys.argv[1:])
     for a in it:
-        if a.startswith("--threshold"):
+        # exact flag match only: --thresholds / --threshold2 must be
+        # rejected as unknown options, not silently accepted
+        if a == "--threshold" or a.startswith("--threshold="):
             threshold = float(a.split("=", 1)[1] if "=" in a else next(it))
         elif a.startswith("--"):
             raise SystemExit(f"unknown option {a}")
@@ -60,9 +75,11 @@ def main():
     old_doc, old = load(args[0])
     new_doc, new = load(args[1])
 
-    buckets = {"plan_changed": [], "contended": [], "drift": [], "noise": []}
+    buckets = {"plan_changed": [], "contended": [], "inflated": [],
+               "drift": [], "noise": []}
     added = sorted(set(new) - set(old))
     removed = sorted(set(old) - set(new))
+    same_plan_quiet = []  # (name, to, tn) — the run-level inflation evidence
     for name in sorted(set(old) & set(new)):
         o, n = old[name], new[name]
         to, tn = best_time(o), best_time(n)
@@ -76,10 +93,45 @@ def main():
             side = "both" if o.get("contended") and n.get("contended") else \
                 ("old" if o.get("contended") else "new")
             buckets["contended"].append((name, to, tn, f"foreign load on {side} run"))
-        elif abs(delta) >= threshold and abs(delta) >= 0.5 * max(to, tn, 1e-9):
-            buckets["drift"].append((name, to, tn, "same plan, quiet machine"))
         else:
-            buckets["noise"].append((name, to, tn, ""))
+            same_plan_quiet.append((name, to, tn))
+            # drift needs the absolute threshold AND a loose 10% relative
+            # floor (so ulp-level jitter on a long gate never alerts);
+            # requiring 50% relative — the old rule — hid exactly the
+            # uniform ~40% same-plan slowdowns this tool exists to catch
+            if abs(delta) >= threshold and abs(delta) >= 0.10 * max(to, tn, 1e-9):
+                buckets["drift"].append((name, to, tn, "same plan, quiet machine"))
+            else:
+                buckets["noise"].append((name, to, tn, ""))
+
+    # Run-level inflation check BEFORE the drift bucket is trusted: when
+    # the same-plan quiet totals disagree by >= 40% across many gates,
+    # one side ran on a loaded machine that the per-gate /proc/stat
+    # markers missed (round 9: 185.8 s recorded vs 100.1 s clean, zero
+    # contended flags). Deltas in the inflation's direction move to the
+    # 'inflated' bucket and are excluded from the attributable verdict.
+    sum_to = sum(to for _, to, _ in same_plan_quiet)
+    sum_tn = sum(tn for _, _, tn in same_plan_quiet)
+    suspect = None
+    if len(same_plan_quiet) >= INFLATED_MIN_GATES and min(sum_to, sum_tn) > 0:
+        if sum_to >= INFLATED_RATIO * sum_tn:
+            suspect = "old"
+        elif sum_tn >= INFLATED_RATIO * sum_to:
+            suspect = "new"
+    if suspect:
+        keep = []
+        for name, to, tn, _ in buckets["drift"]:
+            if to is None or tn is None:
+                keep.append((name, to, tn, "crashed on one side"))
+            elif (to > tn) == (suspect == "old"):
+                buckets["inflated"].append(
+                    (name, to, tn,
+                     f"{suspect}-run inflated (no contention evidence — "
+                     "see run-level ratio)"))
+            else:
+                keep.append((name, to, tn, "same plan, against the inflation "
+                                           "direction — still worth a look"))
+        buckets["drift"] = keep
 
     def total(rows):
         # a gate that crashed on one side has no before/after comparison:
@@ -91,18 +143,32 @@ def main():
     old_v, new_v = old_doc.get("value"), new_doc.get("value")
     print(f"old: {args[0]}  value={old_v}  contended={old_doc.get('contended', False)}")
     print(f"new: {args[1]}  value={new_v}  contended={new_doc.get('contended', False)}")
+    if suspect:
+        ratio = (sum_to / sum_tn) if suspect == "old" else (sum_tn / sum_to)
+        print(f"WARNING: {suspect} run looks inflated — same-plan quiet totals "
+              f"{sum_to:.1f} s (old) vs {sum_tn:.1f} s (new), ratio {ratio:.2f}x "
+              f"over {len(same_plan_quiet)} gates with zero contention markers. "
+              f"Re-run the {suspect} side on a quiet machine before trusting it.")
+    elif (len(same_plan_quiet) >= INFLATED_MIN_GATES and min(sum_to, sum_tn) > 0
+          and max(sum_to, sum_tn) >= 1.15 * min(sum_to, sum_tn)):
+        # below the inflation trigger but a uniform shift can hide entirely
+        # under the per-gate absolute threshold — surface the aggregate
+        print(f"NOTE: run-level same-plan totals moved "
+              f"{sum_to:.1f} s -> {sum_tn:.1f} s "
+              f"({(sum_tn / sum_to - 1) * 100:+.0f}%) even though per-gate "
+              f"deltas may each sit under the threshold — check the aggregate.")
     print()
-    for b in ("plan_changed", "contended", "drift", "noise"):
+    for b in ("plan_changed", "contended", "inflated", "drift", "noise"):
         rows = buckets[b]
         print(f"{b}: {len(rows)} gates, net {total(rows):+.2f} s")
-        show = rows if b != "noise" else sorted(
+        show = rows if b not in ("noise", "inflated") else sorted(
             rows, key=lambda r: abs((r[2] or 0) - (r[1] or 0)), reverse=True)[:5]
         for name, to, tn, why in show:
             fo = "null" if to is None else f"{to:.2f}"
             fn = "null" if tn is None else f"{tn:.2f}"
             print(f"  {name}: {fo} -> {fn}  {why}")
-        if b == "noise" and len(rows) > 5:
-            print(f"  ... {len(rows) - 5} more under threshold")
+        if b in ("noise", "inflated") and len(rows) > 5:
+            print(f"  ... {len(rows) - 5} more")
     if added:
         print(f"added ({len(added)}): " + ", ".join(added))
     if removed:
@@ -111,6 +177,7 @@ def main():
     attributable = total(buckets["plan_changed"]) + total(buckets["drift"])
     print(f"verdict: {attributable:+.2f} s attributable (plan_changed + drift), "
           f"{total(buckets['contended']):+.2f} s under contention alibi, "
+          f"{total(buckets['inflated']):+.2f} s under inflation alibi, "
           f"{total(buckets['noise']):+.2f} s noise")
 
 
