@@ -65,11 +65,16 @@ object Bench {
     * `otherCores` = CPU-cores-worth of work the REST of the machine did
     * while this gate ran (system busy time minus this JVM's own CPU time,
     * divided by wall time; -1 when /proc or the MXBean is unavailable),
-    * `load1` = 1-minute loadavg at gate end (context only — too sluggish
-    * for 1-second gates, but it's what a human checks first).
+    * `ownCpu` = CPU seconds THIS JVM burned during the window (round-10:
+    * persisted, because own-CPU/wall against the committed reference
+    * ratio catches the bandwidth/bursty contention the otherCores
+    * window-average provably missed in round 9), `load1` = 1-minute
+    * loadavg at gate end (context only — too sluggish for 1-second
+    * gates, but it's what a human checks first).
     */
   private[graft] final case class GateRun(
-      sec: Double, ok: Boolean, plan: String, otherCores: Double, load1: Double)
+      sec: Double, ok: Boolean, plan: String, otherCores: Double,
+      ownCpu: Double, load1: Double)
 
   /** System-wide busy CPU seconds since boot from /proc/stat line 1
     * (everything except idle and iowait, at USER_HZ = 100); -1 off-Linux.
@@ -115,6 +120,111 @@ object Bench {
       case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime / 1e9
       case _ => -1.0
     }
+
+  // ---- committed per-gate reference (round 10) -------------------------
+  //
+  // Round 9's driver artifact was 1.86× inflated by foreign load that the
+  // /proc/stat window-average never saw (0–3 other cores, yet wall times
+  // doubled — bandwidth/bursty contention), so it shipped with ZERO
+  // contended markers and only a manual judge re-run exposed it. The bench
+  // therefore carries its own evidence now: a committed quiet-run
+  // reference of per-gate {steady, plan, own-CPU/wall}, regenerated
+  // deliberately alongside the fingerprint snapshot, that every run
+  // self-compares against. Two independent triggers come out of it:
+  //
+  //  * run-level: fingerprint-MATCHED steady total > 1.3× the reference's
+  //    total for the same gates → `inflated_vs_reference: true` in the
+  //    artifact (the whole run is suspect, whatever /proc said);
+  //  * per-gate: own-CPU/wall ratio well below the reference ratio at an
+  //    unchanged fingerprint AND an inflated wall → the gate spent its
+  //    window WAITING, not computing — foreign load by elimination; the
+  //    gate is marked contended (`eff_drop`) even when otherCores sat
+  //    at zero.
+
+  /** One committed reference row: quiet-run steady seconds, the plan
+    * fingerprint it was measured under (a ratio against a DIFFERENT plan
+    * is meaningless), and the gate's own-CPU/wall efficiency on that run
+    * (-1 when CPU sampling was unavailable).
+    */
+  private[graft] final case class RefGate(steady: Double, plan: String, cpuWall: Double)
+
+  private[graft] val ReferencePath = "src/main/resources/bench_reference.txt"
+
+  /** Matched-total ratio beyond which the RUN is marked inflated: 1.3 is
+    * far above steady-state jitter on a ~100 s / ~120 gate total (observed
+    * round-over-round drift on identical plans is a few percent) and far
+    * below the 1.86× that poisoned round 9.
+    */
+  private[graft] val InflatedVsRef = 1.3
+
+  /** Per-gate efficiency trigger (see [[effDrop]]): wall inflated ≥ 1.5×
+    * its reference at the same plan, own-CPU/wall ≤ 0.6× the reference
+    * ratio, and the gate big enough (≥ 0.3 s) that scheduler jitter on a
+    * sub-second window can't trip it.
+    */
+  private[graft] val EffDropWallRatio = 1.5
+  private[graft] val EffDropCpuWallRatio = 0.6
+  private[graft] val EffDropMinSteady = 0.3
+
+  /** Parse the reference file: first line `sf=<dir tail>`, then one
+    * `<gate> <steady> <plan> <cpuWall>` row per line. Malformed rows fail
+    * loudly — a half-readable reference silently weakening the self-check
+    * is worse than no reference.
+    */
+  private[graft] def parseReference(lines: Seq[String]): (String, Map[String, RefGate]) = {
+    val content = lines.map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+    require(content.nonEmpty && content.head.startsWith("sf="),
+      s"$ReferencePath: first non-comment line must be sf=<tail>")
+    val gates = content.tail.map { l =>
+      l.split("\\s+") match {
+        case Array(n, s, p, c) => n -> RefGate(s.toDouble, p, c.toDouble)
+        case _ => throw new IllegalArgumentException(
+          s"$ReferencePath: bad row '$l' (want: name steady plan cpuWall)")
+      }
+    }.toMap
+    (content.head.stripPrefix("sf="), gates)
+  }
+
+  /** The committed reference, when present AND recorded at this run's
+    * scale (a sf0.1 reference says nothing about a sf0.01 iteration run).
+    * Missing file → None: the self-check degrades to absent, never to a
+    * false verdict.
+    */
+  private[graft] def loadReference(sfTail: String): Option[Map[String, RefGate]] = {
+    val p = java.nio.file.Paths.get(ReferencePath)
+    if (!java.nio.file.Files.exists(p)) None
+    else {
+      val (refSf, gates) =
+        parseReference(java.nio.file.Files.readAllLines(p).toArray.toSeq.map(_.toString))
+      if (refSf == sfTail) Some(gates) else None
+    }
+  }
+
+  /** True when a fingerprint-matched gate ran slow AND cold: the wall
+    * inflated well past the reference while the JVM's own CPU share of
+    * that wall collapsed — the signature of waiting on a machine someone
+    * else is using (round 9: join_semi_topk 19.5 s recorded vs 1.0 s
+    * clean with `other_cores` = 0.02 — own CPU stays ~constant while wall
+    * balloons, so cpu/wall drops ~20×). Unknown CPU samples (-1) on
+    * either side never trip it.
+    */
+  private[graft] def effDrop(steady: Double, eff: Double, ref: RefGate): Boolean =
+    ref.cpuWall > 0 && eff >= 0 &&
+      steady >= EffDropMinSteady &&
+      steady >= EffDropWallRatio * ref.steady &&
+      eff <= EffDropCpuWallRatio * ref.cpuWall
+
+  /** Run-level verdict: ratio of fingerprint-matched steady total to the
+    * reference total for those same gates, when enough gates matched for
+    * the ratio to mean anything (20 — a code change that re-plans most of
+    * the registry leaves too few matches, and that situation IS a regen
+    * prompt, not an inflation).
+    */
+  private[graft] def vsReference(matched: Seq[(Double, Double)]): Option[Double] = {
+    val refSum = matched.map(_._2).sum
+    if (matched.size < 20 || refSum <= 0) None
+    else Some(matched.map(_._1).sum / refSum)
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -163,6 +273,7 @@ object Bench {
       val other =
         if (busy0 < 0 || busy1 < 0 || cpu0 < 0 || cpu1 < 0 || dt < 0.05) -1.0
         else math.max(0.0, ((busy1 - busy0) - (cpu1 - cpu0)) / dt)
+      val own = if (cpu0 < 0 || cpu1 < 0) -1.0 else math.max(0.0, cpu1 - cpu0)
       // plan fingerprint OUTSIDE the timed window, from the df the timed
       // run constructed (planning is cheap and never re-executes the
       // query) — lets the next round separate plan drift from noise
@@ -174,7 +285,7 @@ object Bench {
       // cache hits — or its heap pressure; with ~85 gates the accumulated
       // InMemoryRelations otherwise inflate later queries ~25% via GC
       spark.catalog.clearCache()
-      GateRun(dt, ok, fp, other, loadAvg1())
+      GateRun(dt, ok, fp, other, own, loadAvg1())
     }
 
     // SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the run (iteration aid; the
@@ -216,21 +327,46 @@ object Bench {
       if (x < 0) "-1" else (math.floor(x * 100 + 0.5) / 100).toString
     def steadyOf(cold: GateRun, warm: Option[GateRun]): Double =
       Bench.steady(cold, warm)
-    def gateContended(cold: GateRun, warm: Option[GateRun]): Boolean =
-      Bench.contended(cold, warm, contendedCores)
+    // the pass that PROVIDED the steady time — its own-CPU/wall is the
+    // efficiency the reference comparison judges (mixing cold's CPU with
+    // warm's wall would fabricate ratios)
+    def steadyRun(cold: GateRun, warm: Option[GateRun]): GateRun =
+      warm.filter(w => w.ok && w.sec < cold.sec).getOrElse(cold)
+    def effOf(r: GateRun): Double =
+      if (r.ownCpu >= 0 && r.sec > 0) r.ownCpu / r.sec else -1.0
+
+    val sfTail = java.nio.file.Paths.get(sfDir).getFileName.toString
+    val reference = Bench.loadReference(sfTail)
+    def refOf(k: String, plan: String): Option[RefGate] =
+      reference.flatMap(_.get(k)).filter(_.plan == plan)
+
+    def gateEffDrop(k: String, cold: GateRun, warm: Option[GateRun]): Boolean =
+      cold.ok && refOf(k, cold.plan).exists(r =>
+        Bench.effDrop(steadyOf(cold, warm), effOf(steadyRun(cold, warm)), r))
+    def gateContended(k: String, cold: GateRun, warm: Option[GateRun]): Boolean =
+      Bench.contended(cold, warm, contendedCores) || gateEffDrop(k, cold, warm)
+
     val qs = results.map { case (k, cold, warm) =>
       val w = warm.map(t => s""","warm":${num(t)}""").getOrElse("")
       val steadyS = if (cold.ok) steadyOf(cold, warm).toString else "null"
       val other = math.max(cold.otherCores, warm.map(_.otherCores).getOrElse(-1.0))
-      val cFlag = if (gateContended(cold, warm)) ""","contended":true""" else ""
+      val sRun = steadyRun(cold, warm)
+      val vsRef = refOf(k, cold.plan).filter(_ => cold.ok)
+        .filter(_.steady > 0)
+        .map(r => s""","vs_ref":${r2s(steadyOf(cold, warm) / r.steady)}""")
+        .getOrElse("")
+      val eFlag = if (gateEffDrop(k, cold, warm)) ""","eff_drop":true""" else ""
+      val cFlag = if (gateContended(k, cold, warm)) ""","contended":true""" else ""
       s""""$k":{"cold":${num(cold)}$w,"steady":$steadyS,"plan":"${cold.plan}"""" +
-        s""","other_cores":${r2s(other)},"load1":${r2s(cold.load1)}$cFlag}"""
+        s""","other_cores":${r2s(other)},"own_cpu":${r2s(sRun.ownCpu)}""" +
+        s""","cpu_wall":${r2s(effOf(sRun))},"load1":${r2s(cold.load1)}""" +
+        s"""$vsRef$eFlag$cFlag}"""
     }.mkString("{", ",", "}")
     val failed = results.collect { case (k, c, _) if !c.ok => "\"" + k + "\"" }
     val okResults = results.filter(_._2.ok)
     val coldTotal = okResults.map(_._2.sec).sum
     val steadyTotal = okResults.map { case (_, c, w) => steadyOf(c, w) }.sum
-    val nContended = results.count { case (_, c, w) => gateContended(c, w) }
+    val nContended = results.count { case (k, c, w) => gateContended(k, c, w) }
     val failedField =
       if (failed.isEmpty) "" else s""","failed":${failed.mkString("[", ",", "]")}"""
     // Run-level contention verdict: any gate whose window saw foreign load
@@ -240,6 +376,53 @@ object Bench {
     // regression until two manual re-runs proved it was contention).
     val contField =
       if (nContended > 0) s""","contended":true,"n_contended":$nContended""" else ""
+    // Reference self-check: the steady total over fingerprint-MATCHED
+    // gates against the committed quiet-run total for the same gates. A
+    // ratio past 1.3× marks the run inflated even when every /proc sample
+    // stayed quiet — round 9's failure mode.
+    val matched = okResults.flatMap { case (k, c, w) =>
+      refOf(k, c.plan).map(r => (steadyOf(c, w), r.steady))
+    }
+    val refField = Bench.vsReference(matched).map { ratio =>
+      val infl = if (ratio > Bench.InflatedVsRef) ""","inflated_vs_reference":true""" else ""
+      s""","vs_reference":${r2s(ratio)},"n_ref_matched":${matched.size}$infl"""
+    }.getOrElse("")
+
+    // Deliberate reference (re)generation — run on a QUIET machine, like
+    // the fingerprint snapshot: SPARK_GRAFT_REGEN_BENCH_REFERENCE=1 on a
+    // full-registry run writes {steady, plan, cpu/wall} as the committed
+    // reference. MIN-MERGED with the existing same-sf reference per gate
+    // at an unchanged plan (same rationale as steady = min of passes: an
+    // external burst can only inflate a run, so repeated regens converge
+    // the reference DOWN to the plan's intrinsic cost — a single regen on
+    // a not-quite-quiet machine must not bake its noise in as "the truth"
+    // every later run gets compared to). A changed plan takes the new
+    // row; gates no longer in the registry drop out. Refused on a
+    // filtered run: a partial reference would silently shrink coverage.
+    if (sys.env.get("SPARK_GRAFT_REGEN_BENCH_REFERENCE").contains("1")) {
+      require(only.isEmpty, "reference regen needs the full registry " +
+        "(unset SPARK_GRAFT_BENCH_ONLY)")
+      val prior = reference.getOrElse(Map.empty)
+      val rows = okResults
+        .filter { case (_, c, _) => c.plan != "err" }
+        .map { case (k, c, w) =>
+          val r = steadyRun(c, w)
+          val (s, e) = prior.get(k).filter(_.plan == c.plan)
+            .filter(_.steady < steadyOf(c, w))
+            .map(p => (p.steady, p.cpuWall))
+            .getOrElse((steadyOf(c, w), effOf(r)))
+          f"$k $s%.3f ${c.plan} $e%.3f"
+        }
+      val header = "# per-gate quiet-run bench reference (generated by " +
+        s"SPARK_GRAFT_REGEN_BENCH_REFERENCE=1; see Bench.scala)\nsf=$sfTail"
+      val body = (header +: rows).mkString("", "\n", "\n")
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(Bench.ReferencePath).getParent)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(Bench.ReferencePath), body)
+      System.err.println(s"[bench] reference regenerated: ${Bench.ReferencePath} " +
+        s"(${rows.size} gates at $sfTail)")
+    }
     // The per-query map (~100 entries, >3 kB on one line) goes to stderr and
     // a sidecar file only: a capture window that tails stdout must always see
     // the one compact, parseable metric line below intact. The headline
@@ -253,7 +436,7 @@ object Bench {
     // the old meaning; 3 = round 10+, adds per-gate own_cpu/vs_ref and
     // the run-level inflated_vs_reference self-check.
     val head = s""""metric":"total","value":$steadyTotal,"unit":"sec"""" +
-      s""","bench_format":3,"cold_total":$coldTotal$contField"""
+      s""","bench_format":3,"cold_total":$coldTotal$contField$refField"""
     val detail = s"""{$head,"queries":$qs$failedField,"sf":"$sfDir"}"""
     System.err.println(detail)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_details.json"), detail + "\n")

@@ -10,7 +10,7 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class BenchSpec extends AnyFunSuite {
   private def run(sec: Double, ok: Boolean = true, other: Double = 0.0) =
-    Bench.GateRun(sec, ok, "fp", other, 1.0)
+    Bench.GateRun(sec, ok, "fp", other, ownCpu = sec, load1 = 1.0)
 
   test("steady is the min of the passes; degrades to cold without a warm pass") {
     assert(Bench.steady(run(5.0), Some(run(1.5))) === 1.5)
@@ -29,5 +29,58 @@ class BenchSpec extends AnyFunSuite {
     // -1 = "could not measure": absence of evidence marks nothing
     assert(!Bench.contended(run(1.0, other = -1.0), Some(run(1.0, other = -1.0)), t))
     assert(!Bench.contended(run(1.0, other = -1.0), None, t))
+  }
+
+  // ---- round-10 reference self-check ---------------------------------
+  // Round 9's driver artifact was 1.86× inflated with ZERO contended
+  // markers (the foreign load averaged 0-3 cores in the /proc window yet
+  // doubled wall times); these pins replay that exact situation against
+  // the two new triggers.
+
+  test("effDrop replays round 9: join_semi_topk 19.5 s recorded vs 1.0 s reference") {
+    // clean run: ~28 cores busy on a 32-core box → cpu/wall ~ 28. The
+    // inflated run did the SAME CPU work over 19.5× the wall → eff ~1.4,
+    // far under 0.6× the reference ratio — trips even at other_cores 0.02.
+    val ref = Bench.RefGate(steady = 1.0, plan = "fp", cpuWall = 28.0)
+    assert(Bench.effDrop(steady = 19.5, eff = 28.0 / 19.5, ref = ref))
+    // the same gate on a quiet re-run: wall at reference, full efficiency
+    assert(!Bench.effDrop(steady = 1.05, eff = 27.0, ref = ref))
+    // slow but HOT (own CPU scaled with wall — real extra work, e.g. a
+    // data change): not contention, must stay visible as drift instead
+    assert(!Bench.effDrop(steady = 19.5, eff = 27.0, ref = ref))
+    // wall inflated but under the 1.5x ratio: jitter, not a verdict
+    assert(!Bench.effDrop(steady = 1.4, eff = 10.0, ref = ref))
+    // sub-floor gates never trip (scheduler jitter on sub-second windows)
+    assert(!Bench.effDrop(steady = 0.2, eff = 1.0,
+      ref = Bench.RefGate(0.05, "fp", 28.0)))
+    // unknown CPU samples (-1) on either side never trip
+    assert(!Bench.effDrop(steady = 19.5, eff = -1.0, ref = ref))
+    assert(!Bench.effDrop(steady = 19.5, eff = 1.0,
+      ref = Bench.RefGate(1.0, "fp", -1.0)))
+  }
+
+  test("vsReference marks a 1.86x run inflated and a 1.0x run clean") {
+    val inflated = Seq.fill(118)((1.86, 1.0))
+    assert(Bench.vsReference(inflated).exists(_ > Bench.InflatedVsRef))
+    val clean = Seq.fill(118)((1.02, 1.0))
+    val r = Bench.vsReference(clean)
+    assert(r.exists(v => v > 0.9 && v <= Bench.InflatedVsRef))
+    // too few fingerprint-matched gates (mass re-plan → regen prompt, not
+    // an inflation verdict) or an empty reference: no ratio at all
+    assert(Bench.vsReference(Seq.fill(19)((1.86, 1.0))).isEmpty)
+    assert(Bench.vsReference(Nil).isEmpty)
+  }
+
+  test("parseReference round-trips and rejects malformed rows") {
+    val (sf, gates) = Bench.parseReference(Seq(
+      "# comment", "sf=sf0.1",
+      "hash_agg_sum 1.287 c6a4fab6 27.500",
+      "join_semi_topk 0.949 ec3a23ec 24.000"))
+    assert(sf === "sf0.1")
+    assert(gates("hash_agg_sum") === Bench.RefGate(1.287, "c6a4fab6", 27.5))
+    assert(gates.size === 2)
+    intercept[IllegalArgumentException](
+      Bench.parseReference(Seq("sf=sf0.1", "badrow 1.0")))
+    intercept[IllegalArgumentException](Bench.parseReference(Seq("no_sf_line")))
   }
 }
