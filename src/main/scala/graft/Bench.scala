@@ -41,8 +41,8 @@ object Bench {
     "array_", "broadcast_", "coalesce_", "concat_", "cube_", "date_",
     "dict_", "equi_", "explode_", "greatest_", "hash_", "histogram_",
     "join_", "json_", "pivot_", "quantile_", "regexp_", "rollup_",
-    "scan_", "scatter_", "set_", "skew_", "stats_", "string_", "topk_",
-    "topn_", "union_", "unit_", "window_")
+    "scan_", "scatter_", "sessionize_", "set_", "skew_", "stats_",
+    "string_", "topk_", "topn_", "union_", "unit_", "window_")
 
   private[graft] def families(n: String): Set[String] =
     if (n.startsWith("analyzer_")) Set("analyzer_metrics")

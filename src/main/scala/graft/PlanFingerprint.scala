@@ -69,7 +69,9 @@ object PlanFingerprint {
       // as drifted. Anchored to the known gate prefixes — a bare
       // `_sink_\d+` would also collapse DISTINCT stable relations that
       // merely end in that pattern, masking real drift
-      .replaceAll("(dedup_stream_near|analyzer_trend_stream)_sink_\\d+", "$1_sink_<n>")
+      .replaceAll(
+        "(dedup_stream_near|analyzer_trend_stream|sessionize_stream)_sink_\\d+",
+        "$1_sink_<n>")
       .replaceAll("Statistics\\([^)]*\\)", "Statistics(<s>)")
       .replaceAll("size=\\d+", "size=<n>")
       .replaceAll("rows=\\d+", "rows=<n>")

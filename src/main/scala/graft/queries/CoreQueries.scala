@@ -1068,5 +1068,92 @@ object CoreQueries {
       Some("""SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
              |  CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(event_id) AS BIGINT) AS id_sum
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // The STREAMING sessionization twin, judged end-to-end (round 10 —
+    // the last product streaming operator that was only spec/CLI-checked):
+    // the gate drives the REAL streaming.Sessionize operator
+    // (flatMapGroupsWithState, a disjoint pending-session list per user,
+    // emission only once the event-time watermark passes session_end +
+    // gap) over the events table as a bounded file stream under
+    // Trigger.AvailableNow, and the oracle replays the batch
+    // window_session_gaps chain (gaps-and-islands, same 1-hour gap)
+    // restricted to the watermark-SEALABLE sessions. The cutoff is
+    // explicit and identical in both engines: Spark's watermark is
+    // max-event-time truncated to ms minus the 1-hour delay, so a session
+    // seals iff end_us + gap <= ((max_us div 1000) - 3600000) * 1000.
+    // Float determinism: the feed carries value scaled to e4 fixed-point
+    // (round(value*10000) — an integral double, so the operator's
+    // arrival-order accumulation is EXACT integer arithmetic under 2^53,
+    // the same grid dsum's DECIMAL(18,4) puts the batch gates on) and the
+    // judged column is the integer total_e4. Single-file source → one
+    // data micro-batch (wm 0) + the AvailableNow no-data batch that
+    // fires every sealable group's event-time timeout at the final
+    // watermark — the same drain the dedup-stream CLI cross-checks
+    // (9122/9147 sessions sealable at sf0.01). State at 100 TB:
+    // O(users x sessions-inside-watermark), sharded by user, payloads
+    // never held (see Sessionize scaladoc).
+    NamedQuery(
+      "sessionize_stream",
+      (s, d) => {
+        import s.implicits._
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val schema = s.read.parquet(s"$d/events.parquet").schema
+        val events = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(d)
+          .select(col("user_id"),
+            expr("timestamp_micros(ts div 1000)").as("ts"),
+            round(col("value") * lit(10000)).as("value"))
+          .as[graft.streaming.SessionEvent]
+        graft.streaming.GateStream.dropStaleSinks(s, "sessionize_stream_sink_")
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft-sess-gate").toString
+        val sink = s"sessionize_stream_sink_${sessSinkSeq.incrementAndGet()}"
+        val q = graft.streaming.Sessionize.sessionize(events)
+          .writeStream.format("memory").queryName(sink)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        graft.streaming.GateStream.deleteScratch(ckpt)
+        s.table(sink).select(
+            col("user_id"),
+            expr("unix_micros(session_start)").as("start_us"),
+            expr("unix_micros(session_end)").as("end_us"),
+            col("n_events"),
+            col("total_value").cast("long").as("total_e4"))
+          .orderBy(col("user_id"), col("start_us"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             |    CAST(ROUND(value * 10000) AS BIGINT) AS v_e4
+             |  FROM events
+             |), flagged AS (
+             |  SELECT user_id, event_id, ts_us, v_e4,
+             |    CASE WHEN lag(ts_us) OVER w IS NULL
+             |           OR ts_us - lag(ts_us) OVER w > 3600000000
+             |         THEN 1 ELSE 0 END AS new_sess
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+             |), sess AS (
+             |  SELECT user_id, ts_us, v_e4,
+             |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+             |      ROWS UNBOUNDED PRECEDING) AS session_id
+             |  FROM flagged
+             |), agg AS (
+             |  SELECT user_id, MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+             |    CAST(COUNT(*) AS BIGINT) AS n_events,
+             |    CAST(SUM(v_e4) AS BIGINT) AS total_e4
+             |  FROM sess GROUP BY user_id, session_id
+             |)
+             |SELECT user_id, start_us, end_us, n_events, total_e4 FROM agg
+             |WHERE end_us + 3600000000 <=
+             |  ((SELECT MAX(ts_us) FROM e) // 1000 - 3600000) * 1000
+             |ORDER BY user_id, start_us""".stripMargin)),
   )
+
+  /** Distinct memory-sink names per sessionize_stream invocation (bench
+    * runs the gate three times in one session — warmup family, cold,
+    * warm; the sink table must not accumulate).
+    */
+  private val sessSinkSeq = new java.util.concurrent.atomic.AtomicLong(0)
 }

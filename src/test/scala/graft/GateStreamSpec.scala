@@ -33,6 +33,19 @@ class GateStreamSpec extends SparkSpec {
       "drained AvailableNow checkpoints must be deleted")
   }
 
+  test("repeated sessionize-gate runs keep at most one live sink and no scratch checkpoints") {
+    val before = scratchDirs("graft-sess-gate").size
+    val gate = SparkEntry.queries("sessionize_stream")
+    gate(spark, "/root/testdata/sf0.001").collect()
+    gate(spark, "/root/testdata/sf0.001").collect()
+    val sinks = spark.catalog.listTables().collect()
+      .filter(t => t.isTemporary && t.name.startsWith("sessionize_stream_sink_"))
+      .map(_.name).toSeq
+    assert(sinks.size === 1, s"expected exactly the latest sink view, got: $sinks")
+    assert(scratchDirs("graft-sess-gate").size <= before,
+      "drained AvailableNow checkpoints must be deleted")
+  }
+
   test("dropStaleSinks only touches its own prefix; deleteScratch is total") {
     import spark.implicits._
     Seq(1).toDF("x").createOrReplaceTempView("unrelated_view")
