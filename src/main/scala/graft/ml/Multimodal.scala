@@ -14,17 +14,19 @@ import org.apache.spark.sql.functions._
   *  - records are co-partitioned by `media_id` before feature extraction so
   *    a downstream join against labels/captions is shuffle-free.
   *
-  * Three codecs are REAL (pure JVM, no native deps), each judged by its
+  * Five codecs are REAL (pure JVM, no native deps), each judged by its
   * own gate against a DuckDB oracle: [[decodeWav]] (RIFF/WAVE chunk walk
-  * + LE PCM16), [[decodePpm]] (Netpbm P6 header tokenizer), and
+  * + LE PCM16), [[decodePpm]] (Netpbm P6 header tokenizer),
   * [[decodePng]] (chunk walk + CRC32 + zlib inflate + per-scanline
   * unfilter — a genuinely COMPRESSED format, so the "swap in a real
   * codec" boundary is proven on entropy-coded payloads, not just byte
-  * walks). Everything else falls back to [[decodeStub]], the
-  * deterministic byte-histogram stand-in for codecs the JVM cannot
-  * decode without native deps (JPEG/H.264/...). Swap the fallback for a
-  * real decoder (JNI/ffmpeg) without touching any of the Spark plumbing
-  * — that boundary is the point.
+  * walks), [[decodeJpeg]] (baseline JPEG via the JDK's javax.imageio),
+  * and [[decodeMjpegAvi]] (Motion-JPEG video: AVI/RIFF container walk +
+  * one JPEG decode per frame). Everything else falls back to
+  * [[decodeStub]], the deterministic byte-histogram stand-in for the
+  * codecs the JVM cannot decode without native deps (H.264/H.265/...).
+  * Swap the fallback for a real decoder (JNI/ffmpeg) without touching
+  * any of the Spark plumbing — that boundary is the point.
   */
 object Multimodal {
 
@@ -554,6 +556,120 @@ object Multimodal {
     }
   }
 
+  /** Decoded MJPEG-in-AVI metadata + integer channel sums over all
+    * DECODED frames — the VIDEO sibling of [[JpegInfo]]. Like JPEG (whose
+    * decoder runs per frame) the DCT round-trip is lossy, so stats are a
+    * property of the decoder output and the judged fixture commits the
+    * expected stats beside the payloads.
+    */
+  final case class MjpegInfo(
+      width: Long,
+      height: Long,
+      nFrames: Long,
+      durationMs: Long,
+      rSum: Long,
+      gSum: Long,
+      bSum: Long,
+      hist: Array[Long])
+
+  /** REAL decode for the fifth public format — the first VIDEO one:
+    * Motion-JPEG in an AVI (RIFF) container, the one video codec a pure
+    * JVM can host end-to-end (the RIFF walk [[decodeWav]] already does,
+    * plus one baseline-JPEG decode per frame via [[decodeJpeg]]). Parses
+    * `LIST hdrl` → `avih` (geometry, frame timing, declared frame count)
+    * and validates the first video stream header (`strh` fccType 'vids'
+    * with an MJPG handler), then walks `LIST movi` decoding every
+    * compressed video chunk (`##dc`). Strict by design: every frame must
+    * decode and match the container-declared geometry, and the declared
+    * dwTotalFrames must equal the frames actually present — a container
+    * whose index lies is malformed, not "mostly fine". Returns None for
+    * all of it: bad magic, truncated chunks, missing headers, non-MJPG
+    * streams, frame-decode failures, geometry mismatches, oversized
+    * dimensions (same untrusted-input posture as [[decodePng]]).
+    *
+    * H.264/H.265-class codecs remain out of JVM reach without native
+    * libraries — [[decodeStub]] covers exactly those now.
+    */
+  private[graft] def decodeMjpegAvi(b: Array[Byte]): Option[MjpegInfo] = {
+    if (b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "AVI ") return None
+    // header state, filled during the hdrl walk
+    var usPerFrame = -1L
+    var declaredFrames = -1L
+    var width = -1L
+    var height = -1L
+    var vidsMjpg = false
+    // one pass over the top-level chunk list; LIST bodies are walked
+    // recursively by offset (RIFF sub-lists are plain chunk lists too).
+    // `ctx` is the enclosing list type ("" at top level) — frame chunks
+    // count ONLY inside movi (or its `rec ` grouping sub-lists), headers
+    // only inside their lists, so stray look-alike ids elsewhere in the
+    // container can't smuggle data past the validation.
+    def walk(start: Int, end: Int, ctx: String,
+        frames: java.util.ArrayList[(Int, Int)]): Boolean = {
+      var off = start
+      while (off + 8 <= end) {
+        val id = tag(b, off)
+        val size = readLE32(b, off + 4)
+        val body = off + 8
+        if (body + size > end) return false // truncated chunk
+        id match {
+          case "LIST" =>
+            if (size < 4) return false
+            val listType = tag(b, body)
+            val ok = listType match {
+              case "hdrl" => walk(body + 4, body + size.toInt, "hdrl", frames)
+              case "strl" if ctx == "hdrl" =>
+                walk(body + 4, body + size.toInt, "strl", frames)
+              case "movi" => walk(body + 4, body + size.toInt, "movi", frames)
+              case "rec " if ctx == "movi" =>
+                walk(body + 4, body + size.toInt, "movi", frames)
+              case _ => true // INFO/odml/... skipped
+            }
+            if (!ok) return false
+          case "avih" if ctx == "hdrl" =>
+            if (size < 40) return false
+            usPerFrame = readLE32(b, body)
+            declaredFrames = readLE32(b, body + 16)
+            width = readLE32(b, body + 32)
+            height = readLE32(b, body + 36)
+          case "strh" if ctx == "strl" =>
+            if (size < 8) return false
+            if (tag(b, body) == "vids" && tag(b, body + 4) == "MJPG")
+              vidsMjpg = true
+          case dc if ctx == "movi" && dc.length == 4 && dc.endsWith("dc") &&
+              dc(0).isDigit && dc(1).isDigit =>
+            frames.add((body, size.toInt)) // compressed video frame
+          case _ => () // strf/idx1/audio chunks/JUNK — skipped
+        }
+        off = body + size.toInt + (size.toInt & 1) // RIFF odd-size pad
+      }
+      true
+    }
+    val frameSlices = new java.util.ArrayList[(Int, Int)]()
+    if (!walk(12, b.length, "", frameSlices)) return None
+    // container-level validation before any pixel decode (untrusted input:
+    // geometry bounds mirror decodeJpeg's; a lying frame count is malformed)
+    if (!vidsMjpg || usPerFrame <= 0 || width <= 0 || height <= 0 ||
+      width * height > (1L << 26) || frameSlices.size == 0 ||
+      frameSlices.size > 4096 || declaredFrames != frameSlices.size) return None
+    val sums = new Array[Long](3)
+    val hist = new Array[Long](FeatureDim)
+    var f = 0
+    while (f < frameSlices.size) {
+      val (foff, flen) = frameSlices.get(f)
+      val j = decodeJpeg(java.util.Arrays.copyOfRange(b, foff, foff + flen))
+        .getOrElse(return None) // every frame must decode
+      if (j.width != width || j.height != height) return None
+      sums(0) += j.rSum; sums(1) += j.gSum; sums(2) += j.bSum
+      var k = 0
+      while (k < FeatureDim) { hist(k) += j.hist(k); k += 1 }
+      f += 1
+    }
+    val n = frameSlices.size.toLong
+    Some(MjpegInfo(width, height, n, n * usPerFrame / 1000L,
+      sums(0), sums(1), sums(2), hist))
+  }
+
   /** STUB decode: a real implementation would decode pixels/samples here.
     * Deterministic fake: fold the byte histogram into FeatureDim buckets
     * and L2-normalize — stable across runs and partitionings.
@@ -575,31 +691,38 @@ object Multimodal {
     if (norm == 0f) acc else acc.map(_ / norm)
   }
 
-  /** Decode dispatch: real WAV/PPM/PNG/JPEG parse when the payload is
-    * one, byte-histogram stub otherwise (the stub now covers ONLY
-    * H.264-class codecs the JVM cannot decode without native libraries —
-    * both compressed image formats, PNG's DEFLATE and JPEG's DCT, are
-    * handled for real). Every path emits an L2-normalized FeatureDim
-    * vector, so downstream similarity code never branches on the codec;
-    * the real codecs additionally surface their typed metadata (duration
-    * for audio, geometry for images) in one pass. Each decoder checks its
-    * own magic bytes first, so the dispatch order can't misroute a
-    * payload.
+  /** Decode dispatch: real WAV/PPM/PNG/JPEG/MJPEG-AVI parse when the
+    * payload is one, byte-histogram stub otherwise (the stub now covers
+    * ONLY H.264/H.265-class codecs the JVM cannot decode without native
+    * libraries — compressed images AND Motion-JPEG video are handled for
+    * real). Every path emits an L2-normalized FeatureDim vector, so
+    * downstream similarity code never branches on the codec; the real
+    * codecs additionally surface their typed metadata (duration for
+    * audio, geometry for images, both for video) in one pass. Each
+    * decoder checks its own magic bytes first (the two RIFF formats
+    * disambiguate on the form type at offset 8), so the dispatch order
+    * can't misroute a payload.
     */
   private[ml] def decode(payload: Array[Byte])
       : (Array[Float], Option[Long], Option[Long], Option[Long]) =
     decodeWav(payload) match {
       case Some(w) => (normed(w.hist), None, None, Some(w.durationMs))
       case None =>
-        decodePpm(payload) match {
-          case Some(p) => (normed(p.hist), Some(p.width), Some(p.height), None)
+        decodeMjpegAvi(payload) match {
+          case Some(v) =>
+            (normed(v.hist), Some(v.width), Some(v.height), Some(v.durationMs))
           case None =>
-            decodePng(payload) match {
+            decodePpm(payload) match {
               case Some(p) => (normed(p.hist), Some(p.width), Some(p.height), None)
               case None =>
-                decodeJpeg(payload) match {
-                  case Some(j) => (normed(j.hist), Some(j.width), Some(j.height), None)
-                  case None => (decodeStub(payload), None, None, None)
+                decodePng(payload) match {
+                  case Some(p) => (normed(p.hist), Some(p.width), Some(p.height), None)
+                  case None =>
+                    decodeJpeg(payload) match {
+                      case Some(j) =>
+                        (normed(j.hist), Some(j.width), Some(j.height), None)
+                      case None => (decodeStub(payload), None, None, None)
+                    }
                 }
             }
         }

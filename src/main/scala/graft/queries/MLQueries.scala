@@ -132,6 +132,17 @@ object MLQueries {
         .map(u => java.nio.file.Paths.get(u.toURI).toString))
       .getOrElse("/root/repo/src/test/resources/jpeg_gate")
 
+  /** Committed MJPEG-in-AVI gate fixture location — same resolution
+    * order as [[jpegFixtureDir]].
+    */
+  private[graft] def mjpegFixtureDir: String =
+    sys.props.get("graft.gate.mjpegFixtureDir")
+      .orElse(sys.env.get("GRAFT_MJPEG_FIXTURE_DIR"))
+      .orElse(Option(getClass.getResource("/mjpeg_gate"))
+        .filter(_.getProtocol == "file")
+        .map(u => java.nio.file.Paths.get(u.toURI).toString))
+      .getOrElse("/root/repo/src/test/resources/mjpeg_gate")
+
   /** DuckDB twin of TextOps.splitName (md5 mod 100 → 80/10/10), shared
     * by the dataset_split_hash oracle and the curate_e2e_census chain.
     */
@@ -2520,6 +2531,46 @@ $blockSql
       },
       Some(s"""SELECT media_id, n_bytes, width, height, r_sum, g_sum, b_sum
               |FROM read_parquet('$jpegFixtureDir/expected.parquet/*.parquet')
+              |ORDER BY media_id""".stripMargin)),
+
+    // Multimodal REAL decode #5 — the first VIDEO codec, retiring
+    // decodeStub to H.264/H.265-class formats only: Motion-JPEG in an
+    // AVI container, decoded end-to-end in pure JVM (the RIFF chunk walk
+    // the WAV decoder already proves + one baseline-JPEG decode per
+    // `00dc` frame via the round-9 decoder). The gate decodes 12
+    // committed AVIs (3-6 gradient frames each, geometry off the 8x8 DCT
+    // grid, container-declared frame counts and timing validated
+    // strictly) in a narrow mapPartitions; the oracle reads the
+    // committed expected stats (lossy DCT -> fixture-oracle pattern,
+    // like JPEG). MjpegGateSpec keeps the pair honest: decoded stats
+    // EXACT vs committed, channel sums within a closeness bound of the
+    // SOURCE pixels across all frames (a fake decoder can't meet it),
+    // fuzz-total on corrupted containers, magic strictness vs WAV/JPEG.
+    // Scale: same boundary as every codec here — bounded per-record work
+    // inside mapPartitions, no shuffle, payloads pruned to the scan.
+    NamedQuery(
+      "multimodal_decode_mjpeg",
+      (s, _) => {
+        import s.implicits._
+        s.read.parquet(s"$mjpegFixtureDir/payloads.parquet")
+          .select(col("media_id"), col("payload"))
+          .as[(Long, Array[Byte])]
+          .mapPartitions { it =>
+            it.map { case (id, bytes) =>
+              val v = Multimodal.decodeMjpegAvi(bytes)
+                .getOrElse(throw new IllegalStateException(
+                  s"committed AVI for media $id failed to decode"))
+              (id, bytes.length.toLong, v.width, v.height, v.nFrames,
+                v.durationMs, v.rSum, v.gSum, v.bSum)
+            }
+          }
+          .toDF("media_id", "n_bytes", "width", "height", "n_frames",
+            "duration_ms", "r_sum", "g_sum", "b_sum")
+          .orderBy(col("media_id"))
+      },
+      Some(s"""SELECT media_id, n_bytes, width, height, n_frames,
+              |  duration_ms, r_sum, g_sum, b_sum
+              |FROM read_parquet('$mjpegFixtureDir/expected.parquet/*.parquet')
               |ORDER BY media_id""".stripMargin)),
 
     // The COMPOSED curation product, judged end-to-end: the gate runs the
