@@ -71,6 +71,26 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.vsReference(Nil).isEmpty)
   }
 
+  test("the committed reference covers exactly the registry, at the judged scale") {
+    // a gate added without SPARK_GRAFT_REGEN_BENCH_REFERENCE=1 (or a
+    // removal that leaves a stale row) must fail HERE, not silently
+    // shrink the self-check's n_ref_matched at the next judged run
+    val lines = java.nio.file.Files
+      .readAllLines(java.nio.file.Paths.get(Bench.ReferencePath))
+      .toArray.toSeq.map(_.toString)
+    val (sf, gates) = Bench.parseReference(lines)
+    assert(sf === "sf0.1", "reference must be recorded at the driver's judged scale")
+    val registry = SparkEntry.queries.keySet
+    assert(gates.keySet === registry,
+      s"reference out of sync (missing: ${(registry -- gates.keySet).toSeq.sorted}, " +
+        s"stale: ${(gates.keySet -- registry).toSeq.sorted}) — regenerate with " +
+        "SPARK_GRAFT_REGEN_BENCH_REFERENCE=1 on a quiet machine")
+    gates.foreach { case (n, r) =>
+      assert(r.steady > 0 && r.plan.length === 32 && r.cpuWall > 0,
+        s"$n: implausible reference row $r")
+    }
+  }
+
   test("parseReference round-trips and rejects malformed rows") {
     val (sf, gates) = Bench.parseReference(Seq(
       "# comment", "sf=sf0.1",
