@@ -175,29 +175,49 @@ object Bench {
     val content = lines.map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
     require(content.nonEmpty && content.head.startsWith("sf="),
       s"$ReferencePath: first non-comment line must be sf=<tail>")
-    val gates = content.tail.map { l =>
+    val rows = content.tail.map { l =>
       l.split("\\s+") match {
         case Array(n, s, p, c) => n -> RefGate(s.toDouble, p, c.toDouble)
         case _ => throw new IllegalArgumentException(
           s"$ReferencePath: bad row '$l' (want: name steady plan cpuWall)")
       }
-    }.toMap
-    (content.head.stripPrefix("sf="), gates)
+    }
+    // a duplicated gate (hand-merge, conflict resolution) must fail here,
+    // not silently last-wins into the baseline the verdicts judge against
+    val dups = rows.groupBy(_._1).collect { case (n, rs) if rs.size > 1 => n }
+    require(dups.isEmpty, s"$ReferencePath: duplicate rows for ${dups.toSeq.sorted}")
+    (content.head.stripPrefix("sf="), rows.toMap)
   }
 
   /** The committed reference, when present AND recorded at this run's
     * scale (a sf0.1 reference says nothing about a sf0.01 iteration run).
-    * Missing file → None: the self-check degrades to absent, never to a
-    * false verdict.
+    * Resolution: the source-tree file first (a just-regenerated reference
+    * must win over a stale classes/ copy), then the classpath resource —
+    * so a bench launched from another working directory, or from a
+    * deployed jar, still self-checks instead of silently skipping the
+    * whole inflation verdict (the exact silent-degradation mode this
+    * feature exists to kill). Missing BOTH at the judged scale → a loud
+    * stderr note, then None: absent, never a false verdict.
     */
   private[graft] def loadReference(sfTail: String): Option[Map[String, RefGate]] = {
     val p = java.nio.file.Paths.get(ReferencePath)
-    if (!java.nio.file.Files.exists(p)) None
-    else {
-      val (refSf, gates) =
-        parseReference(java.nio.file.Files.readAllLines(p).toArray.toSeq.map(_.toString))
+    val lines: Option[Seq[String]] =
+      if (java.nio.file.Files.exists(p))
+        Some(java.nio.file.Files.readAllLines(p).toArray.toSeq.map(_.toString))
+      else
+        Option(getClass.getResourceAsStream("/bench_reference.txt")).map { in =>
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toSeq
+          finally in.close()
+        }
+    val ref = lines.flatMap { ls =>
+      val (refSf, gates) = parseReference(ls)
       if (refSf == sfTail) Some(gates) else None
     }
+    if (ref.isEmpty && sfTail == "sf0.1")
+      System.err.println("[bench] WARNING: no committed reference for sf0.1 " +
+        "reachable (file or classpath) — the inflation self-check is OFF " +
+        "for this run")
+    ref
   }
 
   /** True when a fingerprint-matched gate ran slow AND cold: the wall
@@ -411,7 +431,10 @@ object Bench {
             .filter(_.steady < steadyOf(c, w))
             .map(p => (p.steady, p.cpuWall))
             .getOrElse((steadyOf(c, w), effOf(r)))
-          f"$k $s%.3f ${c.plan} $e%.3f"
+          // Locale.ROOT: the default-locale f"" interpolator writes comma
+          // decimals under e.g. de_DE, which parseReference then rejects
+          String.format(java.util.Locale.ROOT, "%s %.3f %s %.3f",
+            k, Double.box(s), c.plan, Double.box(e))
         }
       val header = "# per-gate quiet-run bench reference (generated by " +
         s"SPARK_GRAFT_REGEN_BENCH_REFERENCE=1; see Bench.scala)\nsf=$sfTail"

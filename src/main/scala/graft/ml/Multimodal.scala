@@ -597,7 +597,14 @@ object Multimodal {
     var declaredFrames = -1L
     var width = -1L
     var height = -1L
-    var vidsMjpg = false
+    // stream number of the FIRST 'vids'+MJPG stream (strl lists appear in
+    // stream order per the AVI spec, so the n-th strl is stream n): frame
+    // chunks are filtered to exactly that stream's `%02d`dc id —
+    // dwTotalFrames declares the VIDEO stream's count, so counting other
+    // streams' chunks against it would reject valid multi-stream files
+    // (and, worse, blend two streams' pixels when the totals collide)
+    var videoStream = -1
+    var strlCount = 0
     // one pass over the top-level chunk list; LIST bodies are walked
     // recursively by offset (RIFF sub-lists are plain chunk lists too).
     // `ctx` is the enclosing list type ("" at top level) — frame chunks
@@ -605,7 +612,7 @@ object Multimodal {
     // only inside their lists, so stray look-alike ids elsewhere in the
     // container can't smuggle data past the validation.
     def walk(start: Int, end: Int, ctx: String,
-        frames: java.util.ArrayList[(Int, Int)]): Boolean = {
+        frames: java.util.ArrayList[(Int, Int, Int)]): Boolean = {
       var off = start
       while (off + 8 <= end) {
         val id = tag(b, off)
@@ -619,6 +626,7 @@ object Multimodal {
             val ok = listType match {
               case "hdrl" => walk(body + 4, body + size.toInt, "hdrl", frames)
               case "strl" if ctx == "hdrl" =>
+                strlCount += 1
                 walk(body + 4, body + size.toInt, "strl", frames)
               case "movi" => walk(body + 4, body + size.toInt, "movi", frames)
               case "rec " if ctx == "movi" =>
@@ -634,22 +642,29 @@ object Multimodal {
             height = readLE32(b, body + 36)
           case "strh" if ctx == "strl" =>
             if (size < 8) return false
-            if (tag(b, body) == "vids" && tag(b, body + 4) == "MJPG")
-              vidsMjpg = true
+            if (videoStream < 0 && tag(b, body) == "vids" &&
+              tag(b, body + 4) == "MJPG")
+              videoStream = strlCount - 1 // the strl being walked right now
           case dc if ctx == "movi" && dc.length == 4 && dc.endsWith("dc") &&
               dc(0).isDigit && dc(1).isDigit =>
-            frames.add((body, size.toInt)) // compressed video frame
+            val streamNo = (dc(0) - '0') * 10 + (dc(1) - '0')
+            frames.add((streamNo, body, size.toInt)) // compressed video frame
           case _ => () // strf/idx1/audio chunks/JUNK — skipped
         }
         off = body + size.toInt + (size.toInt & 1) // RIFF odd-size pad
       }
       true
     }
+    val allSlices = new java.util.ArrayList[(Int, Int, Int)]()
+    if (!walk(12, b.length, "", allSlices)) return None
+    // only the validated MJPG video stream's frames count — both for the
+    // decode and for the dwTotalFrames check (which declares the video
+    // stream's frame count, not a cross-stream chunk total)
     val frameSlices = new java.util.ArrayList[(Int, Int)]()
-    if (!walk(12, b.length, "", frameSlices)) return None
+    allSlices.forEach { case (sn, o, l) => if (sn == videoStream) frameSlices.add((o, l)) }
     // container-level validation before any pixel decode (untrusted input:
     // geometry bounds mirror decodeJpeg's; a lying frame count is malformed)
-    if (!vidsMjpg || usPerFrame <= 0 || width <= 0 || height <= 0 ||
+    if (videoStream < 0 || usPerFrame <= 0 || width <= 0 || height <= 0 ||
       width * height > (1L << 26) || frameSlices.size == 0 ||
       frameSlices.size > 4096 || declaredFrames != frameSlices.size) return None
     val sums = new Array[Long](3)

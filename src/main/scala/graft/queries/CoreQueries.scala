@@ -1079,8 +1079,22 @@ object CoreQueries {
     // window_session_gaps chain (gaps-and-islands, same 1-hour gap)
     // restricted to the watermark-SEALABLE sessions. The cutoff is
     // explicit and identical in both engines: Spark's watermark is
-    // max-event-time truncated to ms minus the 1-hour delay, so a session
-    // seals iff end_us + gap <= ((max_us div 1000) - 3600000) * 1000.
+    // max-event-time truncated to ms minus the 1-hour delay
+    // (wm_us = ((max_us div 1000) - 3600000) * 1000), and the oracle
+    // replays the engine's EXACT emission rule, which has two parts —
+    // a session is emitted iff its group was WOKEN at the final
+    // watermark AND it is sealable:
+    //   (1) group wake-up: EventTimeTimeout fires strictly BELOW the
+    //       watermark (processTimedOutState uses timeout < wm) and
+    //       Sessionize registers ceil-to-ms(min session deadline), so a
+    //       user's group wakes iff its EARLIEST deadline (end_us+gap)
+    //       <= wm_us - 1000 — a deadline inside the watermark's exact
+    //       millisecond never fires on its own;
+    //   (2) seal: the woken group emits every session with
+    //       end_us + gap <= wm_us (a boundary-ms session IS emitted
+    //       when a sibling session's earlier deadline woke the group).
+    // Both conditions are replayed in SQL below; dropping (1) would be
+    // a latent data-dependent flake (caught by round-10 code review).
     // Float determinism: the feed carries value scaled to e4 fixed-point
     // (round(value*10000) — an integral double, so the operator's
     // arrival-order accumulation is EXACT integer arithmetic under 2^53,
@@ -1144,11 +1158,15 @@ object CoreQueries {
              |    CAST(COUNT(*) AS BIGINT) AS n_events,
              |    CAST(SUM(v_e4) AS BIGINT) AS total_e4
              |  FROM sess GROUP BY user_id, session_id
+             |), wm AS (
+             |  SELECT ((MAX(ts_us) // 1000) - 3600000) * 1000 AS wm_us FROM e
              |)
-             |SELECT user_id, start_us, end_us, n_events, total_e4 FROM agg
-             |WHERE end_us + 3600000000 <=
-             |  ((SELECT MAX(ts_us) FROM e) // 1000 - 3600000) * 1000
-             |ORDER BY user_id, start_us""".stripMargin)),
+             |SELECT a.user_id, a.start_us, a.end_us, a.n_events, a.total_e4
+             |FROM agg a, wm
+             |WHERE a.end_us + 3600000000 <= wm.wm_us
+             |  AND (SELECT MIN(end_us) FROM agg m WHERE m.user_id = a.user_id)
+             |        + 3600000000 <= wm.wm_us - 1000
+             |ORDER BY a.user_id, a.start_us""".stripMargin)),
   )
 
   /** Distinct memory-sink names per sessionize_stream invocation (bench

@@ -99,7 +99,15 @@ object Sessionize {
     else {
       state.update(SessionState(open))
       // wake up when the earliest pending session can seal (round the
-      // micro deadline UP to the next ms so the timeout never fires early)
+      // micro deadline UP to the next ms so the timeout never fires
+      // early). NOTE the engine fires event-time timeouts strictly BELOW
+      // the watermark (timeout < wm), so a deadline inside the
+      // watermark's exact millisecond does not wake the group by itself
+      // — it seals one watermark-advance later (or immediately, if a
+      // sibling session's earlier deadline wakes the group). Emission is
+      // therefore never early, only conservatively late by < 1 ms of
+      // watermark progress; the sessionize_stream oracle replays exactly
+      // this two-part rule.
       state.setTimeoutTimestamp(
         math.floorDiv(open.map(_.last).min + gapUs + 999L, 1000L))
     }

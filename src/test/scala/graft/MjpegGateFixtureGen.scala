@@ -68,9 +68,14 @@ object MjpegGateFixtureGen {
 
   /** A well-formed minimal AVI: hdrl(avih + strl(strh+strf)) + movi with
     * one `00dc` chunk per JPEG frame (odd-sized frames get the RIFF pad,
-    * which the decoder's walk must skip correctly).
+    * which the decoder's walk must skip correctly). `extraStreamChunks`
+    * lands additional `01dc` chunks in movi (a second stream's data) —
+    * the committed fixture never uses it; MjpegGateSpec does, to pin
+    * that only the validated video stream's frames are decoded and
+    * counted against dwTotalFrames.
     */
-  def buildAvi(id: Long, frames: Seq[Array[Byte]]): Array[Byte] = {
+  def buildAvi(id: Long, frames: Seq[Array[Byte]],
+      extraStreamChunks: Seq[Array[Byte]] = Nil): Array[Byte] = {
     val (w, h) = geometry(id)
     val avih = java.nio.ByteBuffer.allocate(56)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -103,7 +108,8 @@ object MjpegGateFixtureGen {
       .array()
     val hdrl = list("hdrl",
       chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
-    val movi = list("movi", frames.flatMap(f => chunk("00dc", f)).toArray)
+    val movi = list("movi", (frames.flatMap(f => chunk("00dc", f)) ++
+      extraStreamChunks.flatMap(c => chunk("01dc", c))).toArray)
     val content = fourcc("AVI ") ++ hdrl ++ movi
     fourcc("RIFF") ++ le32(content.length.toLong) ++ content
   }

@@ -84,6 +84,33 @@ class MjpegGateSpec extends SparkSpec {
     for (len <- 0 until good.length by 13) Multimodal.decodeMjpegAvi(good.take(len))
   }
 
+  test("a second stream's chunks are ignored, not blended or fatal") {
+    // dwTotalFrames declares the VIDEO stream's count; another stream's
+    // ##dc chunks in movi must neither fail the strict count check nor
+    // leak pixels into the channel sums (round-10 code-review finding)
+    val id = 3L
+    val (w, h) = MjpegGateFixtureGen.geometry(id)
+    // re-encode deterministically rather than slicing the committed AVI
+    val realFrames = (0 until MjpegGateFixtureGen.nFrames(id)).map { f =>
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = MjpegGateFixtureGen.frameSourceRgb(id, f, w, h, x, y)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", baos)
+      baos.toByteArray
+    }
+    val clean = MjpegGateFixtureGen.buildAvi(id, realFrames)
+    val withAudio = MjpegGateFixtureGen.buildAvi(id, realFrames,
+      extraStreamChunks = Seq(Array.fill[Byte](33)(0x55), Array.fill[Byte](7)(0x2a)))
+    val a = Multimodal.decodeMjpegAvi(clean).get
+    val b = Multimodal.decodeMjpegAvi(withAudio).get
+    assert(a.nFrames === b.nFrames && a.rSum === b.rSum &&
+      a.gSum === b.gSum && a.bSum === b.bSum && a.durationMs === b.durationMs)
+  }
+
   test("featurize dispatch routes AVI payloads through the real video decoder") {
     import spark.implicits._
     val (id, bytes) = payloads.head
