@@ -262,11 +262,14 @@ object Pipeline {
       val schema = spark.read.parquet(s"$eventsDir/events.parquet").schema
       // the streaming file source wants a directory; select the events
       // table out of the sf dir by glob
-      val events = spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(eventsDir)
+      // normalizeEventTs tolerates every ts encoding the testdata has
+      // shipped (long nanos / TIMESTAMP / TIMESTAMP_NTZ) — see Tables
+      val events = graft.tables.Tables.normalizeEventTs(
+          spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(eventsDir))
         .select(org.apache.spark.sql.functions.col("user_id"),
-          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)").as("ts"),
+          org.apache.spark.sql.functions.col("ts"),
           org.apache.spark.sql.functions.col("value"))
         .as[graft.streaming.SessionEvent]
       val q = graft.streaming.Sessionize.sessionize(events)

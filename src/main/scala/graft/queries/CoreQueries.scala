@@ -1112,10 +1112,12 @@ object CoreQueries {
         import s.implicits._
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val schema = s.read.parquet(s"$d/events.parquet").schema
-        val events = s.readStream.schema(schema)
-          .option("pathGlobFilter", "events.parquet").parquet(d)
-          .select(col("user_id"),
-            expr("timestamp_micros(ts div 1000)").as("ts"),
+        // normalizeEventTs tolerates every ts encoding the testdata has
+        // shipped (long nanos / TIMESTAMP / TIMESTAMP_NTZ) — see Tables
+        val events = Tables.normalizeEventTs(
+            s.readStream.schema(schema)
+              .option("pathGlobFilter", "events.parquet").parquet(d))
+          .select(col("user_id"), col("ts"),
             round(col("value") * lit(10000)).as("value"))
           .as[graft.streaming.SessionEvent]
         graft.streaming.GateStream.dropStaleSinks(s, "sessionize_stream_sink_")

@@ -1,6 +1,8 @@
 package graft.tables
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver star schema (`TESTDATA.md`, `FIXTURES.md` §2).
   *
@@ -20,19 +22,47 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
-    * default. Read it as a long (legacy conf), keep the exact nanos in
-    * `ts_ns` (for tie-free ordering), and expose `ts` as a micros-precision
-    * TimestampType for date_trunc/event-time work. Integer `div`, not `/`:
-    * epoch-nanos overflow double precision.
+
+  /** `events.ts` has shipped in two parquet encodings across testdata
+    * generations: TIMESTAMP(NANOS) (which Spark 4 only reads as a raw long
+    * via `spark.sql.legacy.parquet.nanosAsLong`) and TIMESTAMP(MICROS),
+    * with or without isAdjustedToUTC (TimestampType vs TimestampNTZType).
+    * Schema drift at the ingest edge is exactly the failure class the
+    * reference hardens against (analyzer.py coalesces missing stats keys);
+    * [[normalizeEventTs]] is the Spark-side equivalent: branch on the type
+    * that actually loaded and emit one canonical pair —
+    *   - `ts`    TimestampType, micros precision (NTZ is cast under the
+    *     pinned UTC session timezone, so the instant is unchanged), and
+    *   - `ts_ns` LongType epoch-nanos (exact nanos when the source had
+    *     them; micros×1000 otherwise — downstream `ts_ns div 1000` is the
+    *     oracle's micros grain either way).
+    * Integer `div`, not `/`: epoch-nanos overflow double precision.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts_ns", org.apache.spark.sql.functions.col("ts"))
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts div 1000)"))
+    normalizeEventTs(load(s, d, "events"))
   }
+
+  /** Canonicalize a `ts` column (long epoch-nanos, TIMESTAMP, or
+    * TIMESTAMP_NTZ) into `ts` TimestampType + `ts_ns` long epoch-nanos.
+    * Pure column surgery — works on batch and streaming frames alike.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType => // legacy TIMESTAMP(NANOS) read as raw nanos
+        df.withColumn("ts_ns", col("ts"))
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampType =>
+        df.withColumn("ts_ns", expr("unix_micros(ts) * 1000L"))
+      case TimestampNTZType => // exact under the UTC session timezone
+        df.withColumn("ts", col("ts").cast(TimestampType))
+          .withColumn("ts_ns", expr("unix_micros(ts) * 1000L"))
+      case other =>
+        throw new IllegalArgumentException(
+          s"events.ts: unsupported parquet encoding $other " +
+            "(expected INT64 nanos, TIMESTAMP, or TIMESTAMP_NTZ)")
+    }
+
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

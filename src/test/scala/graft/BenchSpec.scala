@@ -91,6 +91,38 @@ class BenchSpec extends AnyFunSuite {
     }
   }
 
+  test("the latest committed round record is complete: full registry, zero failures") {
+    // Round 10 shipped a 24-gate hole: the driver's CORRECTNESS artifact
+    // silently OMITTED erred gates (96 rows for a 120-gate registry) and
+    // nothing owned the "every registry gate has a green row" invariant.
+    // The builder-committed round record is the artifact we control, so
+    // the invariant lives here: a record with crashed gates, a non-empty
+    // failed list, or registry coverage gaps cannot sit committed while
+    // the suite is green.
+    val records = Option(new java.io.File(".").listFiles()).get
+      .filter(_.getName.matches("bench_r\\d+_gates\\.json"))
+    assert(records.nonEmpty, "no committed bench_r{N}_gates.json round record")
+    val latest = records.maxBy(f => "\\d+".r.findFirstIn(f.getName).get.toInt)
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(latest)
+    assert(!root.has("failed") || root.get("failed").size() == 0,
+      s"${latest.getName} records failed gates: ${root.get("failed")} — " +
+        "fix them and regenerate the round record")
+    val qs = root.get("queries")
+    val recorded = {
+      val it = qs.fieldNames(); val b = Set.newBuilder[String]
+      while (it.hasNext) b += it.next(); b.result()
+    }
+    val registry = SparkEntry.queries.keySet
+    assert((registry -- recorded).isEmpty,
+      s"${latest.getName} is missing registry gates " +
+        s"${(registry -- recorded).toSeq.sorted} — regenerate the round record " +
+        "(full bench run, then copy bench_details.json over it)")
+    registry.foreach { n =>
+      assert(!qs.get(n).get("steady").isNull,
+        s"${latest.getName}: $n crashed in the recorded run (steady null)")
+    }
+  }
+
   test("parseReference round-trips and rejects malformed rows") {
     val (sf, gates) = Bench.parseReference(Seq(
       "# comment", "sf=sf0.1",
