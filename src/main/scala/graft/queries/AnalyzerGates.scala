@@ -277,13 +277,15 @@ object AnalyzerGates {
         val ckpt = java.nio.file.Files
           .createTempDirectory("graft-trend-gate").toString
         val sink = s"analyzer_trend_stream_sink_${trendSinkSeq.incrementAndGet()}"
-        val q = graft.streaming.StreamingIngest.trendByBucket(stream, "hour")
-          .writeStream.format("memory").queryName(sink)
-          .option("checkpointLocation", ckpt)
-          .outputMode("complete")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        graft.streaming.GateStream.withStreamShuffle(s) {
+          val q = graft.streaming.StreamingIngest.trendByBucket(stream, "hour")
+            .writeStream.format("memory").queryName(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("complete")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
         graft.streaming.GateStream.deleteScratch(ckpt)
         tsStr(s.table(sink), "hour").orderBy(col("hour"))
       },

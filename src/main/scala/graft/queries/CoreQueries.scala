@@ -1124,13 +1124,15 @@ object CoreQueries {
         val ckpt = java.nio.file.Files
           .createTempDirectory("graft-sess-gate").toString
         val sink = s"sessionize_stream_sink_${sessSinkSeq.incrementAndGet()}"
-        val q = graft.streaming.Sessionize.sessionize(events)
-          .writeStream.format("memory").queryName(sink)
-          .option("checkpointLocation", ckpt)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        graft.streaming.GateStream.withStreamShuffle(s) {
+          val q = graft.streaming.Sessionize.sessionize(events)
+            .writeStream.format("memory").queryName(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
         graft.streaming.GateStream.deleteScratch(ckpt)
         s.table(sink).select(
             col("user_id"),

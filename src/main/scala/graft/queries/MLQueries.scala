@@ -2671,13 +2671,15 @@ $blockSql
         val ckpt = java.nio.file.Files
           .createTempDirectory("graft-neardup-gate").toString
         val sink = s"dedup_stream_near_sink_${streamSinkSeq.incrementAndGet()}"
-        val q = graft.streaming.DedupStream.dedupNear(docs, "10 seconds")
-          .writeStream.format("memory").queryName(sink)
-          .option("checkpointLocation", ckpt)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        graft.streaming.GateStream.withStreamShuffle(s) {
+          val q = graft.streaming.DedupStream.dedupNear(docs, "10 seconds")
+            .writeStream.format("memory").queryName(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
         graft.streaming.GateStream.deleteScratch(ckpt)
         s.table(sink).select(col("doc_id")).orderBy(col("doc_id"))
       },

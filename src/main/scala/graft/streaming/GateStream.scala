@@ -21,6 +21,38 @@ object GateStream {
       .filter(t => t.isTemporary && t.name.startsWith(prefix))
       .foreach(t => spark.catalog.dropTempView(t.name))
 
+  /** Default state-store shard count for the bounded streaming gates,
+    * overridable via SPARK_GRAFT_STREAM_SHUFFLE. A stateful streaming
+    * query fixes its state partition count to `spark.sql.shuffle.partitions`
+    * at first-batch planning; at the session default (one per core) every
+    * micro-batch schedules that many state-store open/commit tasks per
+    * stateful stage even when the whole gate's data fits a handful of
+    * partitions — pure scheduling + delta-file overhead that amplifies
+    * foreign machine load 3-14× (round-10 judged runs). Eight shards keep
+    * the gates' tiny state parallel enough locally while cutting the
+    * per-batch constant ~4×; a real deployment sizes the session conf to
+    * its cluster and this helper follows it downward only (never exceeds
+    * the session setting).
+    */
+  def streamShufflePartitions(spark: SparkSession): Int = {
+    val cap = sys.env.get("SPARK_GRAFT_STREAM_SHUFFLE").map(_.toInt).getOrElse(8)
+    math.min(cap, spark.conf.get("spark.sql.shuffle.partitions").toInt)
+  }
+
+  /** Run `body` (construct + drain one bounded streaming query) with
+    * `spark.sql.shuffle.partitions` temporarily lowered to the streaming
+    * shard count, restoring the session value after. Only the streaming
+    * query's state partitioning is affected — the judged DataFrame each
+    * gate returns reads the drained memory sink (a LocalRelation), so
+    * gate plan fingerprints are untouched.
+    */
+  def withStreamShuffle[T](spark: SparkSession)(body: => T): T = {
+    val prior = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      streamShufflePartitions(spark).toString)
+    try body finally spark.conf.set("spark.sql.shuffle.partitions", prior)
+  }
+
   /** Delete a FINISHED query's scratch checkpoint directory (AvailableNow
     * has drained; the memory sink, not the checkpoint, backs the judged
     * result). Best-effort: a cleanup failure must never fail a gate.
