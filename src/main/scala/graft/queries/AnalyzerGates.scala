@@ -285,6 +285,7 @@ object AnalyzerGates {
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .start()
           q.awaitTermination()
+          graft.streaming.GateStream.debugProgress(q)
         }
         graft.streaming.GateStream.deleteScratch(ckpt)
         tsStr(s.table(sink), "hour").orderBy(col("hour"))

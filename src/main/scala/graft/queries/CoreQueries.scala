@@ -1132,6 +1132,7 @@ object CoreQueries {
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .start()
           q.awaitTermination()
+          graft.streaming.GateStream.debugProgress(q)
         }
         graft.streaming.GateStream.deleteScratch(ckpt)
         s.table(sink).select(

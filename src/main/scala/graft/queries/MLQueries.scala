@@ -2679,6 +2679,7 @@ $blockSql
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .start()
           q.awaitTermination()
+          graft.streaming.GateStream.debugProgress(q)
         }
         graft.streaming.GateStream.deleteScratch(ckpt)
         s.table(sink).select(col("doc_id")).orderBy(col("doc_id"))

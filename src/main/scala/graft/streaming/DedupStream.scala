@@ -221,6 +221,13 @@ object DedupStream {
     if (spark.conf.getOption(providerKey).forall(_.contains("HDFSBackedStateStoreProvider")))
       spark.conf.set(providerKey,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // The signature map runs on the file source's input splits; a single
+    // small parquet file is ONE split, so at gate scale the batch's
+    // compute serializes onto one core. Measured: hash-repartitioning the
+    // raw docs first to spread the map is a net LOSS here (warm 3.4 s →
+    // 4.2 s) — the extra exchange + stage outweighs the parallelized map
+    // at this data size — and at production scale the source has many
+    // splits anyway, so the map parallelizes without help.
     val blocks = docs.map { doc =>
       val s = simhashBlocks(doc.text)
       (doc.doc_id, doc.ts, s(0), s(1), s(2), s(3))

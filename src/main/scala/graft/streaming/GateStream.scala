@@ -53,6 +53,23 @@ object GateStream {
     try body finally spark.conf.set("spark.sql.shuffle.partitions", prior)
   }
 
+  /** SPARK_GRAFT_STREAM_DEBUG=1: after a bounded gate drains, dump one
+    * stderr line per micro-batch (id, input rows, duration breakdown) —
+    * the cheapest way to see where a streaming gate's wall time actually
+    * goes (data batch vs no-data timer batches vs state commit).
+    */
+  def debugProgress(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    if (sys.env.get("SPARK_GRAFT_STREAM_DEBUG").contains("1"))
+      q.recentProgress.foreach { p =>
+        val d = p.durationMs
+        System.err.println(s"[stream ${q.name}] batch=${p.batchId} " +
+          s"rows=${p.numInputRows} total=${d.get("triggerExecution")}ms " +
+          s"addBatch=${d.getOrDefault("addBatch", -1L)}ms " +
+          s"stateCommit=${d.getOrDefault("commitOffsets", -1L)}ms " +
+          s"getBatch=${d.getOrDefault("getBatch", -1L)}ms " +
+          s"planning=${d.getOrDefault("queryPlanning", -1L)}ms")
+      }
+
   /** Delete a FINISHED query's scratch checkpoint directory (AvailableNow
     * has drained; the memory sink, not the checkpoint, backs the judged
     * result). Best-effort: a cleanup failure must never fail a gate.
