@@ -184,9 +184,19 @@ object Report {
           val df = f()
           val rows = df.limit(101).collect()
           if (rows.isEmpty) "<p class=\"empty\">not enough data</p>" // analyze.py:1250-1251
-          else chart(df.schema, rows.take(100), palette) +
-            table(df.columns, rows.take(100)) +
-            (if (rows.length > 100) "<p class='empty'>(first 100 rows)</p>" else "")
+          else {
+            val svg = chart(df.schema, rows.take(100), palette)
+            // per-analyzer export links (reference parity: Bokeh's toolbar
+            // save button + the CSV the analyzer notebook exports). Static
+            // markup — the JS shell serializes the rendered table / SVG on
+            // click, so the artifact stays one self-contained byte-stable
+            // file with no data duplicated into data: URIs.
+            val dl = s"""<div class="dl"><a href="#" class="dl-csv">⬇ data (csv)</a>""" +
+              (if (svg.nonEmpty) """ <a href="#" class="dl-png">⬇ chart (png)</a>""" else "") +
+              "</div>"
+            dl + svg + table(df.columns, rows.take(100)) +
+              (if (rows.length > 100) "<p class='empty'>(first 100 rows)</p>" else "")
+          }
         } catch { case e: Exception => s"<p class=\"empty\">failed: ${esc(e.getMessage)}</p>" }
       s"""<section><h2 id="${esc(name)}">${esc(name)}</h2>\n$body\n</section>"""
     }.mkString("\n")
@@ -205,6 +215,9 @@ object Report {
        |td { font-variant-numeric: tabular-nums; position: relative; }
        |.bar { position: absolute; left: 0; top: 10%; height: 80%; background: #cfe3ff; z-index: -1; }
        |.empty { color: #888; font-style: italic; }
+       |.dl { float: right; font-size: .75rem; }
+       |.dl a { color: #4a7dbd; text-decoration: none; margin-left: .8rem; }
+       |.dl a:hover { text-decoration: underline; }
        |</style></head><body>
        |<h1>Workload analysis report</h1>
        |<div class="metrics">
@@ -269,6 +282,58 @@ object Report {
       |    });
       |    window.addEventListener("mouseup", function () { drag = null; });
       |    svg.addEventListener("dblclick", function () { vb = vb0.slice(); apply(); });
+      |  });
+      |  function save(name, blob) {
+      |    var a = document.createElement("a");
+      |    a.href = URL.createObjectURL(blob);
+      |    a.download = name;
+      |    document.body.appendChild(a);
+      |    a.click();
+      |    document.body.removeChild(a);
+      |    URL.revokeObjectURL(a.href);
+      |  }
+      |  function sectionName(el) {
+      |    var h = el.closest("section").querySelector("h2");
+      |    return h ? h.id : "analyzer";
+      |  }
+      |  function csvCell(s) {
+      |    return /[",\n]/.test(s) ? '"' + s.replace(/"/g, '""') + '"' : s;
+      |  }
+      |  Array.prototype.forEach.call(document.querySelectorAll("a.dl-csv"), function (a) {
+      |    a.addEventListener("click", function (e) {
+      |      e.preventDefault();
+      |      var rows = a.closest("section").querySelectorAll("table tr");
+      |      var csv = Array.prototype.map.call(rows, function (tr) {
+      |        return Array.prototype.map.call(tr.querySelectorAll("th,td"), function (c) {
+      |          return csvCell(c.textContent.trim());
+      |        }).join(",");
+      |      }).join("\n");
+      |      save(sectionName(a) + ".csv", new Blob([csv], { type: "text/csv" }));
+      |    });
+      |  });
+      |  Array.prototype.forEach.call(document.querySelectorAll("a.dl-png"), function (a) {
+      |    a.addEventListener("click", function (e) {
+      |      e.preventDefault();
+      |      var svg = a.closest("section").querySelector("svg.chart");
+      |      if (!svg) { return; }
+      |      var vb = svg.getAttribute("viewBox").split(/\s+/).map(Number);
+      |      var scale = 2;
+      |      var img = new Image();
+      |      img.onload = function () {
+      |        var canvas = document.createElement("canvas");
+      |        canvas.width = vb[2] * scale;
+      |        canvas.height = vb[3] * scale;
+      |        var ctx = canvas.getContext("2d");
+      |        ctx.fillStyle = "#ffffff";
+      |        ctx.fillRect(0, 0, canvas.width, canvas.height);
+      |        ctx.drawImage(img, 0, 0, canvas.width, canvas.height);
+      |        canvas.toBlob(function (blob) {
+      |          if (blob) { save(sectionName(a) + ".png", blob); }
+      |        }, "image/png");
+      |      };
+      |      img.src = "data:image/svg+xml;charset=utf-8," +
+      |        encodeURIComponent(new XMLSerializer().serializeToString(svg));
+      |    });
       |  });
       |})();
       |</script>""".stripMargin

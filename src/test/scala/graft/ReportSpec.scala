@@ -44,6 +44,22 @@ class ReportSpec extends SparkSpec {
     assert(!"""data-l="[^"]*<""".r.findAllIn(html).hasNext)
   }
 
+  test("every section carries export links wired to the embedded script") {
+    val html = Report.render(views)
+    val analyzers = graft.analyze.Analyzers.all(views).size
+    // one csv link per non-empty section; png only where a chart rendered
+    // (over the fixture every analyzer renders a chart, so both equal the
+    // analyzer count; the script's selectors spell "a.dl-…", so these
+    // patterns count markup only)
+    assert(""""dl-csv"""".r.findAllIn(html).size === analyzers)
+    assert(""""dl-png"""".r.findAllIn(html).size === countSvg(html))
+    // the serializers live in the single embedded script, so the artifact
+    // stays self-contained (no data: duplication of table contents)
+    assert(html.contains("text/csv") && html.contains("image/png"))
+    assert(!html.contains("data:text/csv"), "CSV must not be duplicated inline")
+    assert("<script>".r.findAllIn(html).size === 1)
+  }
+
   test("--colorblind swaps the palette without changing the chart count") {
     val default = Report.render(views)
     val cb = Report.render(views, colorblind = true)
