@@ -64,5 +64,26 @@ object Tables {
     }
 
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** `embeddings.embedding` is contractually `array<float>` (AnnIndex and
+    * the similarity gates read `Seq[Float]`, and oracle parity was
+    * calibrated at float precision). Same drift-hardening as [[events]]:
+    * a regen that re-encodes the same values as `array<double>` is cast
+    * back to float — exact when the doubles originated as floats, which
+    * is what an encoding-only drift means — and any other element type
+    * fails loud at load instead of as a mid-query cast error.
+    */
+  def embeddings(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+    val df = load(s, d, "embeddings")
+    df.schema("embedding").dataType match {
+      case ArrayType(FloatType, _) => df
+      case ArrayType(DoubleType, _) =>
+        df.withColumn("embedding", col("embedding").cast(ArrayType(FloatType)))
+      case other =>
+        throw new IllegalArgumentException(
+          s"embeddings.embedding: unsupported parquet encoding $other " +
+            "(expected array<float> or array<double>)")
+    }
+  }
 }

@@ -94,6 +94,31 @@ class EventsTsEncodingSpec extends SparkSpec {
       (2L, 0L, 42L)))
   }
 
+  test("embeddings: float passthrough, double cast back, other types loud") {
+    import org.apache.spark.sql.functions.expr
+    val dir = Files.createTempDirectory("graft-emb-enc").toString
+    def write(sub: String, elem: DataType, rows: Seq[Row]): String = {
+      val d = s"$dir/$sub"
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1),
+          StructType(Seq(StructField("vec_id", LongType),
+            StructField("embedding", ArrayType(elem)))))
+        .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+      d
+    }
+    val vals = Seq(0.25f, -1.5f, 3.125f) // exact in both float and double
+    val fDir = write("f", FloatType, Seq(Row(1L, vals)))
+    val dDir = write("d", DoubleType, Seq(Row(1L, vals.map(_.toDouble))))
+    for (d <- Seq(fDir, dDir)) {
+      val df = Tables.embeddings(spark, d)
+      assert(df.schema("embedding").dataType === ArrayType(FloatType))
+      assert(df.select(expr("embedding")).head.getSeq[Float](0) === vals)
+    }
+    val sDir = write("s", StringType, Seq(Row(1L, Seq("x"))))
+    val e = intercept[IllegalArgumentException](Tables.embeddings(spark, sDir))
+    assert(e.getMessage.contains("unsupported parquet encoding"))
+  }
+
   test("an unsupported ts encoding fails loud, not downstream") {
     val dir = writeFixture(StructField("ts", StringType), Seq("2023-11-14", "x", "y"))
     val e = intercept[IllegalArgumentException](Tables.events(spark, dir))
