@@ -313,31 +313,10 @@ object Bench {
     // Blank tokens are dropped so an exported-but-empty variable means
     // "no filter", not a silently empty run; unknown names fail loudly —
     // and BEFORE any warmup work, so a typo costs nothing.
-    // Input-schema echo (round 11): round 10's events regression (the
-    // driver regenerated testdata with a different ts encoding) took file-
-    // mtime archaeology to diagnose; the artifact now carries one DDL line
-    // per input table as loaded by Spark, so the next schema drift is a
-    // one-glance bench_details.json diff. Unreadable tables echo the
-    // error instead of failing the bench — the echo is diagnostic, the
-    // gates themselves are the judgment.
-    val inputSchemaField = {
-      def q(s: String): String = "\"" + s.flatMap {
-        case '"' => "\\\""
-        case '\\' => "\\\\"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      } + "\""
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val tables = Seq("region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events", "documents", "embeddings")
-      tables.map { t =>
-        val ddl =
-          try spark.read.parquet(s"$sfDir/$t.parquet").schema.toDDL
-          catch { case e: Exception =>
-            s"unreadable: ${e.getMessage.linesIterator.next()}" }
-        s"${q(t)}:${q(ddl)}"
-      }.mkString(""","input_schema":{""", ",", "}")
-    }
+    // Input-schema echo (round 11): round 10's events regression took
+    // file-mtime archaeology to diagnose; see Tables.inputSchemaJson.
+    val inputSchemaField =
+      s""","input_schema":${graft.tables.Tables.inputSchemaJson(spark, sfDir)}"""
 
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)

@@ -49,21 +49,10 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    // Input-schema echo (round 11, same rationale as Bench's): the dump
-    // records what Spark actually loaded per input table, so a testdata
-    // schema drift (round 10: events.ts nanos → TIMESTAMP_NTZ) is a
-    // one-glance artifact diff instead of file-mtime archaeology.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schemaJson = Seq("region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events", "documents", "embeddings")
-      .map { t =>
-        val ddl =
-          try spark.read.parquet(s"$sfDir/$t.parquet").schema.toDDL
-          catch { case e: Exception =>
-            s"unreadable: ${e.getMessage.linesIterator.next()}" }
-        s"${q(t)}: ${q(ddl)}"
-      }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/input_schema.json"), schemaJson)
+    // Input-schema echo (round 11, same rationale as Bench's): see
+    // Tables.inputSchemaJson.
+    Files.writeString(Paths.get(s"$outDir/input_schema.json"),
+      graft.tables.Tables.inputSchemaJson(spark, sfDir))
     spark.stop()
   }
 }

@@ -302,12 +302,18 @@ object Report {
       |  Array.prototype.forEach.call(document.querySelectorAll("a.dl-csv"), function (a) {
       |    a.addEventListener("click", function (e) {
       |      e.preventDefault();
-      |      var rows = a.closest("section").querySelectorAll("table tr");
+      |      var sec = a.closest("section");
+      |      var rows = sec.querySelectorAll("table tr");
       |      var csv = Array.prototype.map.call(rows, function (tr) {
       |        return Array.prototype.map.call(tr.querySelectorAll("th,td"), function (c) {
       |          return csvCell(c.textContent.trim());
       |        }).join(",");
       |      }).join("\n");
+      |      // the page renders at most 100 rows; make the export say so
+      |      // rather than pass silently-truncated data downstream
+      |      if (sec.querySelector("p.empty")) {
+      |        csv += "\n# truncated: first 100 rows only";
+      |      }
       |      save(sectionName(a) + ".csv", new Blob([csv], { type: "text/csv" }));
       |    });
       |  });
@@ -331,8 +337,14 @@ object Report {
       |          if (blob) { save(sectionName(a) + ".png", blob); }
       |        }, "image/png");
       |      };
+      |      // clone with explicit pixel dimensions: drawImage of a
+      |      // viewBox-only SVG is blank (old Firefox) or 300x150-default
+      |      // (Safari) without an intrinsic size
+      |      var clone = svg.cloneNode(true);
+      |      clone.setAttribute("width", vb[2]);
+      |      clone.setAttribute("height", vb[3]);
       |      img.src = "data:image/svg+xml;charset=utf-8," +
-      |        encodeURIComponent(new XMLSerializer().serializeToString(svg));
+      |        encodeURIComponent(new XMLSerializer().serializeToString(clone));
       |    });
       |  });
       |})();

@@ -62,10 +62,12 @@ object GateStream {
     if (sys.env.get("SPARK_GRAFT_STREAM_DEBUG").contains("1"))
       q.recentProgress.foreach { p =>
         val d = p.durationMs
+        // note: state-store commit time is INSIDE addBatch;
+        // commitOffsets is only the offset-WAL write
         System.err.println(s"[stream ${q.name}] batch=${p.batchId} " +
-          s"rows=${p.numInputRows} total=${d.get("triggerExecution")}ms " +
+          s"rows=${p.numInputRows} total=${d.getOrDefault("triggerExecution", -1L)}ms " +
           s"addBatch=${d.getOrDefault("addBatch", -1L)}ms " +
-          s"stateCommit=${d.getOrDefault("commitOffsets", -1L)}ms " +
+          s"commitOffsets=${d.getOrDefault("commitOffsets", -1L)}ms " +
           s"getBatch=${d.getOrDefault("getBatch", -1L)}ms " +
           s"planning=${d.getOrDefault("queryPlanning", -1L)}ms")
       }

@@ -1,6 +1,6 @@
 package graft.tables
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr}
 import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
@@ -64,6 +64,37 @@ object Tables {
     }
 
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+
+  /** All driver-generated input tables, in TESTDATA.md order. */
+  val AllNames: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** One-line-per-table schema echo as a JSON object string, for the
+    * bench/verify artifacts: what Spark ACTUALLY loads per input table,
+    * so a testdata schema drift (round 10: events.ts nanos →
+    * TIMESTAMP_NTZ) is a one-glance artifact diff instead of file-mtime
+    * archaeology. Diagnostic by design: an unreadable table echoes the
+    * error (null-message-safe) rather than failing the run — the gates
+    * themselves are the judgment.
+    */
+  def inputSchemaJson(spark: SparkSession, dir: String): String = {
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    AllNames.map { t =>
+      val ddl =
+        try spark.read.parquet(s"$dir/$t.parquet").schema.toDDL
+        catch { case e: Exception =>
+          "unreadable: " + Option(e.getMessage)
+            .flatMap(_.linesIterator.nextOption())
+            .getOrElse(e.getClass.getName) }
+      s"${q(t)}:${q(ddl)}"
+    }.mkString("{", ",", "}")
+  }
 
   /** `embeddings.embedding` is contractually `array<float>` (AnnIndex and
     * the similarity gates read `Seq[Float]`, and oracle parity was
