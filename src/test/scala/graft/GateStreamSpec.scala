@@ -46,6 +46,28 @@ class GateStreamSpec extends SparkSpec {
       "drained AvailableNow checkpoints must be deleted")
   }
 
+  test("withStreamShuffle caps the drain at 8, follows lower, always restores") {
+    val key = "spark.sql.shuffle.partitions"
+    val prior = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "32")
+      GateStream.withStreamShuffle(spark) {
+        assert(spark.conf.get(key) === "8") // capped down for the drain
+      }
+      assert(spark.conf.get(key) === "32") // restored
+      spark.conf.set(key, "2")
+      GateStream.withStreamShuffle(spark) {
+        assert(spark.conf.get(key) === "2") // never raised above the session
+      }
+      assert(spark.conf.get(key) === "2")
+      // a crashing drain must still restore the session value
+      spark.conf.set(key, "32")
+      intercept[RuntimeException](
+        GateStream.withStreamShuffle(spark) { throw new RuntimeException("boom") })
+      assert(spark.conf.get(key) === "32")
+    } finally spark.conf.set(key, prior)
+  }
+
   test("dropStaleSinks only touches its own prefix; deleteScratch is total") {
     import spark.implicits._
     Seq(1).toDF("x").createOrReplaceTempView("unrelated_view")
