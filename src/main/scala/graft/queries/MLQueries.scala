@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.tables.Tables
 import graft.functions.VectorOps.{vecDot, vecNorm}
-import graft.ml.{AnnIndex, Multimodal}
+import graft.ml.{AnnIndex, Components, Multimodal}
 import QueryDsl._
 
 /** Training-data pipeline operators over `documents` / `embeddings`:
@@ -150,32 +150,10 @@ object MLQueries {
     s"CASE WHEN ${hashIdSql(c, 100L)} < 80 THEN 'train' " +
       s"WHEN ${hashIdSql(c, 100L)} < 90 THEN 'val' ELSE 'test' END"
 
-  /** Lineage cut for the iterative components loop: localCheckpoint by
-    * default (executor storage, no extra write — right for judged runs
-    * and short jobs), RELIABLE checkpoint() when
-    * `spark.graft.reliableCheckpoint=true` (session conf) or
-    * `SPARK_GRAFT_RELIABLE_CHECKPOINT` (env) asks for it — the 100 TB
-    * posture, where losing one executor of a 1000-executor fleet must
-    * not replay the whole candidate-pair pipeline. checkpoint() needs a
-    * checkpoint dir; when the session has none configured we point it at
-    * a scratch temp dir (a production deployment sets an HDFS/S3 path).
-    */
-  private def ckpt(df: DataFrame, eager: Boolean = true): DataFrame = {
-    val s = df.sparkSession
-    // lenient flag parse — "1"/"true" enable (this repo's env-var
-    // convention is =1/=0, see SPARK_GRAFT_BENCH_WARM); anything else,
-    // including garbage, disables rather than throwing inside a gate
-    def flag(v: String) = v.equalsIgnoreCase("true") || v == "1"
-    val reliable =
-      sys.env.get("SPARK_GRAFT_RELIABLE_CHECKPOINT").exists(flag) ||
-      s.conf.getOption("spark.graft.reliableCheckpoint").exists(flag)
-    if (reliable) {
-      if (s.sparkContext.getCheckpointDir.isEmpty)
-        s.sparkContext.setCheckpointDir(
-          java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
-      df.checkpoint(eager)
-    } else df.localCheckpoint(eager)
-  }
+  // ckpt (lineage cut for iterative loops, localCheckpoint vs RELIABLE
+  // checkpoint via spark.graft.reliableCheckpoint) moved to
+  // ml.Components in round 12 alongside its one consumer, the
+  // connected-components loop.
 
   /** The integer BM25 scoring contract (text_bm25_retrieval), third
     * spelling: the Spark expr and the DuckDB oracle compute exactly this,
@@ -498,7 +476,7 @@ $blockSql
     * the pair — but the distinct then shuffles only true near-dups, not
     * every candidate).
     */
-  private def hammingPairs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def hammingPairs(s: SparkSession, d: String): DataFrame = {
         val nib = simhashSigs(s, d)
           .select(col("doc_id"), col("sig0"), col("sig1"), col("sig2"), col("sig3"),
             expr("stack(4, CAST(0 AS BIGINT), sig0, CAST(1 AS BIGINT), sig1, " +
@@ -757,87 +735,25 @@ $blockSql
     // turns pairwise matches into dedup decisions (pairs → clusters →
     // canonical doc; the output's is_canonical flag IS the keep decision:
     // per component the best-quality member survives, ties to the lowest
-    // doc_id). Iterative min-label propagation: every doc starts
-    // as its own component; each round takes the min over neighbors'
-    // labels; converges in O(cluster diameter) rounds (near-dup clusters
-    // are near-cliques, so 2-3 here; the 25-round cap is a safety valve).
-    // Each round is one shuffle join + aggregate — the plan a real
-    // cluster runs; a checkpoint per round cuts lineage so the loop's
-    // plan stays bounded. Default is localCheckpoint (executor storage,
-    // no extra write) — blocks die with their executor, so a long-lived
-    // 1000-executor run opts into RELIABLE checkpoint() (HDFS/object
-    // store) via spark.graft.reliableCheckpoint=true or the
-    // SPARK_GRAFT_RELIABLE_CHECKPOINT env var, at the cost of a write
-    // per round ([[ckpt]]; spec-proven output-identical). The loop is
-    // otherwise unchanged; label propagation with star contraction is
-    // the textbook distributed union-find.
+    // doc_id). The loop itself lives in [[graft.ml.Components]]: min-label
+    // propagation + pointer jump + star contraction (textbook distributed
+    // union-find), ONE Spark job per round, run over the ACTIVE vertex
+    // set only — docs with no candidate edge never enter the loop and are
+    // coalesced back in as their own singleton component below. That
+    // active-set restriction is the 100 TB posture: the iteration cost
+    // scales with the candidate graph (output of the banded sketch join),
+    // not the corpus. Round counts are pinned by ComponentsSpec; the
+    // reliable-checkpoint opt-in is spec-proven output-identical.
     NamedQuery(
       "dedup_connected_components",
       (s, d) => {
         val docs = Tables.documents(s, d).select(col("doc_id"))
-        // pairs materialized ONCE (checkpoint); the symmetric edge
-        // list is then two cheap projections of the checkpointed rows
-        val pairs = ckpt(hammingPairs(s, d)
-          .select(col("doc_a"), col("doc_b")))
-        val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-          .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-        var labels = ckpt(docs.select(col("doc_id"), col("doc_id").as("comp")))
-        var liveEdges = edges
-        var changed = 1L
-        var iter = 0
-        while (changed > 0 && iter < 25) {
-          // one round = neighbor-min step + pointer jump + STAR
-          // CONTRACTION. The jump (comp := comp∘comp) halves label paths;
-          // the contraction rewrites the live edges between component
-          // representatives and drops self-loops, so the edge set — and
-          // with it the graph diameter — collapses geometrically instead
-          // of the min label crawling one hop per round along near-dup
-          // chains. comp(x) ≤ x is invariant (init comp = id; every step
-          // only lowers it), so the jump's parent lookup can coalesce
-          // without a least(). Members of a contracted star keep catching
-          // up through the jump (their comp points at the representative,
-          // whose comp the contracted rounds keep lowering).
-          val nbrMin = liveEdges
-            .join(labels.select(col("doc_id").as("dst"), col("comp").as("nbr_comp")), "dst")
-            .groupBy(col("src")).agg(min(col("nbr_comp")).as("nbr_min"))
-          val stepped = labels
-            .join(nbrMin.select(col("src").as("doc_id"), col("nbr_min")),
-              Seq("doc_id"), "left")
-            .select(col("doc_id"),
-              least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"))
-          val parent = stepped.select(col("doc_id").as("p_doc"), col("comp").as("p_comp"))
-          // lazy checkpoint: the convergence count below is the action
-          // that materializes it — one job per round, not two.
-          // Measured dead end, do not "optimize": pairing TWO
-          // propagate+jump passes per count (sound — labels are monotone,
-          // so zero net change over two passes certifies a fixpoint)
-          // benched 10.2 → 11.4 s at sf0.1: the inner pass is consumed
-          // twice inside the outer one (nbrMin + the left join), and
-          // without a materialization between them it re-executes, costing
-          // more than the saved count jobs.
-          val jumped = ckpt(stepped
-            .join(parent, stepped("comp") === parent("p_doc"), "left")
-            .select(stepped("doc_id"),
-              coalesce(col("p_comp"), stepped("comp")).as("comp")),
-            eager = false)
-          changed = jumped
-            .join(labels.select(col("doc_id"), col("comp").as("prev")), "doc_id")
-            .filter(col("comp") =!= col("prev")).count()
-          labels = jumped
-          if (changed > 0) {
-            liveEdges = ckpt(liveEdges
-              .join(labels.select(col("doc_id").as("src"), col("comp").as("csrc")), "src")
-              .join(labels.select(col("doc_id").as("dst"), col("comp").as("cdst")), "dst")
-              .filter(col("csrc") =!= col("cdst"))
-              .select(col("csrc").as("src"), col("cdst").as("dst")).distinct())
-          }
-          iter += 1
-        }
-        // the 25-round cap is a safety valve, not a result: labels are only
-        // correct at a fixed point, so hitting the cap mid-propagation must
-        // fail loudly rather than return silently-wrong components
-        require(changed == 0,
-          s"connected components did not converge within $iter rounds ($changed labels still moving)")
+        val active = Components.minLabel(
+          hammingPairs(s, d).select(col("doc_a"), col("doc_b"))).labels
+        // singletons: every doc without a candidate edge is its own
+        // component — a left join + coalesce, no loop participation
+        val labels = docs.join(active, Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"))
         val sizes = labels.groupBy(col("comp")).agg(count(lit(1)).as("component_size"))
         // canonical selection — the KEEP decision that finishes the dedup
         // workflow: per component, the best-quality member wins (the
