@@ -112,6 +112,34 @@ object Bench {
       thresholdCores: Double): Boolean =
     math.max(cold.otherCores, warm.map(_.otherCores).getOrElse(-1.0)) > thresholdCores
 
+  /** [[steady]] generalized to any number of extra passes (warm and the
+    * round-12 contended re-run): min over the successful ones, degrading
+    * to the cold time when none succeeded. Same one-sided-noise logic —
+    * a load burst can only inflate a pass, never deflate it.
+    */
+  private[graft] def steadyAll(cold: GateRun, rest: Seq[GateRun]): Double =
+    rest.filter(_.ok).foldLeft(cold.sec)((m, r) => math.min(m, r.sec))
+
+  /** Cap on post-sweep contended re-runs. The driver's loaded round-11
+    * run had 6 contended gates; 15 covers every burst pattern observed
+    * so far while bounding the extra bench time. Past the cap the
+    * machine is systemically loaded — re-running the whole registry
+    * would just measure the same contention twice.
+    */
+  private[graft] val RerunCap = 15
+
+  /** A post-sweep re-run clears a gate's contended flag only when it is
+    * itself above suspicion: it succeeded, its window measurably saw no
+    * foreign load (an unknown -1 sample does NOT rescue — absence of
+    * evidence clears nothing, the mirror of [[contended]]'s rule), and
+    * its wall/efficiency show no collapse against the committed
+    * reference at its plan.
+    */
+  private[graft] def cleanRerun(r: GateRun, thresholdCores: Double,
+      ref: Option[RefGate], eff: Double): Boolean =
+    r.ok && r.otherCores >= 0 && r.otherCores <= thresholdCores &&
+      !ref.exists(g => effDrop(r.sec, eff, g))
+
   /** This JVM's cumulative CPU seconds (all threads, GC included — GC
     * pressure from our own gates must count as OURS, not as contention).
     */
@@ -312,12 +340,8 @@ object Bench {
     // driver never sets it, so judged runs always cover the full registry).
     // Blank tokens are dropped so an exported-but-empty variable means
     // "no filter", not a silently empty run; unknown names fail loudly —
-    // and BEFORE any warmup work, so a typo costs nothing.
-    // Input-schema echo (round 11): round 10's events regression took
-    // file-mtime archaeology to diagnose; see Tables.inputSchemaJson.
-    val inputSchemaField =
-      s""","input_schema":${graft.tables.Tables.inputSchemaJson(spark, sfDir)}"""
-
+    // and BEFORE any warmup work or any Spark I/O (the input-schema echo
+    // below reads ten parquet footers), so a typo costs nothing.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty)
@@ -327,6 +351,11 @@ object Bench {
     }
     val selected = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
+
+    // Input-schema echo (round 11): round 10's events regression took
+    // file-mtime archaeology to diagnose; see Tables.inputSchemaJson.
+    val inputSchemaField =
+      s""","input_schema":${graft.tables.Tables.inputSchemaJson(spark, sfDir)}"""
 
     selected.flatMap(Bench.families).distinct.sorted.foreach(run)
 
@@ -340,23 +369,11 @@ object Bench {
     // bench_details.json instead of burning an isolation run.
     // SPARK_GRAFT_BENCH_WARM=0 skips the warm pass (halves iteration time).
     val warmPass = sys.env.get("SPARK_GRAFT_BENCH_WARM").forall(_ != "0")
-    val results = selected.map { n =>
+    val sweep = selected.map { n =>
       val cold = run(n)
       val warm = if (warmPass && cold.ok) Some(run(n)) else None
       (n, cold, warm)
     }
-    // a crashed query reports null, not its (short) elapsed time — a fast-
-    // looking total must not hide failures
-    def num(r: GateRun): String = if (r.ok) r.sec.toString else "null"
-    def r2s(x: Double): String =
-      if (x < 0) "-1" else (math.floor(x * 100 + 0.5) / 100).toString
-    def steadyOf(cold: GateRun, warm: Option[GateRun]): Double =
-      Bench.steady(cold, warm)
-    // the pass that PROVIDED the steady time — its own-CPU/wall is the
-    // efficiency the reference comparison judges (mixing cold's CPU with
-    // warm's wall would fabricate ratios)
-    def steadyRun(cold: GateRun, warm: Option[GateRun]): GateRun =
-      warm.filter(w => w.ok && w.sec < cold.sec).getOrElse(cold)
     def effOf(r: GateRun): Double =
       if (r.ownCpu >= 0 && r.sec > 0) r.ownCpu / r.sec else -1.0
 
@@ -365,48 +382,105 @@ object Bench {
     def refOf(k: String, plan: String): Option[RefGate] =
       reference.flatMap(_.get(k)).filter(_.plan == plan)
 
-    def gateEffDrop(k: String, cold: GateRun, warm: Option[GateRun]): Boolean =
-      cold.ok && refOf(k, cold.plan).exists(r =>
-        Bench.effDrop(steadyOf(cold, warm), effOf(steadyRun(cold, warm)), r))
-    def gateContended(k: String, cold: GateRun, warm: Option[GateRun]): Boolean =
-      Bench.contended(cold, warm, contendedCores) || gateEffDrop(k, cold, warm)
+    // Bounded re-run of contended gates (round 12): a burst of foreign
+    // load during the sweep otherwise bakes its inflation into the
+    // committed round record — round 11's driver artifact read 1.34×
+    // the reference while the engine measured 1.04-1.05 on every quiet
+    // re-run. Each gate whose sweep window saw contention (foreign-core
+    // threshold or efficiency collapse vs the committed reference) is
+    // re-measured ONCE, after the whole sweep, and the steady takes the
+    // min across all three passes; a clean re-run (quiet window, no
+    // efficiency collapse) also clears the gate's contended flag — the
+    // recorded number is then a trustworthy measurement, whatever the
+    // sweep saw. Capped at RerunCap gates: past that the machine is
+    // systemically loaded and re-running everything would double bench
+    // time to launder a run that should simply be repeated when quiet.
+    // SPARK_GRAFT_BENCH_RERUN=0 disables (measurement-methodology A/B).
+    def sweepSteadyRun(cold: GateRun, warm: Option[GateRun]): GateRun =
+      warm.filter(w => w.ok && w.sec < cold.sec).getOrElse(cold)
+    def sweepContended(k: String, cold: GateRun, warm: Option[GateRun]): Boolean =
+      Bench.contended(cold, warm, contendedCores) ||
+        (cold.ok && refOf(k, cold.plan).exists(r =>
+          Bench.effDrop(Bench.steady(cold, warm), effOf(sweepSteadyRun(cold, warm)), r)))
+    val rerunEnabled = sys.env.get("SPARK_GRAFT_BENCH_RERUN").forall(_ != "0")
+    val rerunNames = if (rerunEnabled)
+      sweep.collect { case (k, c, w) if c.ok && sweepContended(k, c, w) => k }
+        .take(Bench.RerunCap)
+    else Nil
+    if (rerunNames.nonEmpty)
+      System.err.println(s"[bench] re-running ${rerunNames.size} contended " +
+        s"gate(s) after the sweep: ${rerunNames.mkString(",")}")
+    val results = {
+      val reruns = rerunNames.map(n => n -> run(n)).toMap
+      sweep.map { case (k, c, w) => (k, c, w, reruns.get(k)) }
+    }
 
-    val qs = results.map { case (k, cold, warm) =>
+    // a crashed query reports null, not its (short) elapsed time — a fast-
+    // looking total must not hide failures
+    def num(r: GateRun): String = if (r.ok) r.sec.toString else "null"
+    def r2s(x: Double): String =
+      if (x < 0) "-1" else (math.floor(x * 100 + 0.5) / 100).toString
+    def steadyOf(cold: GateRun, warm: Option[GateRun], rr: Option[GateRun]): Double =
+      Bench.steadyAll(cold, warm.toSeq ++ rr.toSeq)
+    // the pass that PROVIDED the steady time — its own-CPU/wall is the
+    // efficiency the reference comparison judges (mixing cold's CPU with
+    // warm's wall would fabricate ratios); ties resolve to the earliest
+    // pass, preserving the pre-rerun semantics
+    def steadyRun(cold: GateRun, warm: Option[GateRun], rr: Option[GateRun]): GateRun =
+      (cold +: (warm.toSeq ++ rr.toSeq).filter(_.ok)).minBy(_.sec)
+
+    def gateEffDrop(k: String, cold: GateRun, warm: Option[GateRun],
+        rr: Option[GateRun]): Boolean =
+      cold.ok && refOf(k, cold.plan).exists(r =>
+        Bench.effDrop(steadyOf(cold, warm, rr), effOf(steadyRun(cold, warm, rr)), r))
+    def gateContended(k: String, cold: GateRun, warm: Option[GateRun],
+        rr: Option[GateRun]): Boolean = {
+      val trig = Bench.contended(cold, warm, contendedCores) ||
+        gateEffDrop(k, cold, warm, rr)
+      trig && !rr.exists(r =>
+        Bench.cleanRerun(r, contendedCores, refOf(k, r.plan), effOf(r)))
+    }
+
+    val qs = results.map { case (k, cold, warm, rr) =>
       val w = warm.map(t => s""","warm":${num(t)}""").getOrElse("")
-      val steadyS = if (cold.ok) steadyOf(cold, warm).toString else "null"
+      val rrF = rr.map(t => s""","rerun":${num(t)}""").getOrElse("")
+      val steadyS = if (cold.ok) steadyOf(cold, warm, rr).toString else "null"
       val other = math.max(cold.otherCores, warm.map(_.otherCores).getOrElse(-1.0))
-      val sRun = steadyRun(cold, warm)
+      val sRun = steadyRun(cold, warm, rr)
       val vsRef = refOf(k, cold.plan).filter(_ => cold.ok)
         .filter(_.steady > 0)
-        .map(r => s""","vs_ref":${r2s(steadyOf(cold, warm) / r.steady)}""")
+        .map(r => s""","vs_ref":${r2s(steadyOf(cold, warm, rr) / r.steady)}""")
         .getOrElse("")
-      val eFlag = if (gateEffDrop(k, cold, warm)) ""","eff_drop":true""" else ""
-      val cFlag = if (gateContended(k, cold, warm)) ""","contended":true""" else ""
-      s""""$k":{"cold":${num(cold)}$w,"steady":$steadyS,"plan":"${cold.plan}"""" +
+      val eFlag = if (gateEffDrop(k, cold, warm, rr)) ""","eff_drop":true""" else ""
+      val cFlag = if (gateContended(k, cold, warm, rr)) ""","contended":true""" else ""
+      s""""$k":{"cold":${num(cold)}$w$rrF,"steady":$steadyS,"plan":"${cold.plan}"""" +
         s""","other_cores":${r2s(other)},"own_cpu":${r2s(sRun.ownCpu)}""" +
         s""","cpu_wall":${r2s(effOf(sRun))},"load1":${r2s(cold.load1)}""" +
         s"""$vsRef$eFlag$cFlag}"""
     }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, c, _) if !c.ok => "\"" + k + "\"" }
+    val failed = results.collect { case (k, c, _, _) if !c.ok => "\"" + k + "\"" }
     val okResults = results.filter(_._2.ok)
     val coldTotal = okResults.map(_._2.sec).sum
-    val steadyTotal = okResults.map { case (_, c, w) => steadyOf(c, w) }.sum
-    val nContended = results.count { case (k, c, w) => gateContended(k, c, w) }
+    val steadyTotal = okResults.map { case (_, c, w, rr) => steadyOf(c, w, rr) }.sum
+    val nContended = results.count { case (k, c, w, rr) => gateContended(k, c, w, rr) }
     val failedField =
       if (failed.isEmpty) "" else s""","failed":${failed.mkString("[", ",", "]")}"""
     // Run-level contention verdict: any gate whose window saw foreign load
-    // beyond the threshold marks the whole artifact — a reader of the
-    // headline must see "this run was not alone on the machine" without
-    // opening the per-gate map (round 8's judged artifact read as a 3.6×
-    // regression until two manual re-runs proved it was contention).
+    // beyond the threshold — and whose re-run did not come back clean —
+    // marks the whole artifact: a reader of the headline must see "these
+    // numbers may not be trustworthy" without opening the per-gate map
+    // (round 8's judged artifact read as a 3.6× regression until two
+    // manual re-runs proved it was contention). n_rerun records how many
+    // gates went through the post-sweep re-measurement either way.
+    val rerunField = if (rerunNames.nonEmpty) s""","n_rerun":${rerunNames.size}""" else ""
     val contField =
       if (nContended > 0) s""","contended":true,"n_contended":$nContended""" else ""
     // Reference self-check: the steady total over fingerprint-MATCHED
     // gates against the committed quiet-run total for the same gates. A
     // ratio past 1.3× marks the run inflated even when every /proc sample
     // stayed quiet — round 9's failure mode.
-    val matched = okResults.flatMap { case (k, c, w) =>
-      refOf(k, c.plan).map(r => (steadyOf(c, w), r.steady))
+    val matched = okResults.flatMap { case (k, c, w, rr) =>
+      refOf(k, c.plan).map(r => (steadyOf(c, w, rr), r.steady))
     }
     val refField = Bench.vsReference(matched).map { ratio =>
       val infl = if (ratio > Bench.InflatedVsRef) ""","inflated_vs_reference":true""" else ""
@@ -429,13 +503,13 @@ object Bench {
         "(unset SPARK_GRAFT_BENCH_ONLY)")
       val prior = reference.getOrElse(Map.empty)
       val rows = okResults
-        .filter { case (_, c, _) => c.plan != "err" }
-        .map { case (k, c, w) =>
-          val r = steadyRun(c, w)
+        .filter { case (_, c, _, _) => c.plan != "err" }
+        .map { case (k, c, w, rr) =>
+          val r = steadyRun(c, w, rr)
           val (s, e) = prior.get(k).filter(_.plan == c.plan)
-            .filter(_.steady < steadyOf(c, w))
+            .filter(_.steady < steadyOf(c, w, rr))
             .map(p => (p.steady, p.cpuWall))
-            .getOrElse((steadyOf(c, w), effOf(r)))
+            .getOrElse((steadyOf(c, w, rr), effOf(r)))
           // Locale.ROOT: the default-locale f"" interpolator writes comma
           // decimals under e.g. de_DE, which parseReference then rejects
           String.format(java.util.Locale.ROOT, "%s %.3f %s %.3f",
@@ -464,7 +538,7 @@ object Bench {
     // the old meaning; 3 = round 10+, adds per-gate own_cpu/vs_ref and
     // the run-level inflated_vs_reference self-check.
     val head = s""""metric":"total","value":$steadyTotal,"unit":"sec"""" +
-      s""","bench_format":3,"cold_total":$coldTotal$contField$refField"""
+      s""","bench_format":3,"cold_total":$coldTotal$rerunField$contField$refField"""
     val detail = s"""{$head$inputSchemaField,"queries":$qs$failedField,"sf":"$sfDir"}"""
     System.err.println(detail)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_details.json"), detail + "\n")

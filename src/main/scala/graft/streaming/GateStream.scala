@@ -34,10 +34,25 @@ object GateStream {
     * its cluster and this helper follows it downward only (never exceeds
     * the session setting).
     */
-  def streamShufflePartitions(spark: SparkSession): Int = {
-    val cap = sys.env.get("SPARK_GRAFT_STREAM_SHUFFLE").map(_.toInt).getOrElse(8)
-    math.min(cap, spark.conf.get("spark.sql.shuffle.partitions").toInt)
-  }
+  /** Validate the SPARK_GRAFT_STREAM_SHUFFLE override — fail loud BEFORE
+    * any streaming work, matching the convention of
+    * SPARK_GRAFT_BENCH_ONLY: a garbled value would otherwise surface as a
+    * bare NumberFormatException (or, for 0/negative, an invalid partition
+    * count) mid-gate with no pointer to the variable at fault.
+    */
+  private[graft] def parseStreamShuffleCap(v: Option[String]): Int =
+    v.map { raw =>
+      val n = try raw.trim.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"SPARK_GRAFT_STREAM_SHUFFLE must be a positive int, got '$raw'")
+      }
+      require(n > 0, s"SPARK_GRAFT_STREAM_SHUFFLE must be a positive int, got $n")
+      n
+    }.getOrElse(8)
+
+  def streamShufflePartitions(spark: SparkSession): Int =
+    math.min(parseStreamShuffleCap(sys.env.get("SPARK_GRAFT_STREAM_SHUFFLE")),
+      spark.conf.get("spark.sql.shuffle.partitions").toInt)
 
   /** Run `body` (construct + drain one bounded streaming query) with
     * `spark.sql.shuffle.partitions` temporarily lowered to the streaming

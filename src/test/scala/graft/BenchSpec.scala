@@ -21,6 +21,33 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.steady(run(3.0), Some(run(0.1, ok = false))) === 3.0)
   }
 
+  test("steadyAll folds the re-run pass in; crashed or missing passes are ignored") {
+    assert(Bench.steadyAll(run(5.0), Seq(run(1.5), run(0.9))) === 0.9)
+    // the re-run can only improve the steady, never inflate it
+    assert(Bench.steadyAll(run(1.2), Seq(run(30.0), run(40.0))) === 1.2)
+    assert(Bench.steadyAll(run(3.0), Nil) === 3.0)
+    assert(Bench.steadyAll(run(3.0), Seq(run(0.1, ok = false))) === 3.0)
+  }
+
+  test("cleanRerun: only a measurably quiet, efficient re-run clears the flag") {
+    val t = 4.0
+    val ref = Some(Bench.RefGate(steady = 1.0, plan = "fp", cpuWall = 28.0))
+    // quiet window, wall at reference: rescued
+    assert(Bench.cleanRerun(run(1.05), t, ref, eff = 27.0))
+    // no committed reference row (new plan): the /proc evidence decides
+    assert(Bench.cleanRerun(run(1.05), t, None, eff = 27.0))
+    // foreign load during the re-run too: still contended
+    assert(!Bench.cleanRerun(run(1.05, other = 10.0), t, ref, eff = 27.0))
+    // UNKNOWN load sample must not rescue — absence of evidence clears
+    // nothing (the mirror of contended's -1 rule)
+    assert(!Bench.cleanRerun(run(1.05, other = -1.0), t, ref, eff = 27.0))
+    // quiet by /proc but the wall ballooned while the JVM sat idle: the
+    // bursty-load signature effDrop exists for — not rescued
+    assert(!Bench.cleanRerun(run(19.5), t, ref, eff = 28.0 / 19.5))
+    // a crashed re-run rescues nothing
+    assert(!Bench.cleanRerun(run(0.1, ok = false), t, ref, eff = -1.0))
+  }
+
   test("contended trips on either pass, never on unknown (-1) samples") {
     val t = 4.0
     assert(Bench.contended(run(1.0, other = 10.0), None, t))
@@ -99,7 +126,14 @@ class BenchSpec extends AnyFunSuite {
     // the invariant lives here: a record with crashed gates, a non-empty
     // failed list, or registry coverage gaps cannot sit committed while
     // the suite is green.
-    val records = Option(new java.io.File(".").listFiles()).get
+    // Resolved from the forked test JVM's working directory — build.sbt
+    // forks tests at the repo root; the guard makes a future CWD drift a
+    // readable failure instead of a silent empty listing.
+    val repoRoot = new java.io.File(sys.props("user.dir"))
+    assert(new java.io.File(repoRoot, "build.sbt").exists(),
+      s"test JVM CWD ${repoRoot.getAbsolutePath} is not the repo root — " +
+        "cannot locate committed round records")
+    val records = Option(repoRoot.listFiles()).get
       .filter(_.getName.matches("bench_r\\d+_gates\\.json"))
     assert(records.nonEmpty, "no committed bench_r{N}_gates.json round record")
     val latest = records.maxBy(f => "\\d+".r.findFirstIn(f.getName).get.toInt)
@@ -107,6 +141,24 @@ class BenchSpec extends AnyFunSuite {
     assert(!root.has("failed") || root.get("failed").size() == 0,
       s"${latest.getName} records failed gates: ${root.get("failed")} — " +
         "fix them and regenerate the round record")
+    // Round-12 provenance requirement: the committed record is the number
+    // a future reader takes as THE round's performance, so a run that
+    // still carries unresolved contention or reads inflated against the
+    // committed quiet reference cannot become the record — re-run it on a
+    // quiet machine (the bench's own post-sweep re-run clears transient
+    // bursts; a record that stays flagged was measured on a busy box).
+    // Records before round 12 predate the re-run machinery and are exempt.
+    val roundNo = "\\d+".r.findFirstIn(latest.getName).get.toInt
+    if (roundNo >= 12) {
+      assert(!root.has("contended"),
+        s"${latest.getName} is a contended run (n_contended=" +
+          s"${root.get("n_contended")}) — regenerate it on a quiet machine")
+      assert(!root.has("inflated_vs_reference"),
+        s"${latest.getName} reads inflated against the committed reference " +
+          s"(vs_reference=${root.get("vs_reference")}) — regenerate it on a quiet machine")
+    }
+    assert(root.has("queries"),
+      s"${latest.getName} has no queries object — malformed round record")
     val qs = root.get("queries")
     val recorded = {
       val it = qs.fieldNames(); val b = Set.newBuilder[String]

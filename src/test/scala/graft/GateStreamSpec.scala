@@ -68,6 +68,21 @@ class GateStreamSpec extends SparkSpec {
     } finally spark.conf.set(key, prior)
   }
 
+  test("stream-shuffle override: valid values parse, garbage and non-positives fail loud") {
+    assert(GateStream.parseStreamShuffleCap(None) === 8)
+    assert(GateStream.parseStreamShuffleCap(Some("4")) === 4)
+    assert(GateStream.parseStreamShuffleCap(Some(" 16 ")) === 16)
+    // a typo'd export must name the variable, not die as a bare
+    // NumberFormatException mid-gate
+    val bad = intercept[IllegalArgumentException](
+      GateStream.parseStreamShuffleCap(Some("eight")))
+    assert(bad.getMessage.contains("SPARK_GRAFT_STREAM_SHUFFLE"))
+    // 0 / negative would set an invalid partition count and fail every
+    // streaming gate mid-run instead of fast
+    intercept[IllegalArgumentException](GateStream.parseStreamShuffleCap(Some("0")))
+    intercept[IllegalArgumentException](GateStream.parseStreamShuffleCap(Some("-3")))
+  }
+
   test("dropStaleSinks only touches its own prefix; deleteScratch is total") {
     import spark.implicits._
     Seq(1).toDF("x").createOrReplaceTempView("unrelated_view")
