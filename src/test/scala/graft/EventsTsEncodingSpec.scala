@@ -24,12 +24,17 @@ class EventsTsEncodingSpec extends SparkSpec {
   // Instants at exact-micros grain so all encodings can represent them.
   private val microsVals = Seq(1700000000123456L, 1700003600000001L, 1700007200999999L)
 
+  // full contract schema (round 12: Tables.load diffs every table against
+  // Tables.Expected, so a narrow fixture would fail the missing-column
+  // check before the ts branch under test is ever reached)
   private def writeFixture(tsField: StructField, tsRows: Seq[Any]): String = {
     val dir = Files.createTempDirectory("graft-events-enc").toString
     val schema = StructType(Seq(
-      StructField("user_id", LongType), tsField, StructField("value", DoubleType)))
+      StructField("event_id", LongType), tsField, StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType),
+      StructField("props", StringType)))
     val rows = tsRows.zipWithIndex.map { case (ts, i) =>
-      Row(i.toLong, ts, i * 1.5)
+      Row(1000L + i, ts, i.toLong, "click", i * 1.5, "{}")
     }
     spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1), schema)
@@ -80,18 +85,33 @@ class EventsTsEncodingSpec extends SparkSpec {
       assert(df.schema("ts_ns").dataType === LongType)
       // ts stays at its original column position (downstream gates select
       // by name, but fingerprints are ordering-sensitive)
-      assert(df.columns.toSeq === Seq("user_id", "ts", "value", "ts_ns"))
+      assert(df.columns.toSeq === Seq(
+        "event_id", "ts", "user_id", "event_type", "value", "props", "ts_ns"))
     }
   }
 
   test("sub-micro nanos survive in ts_ns; ts truncates to micros") {
     val dir = writeFixture(
-      StructField("ts", LongType), Seq(1700000000123456789L, 1700000000123456001L, 42L))
+      StructField("ts", LongType), Seq(1700000000123456789L, 1700000000123456001L))
     val got = canonical(dir)
     assert(got === Seq(
       (0L, 1700000000123456L, 1700000000123456789L),
-      (1L, 1700000000123456L, 1700000000123456001L),
-      (2L, 0L, 42L)))
+      (1L, 1700000000123456L, 1700000000123456001L)))
+  }
+
+  test("implausibly small INT64 ts (epoch-micros mis-encoding) fails loud, not 1000x off") {
+    // round 12 (ADVICE): a regen that writes plain INT64 epoch-MICROS
+    // with no logical type used to load silently with every instant
+    // 1000x off — the exact silent-drift class this file exists to
+    // catch. Values below ~1.0e17 ns (~1973) now raise at first action,
+    // naming the trusted-as-nanos contract.
+    val dir = writeFixture(
+      StructField("ts", LongType), Seq(1700000000123456L)) // micros, not nanos
+    val e = intercept[Exception](canonical(dir))
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("implausible as epoch-nanos")),
+      s"wanted the nanos-plausibility diagnosis, got: ${messages(e).mkString(" | ")}")
   }
 
   test("embeddings: float passthrough, double cast back, other types loud") {
@@ -102,19 +122,20 @@ class EventsTsEncodingSpec extends SparkSpec {
       spark.createDataFrame(
           spark.sparkContext.parallelize(rows, 1),
           StructType(Seq(StructField("vec_id", LongType),
-            StructField("embedding", ArrayType(elem)))))
+            StructField("embedding", ArrayType(elem)),
+            StructField("label", IntegerType))))
         .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
       d
     }
     val vals = Seq(0.25f, -1.5f, 3.125f) // exact in both float and double
-    val fDir = write("f", FloatType, Seq(Row(1L, vals)))
-    val dDir = write("d", DoubleType, Seq(Row(1L, vals.map(_.toDouble))))
+    val fDir = write("f", FloatType, Seq(Row(1L, vals, 0)))
+    val dDir = write("d", DoubleType, Seq(Row(1L, vals.map(_.toDouble), 0)))
     for (d <- Seq(fDir, dDir)) {
       val df = Tables.embeddings(spark, d)
       assert(df.schema("embedding").dataType === ArrayType(FloatType))
       assert(df.select(expr("embedding")).head.getSeq[Float](0) === vals)
     }
-    val sDir = write("s", StringType, Seq(Row(1L, Seq("x"))))
+    val sDir = write("s", StringType, Seq(Row(1L, Seq("x"), 0)))
     val e = intercept[IllegalArgumentException](Tables.embeddings(spark, sDir))
     assert(e.getMessage.contains("unsupported parquet encoding"))
   }

@@ -73,7 +73,10 @@ class MLInvariantsSpec extends SparkSpec {
     import spark.implicits._
     val longText = (0 until 5000).map(i => s"w$i").mkString(" ")
     val shortText = (0 until 100).map(i => s"w$i").mkString(" ")
+    // full contract schema (Tables.load diffs against Tables.Expected)
     Seq((1L, shortText), (2L, longText)).toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'web' AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val rows = SparkEntry.queries("text_chunk_sliding")(spark, dir).collect()
     val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
