@@ -335,32 +335,54 @@ object Pipeline {
       q.awaitTermination()
       val hasData = Option(new java.io.File(s"$out/survivors").listFiles())
         .exists(_.exists(_.getName.endsWith(".parquet")))
-      val streamed: Set[Long] =
-        if (hasData) spark.read.parquet(s"$out/survivors")
-          .select("doc_id").collect().map(_.getLong(0)).toSet
-        else Set.empty
+      val streamed = // survivors as a DataFrame — never collected whole
+        if (hasData) spark.read.parquet(s"$out/survivors").select(col("doc_id"))
+        else Seq.empty[Long].toDF("doc_id")
       val all = spark.read.parquet(s"$in/documents.parquet")
-        .select(col("doc_id"), col("text")).orderBy(col("doc_id"))
+        .select(col("doc_id"), col("text"))
+      val nStreamed = streamed.count()
       if (near) {
-        // batch replay of the operator's exact rule (shared signature fn);
-        // the near twin's survivor aggregates seal only once the watermark
-        // passes them, so compare on the sealed id window
-        val rows = all.collect().map(r => (r.getLong(0), r.getString(1)))
-        val seen = scala.collection.mutable.ListBuffer.empty[Array[Long]]
-        val expected = rows.flatMap { case (id, text) =>
+        // DISTRIBUTED batch replay of the operator's exact rule (round
+        // 12 — this was the repo's one full-table driver collect): the
+        // shared signature fn runs as a typed map over the corpus, the
+        // sequential "dup iff ANY earlier doc shares a block within
+        // Hamming 3" rule becomes a block-equality candidate self-join
+        // (the dedup_simhash_hamming plan shape — every signature stays
+        // in the seen-set whether or not it was itself a dup, so doc b
+        // is a dup iff a pair (a < b) exists), and survivor sets compare
+        // via exceptAll. Runs at corpus scale: no all-pairs join, no
+        // driver materialization beyond the mismatch samples.
+        val sigs = all.as[(Long, String)].map { case (id, text) =>
           val s = graft.streaming.DedupStream.simhashBlocks(text)
-          val dup = seen.exists(e =>
-            (0 until 4).exists(i => s(i) == e(i)) &&
-              graft.streaming.DedupStream.hamming(s, e) <= 3)
-          seen += s
-          if (dup) None else Some(id)
-        }.toSet
-        val maxId = rows.map(_._1).max
-        val sealedIds = rows.map(_._1).filter(_ < maxId - delaySeconds).toSet
-        val (g, w) = (expected & sealedIds, streamed & sealedIds)
-        require(g == w, s"near-dup stream/batch mismatch: only-batch=${(g -- w).take(5)} only-stream=${(w -- g).take(5)}")
-        println(s"dedup-stream --near: ${streamed.size} survivors sealed " +
-          s"(batch replay matches on all ${sealedIds.size} sealed docs) to $out/survivors")
+          (id, s(0), s(1), s(2), s(3))
+        }.toDF("doc_id", "s0", "s1", "s2", "s3").localCheckpoint()
+        val nib = sigs.select(col("doc_id"), col("s0"), col("s1"), col("s2"), col("s3"),
+          expr("stack(4, 0, s0, 1, s1, 2, s2, 3, s3) AS (k, v)"))
+        val aSide = nib.select(col("doc_id").as("doc_a"), col("s0").as("a0"),
+          col("s1").as("a1"), col("s2").as("a2"), col("s3").as("a3"), col("k"), col("v"))
+        val bSide = nib.select(col("doc_id").as("doc_b"), col("s0").as("b0"),
+          col("s1").as("b1"), col("s2").as("b2"), col("s3").as("b3"), col("k"), col("v"))
+        val dupDocs = aSide.join(bSide, Seq("k", "v"))
+          .filter(col("doc_a") < col("doc_b"))
+          .filter(expr("bit_count(a0 ^ b0) + bit_count(a1 ^ b1) + " +
+            "bit_count(a2 ^ b2) + bit_count(a3 ^ b3)") <= 3)
+          .select(col("doc_b").as("doc_id")).distinct()
+        val expected = sigs.select(col("doc_id")).exceptAll(dupDocs)
+        // the near twin's survivor aggregates seal only once the
+        // watermark passes them, so compare on the sealed id window
+        val maxId = all.agg(org.apache.spark.sql.functions.max(col("doc_id")))
+          .head().getLong(0)
+        val sealCut = maxId - delaySeconds
+        val sealedExpected = expected.filter(col("doc_id") < sealCut)
+        val sealedStreamed = streamed.filter(col("doc_id") < sealCut)
+        val onlyBatch = sealedExpected.exceptAll(sealedStreamed).take(5)
+        val onlyStream = sealedStreamed.exceptAll(sealedExpected).take(5)
+        require(onlyBatch.isEmpty && onlyStream.isEmpty,
+          s"near-dup stream/batch mismatch: only-batch=${onlyBatch.toSeq} " +
+            s"only-stream=${onlyStream.toSeq}")
+        println(s"dedup-stream --near: $nStreamed survivors sealed " +
+          s"(distributed batch replay matches on all " +
+          s"${sealedExpected.count()} sealed docs) to $out/survivors")
       } else {
         // exact twin emits immediately. dropDuplicatesWithinWatermark
         // keeps the first-PROCESSED row per digest — with multiple input
@@ -368,16 +390,19 @@ object Pipeline {
         // partition-safe contract is: exactly one survivor per distinct
         // digest, and the survivor set covers every digest. (The spec's
         // min-id equality holds under its single-partition arrival order.)
-        val digestOf = all.withColumn("digest", md5(col("text")))
-          .select("doc_id", "digest").collect()
-          .map(r => r.getLong(0) -> r.getString(1)).toMap
-        val survivorDigests = streamed.toSeq.map(digestOf)
-        require(survivorDigests.distinct.size == survivorDigests.size,
-          "two survivors share a digest")
-        require(survivorDigests.toSet == digestOf.values.toSet,
-          "a digest lost all its members")
-        println(s"dedup-stream: ${streamed.size} survivors " +
-          s"(one per distinct digest, all ${survivorDigests.size} digests covered) " +
+        // All three checks are joins/aggregates — nothing corpus-sized
+        // crosses to the driver.
+        val digests = all.withColumn("digest", md5(col("text")))
+          .select(col("doc_id"), col("digest"))
+        val survivorDigests = streamed.join(digests, "doc_id").select(col("digest"))
+        val nSurvivorDigests = survivorDigests.distinct().count()
+        require(nSurvivorDigests == nStreamed, "two survivors share a digest")
+        val uncovered = digests.select(col("digest")).distinct()
+          .exceptAll(survivorDigests.distinct()).take(3)
+        require(uncovered.isEmpty,
+          s"digests lost all their members: ${uncovered.toSeq}")
+        println(s"dedup-stream: $nStreamed survivors " +
+          s"(one per distinct digest, all $nSurvivorDigests digests covered) " +
           s"to $out/survivors")
       }
       spark.stop()
