@@ -195,6 +195,49 @@ object JsonlProcess {
     * the summaries are scanned once per dictionary (plan nodes contribute
     * both name fields through one explode).
     */
+  /** Hard bound on the distinct-name cardinality a collected obfuscation
+    * dictionary may reach (round 12): the schema/catalog dictionaries are
+    * catalog-metadata-sized by NATURE, and that scale contract is now
+    * enforced, not just documented — a pathological corpus (say, one
+    * generated schema per query) would otherwise OOM the driver inside
+    * `collect()` with no diagnosis. 10M names ≈ hundreds of MB of driver
+    * map: far above any real catalog, low enough to fail before the heap
+    * does. Raise deliberately via `spark.graft.maxDictNames` (session
+    * conf) or SPARK_GRAFT_MAX_DICT_NAMES (env).
+    */
+  private[graft] val DefaultMaxDictNames = 10000000L
+
+  private[graft] def maxDictNames(spark: org.apache.spark.sql.SparkSession): Long = {
+    val v = spark.conf.getOption("spark.graft.maxDictNames")
+      .orElse(sys.env.get("SPARK_GRAFT_MAX_DICT_NAMES"))
+      .map { raw =>
+        try raw.trim.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"spark.graft.maxDictNames / SPARK_GRAFT_MAX_DICT_NAMES must be " +
+              s"a positive long, got '$raw'")
+        }
+      }
+      .getOrElse(DefaultMaxDictNames)
+    require(v > 0, s"spark.graft.maxDictNames must be positive, got $v")
+    v
+  }
+
+  /** Collect at most `bound` dictionary rows — one extra row is fetched
+    * as the overflow sentinel, so the guard costs no second aggregation
+    * pass and never materializes an unbounded result on the driver.
+    */
+  private def collectBounded(names: DataFrame, bound: Long,
+      what: String): Array[org.apache.spark.sql.Row] = {
+    val lim = math.min(bound + 1, Int.MaxValue.toLong).toInt
+    val rows = names.limit(lim).collect()
+    require(rows.length <= bound,
+      s"$what: more than $bound distinct names — this dictionary is no " +
+        "longer catalog-metadata-sized and would exhaust driver memory. " +
+        "Use --hash-tokens (pure-function tokens, no total-order sort), " +
+        "raise spark.graft.maxDictNames deliberately, or pre-filter the corpus.")
+    rows
+  }
+
   private def sharedDict(df: DataFrame, fromInput: Column => Column,
       segIdx: Int, prefix: String, hashTokens: Boolean = false): Map[String, String] = {
     val fromInputs = df.select(col("query_id"), explode(col("inputs")).as("inp"))
@@ -213,16 +256,16 @@ object JsonlProcess {
     // still collected (applyDict rewrites both nested carriers from a map
     // literal), so hash mode removes the total-order sort but keeps the
     // catalog-metadata-sized driver map.
+    val bound = maxDictNames(df.sparkSession)
     if (hashTokens)
-      names.select(col("old_name"),
-        concat(lit(prefix), substring(md5(col("old_name")), 1, 16)).as("tok"))
-        .collect()
+      collectBounded(names.select(col("old_name"),
+          concat(lit(prefix), substring(md5(col("old_name")), 1, 16)).as("tok")),
+          bound, s"$prefix dictionary (hash mode)")
         .map(r => r.getString(0) -> r.getString(1))
         .toMap
     else
-      names
-        .orderBy(col("first_seen"), col("old_name"))
-        .collect()
+      collectBounded(names.orderBy(col("first_seen"), col("old_name")),
+          bound, s"$prefix dictionary")
         .zipWithIndex
         .map { case (r, i) => r.getString(0) -> s"$prefix$i" }
         .toMap

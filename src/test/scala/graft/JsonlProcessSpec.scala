@@ -227,6 +227,39 @@ class JsonlProcessSpec extends SparkSpec {
     assert(again.toSet === toks.toSet)
   }
 
+  test("dictionary cardinality guard: past the bound fails loud, at the bound passes") {
+    // round 12: the scale contract ("dictionaries are catalog-metadata-
+    // sized") is enforced, not documented — a pathological corpus must
+    // fail with the escape hatches named, BEFORE the driver heap goes
+    val d = Seq(
+      ("q1", Seq("""{"connectorId":"hive","schema":"s_one","table":"t"}""")),
+      ("q2", Seq("""{"connectorId":"hive","schema":"s_two","table":"t"}""")),
+      ("q3", Seq("""{"connectorId":"hive","schema":"s_three","table":"t"}""")))
+      .toDF("query_id", "inputs")
+      .withColumn("plan_nodes", expr(
+        "CAST(array() AS array<struct<fragment_id:string,fragment_idx:int," +
+          "node_id:string,node_type:string,parent_id:string,depth:int," +
+          "dfs_order:int,subtree_end:int,table_name:string," +
+          "deepest_table:string,join_type:string,join_distribution:string," +
+          "has_criteria:boolean>>)"))
+    spark.conf.set("spark.graft.maxDictNames", "2")
+    try {
+      val e = intercept[IllegalArgumentException](JsonlProcess.renameSchemas(d))
+      assert(e.getMessage.contains("more than 2 distinct names"))
+      assert(e.getMessage.contains("--hash-tokens"))
+      // hash mode still collects a map — the guard covers it too
+      intercept[IllegalArgumentException](
+        JsonlProcess.renameSchemas(d, hashTokens = true))
+      // a malformed override names the knob
+      spark.conf.set("spark.graft.maxDictNames", "lots")
+      val bad = intercept[IllegalArgumentException](JsonlProcess.renameSchemas(d))
+      assert(bad.getMessage.contains("spark.graft.maxDictNames"))
+      // exactly at the bound: no false positive
+      spark.conf.set("spark.graft.maxDictNames", "3")
+      assert(JsonlProcess.renameSchemas(d).count() === 3L)
+    } finally spark.conf.unset("spark.graft.maxDictNames")
+  }
+
   test("renameSchemas handles a schema name carrying an escaped quote") {
     val d = Seq(
       ("q1", Seq("""{"connectorId":"hive","schema":"we\"b","table":"t"}"""),
