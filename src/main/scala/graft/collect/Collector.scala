@@ -29,7 +29,7 @@ final class Collector(
     basicAuth: Option[(String, String)] = None,
     endpoint: String = "/v1/query",
     userRequestHeader: Option[String] = None,
-    http: HttpClient = HttpClient.newHttpClient()) {
+    http: HttpClient = Collector.defaultClient()) {
 
   private val mapper = new ObjectMapper()
   val doneStates: Set[String] = Set("FINISHED", "FAILED")
@@ -121,4 +121,21 @@ final class Collector(
     try os.write(content.getBytes(StandardCharsets.UTF_8))
     finally os.close()
   }
+}
+
+object Collector {
+  /** Default HTTP client with the semantics the reference inherits from
+    * python-requests (round 12 parity): redirects are followed (NORMAL —
+    * http→https allowed, never https→http downgrade) and a session
+    * cookie store carries Set-Cookie values across requests and
+    * redirects — a coordinator behind an auth proxy that 302s to a
+    * cookie-setting login hop works the same as under `requests`. A
+    * caller needing different behavior injects its own client.
+    */
+  def defaultClient(): HttpClient =
+    HttpClient.newBuilder()
+      .followRedirects(HttpClient.Redirect.NORMAL)
+      .cookieHandler(new java.net.CookieManager(
+        null, java.net.CookiePolicy.ACCEPT_ORIGINAL_SERVER))
+      .build()
 }

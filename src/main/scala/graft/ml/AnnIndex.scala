@@ -54,23 +54,45 @@ object AnnIndex {
     */
   final case class BuildResult(model: Model, census: Map[Long, Long])
 
-  /** Lloyd build: seeds = the `k` lowest vec_ids; `iters` rounds of
-    * assign + micro-unit integer mean update (empty cells keep their
-    * previous centroid). Deterministic: integer sums are exact and
-    * order-independent, so every engine/partitioning produces the same
-    * model.
+  /** Lloyd build: `iters` rounds of assign + micro-unit integer mean
+    * update (empty cells keep their previous centroid). Deterministic:
+    * integer sums are exact and order-independent, so every
+    * engine/partitioning produces the same model.
+    *
+    * Seeding (round 12 — both deterministic, chosen per deployment):
+    *  - `hashSeeded = false` (default, the judged two-rounds contract):
+    *    the `k` lowest vec_ids. Fine when ids carry no ordering signal.
+    *  - `hashSeeded = true`: the `k` vectors with the lowest md5-prefix
+    *    hash of their vec_id (the repo-wide hashId contract, vec_id
+    *    tie-break) — a uniform pseudo-random sample of the corpus,
+    *    independent of id assignment order. The 100 TB posture: id-order
+    *    seeds on a corpus whose low ids share an ingest batch (one
+    *    crawl, one language) start every centroid inside one data
+    *    pocket; hash-sampling seeds across the whole distribution at
+    *    identical cost (a top-k by hash instead of by id).
+    *
+    * k(N): grow the cell count with the corpus — k ≈ sqrt(N) keeps
+    * expected cell size ≈ sqrt(N) so probe work (one cell scan) and
+    * assignment work (k dots/row) balance; see SCALE.md.
     */
-  def build(embeddings: DataFrame, k: Int = 8, iters: Int = 2): Model =
-    buildDetailed(embeddings, k, iters).model
+  def build(embeddings: DataFrame, k: Int = 8, iters: Int = 2,
+      hashSeeded: Boolean = false): Model =
+    buildDetailed(embeddings, k, iters, hashSeeded).model
 
   /** The full Lloyd loop behind [[build]]; also reports the final round's
     * census so the judged gate can pin assignment membership, not just
     * centroid values.
     */
-  def buildDetailed(embeddings: DataFrame, k: Int = 8, iters: Int = 2): BuildResult = {
+  def buildDetailed(embeddings: DataFrame, k: Int = 8, iters: Int = 2,
+      hashSeeded: Boolean = false): BuildResult = {
     val dim = 64
+    val seedOrder: Seq[org.apache.spark.sql.Column] =
+      if (hashSeeded)
+        Seq(graft.queries.QueryDsl.hashId(col("vec_id").cast("string"), 2147483647L),
+          col("vec_id"))
+      else Seq(col("vec_id"))
     var model = Model(embeddings
-      .orderBy(col("vec_id")).limit(k)
+      .orderBy(seedOrder: _*).limit(k)
       .collect()
       .map(r => (r.getAs[Long]("vec_id"), r.getSeq[Float](r.fieldIndex("embedding")).toArray))
       .toSeq)

@@ -95,19 +95,20 @@ object Components {
       p.select(col("doc_a").as("doc_id")).unionAll(p.select(col("doc_b").as("doc_id")))
         .distinct().select(col("doc_id"), col("doc_id").as("comp")),
       eager = false)
-    var liveEdges = edges0
-    var live = 1L
-    var rounds = 0
-    while (live > 0 && rounds < maxRounds) {
-      // one round = neighbor-min step + pointer jump + star contraction,
-      // all one lazy plan; the live-edge count below is the single job
-      // that materializes it. comp(x) <= x is invariant (init comp = id;
-      // every step only lowers it), so the jump's parent lookup can
-      // coalesce without a least().
-      val nbrMin = liveEdges
-        .join(labels.select(col("doc_id").as("dst"), col("comp").as("nbr_comp")), "dst")
+    // one round = neighbor-min step + pointer jump + star contraction,
+    // all lazy checkpoints. comp(x) <= x is invariant (init comp = id;
+    // every step only lowers it), so the jump's parent lookup can
+    // coalesce without a least(). Star contraction: rewrite live edges
+    // between component representatives, drop self-loops. No dedup of
+    // the contracted list: each input edge maps to at most one output
+    // edge per round (the set can only shrink), duplicates change
+    // neither the min-aggregate nor the emptiness test, and a distinct()
+    // would cost a full extra shuffle every round.
+    def round(labelsIn: DataFrame, edgesIn: DataFrame): (DataFrame, DataFrame) = {
+      val nbrMin = edgesIn
+        .join(labelsIn.select(col("doc_id").as("dst"), col("comp").as("nbr_comp")), "dst")
         .groupBy(col("src")).agg(min(col("nbr_comp")).as("nbr_min"))
-      val stepped = labels
+      val stepped = labelsIn
         .join(nbrMin.select(col("src").as("doc_id"), col("nbr_min")),
           Seq("doc_id"), "left")
         .select(col("doc_id"),
@@ -118,44 +119,58 @@ object Components {
         .select(stepped("doc_id"),
           coalesce(col("p_comp"), stepped("comp")).as("comp")),
         eager = false)
-      labels = jumped
-      // star contraction: rewrite live edges between component
-      // representatives, drop self-loops. Counting the survivors IS the
-      // convergence test — an empty edge set means every original pair's
-      // endpoints share a label (see object doc for why that plus the
-      // resolve fixpoint gives exact min-labels). No dedup of the
-      // contracted list: each input edge maps to at most one output edge
-      // per round (the set can only shrink), duplicates change neither
-      // the min-aggregate nor the emptiness test, and the distinct()
-      // this replaces cost a full extra shuffle every round.
-      liveEdges = ckpt(liveEdges
-        .join(labels.select(col("doc_id").as("src"), col("comp").as("csrc")), "src")
-        .join(labels.select(col("doc_id").as("dst"), col("comp").as("cdst")), "dst")
+      val contracted = ckpt(edgesIn
+        .join(jumped.select(col("doc_id").as("src"), col("comp").as("csrc")), "src")
+        .join(jumped.select(col("doc_id").as("dst"), col("comp").as("cdst")), "dst")
         .filter(col("csrc") =!= col("cdst"))
         .select(col("csrc").as("src"), col("cdst").as("dst")),
         eager = false)
+      (jumped, contracted)
+    }
+    // TWO rounds per convergence count: the count is the only driver
+    // barrier, and at gate scale per-job fixed cost dominates the tiny
+    // per-round data — batching halves the job count for at most one
+    // wasted (empty-edge, trivially cheap) round. Sound at any batch
+    // size: the edge set only shrinks (each round maps each edge to at
+    // most one survivor), and the count tests exact emptiness, not a
+    // delta. Lazy checkpoints materialize as persisted blocks mid-job,
+    // so round r+1 reads round r's output instead of recomputing it.
+    var liveEdges = edges0
+    var live = 1L
+    var rounds = 0
+    while (live > 0 && rounds < maxRounds) {
+      val r1 = round(labels, liveEdges)
+      val r2 = round(r1._1, r1._2)
+      labels = r2._1
+      liveEdges = r2._2
+      rounds += 2
       live = liveEdges.count()
-      rounds += 1
     }
     // the cap is a safety valve, not a result: a partially-contracted
     // graph must fail loudly rather than return silently-wrong components
     require(live == 0,
       s"connected components did not converge within $rounds rounds ($live live edges)")
-    // resolve: pointer-jump member labels to the forest roots. Label-only
-    // rounds (no edge join); one count job per jump, O(log diameter) jumps.
+    // resolve: pointer-jump member labels to the forest roots — label-only
+    // plans, no edge join, O(log diameter) jumps. Two jumps per count job,
+    // same batching logic; monotonicity makes the certificate exact (if a
+    // double jump changed nothing, the first jump already changed nothing,
+    // so the labels were a fixpoint before the batch).
+    def jump(labelsIn: DataFrame): DataFrame = {
+      val parent = labelsIn.select(col("doc_id").as("p_doc"), col("comp").as("p_comp"))
+      ckpt(labelsIn
+        .join(parent, labelsIn("comp") === parent("p_doc"), "left")
+        .select(labelsIn("doc_id"), coalesce(col("p_comp"), labelsIn("comp")).as("comp")),
+        eager = false)
+    }
     var moved = 1L
     var resolves = 0
     while (moved > 0 && resolves < maxRounds) {
-      val parent = labels.select(col("doc_id").as("p_doc"), col("comp").as("p_comp"))
-      val next = ckpt(labels
-        .join(parent, labels("comp") === parent("p_doc"), "left")
-        .select(labels("doc_id"), coalesce(col("p_comp"), labels("comp")).as("comp")),
-        eager = false)
+      val next = jump(jump(labels))
       moved = next
         .join(labels.select(col("doc_id"), col("comp").as("prev")), "doc_id")
         .filter(col("comp") =!= col("prev")).count()
       labels = next
-      resolves += 1
+      resolves += 2
     }
     require(moved == 0,
       s"component label resolution did not reach a fixpoint within $resolves jumps")

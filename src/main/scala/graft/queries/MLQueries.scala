@@ -1259,6 +1259,76 @@ $blockSql
               |FROM cent2 c LEFT JOIN census cs USING (cell)
               |GROUP BY c.cell, cs.n_assigned ORDER BY c.cell""".stripMargin)),
 
+    // The NON-DEFAULT quantizer configuration judged end-to-end (round
+    // 12): k=5 cells and HASH-SAMPLED seeding — the 5 vectors with the
+    // lowest md5-prefix hash of their vec_id (the repo-wide hashId
+    // contract, vec_id tie-break), one Lloyd round. This is the 100 TB
+    // seeding posture: id-order seeds inherit ingest-batch locality (low
+    // ids = one crawl/language pocket), hash-sampling seeds uniformly
+    // across the corpus at identical cost. The oracle replays seed
+    // selection, assignment (rounded-cosine argmax, lowest-cell ties),
+    // the micro-unit integer mean update, and the empty-cell carry —
+    // pinning that k and the seeding rule genuinely flow through
+    // AnnIndex.build end-to-end, not just at the k=8/first-id default.
+    NamedQuery(
+      "ann_build_hash_seeded",
+      (s, d) => {
+        import s.implicits._
+        val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+        val r = AnnIndex.buildDetailed(e, k = 5, iters = 1, hashSeeded = true)
+        r.model.centroids.sortBy(_._1).map { case (cid, v) =>
+          val q = v.map(x => math.floor(x.toDouble * 1000000.0 + 0.5).toLong)
+          (cid, r.census.getOrElse(cid, 0L),
+            q.map(x => x * x).sum,
+            q.zipWithIndex.map { case (x, i) =>
+              ((x + 1000000L) % 2147483647L) * (i + 1L)
+            }.sum % 2147483647L)
+        }.toSeq.toDF("cell", "n_assigned", "norm2_micro", "centroid_checksum")
+          .orderBy(col("cell"))
+      },
+      Some(s"""WITH seeds AS (
+              |  SELECT vec_id, embedding FROM embeddings
+              |  ORDER BY ${hashIdSql("CAST(vec_id AS VARCHAR)", 2147483647L)}, vec_id
+              |  LIMIT 5
+              |), hcsims AS (
+              |  SELECT e.vec_id, c.vec_id AS cent_id,
+              |    ${r6Sql(duckDot("e.embedding", "c.embedding") +
+                 s" / (${duckNorm("e.embedding")} * ${duckNorm("c.embedding")})")} AS csim
+              |  FROM embeddings e CROSS JOIN seeds c
+              |), hassigned AS (
+              |  SELECT vec_id, cent_id AS cell FROM (
+              |    SELECT vec_id, cent_id, ROW_NUMBER() OVER (
+              |      PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS crn
+              |    FROM hcsims
+              |  ) WHERE crn = 1
+              |), hexpl AS (
+              |  SELECT a.cell, CAST(i AS BIGINT) AS dim,
+              |    CAST(FLOOR(CAST(e.embedding[i] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS qv
+              |  FROM hassigned a JOIN embeddings e USING (vec_id)
+              |  CROSS JOIN generate_series(1, 64) t(i)
+              |), hupd AS (
+              |  SELECT cell, dim, COUNT(qv) AS cnt,
+              |    CAST(FLOOR(CAST(SUM(qv) AS DOUBLE) / COUNT(qv) + 0.5) AS BIGINT) AS qmean
+              |  FROM hexpl GROUP BY 1, 2
+              |), hseedgrid AS (
+              |  -- empty-cell carry: the seed vector quantized exactly as the
+              |  -- gate quantizes the float model it keeps
+              |  SELECT s.vec_id AS cell, CAST(i AS BIGINT) AS dim,
+              |    CAST(FLOOR(CAST(s.embedding[i] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS sq
+              |  FROM seeds s CROSS JOIN generate_series(1, 64) t(i)
+              |), hcent AS (
+              |  SELECT g.cell, g.dim, COALESCE(u.qmean, g.sq) AS q
+              |  FROM hseedgrid g LEFT JOIN hupd u ON u.cell = g.cell AND u.dim = g.dim
+              |), hcensus AS (
+              |  SELECT cell, MAX(cnt) AS n_assigned FROM hupd GROUP BY 1
+              |)
+              |SELECT c.cell, CAST(COALESCE(cs.n_assigned, 0) AS BIGINT) AS n_assigned,
+              |  CAST(SUM(q * q) AS BIGINT) AS norm2_micro,
+              |  CAST(SUM(((q + 1000000) % 2147483647) * dim) % 2147483647 AS BIGINT)
+              |    AS centroid_checksum
+              |FROM hcent c LEFT JOIN hcensus cs USING (cell)
+              |GROUP BY c.cell, cs.n_assigned ORDER BY c.cell""".stripMargin)),
+
     // Symmetric int8 quantization of the embedding column — the standard
     // vector-compression step before ANN indexing (4× smaller, dot
     // products in integer SIMD). Per vector: amax = max |x_i| (an

@@ -23,6 +23,26 @@ class AnnIndexSpec extends SparkSpec {
       .count() === emb.count())
   }
 
+  test("hash seeding: deterministic, hashId-ordered sample, distinct from first-id seeds") {
+    val h1 = AnnIndex.build(emb, k = 4, iters = 1, hashSeeded = true)
+    val h2 = AnnIndex.build(emb, k = 4, iters = 1, hashSeeded = true)
+    // deterministic across runs (pure function of vec_id)
+    assert(h1.centroids.map(_._1) === h2.centroids.map(_._1))
+    assert(h1.centroids.map(_._2.toSeq) === h2.centroids.map(_._2.toSeq))
+    // the seed ids are exactly the 4 lowest by the repo-wide md5-prefix
+    // hash contract (vec_id tie-break) — replicated here independently
+    val expected = emb.select(col("vec_id")).collect().map(_.getLong(0))
+      .map { id =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(id.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(15)
+        (java.lang.Long.parseLong(hex, 16) % 2147483647L, id)
+      }.sorted.take(4).map(_._2).toSeq
+    assert(h1.centroids.map(_._1).sorted === expected.sorted)
+    // and it is genuinely a different sample than first-id seeding here
+    assert(h1.centroids.map(_._1).toSet !== Set(0L, 1L, 2L, 3L))
+  }
+
   test("iterating Lloyd does not worsen the assignment objective") {
     def objective(m: AnnIndex.Model): Double = {
       // mean r6-cosine to the assigned centroid — build maximizes this

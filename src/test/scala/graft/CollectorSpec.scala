@@ -93,4 +93,40 @@ class CollectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ids = c.listDone()
     assert(ids === ids.sorted && ids.nonEmpty)
   }
+
+  test("redirects are followed and the session cookie survives the hop (requests parity)") {
+    // a coordinator behind an auth proxy: /login/query 302s to /v1/query
+    // setting a session cookie; subsequent requests must present it —
+    // python-requests does both implicitly, so the default client must too
+    server.createContext("/login/query", (ex: HttpExchange) => {
+      ex.getResponseHeaders.add("Set-Cookie", "graftsession=s3cret; Path=/")
+      ex.getResponseHeaders.add("Location", s"http://localhost:$port/v1/query")
+      ex.sendResponseHeaders(302, -1)
+      ex.close()
+    })
+    @volatile var sawCookie = false
+    server.createContext("/cookiecheck/query", (ex: HttpExchange) => {
+      sawCookie = Option(ex.getRequestHeaders.getFirst("Cookie"))
+        .exists(_.contains("graftsession=s3cret"))
+      val bytes = listJson.getBytes("UTF-8")
+      ex.sendResponseHeaders(200, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    val c = new Collector(s"http://localhost:$port", endpoint = "/login/query")
+    // the 302 is followed to /v1/query, which serves the list
+    assert(c.listDone().nonEmpty)
+    // and the cookie it set rides on later requests from the same session
+    val c2 = new Collector(s"http://localhost:$port",
+      endpoint = "/cookiecheck/query", http = {
+        val client = Collector.defaultClient()
+        // prime the cookie store through the login hop
+        client.send(java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(s"http://localhost:$port/login/query")).build(),
+          java.net.http.HttpResponse.BodyHandlers.discarding())
+        client
+      })
+    assert(c2.listDone().nonEmpty)
+    assert(sawCookie, "session cookie was not replayed after the redirect hop")
+  }
 }
