@@ -105,14 +105,16 @@ object Components {
     // neither the min-aggregate nor the emptiness test, and a distinct()
     // would cost a full extra shuffle every round.
     def round(labelsIn: DataFrame, edgesIn: DataFrame): (DataFrame, DataFrame) = {
-      val nbrMin = edgesIn
+      // min over {own comp} ∪ {neighbor comps} as ONE join + aggregate:
+      // a self-loop per vertex carries its own label through the same
+      // neighbor-min path, replacing the separate least()/left-join
+      // merge step (one fewer join — and broadcast build — per round)
+      val withSelf = edgesIn.unionAll(
+        labelsIn.select(col("doc_id").as("src"), col("doc_id").as("dst")))
+      val stepped = withSelf
         .join(labelsIn.select(col("doc_id").as("dst"), col("comp").as("nbr_comp")), "dst")
-        .groupBy(col("src")).agg(min(col("nbr_comp")).as("nbr_min"))
-      val stepped = labelsIn
-        .join(nbrMin.select(col("src").as("doc_id"), col("nbr_min")),
-          Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"))
+        .groupBy(col("src")).agg(min(col("nbr_comp")).as("comp"))
+        .select(col("src").as("doc_id"), col("comp"))
       val parent = stepped.select(col("doc_id").as("p_doc"), col("comp").as("p_comp"))
       val jumped = ckpt(stepped
         .join(parent, stepped("comp") === parent("p_doc"), "left")
