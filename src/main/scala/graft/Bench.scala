@@ -448,7 +448,11 @@ object Bench {
       val w = warm.map(t => s""","warm":${num(t)}""").getOrElse("")
       val rrF = rr.map(t => s""","rerun":${num(t)}""").getOrElse("")
       val steadyS = if (cold.ok) steadyOf(cold, warm, rr).toString else "null"
-      val other = math.max(cold.otherCores, warm.map(_.otherCores).getOrElse(-1.0))
+      // contention evidence spans ALL passes including the re-run: a
+      // rerun that itself saw foreign load must be visible in the
+      // artifact even when its steady was discarded
+      val other = (Seq(cold.otherCores) ++ warm.map(_.otherCores) ++
+        rr.map(_.otherCores)).max
       val sRun = steadyRun(cold, warm, rr)
       val vsRef = refOf(k, cold.plan).filter(_ => cold.ok)
         .filter(_.steady > 0)

@@ -373,7 +373,10 @@ object Pipeline {
         val maxId = all.agg(org.apache.spark.sql.functions.max(col("doc_id")))
           .head().getLong(0)
         val sealCut = maxId - delaySeconds
-        val sealedExpected = expected.filter(col("doc_id") < sealCut)
+        // localCheckpoint: three actions consume the replay (both
+        // exceptAll directions + the count below) — without it each one
+        // would re-run the candidate self-join pipeline from scratch
+        val sealedExpected = expected.filter(col("doc_id") < sealCut).localCheckpoint()
         val sealedStreamed = streamed.filter(col("doc_id") < sealCut)
         val onlyBatch = sealedExpected.exceptAll(sealedStreamed).take(5)
         val onlyStream = sealedStreamed.exceptAll(sealedExpected).take(5)

@@ -46,21 +46,54 @@ final class Collector(
     case None => Seq("X-Trino-User" -> user, "X-Presto-User" -> user)
   }
 
+  /** Redirects are followed MANUALLY (the client is built with
+    * Redirect.NEVER): java.net.http re-sends every user header —
+    * Authorization included — to a cross-origin redirect target, while
+    * python-requests (the reference's stack) strips auth when the host
+    * changes (`Session.rebuild_auth`). So each hop re-decides: same
+    * origin keeps auth + user headers, a foreign origin gets the bare
+    * request (cookies still apply per the client's per-host cookie
+    * store). Capped hops; an https→http downgrade is refused outright.
+    */
+  private val MaxRedirects = 5
+
+  private def sameOrigin(a: URI, b: URI): Boolean =
+    a.getScheme == b.getScheme && a.getHost == b.getHost && a.getPort == b.getPort
+
   private def get(url: String): Option[String] = {
-    val b = HttpRequest.newBuilder(URI.create(url))
-    reqHeaders.foreach { case (k, v) => b.header(k, v) }
-    // basic auth only when BOTH parts are present (collect.py:50-55's
-    // `if all([username, password])`)
-    basicAuth.filter { case (u, p) => u.nonEmpty && p.nonEmpty }.foreach { case (u, p) =>
-      b.header("Authorization", "Basic " + Base64.getEncoder
-        .encodeToString(s"$u:$p".getBytes(StandardCharsets.UTF_8)))
+    val origin = URI.create(coordinator)
+    var target = URI.create(url)
+    var hops = 0
+    while (hops <= MaxRedirects) {
+      val b = HttpRequest.newBuilder(target)
+      if (sameOrigin(origin, target)) {
+        reqHeaders.foreach { case (k, v) => b.header(k, v) }
+        // basic auth only when BOTH parts are present (collect.py:50-55's
+        // `if all([username, password])`)
+        basicAuth.filter { case (u, p) => u.nonEmpty && p.nonEmpty }.foreach { case (u, p) =>
+          b.header("Authorization", "Basic " + Base64.getEncoder
+            .encodeToString(s"$u:$p".getBytes(StandardCharsets.UTF_8)))
+        }
+      }
+      val resp = http.send(b.build(), HttpResponse.BodyHandlers.ofString())
+      val code = resp.statusCode()
+      if (code / 100 == 3 && resp.headers().firstValue("Location").isPresent) {
+        val loc = target.resolve(resp.headers().firstValue("Location").get())
+        if (target.getScheme == "https" && loc.getScheme != "https") {
+          System.err.println(s"[collect] GET $url -> https-to-http redirect to $loc refused")
+          return None
+        }
+        target = loc
+        hops += 1
+      } else if (code / 100 == 2) {
+        return Some(resp.body())
+      } else {
+        System.err.println(s"[collect] GET $url -> HTTP $code, skipping")
+        return None
+      }
     }
-    val resp = http.send(b.build(), HttpResponse.BodyHandlers.ofString())
-    if (resp.statusCode() / 100 == 2) Some(resp.body())
-    else {
-      System.err.println(s"[collect] GET $url -> HTTP ${resp.statusCode()}, skipping")
-      None
-    }
+    System.err.println(s"[collect] GET $url -> more than $MaxRedirects redirects, skipping")
+    None
   }
 
   /** ids of queries in a done state, from `GET {endpoint}` — sorted, the
@@ -124,17 +157,19 @@ final class Collector(
 }
 
 object Collector {
-  /** Default HTTP client with the semantics the reference inherits from
-    * python-requests (round 12 parity): redirects are followed (NORMAL —
-    * http→https allowed, never https→http downgrade) and a session
-    * cookie store carries Set-Cookie values across requests and
-    * redirects — a coordinator behind an auth proxy that 302s to a
-    * cookie-setting login hop works the same as under `requests`. A
-    * caller needing different behavior injects its own client.
+  /** Default HTTP client with the cookie semantics the reference
+    * inherits from python-requests (round 12 parity): a session cookie
+    * store carries Set-Cookie values across requests — a coordinator
+    * behind an auth proxy that 302s through a cookie-setting login hop
+    * works the same as under `requests`. Redirects are deliberately
+    * NOT delegated to the client (Redirect.NEVER): [[Collector.get]]
+    * follows them manually so that auth/user headers are re-decided
+    * per hop instead of blindly re-sent cross-origin. A caller needing
+    * different behavior injects its own client.
     */
   def defaultClient(): HttpClient =
     HttpClient.newBuilder()
-      .followRedirects(HttpClient.Redirect.NORMAL)
+      .followRedirects(HttpClient.Redirect.NEVER)
       .cookieHandler(new java.net.CookieManager(
         null, java.net.CookiePolicy.ACCEPT_ORIGINAL_SERVER))
       .build()

@@ -64,13 +64,10 @@ object Components {
     */
   private[graft] def ckpt(df: DataFrame, eager: Boolean = true): DataFrame = {
     val s = df.sparkSession
-    // lenient flag parse — "1"/"true" enable (this repo's env-var
-    // convention is =1/=0, see SPARK_GRAFT_BENCH_WARM); anything else,
-    // including garbage, disables rather than throwing inside a gate
-    def flag(v: String) = v.equalsIgnoreCase("true") || v == "1"
+    import graft.queries.QueryDsl.boolFlag
     val reliable =
-      sys.env.get("SPARK_GRAFT_RELIABLE_CHECKPOINT").exists(flag) ||
-      s.conf.getOption("spark.graft.reliableCheckpoint").exists(flag)
+      sys.env.get("SPARK_GRAFT_RELIABLE_CHECKPOINT").exists(boolFlag) ||
+      s.conf.getOption("spark.graft.reliableCheckpoint").exists(boolFlag)
     if (reliable) {
       if (s.sparkContext.getCheckpointDir.isEmpty)
         s.sparkContext.setCheckpointDir(

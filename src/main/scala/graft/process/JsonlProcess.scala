@@ -218,7 +218,13 @@ object JsonlProcess {
         }
       }
       .getOrElse(DefaultMaxDictNames)
-    require(v > 0, s"spark.graft.maxDictNames must be positive, got $v")
+    // the overflow sentinel fetches bound+1 rows through limit(Int), so
+    // a bound at or past Int.MaxValue would silently DISARM the guard
+    // (truncated dictionary, names past the limit passing through
+    // unobfuscated) — refuse it loudly instead; a driver map that size
+    // could never be collected anyway
+    require(v > 0 && v < Int.MaxValue,
+      s"spark.graft.maxDictNames must be in [1, ${Int.MaxValue - 1}], got $v")
     v
   }
 
@@ -228,8 +234,7 @@ object JsonlProcess {
     */
   private def collectBounded(names: DataFrame, bound: Long,
       what: String): Array[org.apache.spark.sql.Row] = {
-    val lim = math.min(bound + 1, Int.MaxValue.toLong).toInt
-    val rows = names.limit(lim).collect()
+    val rows = names.limit(bound.toInt + 1).collect()
     require(rows.length <= bound,
       s"$what: more than $bound distinct names — this dictionary is no " +
         "longer catalog-metadata-sized and would exhaust driver memory. " +

@@ -59,4 +59,13 @@ object QueryDsl {
     conv(substring(md5(c), 1, 15), 16, 10).cast("long") % m
   def hashIdSql(e: String, m: Long): String =
     s"CAST('0x' || substring(md5($e), 1, 15) AS BIGINT) % $m"
+
+  /** THE repo-wide boolean-knob parse, one definition (round 12 — it had
+    * grown copies): "1"/"true" (any case) enable; anything else,
+    * including garbage, disables rather than throwing inside a gate.
+    * Used for opt-in session confs and env flags
+    * (spark.graft.reliableCheckpoint, spark.graft.strictSchema,
+    * SPARK_GRAFT_RELIABLE_CHECKPOINT, …).
+    */
+  def boolFlag(v: String): Boolean = v.equalsIgnoreCase("true") || v == "1"
 }

@@ -41,8 +41,10 @@ object GateStream {
     * count) mid-gate with no pointer to the variable at fault.
     */
   private[graft] def parseStreamShuffleCap(v: Option[String]): Int =
-    v.map { raw =>
-      val n = try raw.trim.toInt catch {
+    // exported-but-blank means "no override", matching the
+    // SPARK_GRAFT_BENCH_ONLY convention this mirrors
+    v.map(_.trim).filter(_.nonEmpty).map { raw =>
+      val n = try raw.toInt catch {
         case _: NumberFormatException => throw new IllegalArgumentException(
           s"SPARK_GRAFT_STREAM_SHUFFLE must be a positive int, got '$raw'")
       }

@@ -99,9 +99,9 @@ object Tables {
     * block the pipeline rather than warn.
     */
   private[graft] def strictSchema(s: SparkSession): Boolean = {
-    def flag(v: String) = v.equalsIgnoreCase("true") || v == "1"
-    s.conf.getOption("spark.graft.strictSchema").exists(flag) ||
-      sys.env.get("SPARK_GRAFT_STRICT_SCHEMA").exists(flag)
+    import graft.queries.QueryDsl.boolFlag
+    s.conf.getOption("spark.graft.strictSchema").exists(boolFlag) ||
+      sys.env.get("SPARK_GRAFT_STRICT_SCHEMA").exists(boolFlag)
   }
 
   /** Once-per-path warn registry: loaders run per gate per bench pass;
@@ -186,9 +186,15 @@ object Tables {
   def normalizeEventTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case LongType => // legacy TIMESTAMP(NANOS) read as raw nanos
+        // a NULL ts propagates as null (the pre-guard semantics: no
+        // instant, nothing to misread); only present-but-implausible
+        // values raise, and the message coalesces defensively so the
+        // diagnosis can never itself be nulled away
         df.withColumn("ts_ns", expr(
-          s"""CASE WHEN ts >= ${MinPlausibleNanos}L THEN ts
-             |ELSE raise_error(concat('events.ts: INT64 value ', CAST(ts AS STRING),
+          s"""CASE WHEN ts IS NULL THEN CAST(NULL AS BIGINT)
+             |WHEN ts >= ${MinPlausibleNanos}L THEN ts
+             |ELSE raise_error(concat('events.ts: INT64 value ',
+             |  COALESCE(CAST(ts AS STRING), 'NULL'),
              |  ' is implausible as epoch-nanos (< 1.0e17, ~1973) — a testdata regen',
              |  ' likely wrote plain INT64 epoch-micros without a logical type;',
              |  ' INT64 ts is trusted as NANOS (Tables.normalizeEventTs)'))

@@ -116,6 +116,8 @@ class CollectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     val c = new Collector(s"http://localhost:$port", endpoint = "/login/query")
     // the 302 is followed to /v1/query, which serves the list
     assert(c.listDone().nonEmpty)
+    // same-origin hop: the user header still rides on the redirected call
+    assert(lastUserHeader.nonEmpty)
     // and the cookie it set rides on later requests from the same session
     val c2 = new Collector(s"http://localhost:$port",
       endpoint = "/cookiecheck/query", http = {
@@ -128,5 +130,38 @@ class CollectorSpec extends AnyFunSuite with BeforeAndAfterAll {
       })
     assert(c2.listDone().nonEmpty)
     assert(sawCookie, "session cookie was not replayed after the redirect hop")
+  }
+
+  test("cross-origin redirect strips auth and user headers (requests rebuild_auth parity)") {
+    // a second server = a different origin (different port). A redirect
+    // there must arrive BARE: java.net.http's own NORMAL mode would
+    // re-send Authorization cross-origin, which is why Collector follows
+    // redirects manually.
+    val foreign = HttpServer.create(new InetSocketAddress(0), 0)
+    val fport = foreign.getAddress.getPort
+    @volatile var foreignAuth: Option[String] = None
+    @volatile var foreignUser: Option[String] = None
+    foreign.createContext("/v1/query", (ex: HttpExchange) => {
+      foreignAuth = Option(ex.getRequestHeaders.getFirst("Authorization"))
+      foreignUser = Option(ex.getRequestHeaders.getFirst("X-Trino-User"))
+      val bytes = listJson.getBytes("UTF-8")
+      ex.sendResponseHeaders(200, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    foreign.start()
+    try {
+      server.createContext("/offsite/query", (ex: HttpExchange) => {
+        ex.getResponseHeaders.add("Location", s"http://localhost:$fport/v1/query")
+        ex.sendResponseHeaders(302, -1)
+        ex.close()
+      })
+      val c = new Collector(s"http://localhost:$port", user = "tester",
+        basicAuth = Some(("u", "p")), endpoint = "/offsite/query")
+      assert(c.listDone().nonEmpty) // the redirect itself is still followed
+      assert(foreignAuth === None,
+        s"Authorization leaked to the foreign origin: $foreignAuth")
+      assert(foreignUser === None, "user header leaked to the foreign origin")
+    } finally foreign.stop(0)
   }
 }

@@ -99,6 +99,16 @@ class EventsTsEncodingSpec extends SparkSpec {
       (1L, 1700000000123456L, 1700000000123456001L)))
   }
 
+  test("a NULL INT64 ts propagates as null, never trips the plausibility guard") {
+    val dir = writeFixture(
+      StructField("ts", LongType), Seq(1700000000123456000L, null))
+    val rows = Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("ts_ns"))
+      .orderBy(col("event_id")).collect()
+    assert(rows(0).getAs[Long]("ts_ns") === 1700000000123456000L)
+    assert(rows(1).isNullAt(1) && rows(1).isNullAt(2))
+  }
+
   test("implausibly small INT64 ts (epoch-micros mis-encoding) fails loud, not 1000x off") {
     // round 12 (ADVICE): a regen that writes plain INT64 epoch-MICROS
     // with no logical type used to load silently with every instant

@@ -72,6 +72,9 @@ class GateStreamSpec extends SparkSpec {
     assert(GateStream.parseStreamShuffleCap(None) === 8)
     assert(GateStream.parseStreamShuffleCap(Some("4")) === 4)
     assert(GateStream.parseStreamShuffleCap(Some(" 16 ")) === 16)
+    // exported-but-blank means "no override", the BENCH_ONLY convention
+    assert(GateStream.parseStreamShuffleCap(Some("")) === 8)
+    assert(GateStream.parseStreamShuffleCap(Some("   ")) === 8)
     // a typo'd export must name the variable, not die as a bare
     // NumberFormatException mid-gate
     val bad = intercept[IllegalArgumentException](

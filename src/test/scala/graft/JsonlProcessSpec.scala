@@ -254,6 +254,11 @@ class JsonlProcessSpec extends SparkSpec {
       spark.conf.set("spark.graft.maxDictNames", "lots")
       val bad = intercept[IllegalArgumentException](JsonlProcess.renameSchemas(d))
       assert(bad.getMessage.contains("spark.graft.maxDictNames"))
+      // a bound at/past Int.MaxValue would silently disarm the overflow
+      // sentinel (limit() is Int-typed) — refused loudly instead
+      spark.conf.set("spark.graft.maxDictNames", Int.MaxValue.toString)
+      val big = intercept[IllegalArgumentException](JsonlProcess.renameSchemas(d))
+      assert(big.getMessage.contains("maxDictNames"))
       // exactly at the bound: no false positive
       spark.conf.set("spark.graft.maxDictNames", "3")
       assert(JsonlProcess.renameSchemas(d).count() === 3L)
