@@ -76,6 +76,20 @@ object Components {
     } else df.localCheckpoint(eager)
   }
 
+  /** SPARK_GRAFT_CC_DEBUG=1: stderr one line per driver-barrier phase
+    * (pairs materialization, each contraction batch, each resolve batch)
+    * with its wall time — the loop analogue of GateStream.debugProgress,
+    * and the cheapest way to see whether gate time sits in the candidate
+    * chain, the contraction rounds, or the resolve jumps.
+    */
+  private val debug = sys.env.get("SPARK_GRAFT_CC_DEBUG").contains("1")
+  private[graft] def timed[T](label: => String)(f: => T): T =
+    if (!debug) f else {
+      val t0 = System.nanoTime(); val r = f
+      System.err.println(f"[cc] $label ${(System.nanoTime() - t0) / 1e9}%.3fs")
+      r
+    }
+
   /** Connected components of the undirected graph whose edges are
     * `pairs(doc_a, doc_b)`. Returns min-doc_id labels for the active
     * vertex set (see object doc). `maxRounds` caps BOTH phases — a cap
@@ -85,7 +99,7 @@ object Components {
   def minLabel(pairs: DataFrame, maxRounds: Int = 25): Result = {
     // pairs materialized ONCE; the symmetric edge list and the active
     // vertex set are then cheap projections of the checkpointed rows
-    val p = ckpt(pairs.select(col("doc_a"), col("doc_b")))
+    val p = timed("pairs ckpt")(ckpt(pairs.select(col("doc_a"), col("doc_b"))))
     val edges0 = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     var labels = ckpt(
@@ -143,7 +157,7 @@ object Components {
       labels = r2._1
       liveEdges = r2._2
       rounds += 2
-      live = liveEdges.count()
+      live = timed(s"contraction batch (rounds ${rounds - 1}-$rounds)")(liveEdges.count())
     }
     // the cap is a safety valve, not a result: a partially-contracted
     // graph must fail loudly rather than return silently-wrong components
@@ -165,9 +179,9 @@ object Components {
     var resolves = 0
     while (moved > 0 && resolves < maxRounds) {
       val next = jump(jump(labels))
-      moved = next
+      moved = timed(s"resolve batch (jumps ${resolves + 1}-${resolves + 2})")(next
         .join(labels.select(col("doc_id"), col("comp").as("prev")), "doc_id")
-        .filter(col("comp") =!= col("prev")).count()
+        .filter(col("comp") =!= col("prev")).count())
       labels = next
       resolves += 2
     }
