@@ -84,6 +84,12 @@ class PlanShapeSpec extends SparkSpec {
     // vocabulary); and the scan→explode subtree appears exactly once
     assert(p.contains("hashpartitioning(wid"))
     assert("documents\\.parquet".r.findAllIn(p).size === 1)
+    // round 12: the token stream is pre-partitioned by wid ALONE, which
+    // satisfies both the (doc_id, wid) count's clustering (subset rule)
+    // and the df window — ONE token-level exchange, then one (doc_id)
+    // agg exchange and the output range sort. A fourth exchange means
+    // the double token shuffle is back.
+    assert("Exchange (hash|range)partitioning".r.findAllIn(p).size === 3)
   }
 
   test("dedup_simhash_hamming: shuffle-hash pigeonhole join on (k, v)") {
