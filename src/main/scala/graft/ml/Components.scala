@@ -76,11 +76,14 @@ object Components {
     } else df.localCheckpoint(eager)
   }
 
-  /** SPARK_GRAFT_CC_DEBUG=1: stderr one line per driver-barrier phase
-    * (pairs materialization, each contraction batch, each resolve batch)
-    * with its wall time — the loop analogue of GateStream.debugProgress,
-    * and the cheapest way to see whether gate time sits in the candidate
-    * chain, the contraction rounds, or the resolve jumps.
+  /** SPARK_GRAFT_CC_DEBUG=1: stderr one line per timed phase with its
+    * wall time — the loop analogue of GateStream.debugProgress, and the
+    * cheapest way to see whether gate time sits in the candidate chain,
+    * the contraction rounds, or the resolve jumps. Two kinds of span
+    * share the format: driver BARRIERS (pairs materialization, each
+    * contraction/resolve batch count — wall includes execution) and
+    * plan-BUILD spans (labelled "... plan build" — driver-side analysis
+    * only; the subtree's execution cost lands in the consumer's action).
     */
   private val debug = sys.env.get("SPARK_GRAFT_CC_DEBUG").contains("1")
   private[graft] def timed[T](label: => String)(f: => T): T =

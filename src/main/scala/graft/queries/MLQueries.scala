@@ -384,23 +384,23 @@ object MLQueries {
         // window count over the SAME (doc, wid) aggregate — a separate
         // groupBy+join would re-plan the scan→explode→aggregate subtree a
         // second time (measured: the duplicated pass dominated the cost).
+        // TWO token-derived exchanges, deliberately: (doc_id, wid) for the
+        // term count — WITH map-side partial combine, so each map task
+        // emits at most one row per (doc, wid) — then wid for the df
+        // window, which moves only the aggregated (doc, wid, cnt) set
+        // (hot word worst case: one row per containing doc). The tempting
+        // fusion — repartition(wid) before the count, legal because
+        // HashPartitioning(wid) satisfies both clusterings by the subset
+        // rule — was tried and REVERTED (round 12): it shuffles raw token
+        // occurrences keyed by wid alone, so a Zipf-hot word's entire
+        // corpus frequency (tf × docs, not one row per doc) lands in a
+        // single reducer that AQE cannot split (user repartitions are
+        // not skew-eligible), and the map-side combine is lost — a
+        // straggler exactly at the 100 TB design point this chain
+        // targets, for a fixture-scale gain inside measurement noise.
         val wordCounts = words(s, d)
           .select(col("doc_id"), explode(col("w")).as("word"))
           .select(col("doc_id"), hashId(col("word"), simhashWidMod).as("wid"))
-          // pre-partition the token stream by wid ALONE: HashPartitioning
-          // (wid) satisfies the (doc_id, wid) groupBy's clustering (subset
-          // rule) AND the df window's partitionBy(wid), so the tokens are
-          // shuffled ONCE and the window adds only a local sort — vs the
-          // default plan's two full token-level exchanges ((doc_id, wid)
-          // for the count, then wid for the window). Plan-verified: the
-          // signature gate drops from 4 exchanges to 3. The trade is the
-          // first aggregate's map-side partial combine (the explicit
-          // repartition shuffles raw tokens, not partial counts) — at any
-          // scale tokens/distinct(doc,wid) is a small constant (~2.3 on
-          // the fixture), while the avoided exchange moves the whole
-          // (doc_id, wid, cnt) set; at 100 TB one fewer full shuffle of
-          // the token-derived rows dominates that trade.
-          .repartition(col("wid"))
           .groupBy(col("doc_id"), col("wid")).agg(count(lit(1)).as("cnt"))
           .withColumn("df", count(lit(1)).over(Window.partitionBy(col("wid"))))
           // the 64 per-bit hashes share wid*64*A and the tf-idf weight;
@@ -478,17 +478,10 @@ $blockSql
     */
   private val streamSigsSql: String = simhashSigsSqlWith("cnt")
 
-  /** Near-dup pairs at Hamming distance ≤ 3 over the 64-bit signatures
-    * (shared by the pair gate and the connected-components gate). Both
-    * join sides are the SAME subplan up to aliasing; forcing the
-    * shuffle-hash join (the plan a big corpus gets anyway — 262144 join
-    * keys, no broadcastable side at scale) makes the two (k, v) exchanges
-    * identical, so ReuseExchange runs the signature pipeline ONCE. A
-    * broadcast join here would instead re-plan the whole pipeline for the
-    * build side. No cache needed. The exact-distance filter runs BEFORE
-    * the pair distinct (same result — dist is functionally dependent on
-    * the pair — but the distinct then shuffles only true near-dups, not
-    * every candidate).
+  /** Signature rows exploded to their 4 pigeonhole block keys: one row
+    * per (doc, block) carrying the full sig0..sig3 plus the (k, v) join
+    * key — the layout [[hammingPairs]] self-joins. ~4 rows × ~40 B per
+    * doc.
     */
   private[graft] def simhashNib(s: SparkSession, d: String): DataFrame =
     simhashSigs(s, d)
@@ -501,17 +494,35 @@ $blockSql
     *
     * The signature subtree (scan → explode → two aggregates → window) is
     * the expensive side and appears on BOTH sides of the self-join; Spark
-    * does not reuse the exchange across the two sides (measured: the
-    * chain executes twice, and neither whole-plan nor AQE stage reuse
-    * fires on this shape), so the nib is materialized ONCE here —
-    * same ckpt contract as the Components loop, including the
-    * reliable-checkpoint opt-in — and both join sides then read the
-    * checkpointed rows (~40 B/doc-block: doc_id + 4 sig longs + block
-    * key). Measured at sf0.1: pairs count 2.4-3.0 s → ~1.7 s warm, and
-    * every consumer gate (hamming, verify, calibration, connected
-    * components) drops with it. At 100 TB the materialized nib is
-    * 4 rows × ~40 B per doc — executor-storage-sized, and the
-    * alternative is computing the full tokenize+hash chain twice.
+    * does not reuse the exchange across the two sides (measured, round
+    * 12: the chain executes twice, and neither whole-plan nor AQE stage
+    * reuse fires on this shape — a shuffle-hash hint making the two
+    * (k, v) exchanges textually identical did not change that). So the
+    * nib is materialized ONCE via eager checkpoint (same ckpt contract
+    * as the Components loop, including the reliable-checkpoint opt-in)
+    * and both join sides read the checkpointed rows.
+    *
+    * ckpt over persist() (round 12, measured): a persist here looks
+    * cleaner on contract grounds — construction stays pure planning and
+    * clearCache() reclaims it — but cached subplans execute WITHOUT AQE
+    * (the cached relation's output partitioning is pinned), and this
+    * chain without AQE measured ~3x slower; the family benched
+    * calibration 2.5 s -> 12.3 s and own-CPU 13 s -> 76 s on persist.
+    * Costs of the ckpt choice, accepted knowingly: (a) constructing a
+    * consumer DataFrame runs the signature job at construction time —
+    * .explain/fingerprint callers pay it once; (b) checkpoint blocks are
+    * invisible to spark.catalog.clearCache() and are reclaimed only when
+    * the RDD is garbage-collected (ContextCleaner), not deterministically
+    * per bench gate; (c) the consumer gates' plan fingerprints start at
+    * the checkpoint scan, so drift INSIDE the signature chain is pinned
+    * only via the dedup_simhash gate's own fingerprint.
+    *
+    * At 100 TB the materialized nib is 4 rows × ~40 B per doc —
+    * executor-storage-sized, and the alternative is computing the full
+    * tokenize+hash chain twice. The exact-distance filter runs BEFORE
+    * the pair distinct (same result — dist is functionally dependent on
+    * the pair — but the distinct then shuffles only true near-dups, not
+    * every candidate).
     */
   private[graft] def hammingPairs(s: SparkSession, d: String): DataFrame = {
         val nib = graft.ml.Components.timed("nib ckpt")(
@@ -783,13 +794,15 @@ $blockSql
       "dedup_connected_components",
       (s, d) => {
         val docs = Tables.documents(s, d).select(col("doc_id"))
-        val hp = Components.timed("hammingPairs construct")(
+        val hp = Components.timed("hammingPairs plan build")(
           hammingPairs(s, d).select(col("doc_a"), col("doc_b")))
         val active = Components.timed("minLabel total")(
           Components.minLabel(hp).labels)
         // singletons: every doc without a candidate edge is its own
         // component — a left join + coalesce, no loop participation
-        Components.timed("assembly construct") {
+        // plan-BUILD spans (driver-side analysis only; the execution cost
+        // of these subtrees lands in the consumer's action, not here)
+        Components.timed("assembly plan build") {
         val labels = docs.join(active, Seq("doc_id"), "left")
           .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"))
         val sizes = labels.groupBy(col("comp")).agg(count(lit(1)).as("component_size"))

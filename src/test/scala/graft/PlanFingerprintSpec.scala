@@ -20,8 +20,14 @@ class PlanFingerprintSpec extends SparkSpec {
 
   test("sf0.001 plans match the committed fingerprint snapshot") {
     val d = "/root/testdata/sf0.001"
-    // planning only — except dedup_stream_near, whose construction drives
-    // its bounded stream once (the fingerprint then pins the sink scan)
+    // mostly planning only. Known construction-time executors (accepted,
+    // documented at their sites): dedup_stream_near drives its bounded
+    // stream once (the fingerprint then pins the sink scan); the
+    // simhash-consumer gates (hamming/verify/calibration/components) run
+    // the signature chain once to checkpoint the nib, and the components
+    // gate additionally runs its contraction loop — their fingerprints
+    // start at the checkpoint scans (drift inside the signature chain is
+    // pinned via dedup_simhash's own fingerprint)
     val got = SparkEntry.queries.keys.toSeq.sorted.map { n =>
       // cache-clean per gate, mirroring Bench's per-gate clearCache():
       // pie-family gates materialize a bounded cache at construction, and

@@ -84,12 +84,14 @@ class PlanShapeSpec extends SparkSpec {
     // vocabulary); and the scan→explode subtree appears exactly once
     assert(p.contains("hashpartitioning(wid"))
     assert("documents\\.parquet".r.findAllIn(p).size === 1)
-    // round 12: the token stream is pre-partitioned by wid ALONE, which
-    // satisfies both the (doc_id, wid) count's clustering (subset rule)
-    // and the df window — ONE token-level exchange, then one (doc_id)
-    // agg exchange and the output range sort. A fourth exchange means
-    // the double token shuffle is back.
-    assert("Exchange (hash|range)partitioning".r.findAllIn(p).size === 3)
+    // round 12: exactly FOUR exchanges — (doc_id, wid) count (with
+    // map-side partial combine: the skew-safe shape for Zipf-hot words),
+    // wid window, (doc_id) signature agg, output range sort. Three would
+    // mean the reverted repartition(wid) fusion is back (it shuffles raw
+    // token occurrences so a hot word's whole corpus frequency lands in
+    // one AQE-unsplittable reducer); five+ means a redundant shuffle.
+    assert("Exchange (hash|range)partitioning".r.findAllIn(p).size === 4)
+    assert(p.contains("partial_count")) // the combine the fusion would lose
   }
 
   test("dedup_simhash_hamming: shuffle-hash pigeonhole join on (k, v)") {
