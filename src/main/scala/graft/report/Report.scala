@@ -50,11 +50,15 @@ object Report {
     val total = slices.map(_._2).filter(_ > 0).sum
     val (cx, cy, r) = (90.0, 92.0, 78.0)
     var a = -math.Pi / 2
+    // data-s: shared slice index between each wedge and its legend entry —
+    // the legend-toggle wiring (clicking a legend entry hides/shows its
+    // wedge, Bokeh's legend.click_policy="hide" behavior; the pie is NOT
+    // re-normalized, matching Bokeh, so the gap reads as "hidden")
     val paths = slices.zipWithIndex.map { case ((k, v), i) =>
       val frac = if (total <= 0) 0.0 else math.max(0.0, v) / total
       val a1 = a + frac * 2 * math.Pi
       val color = palette(i % palette.size)
-      val tip = s"""data-l="${escA(k)}: ${f2(v)}%""""
+      val tip = s"""data-l="${escA(k)}: ${f2(v)}%" data-s="$i""""
       val p =
         if (frac >= 0.99999)
           s"""<circle cx="${f2(cx)}" cy="${f2(cy)}" r="${f2(r)}" fill="$color" $tip/>"""
@@ -72,8 +76,10 @@ object Report {
     val legend = slices.zipWithIndex.flatMap { case ((k, v), i) =>
       val y = 22 + i * 15
       Seq(
+        s"""<g class="lg" data-s="$i" cursor="pointer">""",
         s"""<rect x="190" y="${y - 9}" width="10" height="10" fill="${palette(i % palette.size)}"/>""",
-        s"""<text x="206" y="$y">${esc(k)} (${f2(v)}%)</text>""")
+        s"""<text x="206" y="$y">${esc(k)} (${f2(v)}%)</text>""",
+        "</g>")
     }
     val h = math.max(184, 22 + slices.size * 15)
     s"""<svg class="chart" viewBox="0 0 470 $h" font-size="11" font-family="sans-serif" xmlns="http://www.w3.org/2000/svg">${(paths ++ legend).mkString}</svg>"""
@@ -282,6 +288,21 @@ object Report {
       |    });
       |    window.addEventListener("mouseup", function () { drag = null; });
       |    svg.addEventListener("dblclick", function () { vb = vb0.slice(); apply(); });
+      |    // legend toggles (pies): click a legend entry to hide/show its
+      |    // wedge — Bokeh's legend hide policy; the pie is not
+      |    // re-normalized, so a hidden wedge reads as a gap
+      |    Array.prototype.forEach.call(svg.querySelectorAll("g.lg[data-s]"), function (g) {
+      |      g.addEventListener("click", function (e) {
+      |        e.stopPropagation();
+      |        var s = g.getAttribute("data-s");
+      |        var off = g.getAttribute("opacity") === "0.35";
+      |        g.setAttribute("opacity", off ? "1" : "0.35");
+      |        Array.prototype.forEach.call(
+      |          svg.querySelectorAll("[data-l][data-s='" + s + "']"), function (w) {
+      |            w.style.display = off ? "" : "none";
+      |          });
+      |      });
+      |    });
       |  });
       |  function save(name, blob) {
       |    var a = document.createElement("a");

@@ -42,6 +42,24 @@ class ReportSpec extends SparkSpec {
     // must never break out of data-l (fixture keys are clean; this pins
     // the escape path itself)
     assert(!"""data-l="[^"]*<""".r.findAllIn(html).hasNext)
+    // legend toggles (round 12): every pie wedge carries the slice index
+    // its legend entry toggles, legend entries are clickable groups, and
+    // the script wires the hide/show handler
+    assert("""<path [^>]*data-s="""".r.findAllIn(html).nonEmpty, "wedge slice index")
+    assert("""<g class="lg" data-s="""".r.findAllIn(html).nonEmpty, "legend groups")
+    assert(html.contains("g.lg[data-s]") && html.contains("display"))
+    // every legend group toggles an existing wedge: the data-s sets match
+    // within each pie svg
+    val pies = """<svg class="chart"[^>]*>.*?</svg>""".r.findAllIn(html)
+      .filter(_.contains("class=\"lg\""))
+    pies.foreach { svg =>
+      val wedges = """(?<=<path |<circle )[^>]*data-s="(\d+)"""".r
+        .findAllMatchIn(svg).map(_.group(1)).toSet
+      val entries = """<g class="lg" data-s="(\d+)"""".r
+        .findAllMatchIn(svg).map(_.group(1)).toSet
+      assert(wedges.subsetOf(entries),
+        s"wedges without a legend entry: ${wedges -- entries}")
+    }
   }
 
   test("every section carries export links wired to the embedded script") {
