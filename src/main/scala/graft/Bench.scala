@@ -194,16 +194,106 @@ object Bench {
   private[graft] val EffDropCpuWallRatio = 0.6
   private[graft] val EffDropMinSteady = 0.3
 
-  /** Parse the reference file: first line `sf=<dir tail>`, then one
+  // ---- machine-calibration probe ---------------------------------------
+  //
+  // The /proc-based contention evidence (other_cores) and the per-gate
+  // eff_drop trigger both miss one failure mode, observed round 12: a
+  // co-tenant load that slows EVERY gate 10-25% while /proc reads quiet
+  // and own-CPU rises in step with wall (frequency/SMT/bandwidth
+  // contention — identical code swept 76 s at dawn and 87 s mid-morning
+  // with zero markers). The probe is Spark-independent ground truth for
+  // that: a fixed, deterministic mixing pass over a 64 MB shared array
+  // (ALU + memory-bandwidth sensitive), timed single-threaded and on all
+  // cores, at sweep start AND end. Against the committed quiet-machine
+  // probe reference, a slow machine self-reports (`probe.vs_ref`,
+  // `machine_slow` past the same 1.3x bar as inflated_vs_reference) even
+  // when every other marker is clean. Informational by design: the
+  // round-record provenance test does NOT assert it, because on a day
+  // where the machine never recovers there must still be SOME committable
+  // record — the flag makes the degradation readable, not fatal.
+  //
+  // Coverage is CPU-frequency/SMT/memory-bandwidth contention ONLY — an
+  // I/O-side co-tenant (shared-disk page-cache pressure) inflates the
+  // gates while this probe reads flat (observed round 12: a 1.37x
+  // inflated sweep with the probe within 4% of its quiet value). A flat
+  // probe under an inflated vs_reference therefore LOCALIZES the
+  // contention to I/O rather than proving quiet — read the pair
+  // together, never the probe alone.
+
+  /** Bytes in the shared probe array (64 MB — beyond any LLC, so the
+    * multi-threaded pass contends for memory bandwidth like a shuffle).
+    */
+  private val ProbeBytes = 64 << 20
+  // sized for a ~0.3 s single-thread pass: long enough that scheduler
+  // jitter is noise, short enough that two probe pairs cost ~2 s per run
+  private val ProbePasses = 24
+
+  /** One deterministic mixing pass over `arr[from, until)`; returns a
+    * fold so the JIT cannot elide the work.
+    */
+  private def probePass(arr: Array[Long], from: Int, until: Int): Long = {
+    var acc = 0L
+    var i = from
+    while (i < until) {
+      var z = arr(i) + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      acc ^= z ^ (z >>> 31)
+      i += 1
+    }
+    acc
+  }
+
+  /** (singleSeconds, multiSeconds) for the fixed probe workload. The
+    * single pass measures one core's effective speed; the multi pass runs
+    * the same total work per core on every core concurrently. A JIT
+    * warmup pass runs untimed first.
+    */
+  private[graft] def cpuProbe(threads: Int): (Double, Double) = {
+    val n = ProbeBytes / 8
+    val arr = Array.tabulate(n)(i => i.toLong * 0x9E3779B97F4A7C15L)
+    probePass(arr, 0, n) // JIT warmup, untimed
+    val t0 = System.nanoTime()
+    var p = 0
+    var sink = 0L
+    while (p < ProbePasses) { sink ^= probePass(arr, 0, n); p += 1 }
+    val single = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val ts = (0 until threads).map { _ =>
+      val t = new Thread(() => {
+        var q = 0
+        var s = 0L
+        while (q < ProbePasses) { s ^= probePass(arr, 0, n); q += 1 }
+        if (s == 42L) println("") // data dependency, never taken
+      })
+      t.start(); t
+    }
+    ts.foreach(_.join())
+    val multi = (System.nanoTime() - t1) / 1e9
+    if (sink == 42L) println("") // keep `single`'s fold live
+    (single, multi)
+  }
+
+  /** Parse the reference file: first line `sf=<dir tail>`, then an
+    * OPTIONAL `probe=<single>,<multi>` quiet-machine probe line, then one
     * `<gate> <steady> <plan> <cpuWall>` row per line. Malformed rows fail
     * loudly — a half-readable reference silently weakening the self-check
     * is worse than no reference.
     */
-  private[graft] def parseReference(lines: Seq[String]): (String, Map[String, RefGate]) = {
+  private[graft] def parseReference(
+      lines: Seq[String]): (String, Option[(Double, Double)], Map[String, RefGate]) = {
     val content = lines.map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
     require(content.nonEmpty && content.head.startsWith("sf="),
       s"$ReferencePath: first non-comment line must be sf=<tail>")
-    val rows = content.tail.map { l =>
+    val probe = content.tail.headOption.filter(_.startsWith("probe=")).map { l =>
+      l.stripPrefix("probe=").split(",") match {
+        case Array(s, m) => (s.toDouble, m.toDouble)
+        case _ => throw new IllegalArgumentException(
+          s"$ReferencePath: bad probe line '$l' (want: probe=<single>,<multi>)")
+      }
+    }
+    val gateLines = if (probe.isDefined) content.tail.tail else content.tail
+    val rows = gateLines.map { l =>
       l.split("\\s+") match {
         case Array(n, s, p, c) => n -> RefGate(s.toDouble, p, c.toDouble)
         case _ => throw new IllegalArgumentException(
@@ -214,7 +304,7 @@ object Bench {
     // not silently last-wins into the baseline the verdicts judge against
     val dups = rows.groupBy(_._1).collect { case (n, rs) if rs.size > 1 => n }
     require(dups.isEmpty, s"$ReferencePath: duplicate rows for ${dups.toSeq.sorted}")
-    (content.head.stripPrefix("sf="), rows.toMap)
+    (content.head.stripPrefix("sf="), probe, rows.toMap)
   }
 
   /** The committed reference, when present AND recorded at this run's
@@ -227,7 +317,8 @@ object Bench {
     * feature exists to kill). Missing BOTH at the judged scale → a loud
     * stderr note, then None: absent, never a false verdict.
     */
-  private[graft] def loadReference(sfTail: String): Option[Map[String, RefGate]] = {
+  private[graft] def loadReference(
+      sfTail: String): Option[(Option[(Double, Double)], Map[String, RefGate])] = {
     val p = java.nio.file.Paths.get(ReferencePath)
     val lines: Option[Seq[String]] =
       if (java.nio.file.Files.exists(p))
@@ -238,8 +329,8 @@ object Bench {
           finally in.close()
         }
     val ref = lines.flatMap { ls =>
-      val (refSf, gates) = parseReference(ls)
-      if (refSf == sfTail) Some(gates) else None
+      val (refSf, probe, gates) = parseReference(ls)
+      if (refSf == sfTail) Some((probe, gates)) else None
     }
     if (ref.isEmpty && sfTail == "sf0.1")
       System.err.println("[bench] WARNING: no committed reference for sf0.1 " +
@@ -360,6 +451,11 @@ object Bench {
     val inputSchemaField =
       s""","input_schema":${graft.tables.Tables.inputSchemaJson(spark, sfDir)}"""
 
+    // machine-calibration probe, BEFORE the sweep (paired with a second
+    // run after it — together they bracket every timed window; see the
+    // probe section above)
+    val probeStart = Bench.cpuProbe(cpus.toInt)
+
     selected.flatMap(Bench.families).distinct.sorted.foreach(run)
 
     // Two timed passes per gate: COLD (first run after the family warmup)
@@ -381,7 +477,9 @@ object Bench {
       if (r.ownCpu >= 0 && r.sec > 0) r.ownCpu / r.sec else -1.0
 
     val sfTail = java.nio.file.Paths.get(sfDir).getFileName.toString
-    val reference = Bench.loadReference(sfTail)
+    val loadedRef = Bench.loadReference(sfTail)
+    val reference = loadedRef.map(_._2)
+    val probeRef = loadedRef.flatMap(_._1)
     def refOf(k: String, plan: String): Option[RefGate] =
       reference.flatMap(_.get(k)).filter(_.plan == plan)
 
@@ -494,6 +592,25 @@ object Bench {
       s""","vs_reference":${r2s(ratio)},"n_ref_matched":${matched.size}$infl"""
     }.getOrElse("")
 
+    // machine-calibration probe, sweep end — with the start pair it
+    // brackets every timed window; vs_ref takes the WORSE of the four
+    // ratios against the committed quiet-machine probe (the question is
+    // "was the machine degraded at any point", not "on average")
+    val probeEnd = Bench.cpuProbe(cpus.toInt)
+    val probeField = {
+      // 3 decimals: the probe passes are ~0.2-0.4 s, so 2 would quantize
+      // the ratio the machine_slow verdict hangs on by >10%
+      def r3s(x: Double): String = (math.floor(x * 1000 + 0.5) / 1000).toString
+      val vs = probeRef.map { case (rs, rm) =>
+        val ratio = Seq(probeStart._1 / rs, probeEnd._1 / rs,
+          probeStart._2 / rm, probeEnd._2 / rm).max
+        val slow = if (ratio > Bench.InflatedVsRef) ""","machine_slow":true""" else ""
+        s""","vs_ref":${r2s(ratio)}$slow"""
+      }.getOrElse("")
+      s""","probe":{"single_start":${r3s(probeStart._1)},"multi_start":${r3s(probeStart._2)}""" +
+        s""","single_end":${r3s(probeEnd._1)},"multi_end":${r3s(probeEnd._2)}$vs}"""
+    }
+
     // Deliberate reference (re)generation — run on a QUIET machine, like
     // the fingerprint snapshot: SPARK_GRAFT_REGEN_BENCH_REFERENCE=1 on a
     // full-registry run writes {steady, plan, cpu/wall} as the committed
@@ -522,8 +639,17 @@ object Bench {
           String.format(java.util.Locale.ROOT, "%s %.3f %s %.3f",
             k, Double.box(s), c.plan, Double.box(e))
         }
+      // probe reference: min-merged like the gate rows (best observed
+      // seconds per mode = closest to the machine's intrinsic speed)
+      val mergedProbe = (
+        math.min(probeRef.map(_._1).getOrElse(Double.MaxValue),
+          math.min(probeStart._1, probeEnd._1)),
+        math.min(probeRef.map(_._2).getOrElse(Double.MaxValue),
+          math.min(probeStart._2, probeEnd._2)))
+      val probeLine = String.format(java.util.Locale.ROOT, "probe=%.3f,%.3f",
+        Double.box(mergedProbe._1), Double.box(mergedProbe._2))
       val header = "# per-gate quiet-run bench reference (generated by " +
-        s"SPARK_GRAFT_REGEN_BENCH_REFERENCE=1; see Bench.scala)\nsf=$sfTail"
+        s"SPARK_GRAFT_REGEN_BENCH_REFERENCE=1; see Bench.scala)\nsf=$sfTail\n$probeLine"
       val body = (header +: rows).mkString("", "\n", "\n")
       java.nio.file.Files.createDirectories(
         java.nio.file.Paths.get(Bench.ReferencePath).getParent)
@@ -545,7 +671,7 @@ object Bench {
     // the old meaning; 3 = round 10+, adds per-gate own_cpu/vs_ref and
     // the run-level inflated_vs_reference self-check.
     val head = s""""metric":"total","value":$steadyTotal,"unit":"sec"""" +
-      s""","bench_format":3,"cold_total":$coldTotal$rerunField$contField$refField"""
+      s""","bench_format":3,"cold_total":$coldTotal$rerunField$contField$refField$probeField"""
     val detail = s"""{$head$inputSchemaField,"queries":$qs$failedField,"sf":"$sfDir"}"""
     System.err.println(detail)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_details.json"), detail + "\n")

@@ -105,7 +105,7 @@ class BenchSpec extends AnyFunSuite {
     val lines = java.nio.file.Files
       .readAllLines(java.nio.file.Paths.get(Bench.ReferencePath))
       .toArray.toSeq.map(_.toString)
-    val (sf, gates) = Bench.parseReference(lines)
+    val (sf, _, gates) = Bench.parseReference(lines)
     assert(sf === "sf0.1", "reference must be recorded at the driver's judged scale")
     val registry = SparkEntry.queries.keySet
     assert(gates.keySet === registry,
@@ -176,15 +176,36 @@ class BenchSpec extends AnyFunSuite {
   }
 
   test("parseReference round-trips and rejects malformed rows") {
-    val (sf, gates) = Bench.parseReference(Seq(
+    val (sf, probe, gates) = Bench.parseReference(Seq(
       "# comment", "sf=sf0.1",
       "hash_agg_sum 1.287 c6a4fab6 27.500",
       "join_semi_topk 0.949 ec3a23ec 24.000"))
     assert(sf === "sf0.1")
+    assert(probe.isEmpty, "no probe line → no probe reference")
     assert(gates("hash_agg_sum") === Bench.RefGate(1.287, "c6a4fab6", 27.5))
     assert(gates.size === 2)
     intercept[IllegalArgumentException](
       Bench.parseReference(Seq("sf=sf0.1", "badrow 1.0")))
     intercept[IllegalArgumentException](Bench.parseReference(Seq("no_sf_line")))
+  }
+
+  test("parseReference reads the optional machine-probe line") {
+    val (_, probe, gates) = Bench.parseReference(Seq(
+      "sf=sf0.1", "probe=0.312,0.841",
+      "hash_agg_sum 1.287 c6a4fab6 27.500"))
+    assert(probe === Some((0.312, 0.841)))
+    assert(gates.size === 1)
+    // a malformed probe line fails loudly, same contract as gate rows
+    intercept[IllegalArgumentException](
+      Bench.parseReference(Seq("sf=sf0.1", "probe=oops")))
+  }
+
+  test("cpuProbe: deterministic workload returns plausible positive timings") {
+    // 2 threads keeps the unit test cheap; the probe must be strictly
+    // positive and the multi pass (same per-core work on every core,
+    // run concurrently) cannot beat a single core's pass
+    val (single, multi) = Bench.cpuProbe(2)
+    assert(single > 0 && multi > 0)
+    assert(multi >= single * 0.5, s"multi $multi implausibly fast vs single $single")
   }
 }
