@@ -141,8 +141,22 @@ def main():
                    if to is not None and tn is not None)
 
     old_v, new_v = old_doc.get("value"), new_doc.get("value")
-    print(f"old: {args[0]}  value={old_v}  contended={old_doc.get('contended', False)}")
-    print(f"new: {args[1]}  value={new_v}  contended={new_doc.get('contended', False)}")
+    def probe_note(doc):
+        # machine-calibration probe (round 12): CPU/bandwidth ground
+        # truth per run. machine_slow localizes CPU-side contention;
+        # a FLAT probe on an inflated run localizes the contention to
+        # I/O (the probe cannot see shared-disk pressure).
+        p = doc.get("probe")
+        if not p:
+            return ""
+        vs = p.get("vs_ref")
+        tag = "machine_slow" if p.get("machine_slow") else (
+            f"probe_vs_ref={vs}" if vs is not None else "probe(no ref)")
+        return f"  {tag}"
+    print(f"old: {args[0]}  value={old_v}  contended={old_doc.get('contended', False)}"
+          + probe_note(old_doc))
+    print(f"new: {args[1]}  value={new_v}  contended={new_doc.get('contended', False)}"
+          + probe_note(new_doc))
     if suspect:
         ratio = (sum_to / sum_tn) if suspect == "old" else (sum_tn / sum_to)
         print(f"WARNING: {suspect} run looks inflated — same-plan quiet totals "
