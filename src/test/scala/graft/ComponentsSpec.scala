@@ -90,6 +90,36 @@ class ComponentsSpec extends SparkSpec {
       s"resolve took ${res.resolveRounds} jumps (expected <= 2: members sit one hop from their root)")
   }
 
+  test("random graphs: exact min labels on every topology scalacheck draws") {
+    // property: whatever the edge set — duplicates, self-loops, hubs,
+    // long chains, disjoint pieces — the distributed loop's labels equal
+    // the driver union-find oracle's. Fixed-seed parameters with few
+    // cases: each case is a full Spark loop (~1 s), and the fixed
+    // topology tests above already cover the known-hard classes; this
+    // property exists to catch the interactions nobody thought to pin.
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val graphGen = for {
+      n <- Gen.choose(2, 40)                       // vertex universe
+      m <- Gen.choose(1, 60)                       // edge count
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n.toLong - 1)
+        b <- Gen.choose(0L, n.toLong - 1)
+      } yield (a, b))
+    } yield edges
+    val prop = Prop.forAll(graphGen) { edges =>
+      // self-loops are legal pairs (a doc trivially near-dups itself);
+      // the oracle treats them as no-ops, and so must the loop
+      val (got, _) = run(edges)
+      val want = unionFind(edges)
+      got == want
+    }
+    val params = SCTest.Parameters.default
+      .withMinSuccessfulTests(6)
+      .withInitialSeed(org.scalacheck.rng.Seed(12L))
+    val result = SCTest.check(params, prop)
+    assert(result.passed, s"property failed: $result")
+  }
+
   test("singleton assembly: gate output keeps every doc exactly once") {
     val rows = SparkEntry.queries("dedup_connected_components")(spark, d).collect()
     val nDocs = graft.tables.Tables.documents(spark, d).count()
