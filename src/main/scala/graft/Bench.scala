@@ -88,6 +88,38 @@ object Bench {
       } finally src.close()
     } catch { case _: Exception => -1.0 }
 
+  /** Cumulative hypervisor steal seconds (/proc/stat field 8): CPU the
+    * host gave to a co-tenant while this VM had runnable work — the one
+    * contention mode `other_cores` arithmetic dilutes (steal is charged
+    * system-wide, so a fraction of a core across a long window stays
+    * under the per-gate threshold while still stretching every task).
+    * -1 when unreadable.
+    */
+  private def stealSec(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val f = src.getLines().next().trim.split("\\s+").drop(1).map(_.toDouble)
+        if (f.length > 7) f(7) / 100.0 else -1.0
+      } finally src.close()
+    } catch { case _: Exception => -1.0 }
+
+  /** PSI stall totals in seconds: (cpu some, io full) — direct kernel
+    * evidence of time spent stalled on CPU contention / IO saturation.
+    * (-1, -1) when /proc/pressure is absent (pre-4.20 kernel or PSI off).
+    */
+  private def psiSec(): (Double, Double) = {
+    def total(path: String, line: String): Double =
+      try {
+        val src = scala.io.Source.fromFile(path)
+        try src.getLines().find(_.startsWith(line))
+          .flatMap(_.split("total=").lift(1)).map(_.trim.toDouble / 1e6)
+          .getOrElse(-1.0)
+        finally src.close()
+      } catch { case _: Exception => -1.0 }
+    (total("/proc/pressure/cpu", "some"), total("/proc/pressure/io", "full"))
+  }
+
   private def loadAvg1(): Double =
     try {
       val src = scala.io.Source.fromFile("/proc/loadavg")
@@ -455,8 +487,12 @@ object Bench {
 
     // machine-calibration probe, BEFORE the sweep (paired with a second
     // run after it — together they bracket every timed window; see the
-    // probe section above)
+    // probe section above). Steal/PSI counters sampled at the same two
+    // points: their deltas are direct kernel evidence of hypervisor
+    // steal and stall pressure across the whole sweep.
     val probeStart = Bench.cpuProbe(cpus.toInt)
+    val stealStart = stealSec()
+    val psiStart = psiSec()
 
     selected.flatMap(Bench.families).distinct.sorted.foreach(run)
 
@@ -609,8 +645,19 @@ object Bench {
         val slow = if (ratio > Bench.InflatedVsRef) ""","machine_slow":true""" else ""
         s""","vs_ref":${r2s(ratio)}$slow"""
       }.getOrElse("")
+      // sweep-wide kernel contention evidence: hypervisor steal and PSI
+      // stall deltas. Unknowable on either side → field omitted, never a
+      // guessed zero (the sysBusySec convention).
+      def delta(a: Double, b: Double): Option[Double] =
+        if (a >= 0 && b >= 0) Some(math.max(0.0, b - a)) else None
+      val stealField = delta(stealStart, stealSec())
+        .map(d => s""","steal_sec":${r3s(d)}""").getOrElse("")
+      val (psiCpuEnd, psiIoEnd) = psiSec()
+      val psiField =
+        delta(psiStart._1, psiCpuEnd).map(d => s""","psi_cpu_sec":${r3s(d)}""").getOrElse("") +
+        delta(psiStart._2, psiIoEnd).map(d => s""","psi_io_sec":${r3s(d)}""").getOrElse("")
       s""","probe":{"single_start":${r3s(probeStart._1)},"multi_start":${r3s(probeStart._2)}""" +
-        s""","single_end":${r3s(probeEnd._1)},"multi_end":${r3s(probeEnd._2)}$vs}"""
+        s""","single_end":${r3s(probeEnd._1)},"multi_end":${r3s(probeEnd._2)}$vs$stealField$psiField}"""
     }
 
     // Deliberate reference (re)generation — run on a QUIET machine, like
