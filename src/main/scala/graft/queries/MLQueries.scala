@@ -1591,6 +1591,46 @@ $blockSql
              |    AS lex_tokens
              |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Corpus vocabulary profile: Zipf fit over the top-1000 word
+    // frequencies — the standard data-quality monitor for a pretraining
+    // corpus (natural language sits near slope -1 on log10(count) vs
+    // log10(rank); templated/synthetic/boilerplate-heavy corpora read
+    // much flatter or steeper, so the slope is a one-number drift alarm
+    // for a 100 TB ingest). Plan: explode → word count (shuffle with
+    // map-side combine) → TakeOrdered top-1000 (per-partition top-k,
+    // driver merge — NEVER a global sort of the vocabulary) → rank via
+    // row_number over the bounded 1000-row result (single partition by
+    // construction, legal at any corpus size) → regr_slope/intercept
+    // built-ins. Ties rank by word for cross-engine determinism; r6
+    // bounds the float-accumulation-order drift of the regression sums.
+    NamedQuery(
+      "text_zipf_fit",
+      (s, d) => {
+        val wc = Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("word")).limit(1000)
+        wc.withColumn("rank", row_number().over(
+            Window.orderBy(col("cnt").desc, col("word"))))
+          .agg(
+            r6(expr("regr_slope(log10(cnt), log10(rank))")).as("zipf_slope"),
+            r6(expr("regr_intercept(log10(cnt), log10(rank))")).as("zipf_intercept"),
+            count(lit(1)).as("n_ranks"))
+      },
+      Some(s"""WITH wc AS (
+              |  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+              |    SELECT UNNEST(string_split(text, ' ')) AS word FROM documents
+              |  ) GROUP BY 1
+              |), top AS (
+              |  SELECT word, cnt,
+              |    ROW_NUMBER() OVER (ORDER BY cnt DESC, word) AS rank
+              |  FROM wc ORDER BY cnt DESC, word LIMIT 1000
+              |)
+              |SELECT ${r6Sql("regr_slope(log10(cnt), log10(rank))")} AS zipf_slope,
+              |  ${r6Sql("regr_intercept(log10(cnt), log10(rank))")} AS zipf_intercept,
+              |  CAST(COUNT(*) AS BIGINT) AS n_ranks
+              |FROM top""".stripMargin)),
+
     // Document fingerprinting: position-weighted hash over md5-prefix word
     // ids — scan → narrow map → one groupBy(doc_id): no vocabulary table,
     // no rank sort, no join. The inner mod keeps (pos+1)*wid*2654435761
