@@ -79,14 +79,19 @@ object Bench {
   /** System-wide busy CPU seconds since boot from /proc/stat line 1
     * (everything except idle and iowait, at USER_HZ = 100); -1 off-Linux.
     */
-  private def sysBusySec(): Double =
+  /** One atomic parse of /proc/stat's first line (the aggregate cpu
+    * row, fields at USER_HZ = 100); None off-Linux. Shared by the busy
+    * and steal readers so the two never sample different instants.
+    */
+  private def procStatFields(): Option[Array[Double]] =
     try {
       val src = scala.io.Source.fromFile("/proc/stat")
-      try {
-        val f = src.getLines().next().trim.split("\\s+").drop(1).map(_.toDouble)
-        (f.sum - f(3) - f(4)) / 100.0
-      } finally src.close()
-    } catch { case _: Exception => -1.0 }
+      try Some(src.getLines().next().trim.split("\\s+").drop(1).map(_.toDouble))
+      finally src.close()
+    } catch { case _: Exception => None }
+
+  private def sysBusySec(): Double =
+    procStatFields().map(f => (f.sum - f(3) - f(4)) / 100.0).getOrElse(-1.0)
 
   /** Cumulative hypervisor steal seconds (/proc/stat field 8): CPU the
     * host gave to a co-tenant while this VM had runnable work — the one
@@ -96,13 +101,7 @@ object Bench {
     * -1 when unreadable.
     */
   private def stealSec(): Double =
-    try {
-      val src = scala.io.Source.fromFile("/proc/stat")
-      try {
-        val f = src.getLines().next().trim.split("\\s+").drop(1).map(_.toDouble)
-        if (f.length > 7) f(7) / 100.0 else -1.0
-      } finally src.close()
-    } catch { case _: Exception => -1.0 }
+    procStatFields().filter(_.length > 7).map(_(7) / 100.0).getOrElse(-1.0)
 
   /** PSI stall totals in seconds: (cpu some, io full) — direct kernel
     * evidence of time spent stalled on CPU contention / IO saturation.
@@ -306,22 +305,32 @@ object Bench {
     (single, multi)
   }
 
+  /** Quiet-machine probe reference: single/multi pass seconds and the
+    * thread count the multi pass ran at. The multi workload is
+    * per-thread (each thread runs the full pass count), so its seconds
+    * are only comparable at the SAME thread count — `threads` = -1 marks
+    * a legacy 2-field line whose count is unknown (multi comparison is
+    * then skipped; single is thread-independent and always compares).
+    */
+  private[graft] final case class RefProbe(single: Double, multi: Double, threads: Int)
+
   /** Parse the reference file: first line `sf=<dir tail>`, then an
-    * OPTIONAL `probe=<single>,<multi>` quiet-machine probe line, then one
-    * `<gate> <steady> <plan> <cpuWall>` row per line. Malformed rows fail
-    * loudly — a half-readable reference silently weakening the self-check
-    * is worse than no reference.
+    * OPTIONAL `probe=<single>,<multi>,<threads>` quiet-machine probe
+    * line, then one `<gate> <steady> <plan> <cpuWall>` row per line.
+    * Malformed rows fail loudly — a half-readable reference silently
+    * weakening the self-check is worse than no reference.
     */
   private[graft] def parseReference(
-      lines: Seq[String]): (String, Option[(Double, Double)], Map[String, RefGate]) = {
+      lines: Seq[String]): (String, Option[RefProbe], Map[String, RefGate]) = {
     val content = lines.map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
     require(content.nonEmpty && content.head.startsWith("sf="),
       s"$ReferencePath: first non-comment line must be sf=<tail>")
     val probe = content.tail.headOption.filter(_.startsWith("probe=")).map { l =>
       l.stripPrefix("probe=").split(",") match {
-        case Array(s, m) => (s.toDouble, m.toDouble)
+        case Array(s, m, t) => RefProbe(s.toDouble, m.toDouble, t.toInt)
+        case Array(s, m) => RefProbe(s.toDouble, m.toDouble, -1) // legacy line
         case _ => throw new IllegalArgumentException(
-          s"$ReferencePath: bad probe line '$l' (want: probe=<single>,<multi>)")
+          s"$ReferencePath: bad probe line '$l' (want: probe=<single>,<multi>,<threads>)")
       }
     }
     val gateLines = if (probe.isDefined) content.tail.tail else content.tail
@@ -350,7 +359,7 @@ object Bench {
     * stderr note, then None: absent, never a false verdict.
     */
   private[graft] def loadReference(
-      sfTail: String): Option[(Option[(Double, Double)], Map[String, RefGate])] = {
+      sfTail: String): Option[(Option[RefProbe], Map[String, RefGate])] = {
     val p = java.nio.file.Paths.get(ReferencePath)
     val lines: Option[Seq[String]] =
       if (java.nio.file.Files.exists(p))
@@ -487,10 +496,15 @@ object Bench {
 
     // machine-calibration probe, BEFORE the sweep (paired with a second
     // run after it — together they bracket every timed window; see the
-    // probe section above). Steal/PSI counters sampled at the same two
-    // points: their deltas are direct kernel evidence of hypervisor
-    // steal and stall pressure across the whole sweep.
-    val probeStart = Bench.cpuProbe(cpus.toInt)
+    // probe section above). Skipped on a BENCH_ONLY-filtered iteration
+    // run (the ~2 s probe would dominate a one-gate loop and its output
+    // is never committed) unless SPARK_GRAFT_PROBE=1 forces it — e.g.
+    // when using a single-gate run purely to read the machine state.
+    // Steal/PSI counters sampled AFTER the start probe and BEFORE the
+    // end probe: the window covers exactly the sweep, so the probes' own
+    // all-core burn cannot masquerade as foreign steal/stall pressure.
+    val probeOn = only.isEmpty || sys.env.get("SPARK_GRAFT_PROBE").contains("1")
+    val probeStart = if (probeOn) Some(Bench.cpuProbe(cpus.toInt)) else None
     val stealStart = stealSec()
     val psiStart = psiSec()
 
@@ -630,34 +644,47 @@ object Bench {
       s""","vs_reference":${r2s(ratio)},"n_ref_matched":${matched.size}$infl"""
     }.getOrElse("")
 
-    // machine-calibration probe, sweep end — with the start pair it
-    // brackets every timed window; vs_ref takes the WORSE of the four
-    // ratios against the committed quiet-machine probe (the question is
-    // "was the machine degraded at any point", not "on average")
-    val probeEnd = Bench.cpuProbe(cpus.toInt)
-    val probeField = {
-      // 3 decimals: the probe passes are ~0.2-0.4 s, so 2 would quantize
-      // the ratio the machine_slow verdict hangs on by >10%
-      def r3s(x: Double): String = (math.floor(x * 1000 + 0.5) / 1000).toString
-      val vs = probeRef.map { case (rs, rm) =>
-        val ratio = Seq(probeStart._1 / rs, probeEnd._1 / rs,
-          probeStart._2 / rm, probeEnd._2 / rm).max
-        val slow = if (ratio > Bench.InflatedVsRef) ""","machine_slow":true""" else ""
-        s""","vs_ref":${r2s(ratio)}$slow"""
-      }.getOrElse("")
-      // sweep-wide kernel contention evidence: hypervisor steal and PSI
-      // stall deltas. Unknowable on either side → field omitted, never a
-      // guessed zero (the sysBusySec convention).
-      def delta(a: Double, b: Double): Option[Double] =
-        if (a >= 0 && b >= 0) Some(math.max(0.0, b - a)) else None
-      val stealField = delta(stealStart, stealSec())
-        .map(d => s""","steal_sec":${r3s(d)}""").getOrElse("")
-      val (psiCpuEnd, psiIoEnd) = psiSec()
-      val psiField =
-        delta(psiStart._1, psiCpuEnd).map(d => s""","psi_cpu_sec":${r3s(d)}""").getOrElse("") +
-        delta(psiStart._2, psiIoEnd).map(d => s""","psi_io_sec":${r3s(d)}""").getOrElse("")
-      s""","probe":{"single_start":${r3s(probeStart._1)},"multi_start":${r3s(probeStart._2)}""" +
-        s""","single_end":${r3s(probeEnd._1)},"multi_end":${r3s(probeEnd._2)}$vs$stealField$psiField}"""
+    // Steal/PSI end samples BEFORE the end probe (the probe's own
+    // all-core burn must not read as foreign pressure); then the end
+    // probe — with the start pair it brackets every timed window.
+    // vs_ref takes the WORSE of the comparable ratios against the
+    // committed quiet-machine probe (the question is "was the machine
+    // degraded at any point", not "on average"). The multi ratios only
+    // compare when the reference records the SAME thread count — the
+    // multi workload is per-thread, so seconds at a different count are
+    // not the same measurement (a legacy 2-field probe line compares
+    // single only).
+    val stealEnd = stealSec()
+    val psiEnd = psiSec()
+    val probeEnd = if (probeOn) Some(Bench.cpuProbe(cpus.toInt)) else None
+    val probeField = (probeStart, probeEnd) match {
+      case (Some(ps), Some(pe)) =>
+        // 3 decimals: the probe passes are ~0.2-0.4 s, so 2 would
+        // quantize the ratio the machine_slow verdict hangs on by >10%
+        def r3s(x: Double): String = (math.floor(x * 1000 + 0.5) / 1000).toString
+        val vs = probeRef.map { ref =>
+          val singles = Seq(ps._1 / ref.single, pe._1 / ref.single)
+          val multis =
+            if (ref.threads == cpus.toInt) Seq(ps._2 / ref.multi, pe._2 / ref.multi)
+            else Seq.empty
+          val ratio = (singles ++ multis).max
+          val slow = if (ratio > Bench.InflatedVsRef) ""","machine_slow":true""" else ""
+          s""","vs_ref":${r2s(ratio)}$slow"""
+        }.getOrElse("")
+        // sweep-wide kernel contention evidence: hypervisor steal and
+        // PSI stall deltas. Unknowable on either side → field omitted,
+        // never a guessed zero (the sysBusySec convention).
+        def delta(a: Double, b: Double): Option[Double] =
+          if (a >= 0 && b >= 0) Some(math.max(0.0, b - a)) else None
+        val stealField = delta(stealStart, stealEnd)
+          .map(d => s""","steal_sec":${r3s(d)}""").getOrElse("")
+        val psiField =
+          delta(psiStart._1, psiEnd._1).map(d => s""","psi_cpu_sec":${r3s(d)}""").getOrElse("") +
+          delta(psiStart._2, psiEnd._2).map(d => s""","psi_io_sec":${r3s(d)}""").getOrElse("")
+        s""","probe":{"single_start":${r3s(ps._1)},"multi_start":${r3s(ps._2)}""" +
+          s""","single_end":${r3s(pe._1)},"multi_end":${r3s(pe._2)}""" +
+          s""","threads":${cpus.toInt}$vs$stealField$psiField}"""
+      case _ => ""
     }
 
     // Deliberate reference (re)generation — run on a QUIET machine, like
@@ -688,15 +715,23 @@ object Bench {
           String.format(java.util.Locale.ROOT, "%s %.3f %s %.3f",
             k, Double.box(s), c.plan, Double.box(e))
         }
-      // probe reference: min-merged like the gate rows (best observed
-      // seconds per mode = closest to the machine's intrinsic speed)
+      // probe reference: single min-merged like the gate rows (best
+      // observed = intrinsic); multi min-merged ONLY when the prior
+      // line's thread count matches this run's (a changed-plan-style
+      // reset otherwise — multi seconds at a different count are a
+      // different measurement). A regen run always has live probes
+      // (regen requires the full registry, and probes only skip on
+      // filtered runs).
+      val (ps, pe) = (probeStart.get, probeEnd.get)
+      val sameThreads = probeRef.filter(_.threads == cpus.toInt)
       val mergedProbe = (
-        math.min(probeRef.map(_._1).getOrElse(Double.MaxValue),
-          math.min(probeStart._1, probeEnd._1)),
-        math.min(probeRef.map(_._2).getOrElse(Double.MaxValue),
-          math.min(probeStart._2, probeEnd._2)))
-      val probeLine = String.format(java.util.Locale.ROOT, "probe=%.3f,%.3f",
-        Double.box(mergedProbe._1), Double.box(mergedProbe._2))
+        math.min(probeRef.map(_.single).getOrElse(Double.MaxValue),
+          math.min(ps._1, pe._1)),
+        math.min(sameThreads.map(_.multi).getOrElse(Double.MaxValue),
+          math.min(ps._2, pe._2)))
+      val probeLine = String.format(java.util.Locale.ROOT, "probe=%.3f,%.3f,%d",
+        Double.box(mergedProbe._1), Double.box(mergedProbe._2),
+        Integer.valueOf(cpus.toInt))
       val header = "# per-gate quiet-run bench reference (generated by " +
         s"SPARK_GRAFT_REGEN_BENCH_REFERENCE=1; see Bench.scala)\nsf=$sfTail\n$probeLine"
       val body = (header +: rows).mkString("", "\n", "\n")

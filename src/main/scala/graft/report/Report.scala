@@ -276,6 +276,11 @@ object Report {
       |    }, { passive: false });
       |    var drag = null;
       |    svg.addEventListener("mousedown", function (e) {
+      |      // a press on a legend entry is a toggle click, not a pan:
+      |      // arming the drag here would jiggle the viewBox on every
+      |      // slightly-imprecise legend click (mousedown fires before
+      |      // click, so the toggle handler cannot stop it)
+      |      if (e.target.closest && e.target.closest("g.lg")) { return; }
       |      e.preventDefault();
       |      drag = [e.clientX, e.clientY, vb[0], vb[1]];
       |    });

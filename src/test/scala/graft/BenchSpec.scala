@@ -191,10 +191,15 @@ class BenchSpec extends AnyFunSuite {
 
   test("parseReference reads the optional machine-probe line") {
     val (_, probe, gates) = Bench.parseReference(Seq(
-      "sf=sf0.1", "probe=0.312,0.841",
+      "sf=sf0.1", "probe=0.312,0.841,32",
       "hash_agg_sum 1.287 c6a4fab6 27.500"))
-    assert(probe === Some((0.312, 0.841)))
+    assert(probe === Some(Bench.RefProbe(0.312, 0.841, 32)))
     assert(gates.size === 1)
+    // a legacy 2-field line parses with threads = -1 (multi comparison
+    // is then skipped — the count it was measured at is unknown)
+    val (_, legacy, _) = Bench.parseReference(Seq(
+      "sf=sf0.1", "probe=0.312,0.841"))
+    assert(legacy === Some(Bench.RefProbe(0.312, 0.841, -1)))
     // a malformed probe line fails loudly, same contract as gate rows
     intercept[IllegalArgumentException](
       Bench.parseReference(Seq("sf=sf0.1", "probe=oops")))
