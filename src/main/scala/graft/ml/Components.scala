@@ -62,6 +62,24 @@ object Components {
     * at a scratch temp dir (a production deployment sets an HDFS/S3
     * path).
     */
+  /** The scratch checkpoint dir this object created, if any — tracked so
+    * the exit hook (and specs) can remove it; never set for a
+    * user-configured checkpoint dir, which we must not touch.
+    */
+  @volatile private[graft] var scratchCkptDir: Option[java.io.File] = None
+
+  /** Recursively delete the scratch checkpoint dir (idempotent; no-op when
+    * the session's checkpoint dir was user-configured). Called from the
+    * JVM shutdown hook registered at creation; callable directly by specs.
+    */
+  private[graft] def cleanupScratchCkptDir(): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    scratchCkptDir.foreach(rm)
+    scratchCkptDir = None
+  }
+
   private[graft] def ckpt(df: DataFrame, eager: Boolean = true): DataFrame = {
     val s = df.sparkSession
     import graft.queries.QueryDsl.boolFlag
@@ -69,9 +87,17 @@ object Components {
       sys.env.get("SPARK_GRAFT_RELIABLE_CHECKPOINT").exists(boolFlag) ||
       s.conf.getOption("spark.graft.reliableCheckpoint").exists(boolFlag)
     if (reliable) {
-      if (s.sparkContext.getCheckpointDir.isEmpty)
-        s.sparkContext.setCheckpointDir(
-          java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+      if (s.sparkContext.getCheckpointDir.isEmpty) {
+        // scratch fallback only — registered for JVM-exit cleanup so a
+        // long-lived embedding session doesn't litter the temp volume
+        // (round 13); a production deployment sets an HDFS/S3 dir itself
+        // and owns its lifecycle (we never delete a user-configured dir)
+        val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
+        scratchCkptDir = Some(dir.toFile)
+        Runtime.getRuntime.addShutdownHook(
+          new Thread(() => cleanupScratchCkptDir(), "graft-ckpt-cleanup"))
+        s.sparkContext.setCheckpointDir(dir.toString)
+      }
       df.checkpoint(eager)
     } else df.localCheckpoint(eager)
   }

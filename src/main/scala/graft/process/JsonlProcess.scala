@@ -231,14 +231,21 @@ object JsonlProcess {
   /** Collect at most `bound` dictionary rows — one extra row is fetched
     * as the overflow sentinel, so the guard costs no second aggregation
     * pass and never materializes an unbounded result on the driver.
+    * Shared with [[RawProcess.buildDictionaries]] (round 13): ONE
+    * definition guards every dictionary collect in the repo, so neither
+    * obfuscation path can regress to an unbounded driver materialization.
+    * `escape` names the caller-appropriate way out (the normalized path
+    * has `--hash-tokens`; the raw path points at it).
     */
-  private def collectBounded(names: DataFrame, bound: Long,
-      what: String): Array[org.apache.spark.sql.Row] = {
+  private[process] def collectBounded(names: DataFrame, bound: Long,
+      what: String,
+      escape: String = "Use --hash-tokens (pure-function tokens, no total-order sort)")
+      : Array[org.apache.spark.sql.Row] = {
     val rows = names.limit(bound.toInt + 1).collect()
     require(rows.length <= bound,
       s"$what: more than $bound distinct names — this dictionary is no " +
         "longer catalog-metadata-sized and would exhaust driver memory. " +
-        "Use --hash-tokens (pure-function tokens, no total-order sort), " +
+        s"$escape, " +
         "raise spark.graft.maxDictNames deliberately, or pre-filter the corpus.")
     rows
   }

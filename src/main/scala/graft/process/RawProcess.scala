@@ -233,12 +233,22 @@ object RawProcess {
       }
     }.toDF("group", "name", "path", "occ")
     // first occurrence per (group, name) across the corpus, then the
-    // reference's sequential numbering = rank of that first occurrence
-    val firsts = occurrences
-      .groupBy(col("group"), col("name"))
-      .agg(org.apache.spark.sql.functions.min(
-        org.apache.spark.sql.functions.struct(col("path"), col("occ"))).as("first"))
-      .collect()
+    // reference's sequential numbering = rank of that first occurrence.
+    // Round 13: the collect goes through the ONE shared bounded helper
+    // (JsonlProcess.collectBounded) — same driver-OOM guard the
+    // normalized path got in round 12, same `spark.graft.maxDictNames`
+    // knob. The bound covers all rename groups' rows together: it is a
+    // driver-memory guard and this is the single collect carrying them.
+    val firsts = JsonlProcess.collectBounded(
+      occurrences
+        .groupBy(col("group"), col("name"))
+        .agg(org.apache.spark.sql.functions.min(
+          org.apache.spark.sql.functions.struct(col("path"), col("occ"))).as("first")),
+      JsonlProcess.maxDictNames(docs.sparkSession),
+      "raw obfuscation dictionary (all rename groups)",
+      escape = "Switch to the normalized path's --hash-tokens " +
+        "(extract + `process ... --hash-tokens`: pure-function tokens, " +
+        "no driver-held dictionary)")
     val prefixOf = active.map { case (id, prefix, _) => id -> prefix }.toMap
     firsts.groupBy(_.getString(0)).map { case (g, rows) =>
       g -> rows

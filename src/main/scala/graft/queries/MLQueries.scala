@@ -506,8 +506,9 @@ $blockSql
     * cleaner on contract grounds — construction stays pure planning and
     * clearCache() reclaims it — but cached subplans execute WITHOUT AQE
     * (the cached relation's output partitioning is pinned), and this
-    * chain without AQE measured ~3x slower; the family benched
-    * calibration 2.5 s -> 12.3 s and own-CPU 13 s -> 76 s on persist.
+    * chain without AQE measured ~5x slower per consumer: the family
+    * benched calibration 2.5 s -> 12.3 s (~4.9x) and own-CPU
+    * 13 s -> 76 s (~5.8x) on persist (same figures in SCALE.md).
     * Costs of the ckpt choice, accepted knowingly: (a) constructing a
     * consumer DataFrame runs the signature job at construction time —
     * .explain/fingerprint callers pay it once; (b) checkpoint blocks are
@@ -794,7 +795,10 @@ $blockSql
       "dedup_connected_components",
       (s, d) => {
         val docs = Tables.documents(s, d).select(col("doc_id"))
-        val hp = Components.timed("hammingPairs plan build")(
+        // NOT a pure plan-build span: hammingPairs construction runs the
+        // signature chain's eager checkpoint (see its scaladoc), so this
+        // wall time includes that execution — labelled accordingly
+        val hp = Components.timed("hammingPairs construct (runs nib ckpt)")(
           hammingPairs(s, d).select(col("doc_a"), col("doc_b")))
         val active = Components.timed("minLabel total")(
           Components.minLabel(hp).labels)

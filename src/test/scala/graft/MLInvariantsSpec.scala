@@ -208,6 +208,20 @@ class MLInvariantsSpec extends SparkSpec {
     try {
       val reliable = SparkEntry.queries("dedup_connected_components")(spark, d).collect()
       assert(reliable.toSeq === dflt.toSeq)
+      // round 13: the scratch checkpoint dir Components created for this
+      // run is registered for exit cleanup; invoke the cleanup directly
+      // and verify no orphan dir survives a RELIABLE-mode session
+      graft.ml.Components.scratchCkptDir match {
+        case Some(dir) =>
+          assert(dir.getName.startsWith("graft-ckpt"))
+          graft.ml.Components.cleanupScratchCkptDir()
+          assert(!dir.exists(), s"scratch checkpoint dir $dir survived cleanup")
+          assert(graft.ml.Components.scratchCkptDir.isEmpty)
+        case None =>
+          // another suite in this JVM may have set a checkpoint dir first;
+          // then Components must NOT have claimed ownership of it
+          assert(spark.sparkContext.getCheckpointDir.isDefined)
+      }
     } finally spark.conf.unset("spark.graft.reliableCheckpoint")
   }
 

@@ -141,4 +141,25 @@ class RawProcessSpec extends SparkSpec {
     val out = run(Options(limit = Some(2)))
     assert(out.keySet === Set("q1", "q2"))
   }
+
+  test("dictionary collect is bounded by spark.graft.maxDictNames (round 13)") {
+    // the raw path routes its first-occurrence collect through the SAME
+    // bounded helper as the normalized path (JsonlProcess.collectBounded):
+    // the schema dictionary here has 2 names (web, sales), so a bound of 1
+    // must fail loudly with the raw-path escape hint, and a bound of 2
+    // must pass and produce the identical tokens as the unguarded run
+    try {
+      spark.conf.set("spark.graft.maxDictNames", "1")
+      val e = intercept[IllegalArgumentException] {
+        run(Options(renameSchemas = true))
+      }
+      assert(e.getMessage.contains("raw obfuscation dictionary"))
+      assert(e.getMessage.contains("--hash-tokens"))
+
+      spark.conf.set("spark.graft.maxDictNames", "2")
+      val ok = run(Options(renameSchemas = true))
+      assert(ok("q1").get("inputs").get(0).get("schema").asText() === "schema0")
+      assert(ok("q2").get("inputs").get(0).get("schema").asText() === "schema1")
+    } finally spark.conf.unset("spark.graft.maxDictNames")
+  }
 }
