@@ -125,10 +125,52 @@ object Components {
     * hit fails loudly (labels are only correct at a fixpoint; a
     * silently-wrong component map is the one unacceptable outcome).
     */
+  /** Loop-local shuffle-partition cap (round 13, the GateStream
+    * streamShufflePartitions pattern): per-round data in the label loop
+    * is a few thousand rows, but every exchange otherwise runs at the
+    * session's partition count across ~13 AQE plan materializations —
+    * pure task-launch fixed cost at gate scale. Eight partitions keep
+    * the tiny per-round shuffles parallel enough locally; a real
+    * deployment sizes the session conf to its cluster and this cap
+    * follows it DOWNWARD only (never exceeds the session setting), so
+    * at 100 TB — where the candidate graph is large and the session
+    * conf is thousands — the loop still fans out (set
+    * SPARK_GRAFT_CC_SHUFFLE to the expected active-vertex scale).
+    * Scoped: the cap applies AFTER the candidate-pair materialization
+    * (the heavy chain, which wants full parallelism) and is restored
+    * before return; all loop checkpoints materialize inside the scope
+    * (each batch's count() is the materializing action), so the
+    * consumer gate's own plan runs at the untouched session conf.
+    */
+  private[graft] def loopShufflePartitions(spark: org.apache.spark.sql.SparkSession): Int = {
+    val cap = sys.env.get("SPARK_GRAFT_CC_SHUFFLE").map(_.trim).filter(_.nonEmpty)
+      .map { raw =>
+        val n = try raw.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"SPARK_GRAFT_CC_SHUFFLE must be a positive int, got '$raw'")
+        }
+        require(n > 0, s"SPARK_GRAFT_CC_SHUFFLE must be a positive int, got $n")
+        n
+      }.getOrElse(8)
+    math.min(cap, spark.conf.get("spark.sql.shuffle.partitions").toInt)
+  }
+
+  private def withLoopShuffle[T](spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val priorParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", loopShufflePartitions(spark).toString)
+    try body finally spark.conf.set("spark.sql.shuffle.partitions", priorParts)
+  }
+
   def minLabel(pairs: DataFrame, maxRounds: Int = 25): Result = {
-    // pairs materialized ONCE; the symmetric edge list and the active
-    // vertex set are then cheap projections of the checkpointed rows
+    // pairs materialized ONCE (at the session's full parallelism — this
+    // is the candidate chain's real work); the symmetric edge list and
+    // the active vertex set are then cheap projections of the
+    // checkpointed rows
     val p = timed("pairs ckpt")(ckpt(pairs.select(col("doc_a"), col("doc_b"))))
+    withLoopShuffle(p.sparkSession) { minLabelLoop(p, maxRounds) }
+  }
+
+  private def minLabelLoop(p: DataFrame, maxRounds: Int): Result = {
     val edges0 = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     var labels = ckpt(
@@ -181,8 +223,8 @@ object Components {
     var live = 1L
     var rounds = 0
     while (live > 0 && rounds < maxRounds) {
-      val r1 = round(labels, liveEdges)
-      val r2 = round(r1._1, r1._2)
+      val r1 = timed(s"round ${rounds + 1} build (lazy ckpts)")(round(labels, liveEdges))
+      val r2 = timed(s"round ${rounds + 2} build (lazy ckpts)")(round(r1._1, r1._2))
       labels = r2._1
       liveEdges = r2._2
       rounds += 2
@@ -207,7 +249,8 @@ object Components {
     var moved = 1L
     var resolves = 0
     while (moved > 0 && resolves < maxRounds) {
-      val next = jump(jump(labels))
+      val next = timed(s"jump ${resolves + 1}-${resolves + 2} build (lazy ckpts)")(
+        jump(jump(labels)))
       moved = timed(s"resolve batch (jumps ${resolves + 1}-${resolves + 2})")(next
         .join(labels.select(col("doc_id"), col("comp").as("prev")), "doc_id")
         .filter(col("comp") =!= col("prev")).count())
