@@ -237,8 +237,12 @@ object Bench {
   // (ALU + memory-bandwidth sensitive), timed single-threaded and on all
   // cores, at sweep start AND end. Against the committed quiet-machine
   // probe reference, a slow machine self-reports (`probe.vs_ref`,
-  // `machine_slow` past the same 1.3x bar as inflated_vs_reference) even
-  // when every other marker is clean. Informational by design: the
+  // `machine_slow` past the [[ProbeSlowRatio]] bar) even when every
+  // other marker is clean — and the mean single-thread ratio
+  // ([[probeAdj]]) normalizes every vs_ref comparison, so a sweep on a
+  // degraded box stops publishing machine noise as per-gate regression
+  // (round 13's record carried vs_ref 8.0/4.6/4.2 for plan-identical
+  // gates that quiet-benched at 0.26-1.14 s). Informational by design: the
   // round-record provenance test does NOT assert it, because on a day
   // where the machine never recovers there must still be SOME committable
   // record — the flag makes the degradation readable, not fatal.
@@ -313,6 +317,48 @@ object Bench {
     * then skipped; single is thread-independent and always compares).
     */
   private[graft] final case class RefProbe(single: Double, multi: Double, threads: Int)
+
+  /** machine_slow bar for the probe, deliberately LOOSER than
+    * [[InflatedVsRef]] (round 14, closing the r13 ADVICE item): the
+    * committed probe reference is min-merged across regens, so it
+    * converges to the all-time-fastest pass ever observed — a perfectly
+    * quiet run then reads 1.0-1.3× from CPU frequency/turbo jitter
+    * alone. 1.5 sits above that band but far under the 1.57-1.8×
+    * degradations the flag exists to catch (rounds 12-13 driver boxes).
+    * The numeric `probe.vs_ref` is always emitted either way, so a
+    * reader who wants the tighter bar still has the ratio.
+    */
+  private[graft] val ProbeSlowRatio = 1.5
+
+  /** Whole-sweep machine-speed ratio vs the committed quiet probe, used
+    * to NORMALIZE the vs_ref comparisons (round 14). Per bracketing end
+    * (sweep start / sweep end) the machine's slowdown is the WORST of
+    * the comparable ratios — single-thread, plus all-core when the
+    * reference was recorded at this run's thread count — because the
+    * gates run all-core: a 24-spinner co-tenant barely touches a single
+    * probe thread (it stochastically finds a free core, measured ratio
+    * 1.2-1.8) while the all-core pass degrades the full 1.8× the gates
+    * actually feel. The MEAN across the two ends then estimates the
+    * machine over the whole sweep, where machine_slow's max answers the
+    * different question "was it degraded at ANY point". None when
+    * either probe or the reference is missing — an unknowable machine
+    * state must yield no adjustment, never a guessed 1.0.
+    */
+  private[graft] def probeAdj(start: Option[(Double, Double)],
+      end: Option[(Double, Double)], ref: Option[RefProbe],
+      threads: Int): Option[Double] = {
+    def endRatio(p: (Double, Double), r: RefProbe): Double = {
+      val multis =
+        if (r.threads == threads && r.multi > 0) Seq(p._2 / r.multi) else Seq.empty
+      (Seq(p._1 / r.single) ++ multis).max
+    }
+    for {
+      s <- start
+      e <- end
+      r <- ref
+      if r.single > 0
+    } yield (endRatio(s, r) + endRatio(e, r)) / 2.0
+  }
 
   /** Parse the reference file: first line `sf=<dir tail>`, then an
     * OPTIONAL `probe=<single>,<multi>,<threads>` quiet-machine probe
@@ -568,6 +614,19 @@ object Bench {
       sweep.map { case (k, c, w) => (k, c, w, reruns.get(k)) }
     }
 
+    // Machine-state end samples, taken the moment the last timed window
+    // closes (everything below is driver-side JSON assembly that must
+    // not sit inside the steal/PSI window): steal/PSI first, then the
+    // end probe — the probe's own all-core burn must not read as
+    // foreign pressure. With the start pair they bracket every timed
+    // window, and probeAdjR (the mean single-thread ratio vs the quiet
+    // reference) is then available to normalize the per-gate and
+    // run-level vs_ref fields assembled below.
+    val stealEnd = stealSec()
+    val psiEnd = psiSec()
+    val probeEnd = if (probeOn) Some(Bench.cpuProbe(cpus.toInt)) else None
+    val probeAdjR = Bench.probeAdj(probeStart, probeEnd, probeRef, cpus.toInt)
+
     // a crashed query reports null, not its (short) elapsed time — a fast-
     // looking total must not hide failures
     def num(r: GateRun): String = if (r.ok) r.sec.toString else "null"
@@ -604,9 +663,20 @@ object Bench {
       val other = (Seq(cold.otherCores) ++ warm.map(_.otherCores) ++
         rr.map(_.otherCores)).max
       val sRun = steadyRun(cold, warm, rr)
+      // vs_ref_probe_adj = vs_ref scaled by the sweep's machine-speed
+      // ratio (probeAdj): the ratio the quiet reference machine would
+      // have recorded under a uniform slowdown. The raw vs_ref stays —
+      // it is what actually happened — but the adjusted field is the
+      // one a cross-round reader should compare (round 13's record
+      // published 8.0× raw for a plan-identical gate on a loaded box).
       val vsRef = refOf(k, cold.plan).filter(_ => cold.ok)
         .filter(_.steady > 0)
-        .map(r => s""","vs_ref":${r2s(steadyOf(cold, warm, rr) / r.steady)}""")
+        .map { r =>
+          val raw = steadyOf(cold, warm, rr) / r.steady
+          val adj = probeAdjR.filter(_ > 0)
+            .map(a => s""","vs_ref_probe_adj":${r2s(raw / a)}""").getOrElse("")
+          s""","vs_ref":${r2s(raw)}$adj"""
+        }
         .getOrElse("")
       val eFlag = if (gateEffDrop(k, cold, warm, rr)) ""","eff_drop":true""" else ""
       val cFlag = if (gateContended(k, cold, warm, rr)) ""","contended":true""" else ""
@@ -641,49 +711,64 @@ object Bench {
     }
     val refField = Bench.vsReference(matched).map { ratio =>
       val infl = if (ratio > Bench.InflatedVsRef) ""","inflated_vs_reference":true""" else ""
-      s""","vs_reference":${r2s(ratio)},"n_ref_matched":${matched.size}$infl"""
+      // probe-normalized run verdict: vs_reference with the machine's
+      // measured slowdown divided out. inflated_vs_reference stays on
+      // the RAW ratio (the run really did measure slow — honesty), but
+      // a raw-inflated run whose ADJUSTED ratio also clears the bar is
+      // a genuine regression, not machine noise: that gets its own flag.
+      val adjF = probeAdjR.filter(_ > 0).map { a =>
+        val adj = ratio / a
+        val f = if (adj > Bench.InflatedVsRef) ""","inflated_probe_adj":true""" else ""
+        s""","vs_reference_probe_adj":${r2s(adj)}$f"""
+      }.getOrElse("")
+      s""","vs_reference":${r2s(ratio)},"n_ref_matched":${matched.size}$infl$adjF"""
     }.getOrElse("")
 
-    // Steal/PSI end samples BEFORE the end probe (the probe's own
-    // all-core burn must not read as foreign pressure); then the end
-    // probe — with the start pair it brackets every timed window.
-    // vs_ref takes the WORSE of the comparable ratios against the
-    // committed quiet-machine probe (the question is "was the machine
-    // degraded at any point", not "on average"). The multi ratios only
-    // compare when the reference records the SAME thread count — the
-    // multi workload is per-thread, so seconds at a different count are
-    // not the same measurement (a legacy 2-field probe line compares
-    // single only).
-    val stealEnd = stealSec()
-    val psiEnd = psiSec()
-    val probeEnd = if (probeOn) Some(Bench.cpuProbe(cpus.toInt)) else None
+    // 3 decimals for machine-state fields: the probe passes are
+    // ~0.2-0.4 s, so 2 would quantize the ratio the machine_slow
+    // verdict hangs on by >10%
+    def r3s(x: Double): String = (math.floor(x * 1000 + 0.5) / 1000).toString
+
+    // Sweep-wide kernel contention evidence: hypervisor steal and PSI
+    // stall deltas, emitted TOP-LEVEL whenever both end samples are
+    // readable (round 14: previously nested in the probe object, so a
+    // BENCH_ONLY iteration run without the probe pair silently dropped
+    // them — the exact runs where a quick machine-state read matters).
+    // Unknowable on either side → field omitted, never a guessed zero
+    // (the sysBusySec convention).
+    def delta(a: Double, b: Double): Option[Double] =
+      if (a >= 0 && b >= 0) Some(math.max(0.0, b - a)) else None
+    val pressureField =
+      delta(stealStart, stealEnd)
+        .map(d => s""","steal_sec":${r3s(d)}""").getOrElse("") +
+      delta(psiStart._1, psiEnd._1)
+        .map(d => s""","psi_cpu_sec":${r3s(d)}""").getOrElse("") +
+      delta(psiStart._2, psiEnd._2)
+        .map(d => s""","psi_io_sec":${r3s(d)}""").getOrElse("")
+
+    // Probe verdict: vs_ref takes the WORSE of the comparable ratios
+    // against the committed quiet-machine probe (the question is "was
+    // the machine degraded at any point", not "on average" — that
+    // second question is adj_ratio's, see probeAdj). The multi ratios
+    // only compare when the reference records the SAME thread count —
+    // the multi workload is per-thread, so seconds at a different count
+    // are not the same measurement (a legacy 2-field probe line
+    // compares single only).
     val probeField = (probeStart, probeEnd) match {
       case (Some(ps), Some(pe)) =>
-        // 3 decimals: the probe passes are ~0.2-0.4 s, so 2 would
-        // quantize the ratio the machine_slow verdict hangs on by >10%
-        def r3s(x: Double): String = (math.floor(x * 1000 + 0.5) / 1000).toString
         val vs = probeRef.map { ref =>
           val singles = Seq(ps._1 / ref.single, pe._1 / ref.single)
           val multis =
             if (ref.threads == cpus.toInt) Seq(ps._2 / ref.multi, pe._2 / ref.multi)
             else Seq.empty
           val ratio = (singles ++ multis).max
-          val slow = if (ratio > Bench.InflatedVsRef) ""","machine_slow":true""" else ""
-          s""","vs_ref":${r2s(ratio)}$slow"""
+          val slow = if (ratio > Bench.ProbeSlowRatio) ""","machine_slow":true""" else ""
+          val adj = probeAdjR.map(a => s""","adj_ratio":${r3s(a)}""").getOrElse("")
+          s""","vs_ref":${r2s(ratio)}$adj$slow"""
         }.getOrElse("")
-        // sweep-wide kernel contention evidence: hypervisor steal and
-        // PSI stall deltas. Unknowable on either side → field omitted,
-        // never a guessed zero (the sysBusySec convention).
-        def delta(a: Double, b: Double): Option[Double] =
-          if (a >= 0 && b >= 0) Some(math.max(0.0, b - a)) else None
-        val stealField = delta(stealStart, stealEnd)
-          .map(d => s""","steal_sec":${r3s(d)}""").getOrElse("")
-        val psiField =
-          delta(psiStart._1, psiEnd._1).map(d => s""","psi_cpu_sec":${r3s(d)}""").getOrElse("") +
-          delta(psiStart._2, psiEnd._2).map(d => s""","psi_io_sec":${r3s(d)}""").getOrElse("")
         s""","probe":{"single_start":${r3s(ps._1)},"multi_start":${r3s(ps._2)}""" +
           s""","single_end":${r3s(pe._1)},"multi_end":${r3s(pe._2)}""" +
-          s""","threads":${cpus.toInt}$vs$stealField$psiField}"""
+          s""","threads":${cpus.toInt}$vs}"""
       case _ => ""
     }
 
@@ -753,9 +838,13 @@ object Bench {
     // presence: 1 = rounds <= 8, "value" was the cold-pass total;
     // 2 = round 9+, "value" is the steady total and cold_total carries
     // the old meaning; 3 = round 10+, adds per-gate own_cpu/vs_ref and
-    // the run-level inflated_vs_reference self-check.
+    // the run-level inflated_vs_reference self-check; 4 = round 14+,
+    // steal/psi move top-level (sampled on every run, probe or not),
+    // probe carries adj_ratio, and every vs_ref gets a probe-normalized
+    // *_probe_adj sibling.
     val head = s""""metric":"total","value":$steadyTotal,"unit":"sec"""" +
-      s""","bench_format":3,"cold_total":$coldTotal$rerunField$contField$refField$probeField"""
+      s""","bench_format":4,"cold_total":$coldTotal$rerunField$contField$refField""" +
+      s"""$pressureField$probeField"""
     val detail = s"""{$head$inputSchemaField,"queries":$qs$failedField,"sf":"$sfDir"}"""
     System.err.println(detail)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_details.json"), detail + "\n")

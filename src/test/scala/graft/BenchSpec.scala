@@ -205,6 +205,44 @@ class BenchSpec extends AnyFunSuite {
       Bench.parseReference(Seq("sf=sf0.1", "probe=oops")))
   }
 
+  test("probeAdj: mean over ends of the worst comparable ratio; None when unknowable") {
+    val ref = Some(Bench.RefProbe(single = 0.3, multi = 0.8, threads = 32))
+    // single-only degradation (multi at reference): per-end ratio is the
+    // single's, whole-sweep estimate is the mean of the two ends —
+    // (0.45/0.3 + 0.75/0.3) / 2 = 2.0 — NOT the max (that is
+    // machine_slow's question, "degraded at any point")
+    def adj(s: (Double, Double), e: (Double, Double), t: Int): Double =
+      Bench.probeAdj(Some(s), Some(e), ref, t).get
+    assert(math.abs(adj((0.45, 0.8), (0.75, 0.8), 32) - 2.0) < 1e-9)
+    // the measured co-tenant mode (round-14 spinner demo): a single probe
+    // thread stochastically finds a free core (1.2x) while the all-core
+    // pass degrades the full 2x the 32-wide gates actually feel — the
+    // per-end ratio must take the WORSE of the two
+    assert(math.abs(adj((0.36, 1.6), (0.36, 1.6), 32) - 2.0) < 1e-9)
+    // multi at a DIFFERENT thread count than the reference: not the same
+    // measurement, single decides alone
+    assert(math.abs(adj((0.36, 1.6), (0.36, 1.6), 16) - 1.2) < 1e-9)
+    // quiet machine at the reference speed: ratio 1.0, vs_ref unchanged
+    assert(math.abs(adj((0.3, 0.8), (0.3, 0.8), 32) - 1.0) < 1e-9)
+    // missing either probe or the reference → no adjustment, never a
+    // guessed 1.0 (an unknowable machine state must not launder vs_ref)
+    assert(Bench.probeAdj(None, Some((0.3, 0.8)), ref, 32).isEmpty)
+    assert(Bench.probeAdj(Some((0.3, 0.8)), None, ref, 32).isEmpty)
+    assert(Bench.probeAdj(Some((0.3, 0.8)), Some((0.3, 0.8)), None, 32).isEmpty)
+    // a corrupt (non-positive) reference single cannot divide
+    assert(Bench.probeAdj(Some((0.3, 0.8)), Some((0.3, 0.8)),
+      Some(Bench.RefProbe(0.0, 0.8, 32)), 32).isEmpty)
+  }
+
+  test("machine_slow bar is looser than the run-inflation bar (min-merged reference)") {
+    // the probe reference min-merges across regens, converging to the
+    // all-time-fastest pass: a quiet run reads 1.0-1.3x from frequency
+    // jitter alone, so the slow verdict must sit above that band while
+    // staying under the 1.57-1.8x degradations it exists to catch
+    assert(Bench.ProbeSlowRatio > Bench.InflatedVsRef)
+    assert(Bench.ProbeSlowRatio === 1.5)
+  }
+
   test("cpuProbe: deterministic workload returns plausible positive timings") {
     // 2 threads keeps the unit test cheap; the probe must be strictly
     // positive and the multi pass (same per-core work on every core,

@@ -26,8 +26,11 @@ buckets a reader can act on without re-running anything:
   added/removed  — gate exists on only one side.
 
 Compares STEADY times when both sides carry them (round >= 9 artifacts),
-falling back to cold so pre-round-9 files still diff. Exit code is 0
-unless a side fails to parse; the tool adjudicates, it does not gate.
+falling back to cold so pre-round-9 files still diff. When a side carries
+a machine-probe adj_ratio (bench_format >= 4) its times are divided by it
+first, so a sweep on a measurably slow box diffs in quiet-machine seconds
+instead of reading as uniform drift. Exit code is 0 unless a side fails
+to parse; the tool adjudicates, it does not gate.
 """
 import json
 import sys
@@ -59,6 +62,18 @@ def best_time(g):
     return min(times) if times else None
 
 
+def probe_adj(doc):
+    # Whole-sweep machine-speed ratio vs the committed quiet probe
+    # (bench_format >= 4: probe.adj_ratio, mean single-thread ratio).
+    # Every comparison below divides that side's times by it, so a sweep
+    # on a degraded box diffs clean against a quiet one instead of
+    # reading as uniform drift (round 13: five plan-identical gates
+    # published 3-8x vs_ref under load). 1.0 when absent — an older or
+    # probe-less artifact compares raw, exactly as before.
+    r = doc.get("probe", {}).get("adj_ratio")
+    return float(r) if isinstance(r, (int, float)) and r > 0 else 1.0
+
+
 def main():
     args, threshold, it = [], 1.0, iter(sys.argv[1:])
     for a in it:
@@ -74,6 +89,7 @@ def main():
         raise SystemExit(__doc__.strip().splitlines()[2])
     old_doc, old = load(args[0])
     new_doc, new = load(args[1])
+    adj_old, adj_new = probe_adj(old_doc), probe_adj(new_doc)
 
     buckets = {"plan_changed": [], "contended": [], "inflated": [],
                "drift": [], "noise": []}
@@ -83,6 +99,10 @@ def main():
     for name in sorted(set(old) & set(new)):
         o, n = old[name], new[name]
         to, tn = best_time(o), best_time(n)
+        # probe-normalized: all bucketing, totals, and displayed times are
+        # in quiet-machine seconds (note printed below when it matters)
+        to = to / adj_old if to is not None else None
+        tn = tn / adj_new if tn is not None else None
         if to is None or tn is None:  # a crashed side: surface as drift
             buckets["drift"].append((name, to, tn, "crashed on one side"))
             continue
@@ -157,6 +177,10 @@ def main():
           + probe_note(old_doc))
     print(f"new: {args[1]}  value={new_v}  contended={new_doc.get('contended', False)}"
           + probe_note(new_doc))
+    if adj_old != 1.0 or adj_new != 1.0:
+        print(f"NOTE: per-gate times probe-normalized to quiet-machine seconds "
+              f"(old /{adj_old:.3f}, new /{adj_new:.3f}) — raw times are in the "
+              f"artifacts.")
     if suspect:
         ratio = (sum_to / sum_tn) if suspect == "old" else (sum_tn / sum_to)
         print(f"WARNING: {suspect} run looks inflated — same-plan quiet totals "
