@@ -62,23 +62,36 @@ object Components {
     * at a scratch temp dir (a production deployment sets an HDFS/S3
     * path).
     */
-  /** The scratch checkpoint dir this object created, if any — tracked so
-    * the exit hook (and specs) can remove it; never set for a
-    * user-configured checkpoint dir, which we must not touch.
+  /** Every scratch checkpoint dir this object ever created, accumulated
+    * and NEVER un-tracked (round 14, closing the r13 ADVICE items): a
+    * still-live SparkContext keeps pointing its checkpointDir at a
+    * cleaned path and silently mkdirs-recreates it on the next reliable
+    * checkpoint, so the exit sweep must keep deleting every path we ever
+    * handed out — dropping a dir from the list on cleanup would orphan
+    * exactly those recreations. Never contains a user-configured
+    * checkpoint dir, which we must not touch.
     */
-  @volatile private[graft] var scratchCkptDir: Option[java.io.File] = None
+  private[graft] val scratchCkptDirs =
+    new java.util.concurrent.CopyOnWriteArrayList[java.io.File]
 
-  /** Recursively delete the scratch checkpoint dir (idempotent; no-op when
-    * the session's checkpoint dir was user-configured). Called from the
-    * JVM shutdown hook registered at creation; callable directly by specs.
+  /** Recursively delete every scratch checkpoint dir created so far.
+    * Idempotent, and the dirs STAY tracked (see [[scratchCkptDirs]]) so
+    * a recreation by a live context is swept again at JVM exit. Runs
+    * from the single exit hook; callable directly by specs.
     */
-  private[graft] def cleanupScratchCkptDir(): Unit = {
+  private[graft] def cleanupScratchCkptDirs(): Unit = {
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
     }
-    scratchCkptDir.foreach(rm)
-    scratchCkptDir = None
+    scratchCkptDirs.forEach(rm(_))
   }
+
+  /** JVM-exit sweep, registered exactly once however many scratch dirs
+    * a long-lived JVM accumulates (the pre-r14 shape registered one hook
+    * per creation).
+    */
+  private lazy val exitSweepHook: Unit = Runtime.getRuntime.addShutdownHook(
+    new Thread(() => cleanupScratchCkptDirs(), "graft-ckpt-cleanup"))
 
   private[graft] def ckpt(df: DataFrame, eager: Boolean = true): DataFrame = {
     val s = df.sparkSession
@@ -93,9 +106,8 @@ object Components {
         // (round 13); a production deployment sets an HDFS/S3 dir itself
         // and owns its lifecycle (we never delete a user-configured dir)
         val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
-        scratchCkptDir = Some(dir.toFile)
-        Runtime.getRuntime.addShutdownHook(
-          new Thread(() => cleanupScratchCkptDir(), "graft-ckpt-cleanup"))
+        scratchCkptDirs.add(dir.toFile)
+        exitSweepHook
         s.sparkContext.setCheckpointDir(dir.toString)
       }
       df.checkpoint(eager)
@@ -125,49 +137,24 @@ object Components {
     * hit fails loudly (labels are only correct at a fixpoint; a
     * silently-wrong component map is the one unacceptable outcome).
     */
-  /** Loop-local shuffle-partition cap (round 13, the GateStream
-    * streamShufflePartitions pattern): per-round data in the label loop
-    * is a few thousand rows, but every exchange otherwise runs at the
-    * session's partition count across ~13 AQE plan materializations —
-    * pure task-launch fixed cost at gate scale. Eight partitions keep
-    * the tiny per-round shuffles parallel enough locally; a real
-    * deployment sizes the session conf to its cluster and this cap
-    * follows it DOWNWARD only (never exceeds the session setting), so
-    * at 100 TB — where the candidate graph is large and the session
-    * conf is thousands — the loop still fans out (set
-    * SPARK_GRAFT_CC_SHUFFLE to the expected active-vertex scale).
-    * Scoped: the cap applies AFTER the candidate-pair materialization
-    * (the heavy chain, which wants full parallelism) and is restored
-    * before return; all loop checkpoints materialize inside the scope
-    * (each batch's count() is the materializing action), so the
-    * consumer gate's own plan runs at the untouched session conf.
+  /** Tried and REVERTED (round 14): a loop-local shuffle-partition cap
+    * — session conf dropped to 8 (env-overridable) inside the label
+    * loop, the GateStream streamShufflePartitions pattern — targeting
+    * the task-launch fixed cost of the loop's ~13 AQE plan
+    * materializations. Measured at sf0.1 on a quiet box: capped
+    * 6.25/6.48 s vs uncapped 6.14/6.43 s — no win, because AQE's
+    * coalescePartitions already right-sizes the tiny per-round
+    * exchanges at runtime, so the cap only duplicated the adaptive
+    * plan's own work; it also mutated session-global conf
+    * (non-reentrant on a shared SparkSession). The loop therefore runs
+    * at the untouched session conf. Same outcome as SCALE.md records.
     */
-  private[graft] def loopShufflePartitions(spark: org.apache.spark.sql.SparkSession): Int = {
-    val cap = sys.env.get("SPARK_GRAFT_CC_SHUFFLE").map(_.trim).filter(_.nonEmpty)
-      .map { raw =>
-        val n = try raw.toInt catch {
-          case _: NumberFormatException => throw new IllegalArgumentException(
-            s"SPARK_GRAFT_CC_SHUFFLE must be a positive int, got '$raw'")
-        }
-        require(n > 0, s"SPARK_GRAFT_CC_SHUFFLE must be a positive int, got $n")
-        n
-      }.getOrElse(8)
-    math.min(cap, spark.conf.get("spark.sql.shuffle.partitions").toInt)
-  }
-
-  private def withLoopShuffle[T](spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
-    val priorParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", loopShufflePartitions(spark).toString)
-    try body finally spark.conf.set("spark.sql.shuffle.partitions", priorParts)
-  }
-
   def minLabel(pairs: DataFrame, maxRounds: Int = 25): Result = {
-    // pairs materialized ONCE (at the session's full parallelism — this
-    // is the candidate chain's real work); the symmetric edge list and
-    // the active vertex set are then cheap projections of the
-    // checkpointed rows
+    // pairs materialized ONCE (this is the candidate chain's real
+    // work); the symmetric edge list and the active vertex set are then
+    // cheap projections of the checkpointed rows
     val p = timed("pairs ckpt")(ckpt(pairs.select(col("doc_a"), col("doc_b"))))
-    withLoopShuffle(p.sparkSession) { minLabelLoop(p, maxRounds) }
+    minLabelLoop(p, maxRounds)
   }
 
   private def minLabelLoop(p: DataFrame, maxRounds: Int): Result = {
