@@ -288,8 +288,20 @@ object MLQueries {
     * downstream and is reused by the ids/join consumers.
     */
   private def shingles(s: SparkSession, d: String): DataFrame =
-    words(s, d)
-      .select(col("doc_id"), explode(expr(
+    shingleExplode(words(s, d))
+
+  /** [[shingles]] restricted to the docs in `docs(doc_id)`: the
+    * broadcast semi-join lands BEFORE the explode+distinct, so the
+    * distinct's exchange carries only the restricted docs' shingles
+    * instead of the corpus's. Semantics-preserving for any per-doc
+    * consumer (each doc's shingle set is independent of every other
+    * doc) — the calibration gate's batch-restriction lever.
+    */
+  private def shinglesOf(s: SparkSession, d: String, docs: DataFrame): DataFrame =
+    shingleExplode(words(s, d).join(broadcast(docs), Seq("doc_id"), "left_semi"))
+
+  private def shingleExplode(w: DataFrame): DataFrame =
+    w.select(col("doc_id"), explode(expr(
         "CASE WHEN size(w) >= 3 THEN " +
           "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2])) " +
           "ELSE array() END"))
@@ -309,8 +321,17 @@ object MLQueries {
     * "permutation" degenerates to min(sid). Shared by the LSH banding
     * gate and the sketch-calibration gate — one signature contract.
     */
-  private def minhashPerms(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(s, d).withColumn("sid", hashId(col("sh"), 2147483647L))
+  private def minhashPerms(s: SparkSession, d: String): DataFrame =
+    minhashPermsFrom(shingles(s, d))
+
+  /** The signature aggregation over an arbitrary `(doc_id, sh)` shingle
+    * relation — split from [[minhashPerms]] so the calibration gate can
+    * feed it the batch-restricted (and checkpointed) shingle rows while
+    * the LSH gate keeps the full corpus: ONE signature contract either
+    * way (per-doc minima depend only on that doc's own shingles).
+    */
+  private def minhashPermsFrom(sh0: DataFrame): DataFrame = {
+    val sh = sh0.withColumn("sid", hashId(col("sh"), 2147483647L))
     val mins = (0 until 16).map(k =>
       min((col("sid") * (lit(2654435761L) + lit(k.toLong) * 40503L)
         + lit(17L) + lit(k.toLong) * 131L) % lit(2147483647L)).as(s"mh$k"))
@@ -709,16 +730,37 @@ $blockSql
     NamedQuery(
       "sketch_minhash_calibration",
       (s, d) => {
-        // NOT cached (measured): the three consumers of the pair batch
-        // share their heavy exchanges via ReuseExchange already — caching
-        // the pair batch and the shingle universe benched 45% SLOWER
-        // (6.45 s vs 4.45 s at sf0.1) because the InMemoryRelation
-        // materialization jobs cost more than the shared-exchange tails
-        // they replace.
-        val pairs = hammingPairs(s, d)
+        // Batch-restricted + checkpointed ONCE (round 14, the nib-ckpt
+        // pattern): every quantity here is per-doc (minhash minima) or
+        // per-pair (Jaccard), so the whole shingle/signature computation
+        // restricts EXACTLY to the <= 2000 docs of the bounded pair
+        // batch — the broadcast semi-join lands before the shingle
+        // distinct, and the restricted universe is materialized once
+        // (eager ckpt, AQE intact) for its four consumers (perms a/b,
+        // inter, sizes). The pair batch itself (<= 1000 rows) is also
+        // ckpt'd — it feeds three joins plus the doc restriction, and
+        // each re-execution otherwise replays the pigeonhole join.
+        // Measured at sf0.1 quiet (round 14): steady 3.1-4.0 s vs
+        // 3.4 s for the corpus-wide shape — PARITY at fixture scale,
+        // because the nib signature chain (which BOTH shapes must run
+        // to produce the candidate batch) dominates: 4.3 s of the
+        // 8.1 s cold pass. The restriction is kept anyway as the scale
+        // structure: the old exact side recomputed the CORPUS-wide
+        // shingle distinct three times (perms, inter's g, sizes), so
+        // its cost grew with the corpus; this shape's exact side scales
+        // with the bounded batch, which is what a 100 TB calibration
+        // run needs. (Earlier attempt, plain cache() of the
+        // unrestricted universe: 45% SLOWER, 6.45 s vs 4.45 s — cached
+        // subplans run without AQE, the persist trap the nib scaladoc
+        // records.)
+        import graft.ml.Components.ckpt
+        val pairs = ckpt(hammingPairs(s, d)
           .orderBy(col("doc_a"), col("doc_b")).limit(1000)
-          .select(col("doc_a"), col("doc_b"))
-        val perms = minhashPerms(s, d)
+          .select(col("doc_a"), col("doc_b")))
+        val batchDocs = pairs.select(col("doc_a").as("doc_id"))
+          .unionAll(pairs.select(col("doc_b").as("doc_id"))).distinct()
+        val g = ckpt(shinglesOf(s, d, batchDocs))
+        val perms = minhashPermsFrom(g)
         def side(suffix: String) = perms.select(
           col("doc_id").as(s"doc_$suffix") +:
             (0 until 16).map(k => col(s"mh$k").as(s"mh${k}_$suffix")): _*)
@@ -728,7 +770,6 @@ $blockSql
         val est = pairs.join(side("a"), "doc_a").join(side("b"), "doc_b")
           .select(col("doc_a"), col("doc_b"),
             r6(agree.cast("double") / 16.0).as("est"))
-        val g = shingles(s, d)
         val sizes = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
         val inter = pairs
           .join(g.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
