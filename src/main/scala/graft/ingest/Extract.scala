@@ -163,5 +163,68 @@ final class WorkloadViews private (val summaries: DataFrame) {
 }
 
 object WorkloadViews {
-  def apply(summaries: DataFrame): WorkloadViews = new WorkloadViews(summaries)
+
+  /** Declarative drift contract for the summary relation (round 14,
+    * closing the round-12 ask): the expected schema IS
+    * [[graft.model.QuerySummary]]'s encoder schema — the summaries are
+    * always produced by this library's own extractor, so any divergence
+    * means a drifted committed fixture, a hand-edited parquet, or
+    * version skew between a written summary table and the reader.
+    * Before this, such drift surfaced as an unresolved-column or cast
+    * error N analyzers deep into the view DAG.
+    */
+  /** Nullability is NOT drift: the encoder schema marks primitive struct
+    * fields NOT NULL while a parquet round-trip (or PERMISSIVE JSONL
+    * read) loads everything nullable — same data, different containers.
+    * Both sides are normalized to fully-nullable before diffing, so the
+    * contract compares names/types/order only.
+    */
+  private def asNullable(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        f.copy(dataType = asNullable(f.dataType), nullable = true)))
+      case a: ArrayType => ArrayType(asNullable(a.elementType), containsNull = true)
+      case m: MapType =>
+        MapType(asNullable(m.keyType), asNullable(m.valueType), valueContainsNull = true)
+      case other => other
+    }
+  }
+
+  private[graft] val ExpectedSummary: Seq[(String, String)] =
+    org.apache.spark.sql.Encoders.product[QuerySummary].schema
+      .fields.toSeq.map(f => f.name -> asNullable(f.dataType).sql)
+
+  /** Once-per-diagnosis warn registry — views are constructed per gate
+    * per bench pass; the diagnosis must not scroll the artifact away.
+    */
+  private val warned = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Same semantics as the star-schema loaders ([[graft.tables.Tables]],
+    * shared diff code): a MISSING column is fatal in one line here — a
+    * readable `workload summaries: schema drift vs contract —
+    * missing=[state STRING]` instead of the analysis error the 30 gate
+    * chains would each die with; retype/extra/reorder warns once and
+    * proceeds (by-name access tolerates it), escalating to fatal under
+    * `spark.graft.strictSchema` / `SPARK_GRAFT_STRICT_SCHEMA`.
+    */
+  /** The contract diff for a summary schema (nullability-normalized both
+    * sides — see [[asNullable]]).
+    */
+  private[graft] def summaryDrift(
+      schema: org.apache.spark.sql.types.StructType): Option[graft.tables.Tables.SchemaDrift] =
+    graft.tables.Tables.driftAgainst(ExpectedSummary,
+      org.apache.spark.sql.types.StructType(
+        schema.fields.map(f => f.copy(dataType = asNullable(f.dataType)))))
+
+  def apply(summaries: DataFrame): WorkloadViews = {
+    summaryDrift(summaries.schema).foreach { d =>
+      val msg = d.message("workload summaries")
+      if (d.fatal || graft.tables.Tables.strictSchema(summaries.sparkSession))
+        throw new IllegalArgumentException(msg)
+      else if (warned.add(msg))
+        System.err.println(s"[views] WARNING: $msg")
+    }
+    new WorkloadViews(summaries)
+  }
 }

@@ -78,21 +78,31 @@ object Tables {
 
   private[graft] def drift(name: String,
       loaded: org.apache.spark.sql.types.StructType): Option[SchemaDrift] =
-    Expected.get(name).map { exp =>
-      val loadedTypes = loaded.fields.map(f => f.name -> f.dataType.sql).toMap
-      val expNames = exp.map(_._1).toSet
-      val missing = exp.collect { case (n, t) if !loadedTypes.contains(n) => s"$n $t" }
-      val retyped = exp.collect {
-        case (n, t) if t != "*" && loadedTypes.get(n).exists(_ != t) =>
-          s"$n $t->${loadedTypes(n)}"
-      }
-      val extra = loaded.fields.collect {
-        case f if !expNames.contains(f.name) => s"${f.name} ${f.dataType.sql}"
-      }.toSeq
-      val presentExpected = exp.map(_._1).filter(loadedTypes.contains)
-      val loadedOrder = loaded.fields.map(_.name).filter(expNames.contains).toSeq
-      SchemaDrift(missing, retyped, extra, reordered = presentExpected != loadedOrder)
-    }.filter(!_.isEmpty)
+    Expected.get(name).flatMap(driftAgainst(_, loaded))
+
+  /** The column-level diff itself, against an arbitrary expected column
+    * list — split from [[drift]] (round 14) so relations outside the
+    * star schema (the workload-summary contract in
+    * [[graft.ingest.WorkloadViews]]) reuse the same diff/diagnosis
+    * machinery instead of growing a second drift dialect.
+    */
+  private[graft] def driftAgainst(exp: Seq[(String, String)],
+      loaded: org.apache.spark.sql.types.StructType): Option[SchemaDrift] = {
+    val loadedTypes = loaded.fields.map(f => f.name -> f.dataType.sql).toMap
+    val expNames = exp.map(_._1).toSet
+    val missing = exp.collect { case (n, t) if !loadedTypes.contains(n) => s"$n $t" }
+    val retyped = exp.collect {
+      case (n, t) if t != "*" && loadedTypes.get(n).exists(_ != t) =>
+        s"$n $t->${loadedTypes(n)}"
+    }
+    val extra = loaded.fields.collect {
+      case f if !expNames.contains(f.name) => s"${f.name} ${f.dataType.sql}"
+    }.toSeq
+    val presentExpected = exp.map(_._1).filter(loadedTypes.contains)
+    val loadedOrder = loaded.fields.map(_.name).filter(expNames.contains).toSeq
+    Some(SchemaDrift(missing, retyped, extra,
+      reordered = presentExpected != loadedOrder)).filter(!_.isEmpty)
+  }
 
   /** Strict mode: any contract drift fails the load, not just missing
     * columns — for deployments where silent retype/reorder drift must

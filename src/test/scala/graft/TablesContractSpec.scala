@@ -104,6 +104,33 @@ class TablesContractSpec extends SparkSpec {
     assert(Tables.events(spark, dir).count() === 1L)
   }
 
+  test("workload fixture drift: one-line diagnosis at view construction, not mid-query") {
+    import graft.ingest.WorkloadViews
+    import graft.queries.AnalyzerGates
+    // the committed fixture the 30 analyzer gates read must be
+    // contract-clean (the contract IS the QuerySummary encoder schema)
+    val committed = spark.read.parquet(AnalyzerGates.fixtureDir)
+    WorkloadViews(committed) // no throw, no drift
+    assert(WorkloadViews.summaryDrift(committed.schema).isEmpty,
+      "committed workload fixture drifted vs the QuerySummary contract")
+    // a drifted fixture (regen that dropped the state column) dies HERE
+    // in one readable line, not as an unresolved-column error deep in
+    // an analyzer's explode→dedup→classify chain
+    val e = intercept[IllegalArgumentException](WorkloadViews(committed.drop("state")))
+    assert(e.getMessage.startsWith("workload summaries: schema drift vs contract"))
+    assert(e.getMessage.contains("missing=[state STRING]"))
+    // tolerable drift (extra column) warns and proceeds; strict mode
+    // escalates it — the star-schema loaders' exact semantics
+    import org.apache.spark.sql.functions.lit
+    val extra = committed.withColumn("regen_note", lit("x"))
+    WorkloadViews(extra) // warn mode: views still construct
+    spark.conf.set("spark.graft.strictSchema", "true")
+    try {
+      val s = intercept[IllegalArgumentException](WorkloadViews(extra))
+      assert(s.getMessage.contains("extra=[regen_note STRING]"))
+    } finally spark.conf.unset("spark.graft.strictSchema")
+  }
+
   test("inputSchemaJson carries the drift diagnosis into the artifact") {
     val dir = Files.createTempDirectory("graft-drift-echo").toString
     // populate all ten tables from the clean fixture, then drift one
