@@ -493,10 +493,17 @@ object Pipeline {
       // census from the plan, not a sink re-read: a fully-filtered corpus
       // writes zero part files and parquet cannot infer an empty schema
       val census = graft.ml.Curate.census(curated).collect()
+      // vocabulary drift alarm (the judged text_zipf_fit contract over
+      // the scrubbed survivors): one bounded row — natural language sits
+      // near slope -1; compare against the previous drop's line
+      val vocab = graft.ml.Curate.vocabProfile(curated).collect().head
       curated.unpersist()
       census.foreach(r => println(
         s"curated: split=${r.getString(0)} source=${r.getString(1)} " +
           s"n=${r.getLong(2)} avg_quality=${r.getDouble(3)}"))
+      if (!vocab.isNullAt(0)) println(
+        s"vocab profile: zipf_slope=${vocab.getDouble(0)} " +
+          s"zipf_intercept=${vocab.getDouble(1)} n_ranks=${vocab.getLong(2)}")
       println(s"curated ${census.map(_.getLong(2)).sum} documents to $out")
       spark.stop()
 

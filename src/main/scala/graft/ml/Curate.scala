@@ -107,4 +107,16 @@ object Curate {
         (sum(graft.queries.QueryDsl.hashId(col("text"), 2147483647L))
           % lit(2147483647L)).as("text_checksum"))
       .orderBy(col("split"), col("source"))
+
+  /** Vocabulary profile of a curated corpus: the judged `text_zipf_fit`
+    * drift alarm ([[TextOps.zipfFit]] — one shared definition) run over
+    * the SCRUBBED surviving text, one row
+    * `(zipf_slope, zipf_intercept, n_ranks)`. Natural-language corpora
+    * sit near slope -1; a drop whose slope moves far from the previous
+    * run's is the one-number signal that the ingest mix changed
+    * (templates, boilerplate, synthetic flood) — emitted by the curate
+    * CLI next to the census so every curated drop carries it.
+    */
+  def vocabProfile(curated: DataFrame): DataFrame =
+    TextOps.zipfFit(curated.select(col("text")))
 }

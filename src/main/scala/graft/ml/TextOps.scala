@@ -77,4 +77,30 @@ object TextOps {
     val bucket = hashId(text, 100L)
     when(bucket < 80, lit("train")).when(bucket < 90, lit("val")).otherwise(lit("test"))
   }
+
+  /** Zipf fit over the top-1000 word frequencies of a `text` corpus —
+    * one row `(zipf_slope, zipf_intercept, n_ranks)`. ONE definition for
+    * the judged `text_zipf_fit` gate (DuckDB-oracle-pinned) and the
+    * Curate product's vocabulary profile (round 14): natural language
+    * sits near slope -1 on log10(count) vs log10(rank); a corpus whose
+    * slope drifts far from that is templated/boilerplate-heavy, so the
+    * number is a one-line drift alarm on every curated drop. Plan:
+    * explode → word count (shuffle with map-side combine) → TakeOrdered
+    * top-1000 (per-partition top-k, NEVER a global vocabulary sort) →
+    * rank over the bounded 1000-row result → regr_slope/intercept
+    * built-ins; r6 bounds float-accumulation-order drift.
+    */
+  def zipfFit(texts: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wc = texts
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word")).limit(1000)
+    wc.withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("word"))))
+      .agg(
+        r6(expr("regr_slope(log10(cnt), log10(rank))")).as("zipf_slope"),
+        r6(expr("regr_intercept(log10(cnt), log10(rank))")).as("zipf_intercept"),
+        count(lit(1)).as("n_ranks"))
+  }
 }

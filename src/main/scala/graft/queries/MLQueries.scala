@@ -1641,27 +1641,16 @@ $blockSql
     // corpus (natural language sits near slope -1 on log10(count) vs
     // log10(rank); templated/synthetic/boilerplate-heavy corpora read
     // much flatter or steeper, so the slope is a one-number drift alarm
-    // for a 100 TB ingest). Plan: explode → word count (shuffle with
-    // map-side combine) → TakeOrdered top-1000 (per-partition top-k,
-    // driver merge — NEVER a global sort of the vocabulary) → rank via
-    // row_number over the bounded 1000-row result (single partition by
-    // construction, legal at any corpus size) → regr_slope/intercept
-    // built-ins. Ties rank by word for cross-engine determinism; r6
-    // bounds the float-accumulation-order drift of the regression sums.
+    // for a 100 TB ingest). The computation lives in TextOps.zipfFit —
+    // ONE definition shared with the Curate product's vocabulary
+    // profile (round 14), so the drift alarm the pipeline emits is
+    // exactly what this oracle judged. Plan (see zipfFit's scaladoc):
+    // explode → word count (map-side combine) → TakeOrdered top-1000 —
+    // never a global vocabulary sort; ties rank by word for
+    // cross-engine determinism; r6 bounds float-order drift.
     NamedQuery(
       "text_zipf_fit",
-      (s, d) => {
-        val wc = Tables.documents(s, d)
-          .select(explode(split(col("text"), " ")).as("word"))
-          .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-          .orderBy(col("cnt").desc, col("word")).limit(1000)
-        wc.withColumn("rank", row_number().over(
-            Window.orderBy(col("cnt").desc, col("word"))))
-          .agg(
-            r6(expr("regr_slope(log10(cnt), log10(rank))")).as("zipf_slope"),
-            r6(expr("regr_intercept(log10(cnt), log10(rank))")).as("zipf_intercept"),
-            count(lit(1)).as("n_ranks"))
-      },
+      (s, d) => graft.ml.TextOps.zipfFit(Tables.documents(s, d).select(col("text"))),
       Some(s"""WITH wc AS (
               |  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
               |    SELECT UNNEST(string_split(text, ' ')) AS word FROM documents

