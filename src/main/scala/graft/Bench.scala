@@ -619,9 +619,10 @@ object Bench {
     // not sit inside the steal/PSI window): steal/PSI first, then the
     // end probe — the probe's own all-core burn must not read as
     // foreign pressure. With the start pair they bracket every timed
-    // window, and probeAdjR (the mean single-thread ratio vs the quiet
-    // reference) is then available to normalize the per-gate and
-    // run-level vs_ref fields assembled below.
+    // window, and probeAdjR (the whole-sweep machine-speed ratio vs the
+    // quiet probe reference — see probeAdj) is then available to
+    // normalize the per-gate and run-level vs_ref fields assembled
+    // below.
     val stealEnd = stealSec()
     val psiEnd = psiSec()
     val probeEnd = if (probeOn) Some(Bench.cpuProbe(cpus.toInt)) else None

@@ -85,7 +85,8 @@ object Report {
     s"""<svg class="chart" viewBox="0 0 470 $h" font-size="11" font-family="sans-serif" xmlns="http://www.w3.org/2000/svg">${(paths ++ legend).mkString}</svg>"""
   }
 
-  private def barSvg(items: Seq[(String, Double)], color: String): String = {
+  private def barSvg(items: Seq[(String, Double)], color: String,
+      link: Option[String] = None): String = {
     if (items.isEmpty) return ""
     val vmax = math.max(items.map(_._2).max, 1e-9)
     val n = items.size
@@ -102,7 +103,8 @@ object Report {
       s"""<text x="26" y="24" text-anchor="end">${f2(vmax)}</text>""",
       s"""<text x="26" y="140" text-anchor="end">0</text>""",
       """<line x1="30" y1="140" x2="460" y2="140" stroke="#999"/>""")
-    s"""<svg class="chart" viewBox="0 0 470 160" font-size="9" font-family="sans-serif" xmlns="http://www.w3.org/2000/svg">${(bars ++ labels ++ axis).mkString}</svg>"""
+    val linkAttr = link.map(l => s""" data-link="${escA(l)}"""").getOrElse("")
+    s"""<svg class="chart"$linkAttr viewBox="0 0 470 160" font-size="9" font-family="sans-serif" xmlns="http://www.w3.org/2000/svg">${(bars ++ labels ++ axis).mkString}</svg>"""
   }
 
   private def scatterSvg(pts: Seq[(Double, Double)], color: String): String = {
@@ -125,12 +127,29 @@ object Report {
     s"""<svg class="chart" viewBox="0 0 470 160" font-size="9" font-family="sans-serif" xmlns="http://www.w3.org/2000/svg">${(dots ++ axis).mkString}</svg>"""
   }
 
+  /** Axis-link group for an analyzer's bar chart, or None. Only the
+    * B1-B6 time-grain trends link (Bokeh's shared-x_range behavior from
+    * the reference template): charts in a group aggregate the SAME base
+    * rows into the SAME date_trunc buckets in the SAME bucket order, so
+    * a shared viewBox x-window maps to identical time windows — the one
+    * precondition that makes geometric x-linking honest. The selectivity
+    * histograms and scatters deliberately do NOT link: their axis
+    * domains are per-chart data-dependent (per-chart min/max, per-chart
+    * null filtering), so the same pixel window would mean different
+    * data windows.
+    */
+  private def linkGroup(analyzer: String): Option[String] =
+    if (analyzer.endsWith("_by_date")) Some("date")
+    else if (analyzer.endsWith("_by_hour")) Some("hour")
+    else None
+
   /** One SVG per analyzer, dispatched on the result shape: the pie contract
     * (key, value, pct), the histogram contract (label, pct), two-column
     * trends (bucket, value) as bars, and anything whose first two columns
     * are plottable (numeric/timestamp — the scatter families) as a scatter.
     */
-  private def chart(schema: StructType, rows: Array[Row], palette: Seq[String]): String = {
+  private def chart(analyzer: String, schema: StructType, rows: Array[Row],
+      palette: Seq[String]): String = {
     def plottable(i: Int) = schema.fields(i).dataType match {
       case _: NumericType | TimestampType => true
       case _ => false
@@ -146,7 +165,7 @@ object Report {
       pieSvg(rows.toSeq.map(r => (String.valueOf(r.get(0)), num(r, 2))), palette)
     else if (names.length == 2 && plottable(1)) // histograms + trends
       barSvg(rows.toSeq.filter(_.get(1) != null)
-        .map(r => (fmt(r.get(0)), num(r, 1))), palette.head)
+        .map(r => (fmt(r.get(0)), num(r, 1))), palette.head, linkGroup(analyzer))
     else if (names.contains("x") && names.contains("y")) {
       val (xi, yi) = (names.indexOf("x"), names.indexOf("y"))
       scatterSvg(rows.toSeq.filter(r => r.get(xi) != null && r.get(yi) != null)
@@ -191,7 +210,7 @@ object Report {
           val rows = df.limit(101).collect()
           if (rows.isEmpty) "<p class=\"empty\">not enough data</p>" // analyze.py:1250-1251
           else {
-            val svg = chart(df.schema, rows.take(100), palette)
+            val svg = chart(name, df.schema, rows.take(100), palette)
             // per-analyzer export links (reference parity: Bokeh's toolbar
             // save button + the CSV the analyzer notebook exports). Static
             // markup — the JS shell serializes the rendered table / SVG on
@@ -239,7 +258,10 @@ object Report {
     * hand-rolled vanilla JS with no external assets so the report stays
     * one self-contained deterministic file: hover reads the `data-l`
     * payload rendered on every slice/bar/dot; wheel zooms the SVG
-    * viewBox around the cursor; drag pans; double-click resets. A static
+    * viewBox around the cursor; drag pans; double-click resets; charts
+    * sharing a `data-link` group key (the B1-B6 time-grain trends — see
+    * [[linkGroup]]) additionally share their x window, Bokeh's linked
+    * x_range across the reference template's trend row. A static
     * string, so the byte-identical re-render contract is untouched, and
     * the report degrades to the plain static charts with JS disabled.
     */
@@ -261,18 +283,36 @@ object Report {
       |      tip.style.display = "none";
       |    }
       |  });
+      |  // viewBox state lives in the DOM attribute, not a closure: a
+      |  // linked sibling (data-link, below) may update any chart's x
+      |  // window at any time, and a stale closure copy would snap it
+      |  // back on the next local interaction
+      |  function vbOf(el) { return el.getAttribute("viewBox").split(/\s+/).map(Number); }
       |  Array.prototype.forEach.call(document.querySelectorAll("svg.chart"), function (svg) {
-      |    var vb0 = svg.getAttribute("viewBox").split(/\s+/).map(Number);
-      |    var vb = vb0.slice();
-      |    function apply() { svg.setAttribute("viewBox", vb.join(" ")); }
+      |    var vb0 = vbOf(svg);
+      |    // axis-linked zoom/pan (the reference template's shared-x_range
+      |    // Bokeh behavior): charts carrying the same data-link group key
+      |    // share their x window — only vb[0]/vb[2]; each keeps its own y,
+      |    // like Bokeh linking x_range but not y_range
+      |    function linkX(vb) {
+      |      var key = svg.getAttribute("data-link");
+      |      if (!key) { return; }
+      |      Array.prototype.forEach.call(
+      |        document.querySelectorAll('svg.chart[data-link="' + key + '"]'), function (o) {
+      |          if (o === svg) { return; }
+      |          var ovb = vbOf(o);
+      |          o.setAttribute("viewBox", [vb[0], ovb[1], vb[2], ovb[3]].join(" "));
+      |        });
+      |    }
+      |    function apply(vb) { svg.setAttribute("viewBox", vb.join(" ")); linkX(vb); }
       |    svg.addEventListener("wheel", function (e) {
       |      e.preventDefault();
+      |      var vb = vbOf(svg);
       |      var k = e.deltaY < 0 ? 0.85 : 1 / 0.85;
       |      var r = svg.getBoundingClientRect();
       |      var mx = vb[0] + (e.clientX - r.left) / r.width * vb[2];
       |      var my = vb[1] + (e.clientY - r.top) / r.height * vb[3];
-      |      vb = [mx - (mx - vb[0]) * k, my - (my - vb[1]) * k, vb[2] * k, vb[3] * k];
-      |      apply();
+      |      apply([mx - (mx - vb[0]) * k, my - (my - vb[1]) * k, vb[2] * k, vb[3] * k]);
       |    }, { passive: false });
       |    var drag = null;
       |    svg.addEventListener("mousedown", function (e) {
@@ -282,17 +322,17 @@ object Report {
       |      // click, so the toggle handler cannot stop it)
       |      if (e.target.closest && e.target.closest("g.lg")) { return; }
       |      e.preventDefault();
-      |      drag = [e.clientX, e.clientY, vb[0], vb[1]];
+      |      drag = [e.clientX, e.clientY, vbOf(svg)];
       |    });
       |    window.addEventListener("mousemove", function (e) {
       |      if (!drag) { return; }
       |      var r = svg.getBoundingClientRect();
-      |      vb[0] = drag[2] - (e.clientX - drag[0]) / r.width * vb[2];
-      |      vb[1] = drag[3] - (e.clientY - drag[1]) / r.height * vb[3];
-      |      apply();
+      |      var vb = drag[2];
+      |      apply([vb[0] - (e.clientX - drag[0]) / r.width * vb[2],
+      |        vb[1] - (e.clientY - drag[1]) / r.height * vb[3], vb[2], vb[3]]);
       |    });
       |    window.addEventListener("mouseup", function () { drag = null; });
-      |    svg.addEventListener("dblclick", function () { vb = vb0.slice(); apply(); });
+      |    svg.addEventListener("dblclick", function () { apply(vb0.slice()); });
       |    // legend toggles (pies): click a legend entry to hide/show its
       |    // wedge — Bokeh's legend hide policy; the pie is not
       |    // re-normalized, so a hidden wedge reads as a gap

@@ -62,6 +62,30 @@ class ReportSpec extends SparkSpec {
     }
   }
 
+  test("axis-linked zoom: exactly the time-grain trends share a link group") {
+    val html = Report.render(views)
+    // B1/B3/B5 by-date and B2/B4/B6 by-hour: three charts per group, and
+    // NOTHING else carries a link key — selectivity histograms and
+    // scatters have per-chart data-dependent axis domains, so linking
+    // them geometrically would map one pixel window to different data
+    // windows (the dishonest-link case linkGroup's scaladoc records)
+    assert("""data-link="date"""".r.findAllIn(html).size === 3)
+    assert("""data-link="hour"""".r.findAllIn(html).size === 3)
+    // count carrier TAGS (the embedded script also spells data-link=" in
+    // its sibling-lookup selector — markup only here)
+    assert("""<svg class="chart" data-link=""".r.findAllIn(html).size === 6)
+    // the script wires the shared-x propagation: sibling lookup by group
+    // key, x components only (each chart keeps its own y window)
+    assert(html.contains("data-link") && html.contains("linkX"))
+    assert(html.contains("""[vb[0], ovb[1], vb[2], ovb[3]]"""))
+    // linked charts are bar trends with identical geometry — the
+    // precondition for a shared viewBox x-window meaning the same time
+    // window on every member
+    """<svg class="chart" data-link[^>]*>""".r.findAllIn(html).foreach { tag =>
+      assert(tag.contains("""viewBox="0 0 470 160""""), s"unexpected geometry: $tag")
+    }
+  }
+
   test("every section carries export links wired to the embedded script") {
     val html = Report.render(views)
     val analyzers = graft.analyze.Analyzers.all(views).size
