@@ -63,15 +63,27 @@ def best_time(g):
 
 
 def probe_adj(doc):
-    # Whole-sweep machine-speed ratio vs the committed quiet probe
-    # (bench_format >= 4: probe.adj_ratio, mean single-thread ratio).
+    # Whole-sweep machine-speed ratio vs the committed quiet probe.
     # Every comparison below divides that side's times by it, so a sweep
     # on a degraded box diffs clean against a quiet one instead of
     # reading as uniform drift (round 13: five plan-identical gates
-    # published 3-8x vs_ref under load). 1.0 when absent — an older or
-    # probe-less artifact compares raw, exactly as before.
-    r = doc.get("probe", {}).get("adj_ratio")
-    return float(r) if isinstance(r, (int, float)) and r > 0 else 1.0
+    # published 3-8x vs_ref under load). Returns (ratio, source-tag).
+    # bench_format >= 4 artifacts carry probe.adj_ratio (mean over the
+    # bracketing ends of the worst comparable ratio); format-3 artifacts
+    # recorded only probe.vs_ref — the MAX ratio the machine_slow
+    # verdict hangs on. That max is biased HIGH vs the mean, so a slow
+    # old run is if anything over-corrected — still far better than
+    # reading its whole machine slowdown as plan drift (an r12 record at
+    # probe 1.27 diffed -20% "drift" against a normalized r14 run until
+    # this fallback). (1.0, "") when no probe evidence exists.
+    p = doc.get("probe", {})
+    r = p.get("adj_ratio")
+    if isinstance(r, (int, float)) and r > 0:
+        return float(r), "adj_ratio"
+    r = p.get("vs_ref")
+    if isinstance(r, (int, float)) and r > 0:
+        return float(r), "vs_ref(max-biased)"
+    return 1.0, ""
 
 
 def main():
@@ -89,7 +101,7 @@ def main():
         raise SystemExit(__doc__.strip().splitlines()[2])
     old_doc, old = load(args[0])
     new_doc, new = load(args[1])
-    adj_old, adj_new = probe_adj(old_doc), probe_adj(new_doc)
+    (adj_old, adj_old_src), (adj_new, adj_new_src) = probe_adj(old_doc), probe_adj(new_doc)
 
     buckets = {"plan_changed": [], "contended": [], "inflated": [],
                "drift": [], "noise": []}
@@ -178,8 +190,11 @@ def main():
     print(f"new: {args[1]}  value={new_v}  contended={new_doc.get('contended', False)}"
           + probe_note(new_doc))
     if adj_old != 1.0 or adj_new != 1.0:
+        def src(tag):
+            return f" [{tag}]" if tag else ""
         print(f"NOTE: per-gate times probe-normalized to quiet-machine seconds "
-              f"(old /{adj_old:.3f}, new /{adj_new:.3f}) — raw times are in the "
+              f"(old /{adj_old:.3f}{src(adj_old_src)}, "
+              f"new /{adj_new:.3f}{src(adj_new_src)}) — raw times are in the "
               f"artifacts.")
     if suspect:
         ratio = (sum_to / sum_tn) if suspect == "old" else (sum_tn / sum_to)
