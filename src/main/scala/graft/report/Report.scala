@@ -132,16 +132,23 @@ object Report {
     * the reference template): charts in a group aggregate the SAME base
     * rows into the SAME date_trunc buckets in the SAME bucket order, so
     * a shared viewBox x-window maps to identical time windows — the one
-    * precondition that makes geometric x-linking honest. The selectivity
+    * precondition that makes geometric x-linking honest. An EXPLICIT
+    * allowlist, not a name-suffix rule: a future `*_by_date` analyzer
+    * over a different base relation must not be silently recruited into
+    * the group (its buckets would not align). The selectivity
     * histograms and scatters deliberately do NOT link: their axis
     * domains are per-chart data-dependent (per-chart min/max, per-chart
     * null filtering), so the same pixel window would mean different
     * data windows.
     */
+  private val LinkedTrends: Map[String, String] = Map(
+    "scheduled_by_date" -> "date", "input_by_date" -> "date",
+    "queries_by_date" -> "date",
+    "scheduled_by_hour" -> "hour", "input_by_hour" -> "hour",
+    "queries_by_hour" -> "hour")
+
   private def linkGroup(analyzer: String): Option[String] =
-    if (analyzer.endsWith("_by_date")) Some("date")
-    else if (analyzer.endsWith("_by_hour")) Some("hour")
-    else None
+    LinkedTrends.get(analyzer)
 
   /** One SVG per analyzer, dispatched on the result shape: the pie contract
     * (key, value, pct), the histogram contract (label, pct), two-column
@@ -163,9 +170,25 @@ object Report {
     if (rows.isEmpty) ""
     else if (names == Seq("key", "value", "pct"))
       pieSvg(rows.toSeq.map(r => (String.valueOf(r.get(0)), num(r, 2))), palette)
-    else if (names.length == 2 && plottable(1)) // histograms + trends
-      barSvg(rows.toSeq.filter(_.get(1) != null)
-        .map(r => (fmt(r.get(0)), num(r, 1))), palette.head, linkGroup(analyzer))
+    else if (names.length == 2 && plottable(1)) { // histograms + trends
+      val link = linkGroup(analyzer)
+      val items =
+        if (link.isDefined)
+          // linked trends keep every bucket SLOT: the group's aggregates
+          // share the bucket sequence (same base rows, same date_trunc
+          // groupBy) but a sum over an all-null measure yields a null
+          // VALUE for that bucket — dropping the row would shift every
+          // later bar left in this chart only, and the shared x-window
+          // would then point at different buckets across the group (the
+          // dishonest-link case the linkGroup scaladoc excludes). A null
+          // aggregate renders as a zero-height slot labeled (null).
+          rows.toSeq.map { r =>
+            if (r.get(1) == null) (fmt(r.get(0)) + " (null)", 0.0)
+            else (fmt(r.get(0)), num(r, 1))
+          }
+        else rows.toSeq.filter(_.get(1) != null).map(r => (fmt(r.get(0)), num(r, 1)))
+      barSvg(items, palette.head, link)
+    }
     else if (names.contains("x") && names.contains("y")) {
       val (xi, yi) = (names.indexOf("x"), names.indexOf("y"))
       scatterSvg(rows.toSeq.filter(r => r.get(xi) != null && r.get(yi) != null)

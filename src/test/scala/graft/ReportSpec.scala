@@ -86,6 +86,33 @@ class ReportSpec extends SparkSpec {
     }
   }
 
+  test("linked trends stay bucket-aligned when a measure is null for a bucket") {
+    import spark.implicits._
+    import graft.model.QuerySummary
+    // two days; day 2's only summary has input_size = None, so
+    // input_by_date's sum is NULL for that bucket while queries_by_date
+    // counts it. Dropping the null row would shift input_by_date's bars
+    // left and the shared x-window would point at different days across
+    // the linked group — the linked path must keep the slot instead.
+    def s(id: String, input: Option[Double]) = QuerySummary("q", id, "u",
+      "FINISHED", None, None, None, None, Some(3600.0), None, input, None,
+      None, None, None, None, None, None, Seq(), Seq(), Seq(), Seq())
+    val v = WorkloadViews(Seq(
+      s("20220101_000000_00001_aaaaa", Some(1e12)),
+      s("20220102_000000_00002_bbbbb", None)).toDS().toDF())
+    val html = Report.render(v)
+    def barsOf(group: String, section: String): Int = {
+      val sec = html.split(s"""<h2 id="$section"""")(1).split("</section>")(0)
+      """<rect [^>]*data-l=""".r.findAllIn(sec).size
+    }
+    val nQueries = barsOf("date", "queries_by_date")
+    val nInput = barsOf("date", "input_by_date")
+    assert(nQueries === 2 && nInput === 2,
+      s"linked by-date charts desynced: queries=$nQueries input=$nInput")
+    // the null bucket is explicit, not a fabricated measurement
+    assert(html.contains("(null)"))
+  }
+
   test("every section carries export links wired to the embedded script") {
     val html = Report.render(views)
     val analyzers = graft.analyze.Analyzers.all(views).size
