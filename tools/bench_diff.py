@@ -26,11 +26,14 @@ buckets a reader can act on without re-running anything:
   added/removed  — gate exists on only one side.
 
 Compares STEADY times when both sides carry them (round >= 9 artifacts),
-falling back to cold so pre-round-9 files still diff. When a side carries
-a machine-probe adj_ratio (bench_format >= 4) its times are divided by it
-first, so a sweep on a measurably slow box diffs in quiet-machine seconds
-instead of reading as uniform drift. Exit code is 0 unless a side fails
-to parse; the tool adjudicates, it does not gate.
+falling back to cold so pre-round-9 files still diff. Machine-speed
+normalization (a sweep on a measurably slow box must not read as uniform
+drift): when BOTH artifacts carry raw probe passes the new side's times
+are divided by the RELATIVE ratio of the two runs' own mean single-thread
+passes (reference-free — min-merge bias and format statistic mismatches
+cancel); otherwise each side divides by its recorded probe ratio, gated
+on the 1.3x quiet-jitter band. Exit code is 0 unless a side fails to
+parse; the tool adjudicates, it does not gate.
 """
 import json
 import sys
@@ -62,27 +65,51 @@ def best_time(g):
     return min(times) if times else None
 
 
+# Per-side probe ratios under this band are quiet-machine jitter, not
+# slowdown: the committed probe reference min-merges to the all-time-
+# fastest pass, so a genuinely quiet run reads 1.0-1.3x against it
+# (Bench.ProbeSlowRatio's rationale). Applying such a ratio to ONE side
+# fabricates uniform drift the size of the band on every long gate —
+# sub-band ratios therefore normalize to 1.0. The relative path below
+# is immune (the reference cancels out of a two-run comparison) and is
+# preferred whenever both artifacts carry raw probe passes.
+JITTER_BAND = 1.3
+
+
+def rel_probe(old_doc, new_doc):
+    """Relative machine-speed ratio new/old from the two runs' OWN probe
+    passes (mean of the bracketing single-thread passes — the statistic
+    every probe-carrying format records raw). Reference-free: the
+    committed quiet probe's min-merge bias, and the max-vs-mean
+    statistic mismatch between format-3 vs_ref and format-4 adj_ratio,
+    cancel out of a two-run comparison entirely. Single-thread only —
+    the multi pass is per-thread-count and format-3 artifacts do not
+    record the count. None when either side lacks raw passes."""
+    def mean_single(doc):
+        p = doc.get("probe", {})
+        vals = [p.get(k) for k in ("single_start", "single_end")]
+        vals = [v for v in vals if isinstance(v, (int, float)) and v > 0]
+        return sum(vals) / len(vals) if vals else None
+    o, n = mean_single(old_doc), mean_single(new_doc)
+    return (n / o) if o and n else None
+
+
 def probe_adj(doc):
-    # Whole-sweep machine-speed ratio vs the committed quiet probe.
-    # Every comparison below divides that side's times by it, so a sweep
-    # on a degraded box diffs clean against a quiet one instead of
-    # reading as uniform drift (round 13: five plan-identical gates
-    # published 3-8x vs_ref under load). Returns (ratio, source-tag).
+    # Per-side whole-sweep machine-speed ratio vs the committed quiet
+    # probe — the fallback when the relative path is unavailable (one
+    # side predates the probe). Returns (ratio, source-tag); ratios
+    # inside JITTER_BAND normalize to 1.0 (see the band note above).
     # bench_format >= 4 artifacts carry probe.adj_ratio (mean over the
     # bracketing ends of the worst comparable ratio); format-3 artifacts
     # recorded only probe.vs_ref — the MAX ratio the machine_slow
-    # verdict hangs on. That max is biased HIGH vs the mean, so a slow
-    # old run is if anything over-corrected — still far better than
-    # reading its whole machine slowdown as plan drift (an r12 record at
-    # probe 1.27 diffed -20% "drift" against a normalized r14 run until
-    # this fallback). (1.0, "") when no probe evidence exists.
+    # verdict hangs on, biased HIGH vs the mean, so a slow old run is if
+    # anything over-corrected — still far better than reading its whole
+    # machine slowdown as plan drift. (1.0, "") without probe evidence.
     p = doc.get("probe", {})
-    r = p.get("adj_ratio")
-    if isinstance(r, (int, float)) and r > 0:
-        return float(r), "adj_ratio"
-    r = p.get("vs_ref")
-    if isinstance(r, (int, float)) and r > 0:
-        return float(r), "vs_ref(max-biased)"
+    for key, tag in (("adj_ratio", "adj_ratio"), ("vs_ref", "vs_ref(max-biased)")):
+        r = p.get(key)
+        if isinstance(r, (int, float)) and r > 0:
+            return (float(r), tag) if r > JITTER_BAND else (1.0, "")
     return 1.0, ""
 
 
@@ -101,7 +128,13 @@ def main():
         raise SystemExit(__doc__.strip().splitlines()[2])
     old_doc, old = load(args[0])
     new_doc, new = load(args[1])
-    (adj_old, adj_old_src), (adj_new, adj_new_src) = probe_adj(old_doc), probe_adj(new_doc)
+    rel = rel_probe(old_doc, new_doc)
+    if rel is not None:
+        (adj_old, adj_old_src) = (1.0, "")
+        (adj_new, adj_new_src) = (rel, "relative-probe")
+    else:
+        (adj_old, adj_old_src), (adj_new, adj_new_src) = \
+            probe_adj(old_doc), probe_adj(new_doc)
 
     buckets = {"plan_changed": [], "contended": [], "inflated": [],
                "drift": [], "noise": []}
@@ -192,7 +225,8 @@ def main():
     if adj_old != 1.0 or adj_new != 1.0:
         def src(tag):
             return f" [{tag}]" if tag else ""
-        print(f"NOTE: per-gate times probe-normalized to quiet-machine seconds "
+        unit = "old-machine" if adj_new_src == "relative-probe" else "quiet-machine"
+        print(f"NOTE: per-gate times probe-normalized to {unit} seconds "
               f"(old /{adj_old:.3f}{src(adj_old_src)}, "
               f"new /{adj_new:.3f}{src(adj_new_src)}) — raw times are in the "
               f"artifacts.")
