@@ -100,6 +100,21 @@ object Pipeline {
     else Extract.readJsonl(spark, path).toDF()
   }
 
+  /** True when a streaming parquet sink dir holds at least one data file.
+    * A drained sink with ZERO emitted rows holds only `_spark_metadata`,
+    * which a bare parquet read cannot infer a schema from — every
+    * stream-driving branch must guard its read-back with this. Through
+    * the Hadoop FS API (round 14) so non-local out paths (hdfs://,
+    * s3a://) report truthfully instead of java.io.File silently
+    * returning "no files"; one listing, so there is no exists/list race
+    * on a concurrently-removed dir.
+    */
+  private def sinkHasData(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
+  }
+
   /** `analyze --limit N`: the first N summaries in query-id order — the
     * reference's `itertools.islice(lines, limit)` (`analyze.py:1226-1227`)
     * made deterministic (its line order is extract's sorted-path order =
@@ -232,7 +247,11 @@ object Pipeline {
         else writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       if (!follow) {
         q.awaitTermination()
-        println(s"streamed ${spark.read.parquet(s"$out/data").count()} summaries to $out/data")
+        // an input dir with zero parseable files drains cleanly but emits
+        // no data files — guard the read-back like the other stream drives
+        val n = if (sinkHasData(spark, s"$out/data"))
+          spark.read.parquet(s"$out/data").count() else 0L
+        println(s"streamed $n summaries to $out/data")
       }
       // optional live-dashboard twin: the B1–B6 trend aggregation over the
       // same landed stream (spec-proven equal to the batch analyzers),
@@ -283,11 +302,7 @@ object Pipeline {
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       q.awaitTermination()
-      // zero sealed sessions leaves only _spark_metadata in the sink dir —
-      // a bare parquet read would fail schema inference
-      val hasData = new java.io.File(s"$out/sessions").listFiles() != null &&
-        new java.io.File(s"$out/sessions").listFiles().exists(_.getName.endsWith(".parquet"))
-      if (hasData) {
+      if (sinkHasData(spark, s"$out/sessions")) {
         val sealed_ = spark.read.parquet(s"$out/sessions")
         println(s"sessionized: ${sealed_.count()} sealed sessions " +
           s"(${sealed_.select("user_id").distinct().count()} users) to $out/sessions")
@@ -335,10 +350,9 @@ object Pipeline {
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       q.awaitTermination()
-      val hasData = Option(new java.io.File(s"$out/survivors").listFiles())
-        .exists(_.exists(_.getName.endsWith(".parquet")))
       val streamed = // survivors as a DataFrame — never collected whole
-        if (hasData) spark.read.parquet(s"$out/survivors").select(col("doc_id"))
+        if (sinkHasData(spark, s"$out/survivors"))
+          spark.read.parquet(s"$out/survivors").select(col("doc_id"))
         else Seq.empty[Long].toDF("doc_id")
       val all = spark.read.parquet(s"$in/documents.parquet")
         .select(col("doc_id"), col("text"))
@@ -371,9 +385,11 @@ object Pipeline {
           .select(col("doc_b").as("doc_id")).distinct()
         val expected = sigs.select(col("doc_id")).exceptAll(dupDocs)
         // the near twin's survivor aggregates seal only once the
-        // watermark passes them, so compare on the sealed id window
-        val maxId = all.agg(org.apache.spark.sql.functions.max(col("doc_id")))
-          .head().getLong(0)
+        // watermark passes them, so compare on the sealed id window. An
+        // EMPTY corpus has a null max — getLong would NPE; 0 makes the
+        // sealed window empty on both sides and the check passes vacuously
+        val maxIdRow = all.agg(org.apache.spark.sql.functions.max(col("doc_id"))).head()
+        val maxId = if (maxIdRow.isNullAt(0)) 0L else maxIdRow.getLong(0)
         val sealCut = maxId - delaySeconds
         // localCheckpoint: three actions consume the replay (both
         // exceptAll directions + the count below) — without it each one

@@ -57,8 +57,20 @@ final class Collector(
     */
   private val MaxRedirects = 5
 
-  private def sameOrigin(a: URI, b: URI): Boolean =
-    a.getScheme == b.getScheme && a.getHost == b.getHost && a.getPort == b.getPort
+  /** Scheme-default ports normalize before comparing (round 14): a
+    * proxy that 302s `http://coord/...` to `http://coord:80/...` names
+    * the SAME origin — without normalization the hop read as foreign
+    * and silently shipped the request bare (no user header, no auth),
+    * turning every fetch into an unexplained 401.
+    */
+  private[graft] def effectivePort(u: URI): Int =
+    if (u.getPort != -1) u.getPort
+    else if (u.getScheme == "https") 443
+    else 80
+
+  private[graft] def sameOrigin(a: URI, b: URI): Boolean =
+    a.getScheme == b.getScheme && a.getHost == b.getHost &&
+      effectivePort(a) == effectivePort(b)
 
   private def get(url: String): Option[String] = {
     val origin = URI.create(coordinator)
@@ -98,15 +110,30 @@ final class Collector(
 
   /** ids of queries in a done state, from `GET {endpoint}` — sorted, the
     * reference's download order (`for query_id in sorted(ids)`,
-    * collect.py:100).
+    * collect.py:100). Transport/parse failures yield an EMPTY cycle, not
+    * a crash (round 14): `get` only absorbs non-OK status codes — a
+    * coordinator restart mid-poll surfaces as ConnectException from
+    * http.send (or a malformed body as a Jackson parse error), and
+    * before this guard one such transient killed the whole `--loop`
+    * poller, contradicting the documented failures-logged-and-skipped
+    * semantics. An interrupt still propagates as the flag so loop()
+    * exits cleanly.
     */
   def listDone(): Seq[String] =
-    get(s"$coordinator$endpoint").toSeq.flatMap { body =>
-      mapper.readTree(body).elements.asScala.collect {
-        case q if Option(q.get("state")).exists(s => doneStates(s.asText)) =>
-          q.get("queryId").asText
-      }.toSeq
-    }.sorted
+    try
+      get(s"$coordinator$endpoint").toSeq.flatMap { body =>
+        mapper.readTree(body).elements.asScala.collect {
+          case q if Option(q.get("state")).exists(s => doneStates(s.asText)) =>
+            q.get("queryId").asText
+        }.toSeq
+      }.sorted
+    catch {
+      case _: InterruptedException =>
+        Thread.currentThread().interrupt(); Seq.empty
+      case e: Exception =>
+        System.err.println(s"[collect] list failed: ${e.getMessage} — empty cycle")
+        Seq.empty
+    }
 
   /** full QueryInfo JSON for one id (`{endpoint}/{id}?pretty` — the detail
     * URL shares the configured endpoint, collect.py:105).
@@ -142,17 +169,42 @@ final class Collector(
     written
   }
 
-  /** `--loop` mode: poll until the thread is interrupted. */
+  /** `--loop` mode: poll until the thread is interrupted. The
+    * inter-cycle sleep is where a restored interrupt flag actually
+    * lands — Thread.sleep sees it, clears it, and throws — so the
+    * graceful exit must catch InterruptedException here (round 14: the
+    * while-condition check alone never fired; the documented
+    * interrupt-to-stop crashed out of main with a stack trace instead).
+    */
   def loop(outDir: String, delayMs: Long = 100, loopDelayMs: Long = 1000): Unit =
-    while (!Thread.currentThread().isInterrupted) {
-      collectOnce(outDir, delayMs)
-      Thread.sleep(loopDelayMs)
+    try
+      while (!Thread.currentThread().isInterrupted) {
+        collectOnce(outDir, delayMs)
+        Thread.sleep(loopDelayMs)
+      }
+    catch {
+      case _: InterruptedException => Thread.currentThread().interrupt()
     }
 
+  /** Gzip sink, written via a same-directory temp file + atomic rename
+    * (round 14): the incremental-dedup contract treats an EXISTING file
+    * as collected-forever, so a crash or disk-full mid-write must never
+    * leave a truncated gzip at the final path — it would be skipped on
+    * every later cycle and poison downstream extract. Falls back to a
+    * plain move where the filesystem cannot do atomic renames.
+    */
   private def writeGzip(path: Path, content: String): Unit = {
-    val os = new GZIPOutputStream(new FileOutputStream(path.toFile))
-    try os.write(content.getBytes(StandardCharsets.UTF_8))
-    finally os.close()
+    val tmp = Files.createTempFile(path.getParent, path.getFileName.toString, ".tmp")
+    try {
+      val os = new GZIPOutputStream(new FileOutputStream(tmp.toFile))
+      try os.write(content.getBytes(StandardCharsets.UTF_8))
+      finally os.close()
+      try Files.move(tmp, path, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.AtomicMoveNotSupportedException =>
+          Files.move(tmp, path, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    } finally Files.deleteIfExists(tmp)
   }
 }
 

@@ -60,11 +60,20 @@ object JsonlProcess {
       val parts = split(n.getField("table_name"), "\\.")
       size(parts) === 3 && parts(1) === schema
     })
+    // null carriers count 0 occurrences EXPLICITLY (when/isNull), never
+    // via coalesce(size(...)): under spark.sql.ansi.enabled=false the
+    // legacy sizeOfNull convention makes size(null) return -1 — not
+    // null — so the coalesce silently never engaged and a carrier-less
+    // row (inputs AND plan_nodes both null) scored -2 occurrences and
+    // was DROPPED instead of kept by the include-absent arm. The
+    // explicit branch is config-independent.
+    def occurrencesIn(arr: Column, pred: Column => Column): Column =
+      when(arr.isNull, lit(0)).otherwise(size(filter(arr, pred)))
     val occurrences =
-      coalesce(size(filter(col("inputs"),
-        i => get_json_object(i, "$.schema").isNotNull)), lit(0)) +
-      coalesce(size(filter(col("plan_nodes"),
-        n => size(split(n.getField("table_name"), "\\.")) === 3)), lit(0))
+      occurrencesIn(col("inputs"),
+        i => get_json_object(i, "$.schema").isNotNull) +
+      occurrencesIn(col("plan_nodes"),
+        n => size(split(n.getField("table_name"), "\\.")) === 3)
     df.filter(occurrences === 0 || inInputs || inTables)
   }
 
@@ -88,13 +97,36 @@ object JsonlProcess {
     when(c.isNull || c === "", c)
       .otherwise(concat(lit(prefix), substring(md5(c), 1, 16)))
 
+  /** Fail loudly when a JOIN-dictionary's distinct-name cardinality
+    * exceeds the [[maxDictNames]] bound (round 14): `broadcast(table)`
+    * materializes the dictionary on the driver exactly like `collect()`
+    * does, so the bound must hold on the join path too — before this,
+    * `--rename-user` on a pathological corpus (one generated name per
+    * row) hit an undiagnosed broadcast OOM while the collected
+    * schema/catalog path failed with named escape hatches. Costs one
+    * count over the distinct-name AGGREGATE (not the corpus), run
+    * before the single-partition token window ever builds.
+    */
+  private def requireDictBounded(names: DataFrame, what: String): Unit = {
+    val bound = maxDictNames(names.sparkSession)
+    val n = names.limit(bound.toInt + 1).count()
+    require(n <= bound,
+      s"$what: more than $bound distinct names — this dictionary is no " +
+        "longer catalog-metadata-sized and would exhaust driver memory at " +
+        "broadcast. Use --hash-tokens (pure-function tokens, no " +
+        "dictionary), raise spark.graft.maxDictNames deliberately, or " +
+        "pre-filter the corpus.")
+  }
+
   /** Build the translation table for one column: distinct values →
     * `prefix0, prefix1, …` in first-seen (min query_id) order.
     */
-  def translationTable(df: DataFrame, column: String, prefix: String): DataFrame =
-    df.filter(col(column).isNotNull && col(column) =!= "")
+  def translationTable(df: DataFrame, column: String, prefix: String): DataFrame = {
+    val names = df.filter(col(column).isNotNull && col(column) =!= "")
       .groupBy(col(column).as("old_name"))
       .agg(min(col("query_id")).as("first_seen"))
+    requireDictBounded(names, s"$prefix dictionary")
+    names
       .withColumn("new_name", concat(lit(prefix),
         (dense_rank().over(
           // total first-seen order is the dictionary's contract (tokens
@@ -103,6 +135,7 @@ object JsonlProcess {
           Window.orderBy(col("first_seen"), col("old_name"))) - 1)
           .cast("string")))
       .select(col("old_name"), col("new_name"))
+  }
 
   /** A14/A15: replace `column` values via a translation table built with
     * [[translationTable]] (empty strings pass through unchanged, matching
@@ -135,10 +168,12 @@ object JsonlProcess {
       .select(col("query_id"), posexplode(col(column)).as(Seq("pos", "old_name")))
     // '' never enters the dictionary (NameObfuscator's guard) but keeps its
     // position in the rebuilt array
-    val table = exploded
+    val names = exploded
       .filter(col("old_name") =!= "")
       .groupBy(col("old_name"))
       .agg(min(struct(col("query_id"), col("pos"))).as("first_seen"))
+    requireDictBounded(names, s"$prefix array dictionary")
+    val table = names
       .withColumn("new_name", concat(lit(prefix),
         (dense_rank().over(
           // total first-seen order is the dictionary's contract (tokens

@@ -164,4 +164,54 @@ class CollectorSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(foreignUser === None, "user header leaked to the foreign origin")
     } finally foreign.stop(0)
   }
+
+  test("sameOrigin: scheme-default ports normalize; real differences still differ") {
+    import java.net.URI
+    val c = new Collector(s"http://localhost:$port")
+    // a proxy that adds the explicit default port is the SAME origin —
+    // before r14 this hop read as foreign and shipped the request bare
+    assert(c.sameOrigin(URI.create("http://coord/v1"), URI.create("http://coord:80/v1")))
+    assert(c.sameOrigin(URI.create("https://coord/v1"), URI.create("https://coord:443/v1")))
+    // genuinely different port / host / scheme stay cross-origin
+    assert(!c.sameOrigin(URI.create("http://coord/v1"), URI.create("http://coord:8080/v1")))
+    assert(!c.sameOrigin(URI.create("http://coord/v1"), URI.create("http://other/v1")))
+    assert(!c.sameOrigin(URI.create("http://coord:443/v1"), URI.create("https://coord/v1")))
+  }
+
+  test("a dead coordinator yields an empty cycle, not a crash (loop survival)") {
+    // connection refused is a transport exception from http.send, not a
+    // status code — before r14 it killed the whole --loop poller
+    val dead = new Collector("http://localhost:1") // port 1: nothing listens
+    assert(dead.listDone() === Seq.empty)
+    val out = java.nio.file.Files.createTempDirectory("graft-collect-dead").toString
+    assert(dead.collectOnce(out, delayMs = 0) === 0)
+    // malformed list body: parse failure is also an empty cycle
+    server.createContext("/garbage/query", (ex: HttpExchange) => {
+      val b = "not json at all".getBytes("UTF-8")
+      ex.sendResponseHeaders(200, b.length)
+      ex.getResponseBody.write(b)
+      ex.close()
+    })
+    val garbled = new Collector(s"http://localhost:$port", endpoint = "/garbage/query")
+    assert(garbled.listDone() === Seq.empty)
+  }
+
+  test("loop exits cleanly on interrupt (the documented stop mechanism)") {
+    val out = java.nio.file.Files.createTempDirectory("graft-collect-loop").toString
+    val c = new Collector(s"http://localhost:$port", user = "tester")
+    @volatile var crashed: Option[Throwable] = None
+    val t = new Thread(() => {
+      try c.loop(out, delayMs = 0, loopDelayMs = 60000)
+      catch { case e: Throwable => crashed = Some(e) }
+    })
+    t.start()
+    // let the first cycle run, then interrupt mid-sleep — the
+    // InterruptedException from Thread.sleep must end the loop, not
+    // escape it (before r14 it crashed out of main with a stack trace)
+    Thread.sleep(500)
+    t.interrupt()
+    t.join(10000)
+    assert(!t.isAlive, "loop did not exit within 10 s of the interrupt")
+    assert(crashed.isEmpty, s"loop escaped with ${crashed.map(_.toString)}")
+  }
 }

@@ -339,4 +339,56 @@ class JsonlProcessSpec extends SparkSpec {
       "20220302_090500_00006_graft", "20220303_220000_00008_graft",
       "20220302_100000_00009_graft", "20220303_120000_00010_graft"))
   }
+
+  test("filterBySchema include-absent survives the legacy sizeOfNull convention") {
+    // under spark.sql.ansi.enabled=false, size(null) returns -1 (not
+    // null) — before r14 a carrier-less row (inputs AND plan_nodes both
+    // null) scored -2 occurrences and was silently DROPPED instead of
+    // kept by the include-absent arm. The occurrence count now branches
+    // on isNull explicitly, so the result is config-independent.
+    val sameKeep = JsonlProcess.filterBySchema(workload, "web")
+      .select("query_id").collect().map(_.getString(0)).toSet
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.legacy.sizeOfNull", "true")
+    try {
+      val kept = JsonlProcess.filterBySchema(workload, "web")
+        .select("query_id").collect().map(_.getString(0)).toSet
+      assert(kept === sameKeep, "legacy sizeOfNull changed the kept set")
+      // the all-null carrier case specifically: a row with null inputs
+      // and null plan_nodes must be kept under BOTH configs
+      val nulled = workload.withColumn("inputs",
+          lit(null).cast(workload.schema("inputs").dataType))
+        .withColumn("plan_nodes",
+          lit(null).cast(workload.schema("plan_nodes").dataType))
+      assert(JsonlProcess.filterBySchema(nulled, "web").count() === workload.count())
+    } finally {
+      spark.conf.unset("spark.sql.ansi.enabled")
+      spark.conf.unset("spark.sql.legacy.sizeOfNull")
+    }
+  }
+
+  test("join-dictionary paths enforce the cardinality bound like the collected ones") {
+    // broadcast() materializes on the driver exactly like collect():
+    // renameUsers (translationTable) and the array dictionary must fail
+    // with the named escape hatches past spark.graft.maxDictNames
+    spark.conf.set("spark.graft.maxDictNames", "2")
+    try {
+      val e = intercept[IllegalArgumentException](
+        JsonlProcess.renameUsers(df).collect()) // 3 distinct users > 2
+      assert(e.getMessage.contains("distinct names"))
+      assert(e.getMessage.contains("--hash-tokens"))
+      // at the bound: passes
+      spark.conf.set("spark.graft.maxDictNames", "3")
+      assert(JsonlProcess.renameUsers(df).count() === df.count())
+      // hash mode never builds the dictionary — immune to the bound
+      spark.conf.set("spark.graft.maxDictNames", "1")
+      assert(JsonlProcess.renameUsers(df, hashTokens = true).count() === df.count())
+      // the array path shares the guard
+      val arr = Seq(
+        ("q1", Seq("p1", "p2")), ("q2", Seq("p3", "p4"))).toDF("query_id", "ids")
+      val a = intercept[IllegalArgumentException](
+        JsonlProcess.obfuscateArrayColumn(arr, "ids", "part").collect())
+      assert(a.getMessage.contains("array dictionary"))
+    } finally spark.conf.unset("spark.graft.maxDictNames")
+  }
 }
