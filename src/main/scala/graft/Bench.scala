@@ -39,10 +39,10 @@ object Bench {
     */
   private val TpchEventPrefixes = Set(
     "array_", "broadcast_", "coalesce_", "concat_", "cube_", "date_",
-    "dict_", "equi_", "explode_", "greatest_", "hash_", "histogram_",
-    "join_", "json_", "pivot_", "quantile_", "regexp_", "rollup_",
-    "scan_", "scatter_", "sessionize_", "set_", "skew_", "stats_",
-    "string_", "topk_", "topn_", "union_", "unit_", "window_")
+    "dict_", "equi_", "events_", "explode_", "greatest_", "hash_",
+    "histogram_", "join_", "json_", "pivot_", "quantile_", "regexp_",
+    "rollup_", "scan_", "scatter_", "sessionize_", "set_", "skew_",
+    "stats_", "string_", "topk_", "topn_", "union_", "unit_", "window_")
 
   private[graft] def families(n: String): Set[String] =
     if (n.startsWith("analyzer_")) Set("analyzer_metrics")

@@ -513,6 +513,10 @@ object Pipeline {
       // the scrubbed survivors): one bounded row — natural language sits
       // near slope -1; compare against the previous drop's line
       val vocab = graft.ml.Curate.vocabProfile(curated).collect().head
+      // partial-duplication alarm (the judged dedup_substring_spans
+      // contract): whole-doc dedup already ran, so any remaining span
+      // coverage is boilerplate/template duplication inside survivors
+      val spansRow = graft.ml.Curate.spanProfile(curated).collect().head
       curated.unpersist()
       census.foreach(r => println(
         s"curated: split=${r.getString(0)} source=${r.getString(1)} " +
@@ -520,6 +524,10 @@ object Pipeline {
       if (!vocab.isNullAt(0)) println(
         s"vocab profile: zipf_slope=${vocab.getDouble(0)} " +
           s"zipf_intercept=${vocab.getDouble(1)} n_ranks=${vocab.getLong(2)}")
+      println(s"dup spans: docs_flagged=${spansRow.getLong(0)} " +
+        s"dup_tokens=${spansRow.getLong(1)} " +
+        s"corpus_tokens=${if (spansRow.isNullAt(2)) 0L else spansRow.getLong(2)} " +
+        s"coverage=${if (spansRow.isNullAt(3)) 0.0 else spansRow.getDouble(3)}")
       println(s"curated ${census.map(_.getLong(2)).sum} documents to $out")
       spark.stop()
 

@@ -119,4 +119,26 @@ object Curate {
     */
   def vocabProfile(curated: DataFrame): DataFrame =
     TextOps.zipfFit(curated.select(col("text")))
+
+  /** Duplicated-span coverage of a curated corpus: the judged
+    * `dedup_substring_spans` contract (ONE shared definition,
+    * CurationQueries.substringSpans) aggregated to a single row
+    * `(n_docs_flagged, dup_tokens, corpus_tokens, coverage)` — the
+    * fraction of surviving tokens that still sit inside a cross-document
+    * duplicated 8-gram span. Exact/near dedup drops whole documents;
+    * this is the one-number alarm for PARTIAL duplication the drop
+    * cannot catch (boilerplate headers, templated passages) — emitted by
+    * the curate CLI next to the census so every drop carries it.
+    */
+  def spanProfile(curated: DataFrame): DataFrame = {
+    val words = curated.select(col("doc_id"), split(col("text"), " ").as("w"))
+    val corpus = words.agg(
+      sum(size(col("w")).cast("long")).as("corpus_tokens"))
+    graft.queries.CurationQueries.substringSpans(words)
+      .agg(count(lit(1)).as("n_docs_flagged"),
+        coalesce(sum(col("dup_tokens")), lit(0L)).as("dup_tokens"))
+      .crossJoin(corpus)
+      .withColumn("coverage", graft.queries.QueryDsl.r6(
+        col("dup_tokens").cast("double") / col("corpus_tokens")))
+  }
 }

@@ -1,0 +1,512 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps.vecDot
+import graft.ml.TextOps
+import graft.queries.QueryDsl._
+import graft.tables.Tables
+
+/** Round-14 curation additions: the training-data operations the r1–r13
+  * inventory still lacked — substring-span dedup (the ExactSubstr idea of
+  * Lee et al. 2022, arXiv:2107.06499, at word-k-gram granularity),
+  * asymmetric n-gram containment (near-superset detection, the direction
+  * Jaccard is blind to), Johnson–Lindenstrauss random projection (the
+  * dimensionality-reduction leg of the similarity family), and an event
+  * funnel (ordered-step conversion over the events stream). Every gate is
+  * DuckDB-oracle-judged like the rest of the registry.
+  */
+object CurationQueries {
+
+  /** Span gram width (words). 8 is the judged contract: long enough that
+    * random word soup rarely collides (the sf0.01 corpus still carries
+    * ~1k genuinely duplicated 8-grams from its planted near-dup pairs),
+    * short enough that real boilerplate is caught.
+    */
+  private val SpanK = 8
+
+  /** Shared-shingle df cap, same rationale (and value) as
+    * dedup_ngram_jaccard's: a shingle in more than `DfCap` docs carries
+    * no near-dup signal and would contribute O(df²) candidate pairs.
+    */
+  private val DfCap = 5L
+
+  // ---- JL random projection sign matrix ---------------------------------
+  // Deterministic ±1 signs from md5 parity of "rp|i|j" — a pure public
+  // function both engines can evaluate: Scala precomputes the 16×64
+  // matrix ONCE on the driver (it is a constant of the operator, not of
+  // the data) and embeds it as plan literals, so the per-row work is
+  // exactly one FloatVecDot per output dimension — narrow, codegen'd,
+  // shuffle-free. The DuckDB oracle recomputes the same md5 parity
+  // inline. E[sign]=0 and the md5 bits are independent across (i,j),
+  // which is all the JL guarantee needs (Achlioptas 2003: ±1 entries
+  // suffice; scaling by 1/√d' preserves expected norms).
+  private val ProjDims = 16
+  private val SrcDims = 64
+
+  private def md5FirstHexEven(key: String): Boolean = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    "02468ace".indexOf(f"${d(0) & 0xff}%02x".charAt(0)) >= 0
+  }
+
+  /** Per-doc duplicated-span statistics over a `(doc_id, w)` word-array
+    * relation: `(doc_id, n_spans, dup_tokens, n_tokens, dup_frac)` for
+    * every doc carrying at least one duplicated 8-gram — the ONE span
+    * definition shared by the judged `dedup_substring_spans` gate and
+    * the curate product's span-coverage profile (Curate.spanProfile),
+    * so the product line cannot drift from what the oracle verified.
+    */
+  private[graft] def substringSpans(words: DataFrame): DataFrame = {
+    val k = SpanK
+    val grams = words
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"),
+        posexplode(expr(TextOps.wordNGramsExpr(k))))
+      .select(col("doc_id"), col("n_tokens"), col("pos"),
+        md5(col("col")).as("gh"))
+    val dupGrams = grams.groupBy(col("gh"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1)
+      .select(col("gh"))
+    val hits = grams.join(dupGrams, Seq("gh"), "left_semi")
+      .select(col("doc_id"), col("n_tokens"), col("pos"))
+    val prevEnd = max(col("pos") + lit(k)).over(
+      Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(Window.unboundedPreceding, -1))
+    val islands = hits
+      .withColumn("new_island",
+        when(prevEnd.isNull || col("pos") > prevEnd, 1L).otherwise(0L))
+      .withColumn("island", sum(col("new_island")).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    val spans = islands.groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("s"),
+        (max(col("pos")) + lit(k)).as("e"),
+        min(col("n_tokens")).as("n_tokens"))
+    spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s")).cast("long").as("dup_tokens"),
+        min(col("n_tokens")).as("n_tokens"))
+      .withColumn("dup_frac",
+        r6(col("dup_tokens").cast("double") / col("n_tokens")))
+      .select(col("doc_id"), col("n_spans"), col("dup_tokens"),
+        col("n_tokens"), col("dup_frac"))
+  }
+
+  private[graft] val projSigns: IndexedSeq[Array[Float]] =
+    (0 until ProjDims).map { j =>
+      Array.tabulate(SrcDims)(i =>
+        if (md5FirstHexEven(s"rp|$i|$j")) 1.0f else -1.0f)
+    }
+
+  private def projSignSql(j: Int): String =
+    s"(CASE WHEN strpos('02468ace', substr(md5('rp|' || (i-1) || '|$j'), 1, 1)) > 0 " +
+      "THEN 1.0 ELSE -1.0 END)"
+
+  // ---- product quantization ---------------------------------------------
+  // m=4 subspaces × 16 dims, k=8 codewords per subspace. Codebooks reuse
+  // the registry's ONE seed contract (vec_id < 8, the ivfAssigned /
+  // ann_build seed rule): codebook[sub][c] = seed c's sub-block. k ≪ N,
+  // so codebooks are driver literals exactly like the IVF centroids —
+  // encode is a narrow map of 8 codegen dots per (row, subspace), no
+  // join, no shuffle. Argmin score = r6(‖cb‖² − 2·x_sub·cb) (the ‖x_sub‖²
+  // term is constant within a subspace and drops out of the argmin),
+  // ties to the lowest codeword — the ivfAssigned tie rule.
+  private val NSub = 4
+  private val SubDim = 16
+  private val PqK = 8
+
+  /** Driver-collected seed sub-blocks: (cid, sub) -> 16 floats. */
+  private def pqCodebook(s: SparkSession, d: String): Seq[(Long, Array[Array[Float]])] =
+    Tables.embeddings(s, d)
+      .filter(col("vec_id") < PqK).select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0),
+        Array.tabulate(NSub)(sub =>
+          r.getSeq[Float](1).slice(sub * SubDim, (sub + 1) * SubDim).toArray)))
+      .sortBy(_._1).toSeq
+
+  /** Index-order double fold of Σx², the exact arithmetic of vecNorm². */
+  private def sq(v: Array[Float]): Double =
+    v.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble)
+
+  /** `(vec_id, c0..c3, err_micro)` — the PQ encoding of every vector plus
+    * its integer-exact micro-unit quantization error. Shared by the
+    * encode gate and the ADC gate.
+    */
+  private[queries] def pqCodes(s: SparkSession, d: String): DataFrame = {
+    val cb = pqCodebook(s, d)
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val withScores = (0 until NSub).foldLeft(e) { (df, sub) =>
+      val x = slice(col("embedding"), sub * SubDim + 1, SubDim)
+      val scored = cb.foldLeft(df) { case (df2, (cid, blocks)) =>
+        df2.withColumn(s"sc_${sub}_$cid",
+          r6(lit(sq(blocks(sub))) - lit(2.0) * vecDot(x, typedLit(blocks(sub)))))
+      }
+      // first codeword (ascending id) whose score <= all others
+      val ids = cb.map(_._1)
+      val code = ids.foldRight(lit(-1L)) { (cid, els) =>
+        when(ids.filter(_ != cid).map(o => col(s"sc_${sub}_$cid") <= col(s"sc_${sub}_$o"))
+          .reduceOption(_ && _).getOrElse(lit(true)), lit(cid)).otherwise(els)
+      }
+      val chosen = ids.foldRight(lit(Double.MaxValue)) { (cid, els) =>
+        when(col(s"c$sub") === cid, col(s"sc_${sub}_$cid")).otherwise(els)
+      }
+      val withCode = scored.withColumn(s"c$sub", code)
+      withCode.withColumn(s"err_$sub",
+        floor((vecDot(x, x) + chosen) * lit(1000000.0) + lit(0.5)).cast("long"))
+    }
+    withScores.withColumn("err_micro",
+      (0 until NSub).map(sub => col(s"err_$sub")).reduce(_ + _))
+      .select(col("vec_id") +: (0 until NSub).map(sub => col(s"c$sub")) :+
+        col("err_micro"): _*)
+  }
+
+  /** Oracle twin of [[pqCodes]]: CTEs ending in `codes(vec_id, sub, code,
+    * err_micro_sub)` (long format — one row per subspace).
+    */
+  private val pqCodesSql: String = {
+    // DuckDB's generate_series cannot take correlated bounds, so the 4
+    // subspaces unroll to a UNION ALL with literal index ranges.
+    val subBlocks = (0 until NSub).map { sub =>
+      val gs = s"generate_series(${sub * SubDim + 1}, ${(sub + 1) * SubDim}) t(i)"
+      s"""SELECT e.vec_id, $sub AS sub, c.vec_id AS cid,
+         |    ${r6Sql(
+              s"(SELECT SUM(CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)) FROM $gs)" +
+              s" - 2 * (SELECT SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)) FROM $gs)")} AS score,
+         |    (SELECT SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)) FROM $gs) AS xx
+         |  FROM embeddings e JOIN embeddings c ON c.vec_id < $PqK""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""subsc AS (
+       |  $subBlocks
+       |), codes AS (
+       |  SELECT vec_id, sub, cid AS code,
+       |    CAST(FLOOR((xx + score) * 1000000.0 + 0.5) AS BIGINT) AS err_micro_sub
+       |  FROM (
+       |    SELECT vec_id, sub, cid, score, xx, ROW_NUMBER() OVER (
+       |      PARTITION BY vec_id, sub ORDER BY score ASC, cid) AS rn
+       |    FROM subsc
+       |  ) WHERE rn = 1
+       |)""".stripMargin
+  }
+
+  val all: Seq[NamedQuery] = Seq(
+
+    // Substring-span dedup (Lee et al. 2022 "Deduplicating Training Data
+    // Makes Language Models Better", arXiv:2107.06499): find maximal
+    // duplicated spans — runs of word 8-grams that also occur in another
+    // document — and report per-doc span count / covered tokens /
+    // coverage fraction. The paper's suffix array is a single-machine
+    // structure; the Spark-first equivalent is gram-granular: posexplode
+    // the positioned 8-grams (reusing the decontamination gate's ONE
+    // n-gram spelling, TextOps.wordNGramsExpr), keep grams whose md5
+    // digest appears in >1 distinct doc, then merge overlapping/adjacent
+    // hit positions into maximal spans with a classic gaps-and-islands
+    // window (running max of span end over preceding hits).
+    // At 100 TB: the gram relation shuffles (digest, doc_id, pos) only —
+    // 16-byte digests, never text; the duplicated-digest set is a
+    // hash-agg + left-semi join on the digest (bounded memory — no
+    // collect_list of per-gram postings, which boilerplate grams would
+    // blow up); the island windows partition by doc_id, the same key the
+    // corpus is already bucketed by downstream.
+    NamedQuery(
+      "dedup_substring_spans",
+      (s, d) => substringSpans(
+        MLQueries.words(s, d).select(col("doc_id"), col("w")))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH wrds AS (
+              |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+              |), grams AS (
+              |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+              |    i - 1 AS pos,
+              |    md5(array_to_string(w[i:i+${SpanK - 1}], ' ')) AS gh
+              |  FROM wrds, LATERAL (SELECT unnest(generate_series(1,
+              |    len(w) - ${SpanK - 1})) AS i) t
+              |  WHERE len(w) >= $SpanK
+              |), dup AS (
+              |  SELECT gh FROM grams GROUP BY gh
+              |  HAVING COUNT(DISTINCT doc_id) > 1
+              |), hits AS (
+              |  SELECT g.doc_id, g.n_tokens, g.pos
+              |  FROM grams g JOIN dup USING (gh)
+              |), isl AS (
+              |  SELECT doc_id, n_tokens, pos,
+              |    CASE WHEN MAX(pos + $SpanK) OVER (PARTITION BY doc_id
+              |        ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+              |        AND 1 PRECEDING) IS NULL
+              |      OR pos > MAX(pos + $SpanK) OVER (PARTITION BY doc_id
+              |        ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+              |        AND 1 PRECEDING)
+              |      THEN 1 ELSE 0 END AS ni
+              |  FROM hits
+              |), isl2 AS (
+              |  SELECT doc_id, n_tokens, pos,
+              |    SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+              |  FROM isl
+              |), spans AS (
+              |  SELECT doc_id, island, MIN(pos) AS s,
+              |    MAX(pos) + $SpanK AS e, MIN(n_tokens) AS n_tokens
+              |  FROM isl2 GROUP BY 1, 2
+              |)
+              |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+              |  CAST(SUM(e - s) AS BIGINT) AS dup_tokens,
+              |  MIN(n_tokens) AS n_tokens,
+              |  ${r6Sql("CAST(SUM(e - s) AS DOUBLE) / MIN(n_tokens)")} AS dup_frac
+              |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Asymmetric n-gram containment — |A∩B| / min(|A|,|B|) with both
+    // directional ratios: the near-SUPERSET detector Jaccard misses (a
+    // doc fully embedded in a 10× larger one has Jaccard ≈ 0.1 but
+    // containment 1.0 — quote-inclusion and template-expansion dups in a
+    // crawl corpus). Same df-capped shared-shingle candidate join as
+    // dedup_ngram_jaccard — ONE shingle contract — so at 100 TB the only
+    // wide ops are the sh-keyed exchange (strings the size of three
+    // words) and the pair aggregation; hub shingles are capped at DfCap²
+    // candidate pairs each.
+    NamedQuery(
+      "similarity_containment",
+      (s, d) => {
+        val sh = MLQueries.shingles(s, d)
+          .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+          .filter(col("df") <= DfCap)
+          .withColumn("n_sh", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+        val a = sh.select(col("doc_id").as("doc_a"), col("sh"), col("n_sh").as("na"))
+        val b = sh.select(col("doc_id").as("doc_b"), col("sh"), col("n_sh").as("nb"))
+        a.hint("shuffle_hash").join(b.hint("shuffle_hash"), "sh")
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("shared"),
+            first(col("na")).as("na"), first(col("nb")).as("nb"))
+          .withColumn("cont_a_in_b", r6(col("shared").cast("double") / col("na")))
+          .withColumn("cont_b_in_a", r6(col("shared").cast("double") / col("nb")))
+          .withColumn("containment",
+            r6(col("shared").cast("double") / least(col("na"), col("nb"))))
+          .select(col("doc_a"), col("doc_b"), col("cont_a_in_b"),
+            col("cont_b_in_a"), col("containment"))
+          .orderBy(col("containment").desc, col("doc_a"), col("doc_b"))
+          .limit(10)
+      },
+      Some(s"""WITH sh0 AS (
+              |  $shinglesSqlAlias
+              |), dfs AS (
+              |  SELECT sh, CAST(COUNT(*) AS BIGINT) AS df FROM sh0 GROUP BY 1
+              |), sh AS (
+              |  SELECT doc_id, sh0.sh FROM sh0 JOIN dfs USING (sh) WHERE df <= $DfCap
+              |), sizes AS (
+              |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1
+              |), pairs AS (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |    CAST(COUNT(*) AS BIGINT) AS shared
+              |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2
+              |)
+              |SELECT doc_a, doc_b,
+              |  ${r6Sql("CAST(shared AS DOUBLE) / sa.n_sh")} AS cont_a_in_b,
+              |  ${r6Sql("CAST(shared AS DOUBLE) / sb.n_sh")} AS cont_b_in_a,
+              |  ${r6Sql("CAST(shared AS DOUBLE) / least(sa.n_sh, sb.n_sh)")}
+              |    AS containment
+              |FROM pairs
+              |JOIN sizes sa ON sa.doc_id = doc_a
+              |JOIN sizes sb ON sb.doc_id = doc_b
+              |ORDER BY containment DESC, doc_a, doc_b LIMIT 10""".stripMargin)),
+
+    // Johnson–Lindenstrauss random projection, 64 → 16 dims: out_j =
+    // dot(embedding, sign_j) / √16, signs from md5 parity (see
+    // [[projSigns]]). The scale path for every downstream similarity op:
+    // a 4× narrower vector with pairwise distances preserved within
+    // JL distortion, computed as 16 codegen'd FloatVecDot kernels over
+    // plan-literal sign vectors — zero shuffle, zero allocation per row,
+    // column-pruned scan. At 100 TB this runs as a pure narrow map at
+    // scan speed; the projection matrix never leaves the plan.
+    NamedQuery(
+      "embedding_random_projection",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val scale = math.sqrt(ProjDims.toDouble)
+        val outs = (0 until ProjDims).map { j =>
+          r6(vecDot(col("embedding"), typedLit(projSigns(j))) / lit(scale))
+            .as(s"p$j")
+        }
+        e.select(col("vec_id") +: outs: _*).orderBy(col("vec_id"))
+      },
+      Some {
+        val scale = math.sqrt(ProjDims.toDouble)
+        val outs = (0 until ProjDims).map { j =>
+          val dot = s"(SELECT SUM(CAST(embedding[i] AS DOUBLE) * ${projSignSql(j)}) " +
+            s"FROM generate_series(1,$SrcDims) t(i))"
+          s"${r6Sql(s"$dot / $scale")} AS p$j"
+        }
+        s"""SELECT vec_id,
+           |  ${outs.mkString(",\n  ")}
+           |FROM embeddings ORDER BY vec_id""".stripMargin
+      }),
+
+    // Ordered-step funnel over the events stream: per user, the first
+    // 'view', the first 'click' strictly AFTER that view, the first
+    // 'purchase' strictly after that click; rolled up by the view-day
+    // cohort with per-step conversion rates. All three step times are
+    // min-over-partition window aggregates chained on ONE user_id
+    // partitioning — a single exchange feeds three Window passes and the
+    // distinct, so at 100 TB the plan is one shuffle of (user_id, type,
+    // ts) plus a tiny per-day rollup (the classic sessionization-family
+    // shape; no self-joins, no per-step passes over the raw events).
+    NamedQuery(
+      "events_funnel_steps",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+        val per = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), col("ts"))
+          .withColumn("t_view",
+            min(when(col("event_type") === "view", col("ts"))).over(w))
+          .withColumn("t_click",
+            min(when(col("event_type") === "click" && col("ts") > col("t_view"),
+              col("ts"))).over(w))
+          .withColumn("t_purchase",
+            min(when(col("event_type") === "purchase" && col("ts") > col("t_click"),
+              col("ts"))).over(w))
+          .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"))
+          .distinct()
+          .filter(col("t_view").isNotNull)
+        per.groupBy(date_trunc("day", col("t_view")).cast("date").as("cohort_date"))
+          .agg(count(lit(1)).as("n_entered"),
+            count(col("t_click")).as("n_clicked"),
+            count(col("t_purchase")).as("n_purchased"))
+          .withColumn("click_rate",
+            r6(col("n_clicked").cast("double") / col("n_entered")))
+          .withColumn("purchase_rate",
+            r6(col("n_purchased").cast("double") / col("n_entered")))
+          .orderBy(col("cohort_date"))
+      },
+      Some(s"""WITH e1 AS (
+              |  SELECT user_id, event_type, ts,
+              |    MIN(CASE WHEN event_type = 'view' THEN ts END)
+              |      OVER (PARTITION BY user_id) AS t_view
+              |  FROM events
+              |), e2 AS (
+              |  SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t_view
+              |      THEN ts END) OVER (PARTITION BY user_id) AS t_click
+              |  FROM e1
+              |), e3 AS (
+              |  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t_click
+              |      THEN ts END) OVER (PARTITION BY user_id) AS t_purchase
+              |  FROM e2
+              |), per AS (
+              |  SELECT DISTINCT user_id, t_view, t_click, t_purchase
+              |  FROM e3 WHERE t_view IS NOT NULL
+              |)
+              |SELECT CAST(date_trunc('day', t_view) AS DATE) AS cohort_date,
+              |  CAST(COUNT(*) AS BIGINT) AS n_entered,
+              |  CAST(COUNT(t_click) AS BIGINT) AS n_clicked,
+              |  CAST(COUNT(t_purchase) AS BIGINT) AS n_purchased,
+              |  ${r6Sql("CAST(COUNT(t_click) AS DOUBLE) / COUNT(*)")} AS click_rate,
+              |  ${r6Sql("CAST(COUNT(t_purchase) AS DOUBLE) / COUNT(*)")}
+              |    AS purchase_rate
+              |FROM per GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Product quantization encode (Jégou et al. 2011, "Product
+    // Quantization for Nearest Neighbor Search"): every vector compressed
+    // to 4 codeword ids (one byte each at k=8) + its micro-unit
+    // quantization error. The 4× step beyond embedding_quantize_int8: at
+    // 100 TB the float vectors (256 B each) stay in cold storage and the
+    // similarity working set is the 4-byte codes — the standard
+    // billion-scale ANN memory layout. Encode is a pure narrow map: 8
+    // codegen'd FloatVecDot kernels per (row, subspace) against
+    // plan-literal codebooks, no join, no shuffle (codebooks reuse the
+    // registry's vec_id < 8 seed contract, k ≪ N exactly like the IVF
+    // centroids).
+    NamedQuery(
+      "similarity_pq_encode",
+      (s, d) => pqCodes(s, d).orderBy(col("vec_id")),
+      Some(s"""WITH $pqCodesSql
+              |SELECT vec_id,
+              |  ${(0 until NSub).map(sub =>
+                  s"MIN(CASE WHEN sub = $sub THEN code END) AS c$sub")
+                  .mkString(",\n  ")},
+              |  CAST(SUM(err_micro_sub) AS BIGINT) AS err_micro
+              |FROM codes GROUP BY vec_id ORDER BY vec_id""".stripMargin)),
+
+    // Asymmetric-distance (ADC) top-k over the PQ codes: per query, the
+    // 4×8 lookup table of exact-query-sub-block-to-codeword squared
+    // distances is precomputed on the DRIVER in micro-units and embedded
+    // as a plan literal; the database side contributes ONLY its codes —
+    // approx dist = Σ_sub LUT[q][sub][code], four integer array lookups
+    // per (query, vector) pair, integer-exact in both engines. This is
+    // the PQ promise made literal: the scan that ranks 100 TB of vectors
+    // for a query reads 4-byte codes and never touches a float vector.
+    // Top-5 per query by (approx_micro, neighbor_id) — the deterministic
+    // ranking contract of the similarity family.
+    NamedQuery(
+      "similarity_pq_adc_topk",
+      (s, d) => {
+        val cb = pqCodebook(s, d)
+        val queries = Tables.embeddings(s, d)
+          .filter(col("vec_id") < 5).select(col("vec_id"), col("embedding"))
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+          .sortBy(_._1)
+        // LUT[q][sub][c] in micro-units: floor(r6(Σ(q_i-cb_i)²)·1e6+0.5).
+        // Index-order fold, the vecNorm arithmetic, so DuckDB's per-pair
+        // SUM sees the same value to well below the 1e-6 grid.
+        val lut: Array[Array[Array[Long]]] = queries.map { case (_, qv) =>
+          Array.tabulate(NSub) { sub =>
+            cb.map { case (_, blocks) =>
+              val b = blocks(sub)
+              var acc = 0.0
+              var i = 0
+              while (i < SubDim) {
+                val diff = qv(sub * SubDim + i).toDouble - b(i).toDouble
+                acc += diff * diff
+                i += 1
+              }
+              math.floor(acc * 1000000.0 + 0.5).toLong
+            }.toArray
+          }
+        }.toArray
+        val lutCol = typedLit(lut)
+        val qids = queries.map(_._1)
+        val codes = pqCodes(s, d).filter(col("vec_id") >= 5)
+          .withColumn("qix", explode(typedLit(qids.indices.map(_ + 1).toArray)))
+        val approx: Column = (0 until NSub).map { sub =>
+          element_at(element_at(element_at(lutCol, col("qix")), lit(sub + 1)),
+            (col(s"c$sub") + 1).cast("int"))
+        }.reduce(_ + _)
+        codes
+          .withColumn("query_id", element_at(typedLit(qids.toArray), col("qix")))
+          .withColumn("approx_micro", approx)
+          .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
+            .orderBy(col("approx_micro"), col("vec_id"))))
+          .filter(col("rank") <= 5)
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            col("rank").cast("long").as("rank"), col("approx_micro"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some {
+        val lutBlocks = (0 until NSub).map { sub =>
+          val gs = s"generate_series(${sub * SubDim + 1}, ${(sub + 1) * SubDim}) t(i)"
+          s"""SELECT q.vec_id AS query_id, $sub AS sub, c.vec_id AS cid,
+             |    CAST(FLOOR((SELECT SUM((CAST(q.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))
+             |        * (CAST(q.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))) FROM $gs)
+             |      * 1000000.0 + 0.5) AS BIGINT) AS dmicro
+             |  FROM embeddings q JOIN embeddings c ON c.vec_id < $PqK
+             |  WHERE q.vec_id < 5""".stripMargin
+        }.mkString("\n  UNION ALL\n  ")
+        s"""WITH $pqCodesSql, lut AS (
+           |  $lutBlocks
+           |), approx AS (
+           |  SELECT l.query_id, cd.vec_id AS neighbor_id,
+           |    CAST(SUM(l.dmicro) AS BIGINT) AS approx_micro
+           |  FROM codes cd JOIN lut l ON l.sub = cd.sub AND l.cid = cd.code
+           |  WHERE cd.vec_id >= 5 GROUP BY 1, 2
+           |)
+           |SELECT query_id, neighbor_id, rank, approx_micro FROM (
+           |  SELECT query_id, neighbor_id, approx_micro, CAST(ROW_NUMBER() OVER (
+           |    PARTITION BY query_id ORDER BY approx_micro, neighbor_id) AS BIGINT) AS rank
+           |  FROM approx
+           |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+      }),
+  )
+
+  /** The jaccard/containment gates share MLQueries' shingle CTE text. */
+  private def shinglesSqlAlias: String = MLQueries.shinglesSql
+}

@@ -41,7 +41,7 @@ object MLQueries {
     s"sqrt((SELECT SUM(CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE)) FROM generate_series(1,64) t(i)))"
 
   /** words per document (split on single spaces; corpus has no empties). */
-  private def words(s: SparkSession, d: String): DataFrame =
+  private[queries] def words(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(col("doc_id"), split(col("text"), " ").as("w"))
 
   /** Oracle twin of TextOps.qualityScore over `documents`: CTE ending in
@@ -287,7 +287,7 @@ object MLQueries {
     * task. The global distinct's exchange also parallelizes everything
     * downstream and is reused by the ids/join consumers.
     */
-  private def shingles(s: SparkSession, d: String): DataFrame =
+  private[queries] def shingles(s: SparkSession, d: String): DataFrame =
     shingleExplode(words(s, d))
 
   /** [[shingles]] restricted to the docs in `docs(doc_id)`: the
@@ -308,7 +308,7 @@ object MLQueries {
         .as("sh"))
       .distinct()
 
-  private val shinglesSql =
+  private[queries] val shinglesSql =
     """SELECT DISTINCT doc_id, UNNEST(list_transform(generate_series(1, len(w)-2),
       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)""".stripMargin

@@ -192,6 +192,30 @@ class CurateSpec extends SparkSpec {
     assert(!row.isNullAt(0) && !row.isNullAt(1))
   }
 
+  test("spanProfile is the judged dedup_substring_spans contract, aggregated") {
+    // same input → the product's one-row coverage alarm is exactly the
+    // aggregate of the oracle-judged per-doc gate rows (ONE shared span
+    // definition, CurationQueries.substringSpans)
+    val d = "/root/testdata/sf0.001"
+    val gate = SparkEntry.queries("dedup_substring_spans")(spark, d).collect()
+    val prof = Curate.spanProfile(
+      graft.tables.Tables.documents(spark, d)
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text"))).collect().head
+    assert(prof.getAs[Long]("n_docs_flagged") === gate.length.toLong)
+    assert(prof.getAs[Long]("dup_tokens") ===
+      gate.map(_.getAs[Long]("dup_tokens")).sum)
+    val corpusTokens = prof.getAs[Long]("corpus_tokens")
+    assert(corpusTokens >= gate.map(_.getAs[Long]("n_tokens")).sum)
+    assert(prof.getAs[Double]("coverage") > 0.0 &&
+      prof.getAs[Double]("coverage") <= 1.0)
+    // a curated (scrubbed, deduped) frame profiles too — the CLI path
+    val row = Curate.spanProfile(Curate.curate(docs)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))).collect().head
+    assert(row.getAs[Long]("n_docs_flagged") >= 0L)
+  }
+
   test("min-quality gate filters and census aggregates per (split, source)") {
     val curated = Curate.curate(docs)
     val qs = curated.select(min(col("quality")), max(col("quality")))

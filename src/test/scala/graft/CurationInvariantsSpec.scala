@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Structural invariants + plan-shape pins of the round-14 curation gates
+  * (CurationQueries) — the properties the DuckDB oracle's value-compare
+  * implies but is worth stating explicitly, plus the `.explain` promises
+  * SCALE.md makes for each operator.
+  */
+class CurationInvariantsSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString
+
+  test("dedup_substring_spans: spans cover >= k tokens, never exceed the doc") {
+    val rows = SparkEntry.queries("dedup_substring_spans")(spark, d).collect()
+    assert(rows.nonEmpty, "sf0.001 corpus should carry duplicated 8-grams")
+    rows.foreach { r =>
+      val nSpans = r.getAs[Long]("n_spans")
+      val dupTok = r.getAs[Long]("dup_tokens")
+      val nTok = r.getAs[Long]("n_tokens")
+      val frac = r.getAs[Double]("dup_frac")
+      assert(nSpans >= 1L)
+      // every maximal span holds at least one full 8-gram, and merged
+      // spans cannot cover more tokens than the document has
+      assert(dupTok >= 8L * nSpans && dupTok <= nTok,
+        s"doc ${r.getAs[Long]("doc_id")}: dup=$dupTok spans=$nSpans n=$nTok")
+      assert(frac > 0.0 && frac <= 1.0)
+    }
+    // duplication is symmetric at the gram level: a doc can only carry a
+    // duplicated gram if at least one OTHER doc carries it too
+    assert(rows.length >= 2, "a duplicated span needs two carriers")
+  }
+
+  test("similarity_containment: containment = max direction, bounds, >= jaccard") {
+    val cont = SparkEntry.queries("similarity_containment")(spark, d).collect()
+    assert(cont.nonEmpty)
+    cont.foreach { r =>
+      val ab = r.getAs[Double]("cont_a_in_b")
+      val ba = r.getAs[Double]("cont_b_in_a")
+      val c = r.getAs[Double]("containment")
+      assert(ab > 0.0 && ab <= 1.0 && ba > 0.0 && ba <= 1.0)
+      // shared/min(na,nb) is exactly the larger directional ratio (allow
+      // 1e-6 for the independent r6 roundings of the three ratios)
+      assert(math.abs(c - math.max(ab, ba)) <= 1e-6, s"$c vs max($ab,$ba)")
+    }
+    // same pair, same df-capped shingle universe: containment dominates
+    // Jaccard (denominator min(|A|,|B|) <= |A∪B|)
+    val jac = SparkEntry.queries("dedup_ngram_jaccard")(spark, d).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Double]("jaccard")).toMap
+    val joined = cont.flatMap { r =>
+      jac.get((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+        .map(j => (r.getAs[Double]("containment"), j))
+    }
+    assert(joined.nonEmpty, "top-10 lists share at least one pair")
+    joined.foreach { case (c, j) => assert(c >= j - 1e-6, s"$c < $j") }
+  }
+
+  test("embedding_random_projection: plan is a shuffle-free codegen map; " +
+    "values match a driver-side recomputation") {
+    val p = plan("embedding_random_projection")
+    assert(p.contains("float_vec_dot"), "projection must use the codegen kernel")
+    // narrow map: the ONLY exchange is the judged output's rangepartition sort
+    assert(!p.contains("Exchange hashpartitioning"), p.linesIterator.take(6).mkString("\n"))
+    // sign matrix is balanced enough to be a credible JL sketch
+    val ones = graft.queries.CurationQueries.projSigns.map(_.count(_ > 0f)).sum
+    assert(ones > 400 && ones < 624, s"sign matrix degenerate: $ones of 1024 positive")
+
+    val rows = SparkEntry.queries("embedding_random_projection")(spark, d)
+      .limit(3).collect()
+    val raw = spark.read.parquet(s"$d/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](1)).toMap
+    rows.foreach { r =>
+      val emb = raw(r.getAs[Long]("vec_id"))
+      (0 until 16).foreach { j =>
+        val signs = graft.queries.CurationQueries.projSigns(j)
+        var acc = 0.0
+        emb.indices.foreach(i => acc += emb(i).toDouble * signs(i).toDouble)
+        val expect = math.floor(acc / 4.0 * 1e6 + 0.5) / 1e6
+        assert(r.getAs[Double](s"p$j") === expect)
+      }
+    }
+  }
+
+  test("similarity_pq_encode: narrow-map plan, codes in range, errors non-negative") {
+    val p = plan("similarity_pq_encode")
+    assert(p.contains("float_vec_dot"))
+    // encode is a pure narrow map — only the judged output's range sort
+    assert(!p.contains("Exchange hashpartitioning"))
+    val rows = SparkEntry.queries("similarity_pq_encode")(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      (0 until 4).foreach { sub =>
+        val c = r.getAs[Long](s"c$sub")
+        assert(c >= 0L && c < 8L, s"code $c out of codebook range")
+      }
+      assert(r.getAs[Long]("err_micro") >= 0L)
+    }
+    // a seed vector IS its own nearest codeword in every subspace, with
+    // zero residual: the encode must be exact on the codebook
+    val seeds = rows.filter(_.getAs[Long]("vec_id") < 8L)
+    assert(seeds.length === math.min(8, rows.length))
+    seeds.foreach { r =>
+      (0 until 4).foreach(sub =>
+        assert(r.getAs[Long](s"c$sub") === r.getAs[Long]("vec_id")))
+      assert(r.getAs[Long]("err_micro") === 0L)
+    }
+  }
+
+  test("similarity_pq_adc_topk: dense ranks, monotone distances, db-only neighbors") {
+    val rows = SparkEntry.queries("similarity_pq_adc_topk")(spark, d).collect()
+    assert(rows.nonEmpty)
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.size === 5)
+    byQ.foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq === (1L to 5L),
+        s"query $q ranks not dense")
+      val dists = sorted.map(_.getAs[Long]("approx_micro")).toSeq
+      assert(dists === dists.sorted, s"query $q distances not monotone")
+      sorted.foreach(r => assert(r.getAs[Long]("neighbor_id") >= 5L,
+        "queries must never rank themselves or other query vectors"))
+    }
+  }
+
+  test("events_funnel_steps: one user exchange; step counts are monotone") {
+    val p = plan("events_funnel_steps")
+    // all three step windows + the per-user distinct ride ONE user_id
+    // partitioning (the at-scale promise: a single shuffle of the events)
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size === 1, p)
+    val rows = SparkEntry.queries("events_funnel_steps")(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val e = r.getAs[Long]("n_entered")
+      val c = r.getAs[Long]("n_clicked")
+      val pu = r.getAs[Long]("n_purchased")
+      assert(e >= c && c >= pu && pu >= 0,
+        s"${r.getAs[java.sql.Date]("cohort_date")}: $e/$c/$pu not a funnel")
+      assert(r.getAs[Double]("click_rate") <= 1.0 + 1e-9)
+      assert(r.getAs[Double]("purchase_rate") <= r.getAs[Double]("click_rate") + 1e-9)
+    }
+  }
+}
