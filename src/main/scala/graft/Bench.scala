@@ -46,6 +46,10 @@ object Bench {
 
   private[graft] def families(n: String): Set[String] =
     if (n.startsWith("analyzer_")) Set("analyzer_metrics")
+    // containment is the one similarity_* gate built on the documents
+    // table (the shingle contract), not embeddings — warm the documents
+    // family or a filtered run times it against a cold table open
+    else if (n == "similarity_containment") Set("dedup_exact")
     else if (n.startsWith("similarity_") || n.startsWith("embedding_") ||
       n.startsWith("ann_")) Set("similarity_topk_bruteforce")
     else if (n.startsWith("dedup_") || n.startsWith("text_") ||

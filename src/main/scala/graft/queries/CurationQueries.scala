@@ -26,11 +26,6 @@ object CurationQueries {
     */
   private val SpanK = 8
 
-  /** Shared-shingle df cap, same rationale (and value) as
-    * dedup_ngram_jaccard's: a shingle in more than `DfCap` docs carries
-    * no near-dup signal and would contribute O(df²) candidate pairs.
-    */
-  private val DfCap = 5L
 
   // ---- JL random projection sign matrix ---------------------------------
   // Deterministic ±1 signs from md5 parity of "rp|i|j" — a pure public
@@ -135,8 +130,11 @@ object CurationQueries {
     * its integer-exact micro-unit quantization error. Shared by the
     * encode gate and the ADC gate.
     */
-  private[queries] def pqCodes(s: SparkSession, d: String): DataFrame = {
-    val cb = pqCodebook(s, d)
+  private[queries] def pqCodes(s: SparkSession, d: String,
+      codebook: Option[Seq[(Long, Array[Array[Float]])]] = None): DataFrame = {
+    // the ADC gate passes its already-collected codebook so the gate runs
+    // ONE driver-side collect job, not two identical ones
+    val cb = codebook.getOrElse(pqCodebook(s, d))
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val withScores = (0 until NSub).foldLeft(e) { (df, sub) =>
       val x = slice(col("embedding"), sub * SubDim + 1, SubDim)
@@ -259,25 +257,17 @@ object CurationQueries {
     // directional ratios: the near-SUPERSET detector Jaccard misses (a
     // doc fully embedded in a 10× larger one has Jaccard ≈ 0.1 but
     // containment 1.0 — quote-inclusion and template-expansion dups in a
-    // crawl corpus). Same df-capped shared-shingle candidate join as
-    // dedup_ngram_jaccard — ONE shingle contract — so at 100 TB the only
-    // wide ops are the sh-keyed exchange (strings the size of three
-    // words) and the pair aggregation; hub shingles are capped at DfCap²
-    // candidate pairs each.
+    // crawl corpus). The candidate pipeline is LITERALLY
+    // dedup_ngram_jaccard's (MLQueries.cappedShinglePairs, one Scala +
+    // one SQL definition, one ShingleDfCap constant) — the two measures
+    // differ only in their denominator — so at 100 TB the only wide ops
+    // are the sh-keyed exchange (strings the size of three words) and
+    // the pair aggregation; hub shingles are capped at df-cap² candidate
+    // pairs each.
     NamedQuery(
       "similarity_containment",
-      (s, d) => {
-        val sh = MLQueries.shingles(s, d)
-          .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
-          .filter(col("df") <= DfCap)
-          .withColumn("n_sh", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-        val a = sh.select(col("doc_id").as("doc_a"), col("sh"), col("n_sh").as("na"))
-        val b = sh.select(col("doc_id").as("doc_b"), col("sh"), col("n_sh").as("nb"))
-        a.hint("shuffle_hash").join(b.hint("shuffle_hash"), "sh")
-          .filter(col("doc_a") < col("doc_b"))
-          .groupBy(col("doc_a"), col("doc_b"))
-          .agg(count(lit(1)).as("shared"),
-            first(col("na")).as("na"), first(col("nb")).as("nb"))
+      (s, d) =>
+        MLQueries.cappedShinglePairs(s, d)
           .withColumn("cont_a_in_b", r6(col("shared").cast("double") / col("na")))
           .withColumn("cont_b_in_a", r6(col("shared").cast("double") / col("nb")))
           .withColumn("containment",
@@ -285,22 +275,8 @@ object CurationQueries {
           .select(col("doc_a"), col("doc_b"), col("cont_a_in_b"),
             col("cont_b_in_a"), col("containment"))
           .orderBy(col("containment").desc, col("doc_a"), col("doc_b"))
-          .limit(10)
-      },
-      Some(s"""WITH sh0 AS (
-              |  $shinglesSqlAlias
-              |), dfs AS (
-              |  SELECT sh, CAST(COUNT(*) AS BIGINT) AS df FROM sh0 GROUP BY 1
-              |), sh AS (
-              |  SELECT doc_id, sh0.sh FROM sh0 JOIN dfs USING (sh) WHERE df <= $DfCap
-              |), sizes AS (
-              |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1
-              |), pairs AS (
-              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-              |    CAST(COUNT(*) AS BIGINT) AS shared
-              |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-              |  GROUP BY 1, 2
-              |)
+          .limit(10),
+      Some(s"""WITH ${MLQueries.cappedShinglePairsSql}
               |SELECT doc_a, doc_b,
               |  ${r6Sql("CAST(shared AS DOUBLE) / sa.n_sh")} AS cont_a_in_b,
               |  ${r6Sql("CAST(shared AS DOUBLE) / sb.n_sh")} AS cont_b_in_a,
@@ -404,6 +380,64 @@ object CurationQueries {
               |    AS purchase_rate
               |FROM per GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Weekly cohort retention: users grouped by the ISO week of their
+    // FIRST event (any type), counted in every later week they are
+    // active, with per-offset retention against the cohort's own size
+    // (= its week-0 count, by construction). Same single-exchange shape
+    // as the funnel: the first-event time is a min-over-partition window
+    // on user_id, the (user, cohort, week) de-dup and the rollup reuse
+    // that one shuffle, and the cohort size joins back as a window max
+    // over the tiny per-(cohort, offset) aggregate — at 100 TB one
+    // exchange of (user_id, ts) plus a rollup of cohorts×offsets rows.
+    NamedQuery(
+      "events_retention_weekly",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+        val weeks = Tables.events(s, d)
+          .select(col("user_id"), col("ts"))
+          .withColumn("first_ts", min(col("ts")).over(w))
+          .select(col("user_id"),
+            date_trunc("week", col("first_ts")).cast("date").as("cohort_week"),
+            date_trunc("week", col("ts")).cast("date").as("act_week"))
+          .distinct()
+        val counts = weeks
+          .groupBy(col("cohort_week"),
+            (datediff(col("act_week"), col("cohort_week")) / 7)
+              .cast("long").as("week_offset"))
+          .agg(count(lit(1)).as("n_active"))
+        counts
+          .withColumn("cohort_size",
+            max(when(col("week_offset") === 0L, col("n_active"))).over(
+              Window.partitionBy(col("cohort_week"))))
+          .withColumn("retention",
+            r6(col("n_active").cast("double") / col("cohort_size")))
+          .select(col("cohort_week"), col("week_offset"), col("n_active"),
+            col("cohort_size"), col("retention"))
+          .orderBy(col("cohort_week"), col("week_offset"))
+      },
+      Some(s"""WITH f AS (
+              |  SELECT user_id, ts,
+              |    MIN(ts) OVER (PARTITION BY user_id) AS first_ts
+              |  FROM events
+              |), a AS (
+              |  SELECT DISTINCT user_id,
+              |    CAST(date_trunc('week', first_ts) AS DATE) AS cohort_week,
+              |    CAST(date_trunc('week', ts) AS DATE) AS act_week
+              |  FROM f
+              |), c AS (
+              |  SELECT cohort_week,
+              |    CAST(date_diff('day', cohort_week, act_week) / 7 AS BIGINT)
+              |      AS week_offset,
+              |    CAST(COUNT(*) AS BIGINT) AS n_active
+              |  FROM a GROUP BY 1, 2
+              |)
+              |SELECT cohort_week, week_offset, n_active,
+              |  MAX(CASE WHEN week_offset = 0 THEN n_active END)
+              |    OVER (PARTITION BY cohort_week) AS cohort_size,
+              |  ${r6Sql("CAST(n_active AS DOUBLE) / (MAX(CASE WHEN week_offset = 0 " +
+                 "THEN n_active END) OVER (PARTITION BY cohort_week))")} AS retention
+              |FROM c ORDER BY cohort_week, week_offset""".stripMargin)),
+
     // Product quantization encode (Jégou et al. 2011, "Product
     // Quantization for Nearest Neighbor Search"): every vector compressed
     // to 4 codeword ids (one byte each at k=8) + its micro-unit
@@ -465,7 +499,7 @@ object CurationQueries {
         }.toArray
         val lutCol = typedLit(lut)
         val qids = queries.map(_._1)
-        val codes = pqCodes(s, d).filter(col("vec_id") >= 5)
+        val codes = pqCodes(s, d, Some(cb)).filter(col("vec_id") >= 5)
           .withColumn("qix", explode(typedLit(qids.indices.map(_ + 1).toArray)))
         val approx: Column = (0 until NSub).map { sub =>
           element_at(element_at(element_at(lutCol, col("qix")), lit(sub + 1)),
@@ -507,6 +541,4 @@ object CurationQueries {
       }),
   )
 
-  /** The jaccard/containment gates share MLQueries' shingle CTE text. */
-  private def shinglesSqlAlias: String = MLQueries.shinglesSql
 }

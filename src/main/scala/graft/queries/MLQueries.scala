@@ -313,6 +313,58 @@ object MLQueries {
       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)""".stripMargin
 
+  /** Shared-shingle document-frequency cap: a shingle in k docs emits k²
+    * candidate pairs, so hub shingles (boilerplate trigrams — no near-dup
+    * signal, they match everything) are dropped past this df. ONE
+    * constant for the jaccard and containment gates, both engines.
+    */
+  private[queries] val ShingleDfCap = 5L
+
+  /** df-capped shared-shingle candidate pairs with per-doc set sizes:
+    * `(doc_a, doc_b, shared, na, nb)`, doc_a < doc_b. ONE pipeline for
+    * `dedup_ngram_jaccard` and `similarity_containment` — the two
+    * measures differ only in their denominator. df and the per-doc
+    * shingle count ride along as window counts (shuffles on sh, then
+    * doc_id) instead of separate aggregates joined back onto the
+    * candidate pairs; n_sh is counted AFTER the cap so numerator and
+    * denominator see the same capped universe. The shuffle-hash hint is
+    * the at-scale plan anyway: both sides are the same subplan, so the
+    * sh-keyed exchange is planned once and reused — a broadcast would
+    * re-plan the shingle pipeline twice.
+    */
+  private[queries] def cappedShinglePairs(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(s, d)
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+      .filter(col("df") <= ShingleDfCap)
+      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+    val a = sh.select(col("doc_id").as("doc_a"), col("sh"), col("n_sh").as("na"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("sh"), col("n_sh").as("nb"))
+    a.hint("shuffle_hash").join(b.hint("shuffle_hash"), "sh")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared"),
+        first(col("na")).as("na"), first(col("nb")).as("nb"))
+  }
+
+  /** Oracle twin of [[cappedShinglePairs]]: CTEs ending in
+    * `sizes(doc_id, n_sh)` and `pairs(doc_a, doc_b, shared)`.
+    */
+  private[queries] val cappedShinglePairsSql: String =
+    s"""sh0 AS (
+       |  $shinglesSql
+       |), dfs AS (
+       |  SELECT sh, CAST(COUNT(*) AS BIGINT) AS df FROM sh0 GROUP BY 1
+       |), sh AS (
+       |  SELECT doc_id, sh0.sh FROM sh0 JOIN dfs USING (sh) WHERE df <= $ShingleDfCap
+       |), sizes AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1
+       |), pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(COUNT(*) AS BIGINT) AS shared
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)""".stripMargin
+
   /** MinHash signature: 16 universal-hash permutation minima over
     * md5-prefix shingle ids, all in ONE aggregation pass (no 16× row
     * explosion — the shuffle carries one row per doc, not sixteen).
@@ -901,46 +953,14 @@ $blockSql
     // exercises the capped semantics.
     NamedQuery(
       "dedup_ngram_jaccard",
-      (s, d) => {
-        val dfCap = 5L
-        // df and the per-doc shingle count ride along as window counts
-        // (shuffles on sh, then doc_id) instead of separate aggregates
-        // joined back onto the candidate pairs. n_sh is counted AFTER the
-        // cap: the Jaccard denominator and numerator see the same capped
-        // universe, so the measure stays a true Jaccard (of capped sets).
-        val sh = shingles(s, d)
-          .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
-          .filter(col("df") <= dfCap)
-          .withColumn("n_sh", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-        val a = sh.select(col("doc_id").as("doc_a"), col("sh"), col("n_sh").as("na"))
-        val b = sh.select(col("doc_id").as("doc_b"), col("sh"), col("n_sh").as("nb"))
-        // shuffle-hash hint (the at-scale plan anyway): both sides are the
-        // same subplan, so the sh-keyed exchange is planned once and
-        // reused — a broadcast would re-plan the shingle pipeline twice
-        a.hint("shuffle_hash").join(b.hint("shuffle_hash"), "sh")
-          .filter(col("doc_a") < col("doc_b"))
-          .groupBy(col("doc_a"), col("doc_b"))
-          .agg(count(lit(1)).as("shared"), first(col("na")).as("na"), first(col("nb")).as("nb"))
+      (s, d) =>
+        cappedShinglePairs(s, d)
           .withColumn("jaccard",
             r6(col("shared").cast("double") / (col("na") + col("nb") - col("shared"))))
           .select(col("doc_a"), col("doc_b"), col("jaccard"))
           .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
-          .limit(10)
-      },
-      Some(s"""WITH sh0 AS (
-              |  $shinglesSql
-              |), dfs AS (
-              |  SELECT sh, CAST(COUNT(*) AS BIGINT) AS df FROM sh0 GROUP BY 1
-              |), sh AS (
-              |  SELECT doc_id, sh0.sh FROM sh0 JOIN dfs USING (sh) WHERE df <= 5
-              |), sizes AS (
-              |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1
-              |), pairs AS (
-              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-              |    CAST(COUNT(*) AS BIGINT) AS shared
-              |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-              |  GROUP BY 1, 2
-              |)
+          .limit(10),
+      Some(s"""WITH $cappedShinglePairsSql
               |SELECT doc_a, doc_b,
               |  ${r6Sql("CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared)")} AS jaccard
               |FROM pairs

@@ -209,11 +209,19 @@ class CurateSpec extends SparkSpec {
     assert(corpusTokens >= gate.map(_.getAs[Long]("n_tokens")).sum)
     assert(prof.getAs[Double]("coverage") > 0.0 &&
       prof.getAs[Double]("coverage") <= 1.0)
-    // a curated (scrubbed, deduped) frame profiles too — the CLI path
-    val row = Curate.spanProfile(Curate.curate(docs)
+    // a curated (scrubbed, deduped) frame profiles too — the CLI path:
+    // dup tokens can never exceed the corpus, coverage stays a fraction,
+    // and flagged docs cannot outnumber the survivors
+    val curated = Curate.curate(docs)
       .select(org.apache.spark.sql.functions.col("doc_id"),
-        org.apache.spark.sql.functions.col("text"))).collect().head
-    assert(row.getAs[Long]("n_docs_flagged") >= 0L)
+        org.apache.spark.sql.functions.col("text"))
+    val row = Curate.spanProfile(curated).collect().head
+    assert(row.getAs[Long]("n_docs_flagged") <= curated.count())
+    if (!row.isNullAt(2)) {
+      assert(row.getAs[Long]("dup_tokens") <= row.getAs[Long]("corpus_tokens"))
+      val cov = row.getAs[Double]("coverage")
+      assert(cov >= 0.0 && cov <= 1.0, s"coverage $cov outside [0,1]")
+    }
   }
 
   test("min-quality gate filters and census aggregates per (split, source)") {

@@ -128,6 +128,25 @@ class CurationInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("events_retention_weekly: week-0 is the full cohort, actives never exceed it") {
+    val p = plan("events_retention_weekly")
+    // first-event window, distinct, and rollup all ride one user shuffle
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size === 1, p)
+    val rows = SparkEntry.queries("events_retention_weekly")(spark, d).collect()
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_.getAs[java.sql.Date]("cohort_week"))
+    byCohort.foreach { case (ck, rs) =>
+      val zero = rs.filter(_.getAs[Long]("week_offset") == 0L)
+      assert(zero.length === 1, s"cohort $ck missing its week-0 row")
+      assert(zero.head.getAs[Double]("retention") === 1.0)
+      rs.foreach { r =>
+        assert(r.getAs[Long]("week_offset") >= 0L)
+        assert(r.getAs[Long]("n_active") <= r.getAs[Long]("cohort_size"))
+        assert(r.getAs[Long]("cohort_size") === zero.head.getAs[Long]("n_active"))
+      }
+    }
+  }
+
   test("events_funnel_steps: one user exchange; step counts are monotone") {
     val p = plan("events_funnel_steps")
     // all three step windows + the per-user distinct ride ONE user_id
