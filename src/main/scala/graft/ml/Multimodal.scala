@@ -88,7 +88,12 @@ object Multimodal {
     * format tag, other bit depths), which routes the payload to
     * [[decodeStub]] in [[featurize]].
     */
-  private[graft] def decodeWav(b: Array[Byte]): Option[WavInfo] = {
+  /** Shared RIFF/WAVE chunk walk ending at a validated PCM16 layout:
+    * `(channels, rate, dataOff, dataLen)`. One walk for [[decodeWav]]
+    * and [[wavChannelStats]] so the two can never disagree on what
+    * constitutes a well-formed payload.
+    */
+  private def findWavPcm(b: Array[Byte]): Option[(Int, Long, Int, Long)] = {
     if (b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return None
     var off = 12
     var fmt: Option[(Int, Int, Long, Int)] = None // (format, channels, rate, bits)
@@ -113,27 +118,64 @@ object Multimodal {
     }
     fmt match {
       case Some((format, channels, rate, bits))
-          if format == 1 && bits == 16 && channels > 0 && rate > 0 && dataOff >= 0 =>
-        val blockAlign = channels * 2
-        if (dataLen % blockAlign != 0) return None
-        val nFrames = dataLen / blockAlign
-        var sumVal = 0L
-        var sumAbs = 0L
-        val hist = new Array[Long](FeatureDim)
-        var i = dataOff
-        val end = dataOff + dataLen.toInt
-        while (i < end) {
-          val v = readLE16(b, i).toShort.toInt // sign-extend
-          sumVal += v
-          sumAbs += math.abs(v)
-          hist(((v + 32768) * FeatureDim) >>> 16) += 1
-          i += 2
-        }
-        Some(WavInfo(channels, rate, bits, nFrames,
-          nFrames * 1000L / rate, sumVal, sumAbs, hist))
+          if format == 1 && bits == 16 && channels > 0 && rate > 0 &&
+            dataOff >= 0 && dataLen % (channels * 2) == 0 =>
+        Some((channels, rate, dataOff, dataLen))
       case _ => None
     }
   }
+
+  private[graft] def decodeWav(b: Array[Byte]): Option[WavInfo] =
+    findWavPcm(b).map { case (channels, rate, dataOff, dataLen) =>
+      val nFrames = dataLen / (channels * 2)
+      var sumVal = 0L
+      var sumAbs = 0L
+      val hist = new Array[Long](FeatureDim)
+      var i = dataOff
+      val end = dataOff + dataLen.toInt
+      while (i < end) {
+        val v = readLE16(b, i).toShort.toInt // sign-extend
+        sumVal += v
+        sumAbs += math.abs(v)
+        hist(((v + 32768) * FeatureDim) >>> 16) += 1
+        i += 2
+      }
+      WavInfo(channels, rate, 16L, nFrames,
+        nFrames * 1000L / rate, sumVal, sumAbs, hist)
+    }
+
+  /** Per-CHANNEL feature extraction over the same validated PCM16 layout:
+    * `(channel, nFrames, sumSq, zeroCrossings)` — energy as the exact
+    * integer sum of squares (|v| ≤ 32768 ⇒ v² ≤ 2³⁰, frames ≤ 10⁶ rows
+    * stay far under 2⁶³) and zero crossings counted between CONSECUTIVE
+    * frames of one channel (crossing ⇔ the sign bit of v changes,
+    * with v ≥ 0 as "non-negative"). The decode→feature-extract stage of
+    * the multimodal pipeline, integer-exact so the DuckDB oracle can
+    * replay it analytically from the synthesis formulas.
+    */
+  private[graft] def wavChannelStats(
+      b: Array[Byte]): Option[Seq[(Int, Long, Long, Long)]] =
+    findWavPcm(b).map { case (channels, _, dataOff, dataLen) =>
+      val nFrames = dataLen / (channels * 2)
+      val sumSq = new Array[Long](channels)
+      val zc = new Array[Long](channels)
+      val prev = new Array[Int](channels)
+      var f = 0L
+      var i = dataOff
+      while (f < nFrames) {
+        var c = 0
+        while (c < channels) {
+          val v = readLE16(b, i).toShort.toInt
+          sumSq(c) += v.toLong * v
+          if (f > 0 && ((prev(c) < 0) != (v < 0))) zc(c) += 1
+          prev(c) = v
+          c += 1
+          i += 2
+        }
+        f += 1
+      }
+      (0 until channels).map(c => (c, nFrames, sumSq(c), zc(c)))
+    }
 
   /** Deterministic PCM16 WAV payload for the judged gate: every header
     * field and sample value is a pure function of `id`, so a DuckDB oracle

@@ -438,6 +438,127 @@ object CurationQueries {
                  "THEN n_active END) OVER (PARTITION BY cohort_week))")} AS retention
               |FROM c ORDER BY cohort_week, week_offset""".stripMargin)),
 
+    // Bigram language-model surprise — the CCNet/Wikipedia-LM curation
+    // idea (Wenzek et al. 2020, arXiv:1911.00359): train an add-one
+    // smoothed bigram model ON the corpus, score every document by its
+    // mean per-bigram surprise −ln p(w2|w1) = ln((c(w1)+V)/(c(w1,w2)+1)),
+    // and surface the 20 most improbable documents — the statistical
+    // outlier detector that length/stopword heuristics miss. At 100 TB
+    // the LM tables are the shuffled artifacts (unigram counts, bigram
+    // counts — both vocabulary-bounded, far smaller than the corpus) and
+    // scoring is ONE equi-join of the doc bigram stream against the
+    // scored bigram table plus a per-doc average: the canonical
+    // score-corpus-against-LM shape. ln() differs by ≤1 ulp between
+    // libm implementations; the r6-rounded mean absorbs it (the
+    // text_zipf_fit precedent).
+    NamedQuery(
+      "text_bigram_surprise",
+      (s, d) => {
+        val w = MLQueries.words(s, d)
+        val toks = w.select(col("doc_id"), explode(col("w")).as("word"))
+        val uni = toks.groupBy(col("word")).agg(count(lit(1)).as("c1"))
+        val vocab = uni.agg(count(lit(1)).as("v"))
+        val bigr = w.select(col("doc_id"), explode(expr(
+            "CASE WHEN size(w) >= 2 THEN transform(sequence(0, size(w)-2), " +
+              "i -> struct(w[i] AS w1, w[i+1] AS w2)) ELSE array() END"))
+            .as("bg"))
+          .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        val bic = bigr.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+        val scoredBigrams = bic
+          .join(uni.withColumnRenamed("word", "w1"), "w1")
+          .crossJoin(broadcast(vocab))
+          .withColumn("surprise",
+            log((col("c1") + col("v")).cast("double") / (col("cb") + lit(1L))))
+          .select(col("w1"), col("w2"), col("surprise"))
+        bigr.join(scoredBigrams, Seq("w1", "w2"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            avg(col("surprise")).as("raw"))
+          .withColumn("avg_surprise", r6(col("raw")))
+          .select(col("doc_id"), col("n_bigrams"), col("avg_surprise"))
+          .orderBy(col("avg_surprise").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some(s"""WITH wrds AS (
+              |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+              |), toks AS (
+              |  SELECT doc_id, UNNEST(w) AS word FROM wrds
+              |), uni AS (
+              |  SELECT word, CAST(COUNT(*) AS BIGINT) AS c1 FROM toks GROUP BY 1
+              |), vocab AS (
+              |  SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uni
+              |), bigr AS (
+              |  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+              |  FROM wrds, LATERAL (SELECT UNNEST(generate_series(1,
+              |    len(w) - 1)) AS i) t
+              |  WHERE len(w) >= 2
+              |), bic AS (
+              |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb
+              |  FROM bigr GROUP BY 1, 2
+              |), scored AS (
+              |  SELECT b.doc_id,
+              |    ln(CAST(u.c1 + v.v AS DOUBLE) / (c.cb + 1)) AS surprise
+              |  FROM bigr b
+              |  JOIN bic c USING (w1, w2)
+              |  JOIN uni u ON u.word = b.w1
+              |  CROSS JOIN vocab v
+              |)
+              |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+              |  ${r6Sql("AVG(surprise)")} AS avg_surprise
+              |FROM scored GROUP BY 1
+              |ORDER BY avg_surprise DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // Audio feature extraction over the REAL WAV decode path: per
+    // (doc, channel), exact integer energy (Σv²) and the zero-crossing
+    // count between consecutive frames — the decode → feature-extract
+    // stage of a multimodal pipeline, downstream of multimodal_decode_wav
+    // and sharing its one validated chunk walk (Multimodal.findWavPcm).
+    // Narrow mapPartitions over ids, payloads never leave the task that
+    // synthesized them; the oracle replays the synthesis formulas
+    // analytically with a LAG window per channel — integer-exact.
+    NamedQuery(
+      "multimodal_audio_features",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions { ids =>
+            ids.flatMap { id =>
+              val stats = graft.ml.Multimodal
+                .wavChannelStats(graft.ml.Multimodal.synthWav(id))
+                .getOrElse(throw new IllegalStateException(
+                  s"synthesized WAV for doc $id failed to decode"))
+              stats.map { case (c, nf, sq, zc) => (id, c.toLong, nf, sq, zc) }
+            }
+          }
+          .toDF("doc_id", "channel", "n_frames", "sum_sq", "zero_crossings")
+          .orderBy(col("doc_id"), col("channel"))
+      },
+      Some("""WITH params AS (
+             |  SELECT doc_id,
+             |    1 + doc_id % 2 AS n_channels,
+             |    100 + doc_id % 400 AS n_frames
+             |  FROM documents
+             |), samples AS (
+             |  SELECT p.doc_id, u.c AS channel, t.i AS frame,
+             |    ((p.doc_id * 131 + t.i * 7 + u.c * 13) % 65536) - 32768 AS v
+             |  FROM params p
+             |  JOIN (SELECT UNNEST(generate_series(0, 499)) AS i) t
+             |    ON t.i < p.n_frames
+             |  JOIN (SELECT UNNEST(generate_series(0, 1)) AS c) u
+             |    ON u.c < p.n_channels
+             |), lagged AS (
+             |  SELECT doc_id, channel, v, LAG(v) OVER (
+             |    PARTITION BY doc_id, channel ORDER BY frame) AS pv
+             |  FROM samples
+             |)
+             |SELECT doc_id, CAST(channel AS BIGINT) AS channel,
+             |  CAST(COUNT(*) AS BIGINT) AS n_frames,
+             |  CAST(SUM(CAST(v AS BIGINT) * v) AS BIGINT) AS sum_sq,
+             |  CAST(SUM(CASE WHEN pv IS NOT NULL
+             |    AND ((pv < 0) <> (v < 0)) THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS zero_crossings
+             |FROM lagged GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // Product quantization encode (Jégou et al. 2011, "Product
     // Quantization for Nearest Neighbor Search"): every vector compressed
     // to 4 codeword ids (one byte each at k=8) + its micro-unit

@@ -147,6 +147,39 @@ class CurationInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("text_bigram_surprise: strictly positive scores, ranked descending") {
+    // top-20 must plan as TakeOrdered, never a global sort of all docs
+    assert(plan("text_bigram_surprise").contains("TakeOrderedAndProject(limit=20"))
+    val rows = SparkEntry.queries("text_bigram_surprise")(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // −ln p(w2|w1) under add-one smoothing: (c1+V)/(cb+1) > 1 always
+      // (cb <= c1 and V >= 1), so surprise is strictly positive
+      assert(r.getAs[Double]("avg_surprise") > 0.0)
+      assert(r.getAs[Long]("n_bigrams") >= 1L)
+    }
+    val scores = rows.map(_.getAs[Double]("avg_surprise")).toSeq
+    assert(scores === scores.sorted.reverse, "top-20 not ranked by surprise")
+  }
+
+  test("multimodal_audio_features: channel layout, energy and ZC bounds") {
+    val rows = SparkEntry.queries("multimodal_audio_features")(spark, d).collect()
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    byDoc.foreach { case (id, rs) =>
+      // the synthesis contract: 1 + id % 2 channels, 100 + id % 400 frames
+      assert(rs.length === (1 + id % 2).toInt, s"doc $id channel count")
+      rs.foreach { r =>
+        val nf = r.getAs[Long]("n_frames")
+        assert(nf === 100 + id % 400)
+        // a crossing needs two consecutive frames; energy is bounded by
+        // the PCM16 sample range
+        assert(r.getAs[Long]("zero_crossings") <= nf - 1)
+        assert(r.getAs[Long]("sum_sq") <= nf * 32768L * 32768L)
+      }
+    }
+  }
+
   test("events_funnel_steps: one user exchange; step counts are monotone") {
     val p = plan("events_funnel_steps")
     // all three step windows + the per-user distinct ride ONE user_id
