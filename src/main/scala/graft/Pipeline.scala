@@ -477,6 +477,32 @@ object Pipeline {
             s"ann recall: query=${r.getLong(0)} " +
               s"hits=${r.getLong(2)}/${r.getLong(1)} recall=${r.getDouble(3)}"))
       }
+      if (opts.contains("--pq")) {
+        // product-quantization leg: write the judged PQ codes (the
+        // similarity_pq_encode contract — same pqCodes definition) next
+        // to the IVF probe output, and print the judged ADC recall
+        // calibration so every encoded drop carries its honesty number
+        import org.apache.spark.sql.functions.{avg => favg, count => fcount, lit => flit}
+        val codes = graft.queries.CurationQueries.pqCodes(spark, in)
+        codes.write.mode("overwrite").parquet(out + "_pq")
+        val cen = codes.agg(fcount(flit(1)), favg("err_micro")).collect().head
+        println(s"pq: ${cen.getLong(0)} vectors encoded to ${out}_pq " +
+          s"avg_err_micro=${cen.getDouble(1)}")
+        SparkEntry.queries("similarity_pq_recall")(spark, in)
+          .collect().foreach(r => println(
+            s"pq recall: query=${r.getAs[Long]("query_id")} " +
+              s"hits=${r.getAs[Long]("n_hits")}/${r.getAs[Long]("n_exact")} " +
+              s"recall=${r.getAs[Double]("recall")}"))
+      }
+      if (opts.contains("--ivfpq")) {
+        // composed probe: the judged IVF-PQ search (coarse cell
+        // restriction + ADC ranking — similarity_ann_ivfpq verbatim),
+        // written next to the IVF probe output
+        val hits2 = SparkEntry.queries("similarity_ann_ivfpq")(spark, in)
+        hits2.write.mode("overwrite").parquet(out + "_ivfpq")
+        println(s"ivfpq: ${spark.read.parquet(out + "_ivfpq").count()} " +
+          s"ranked neighbors to ${out}_ivfpq")
+      }
       spark.stop()
 
     case "curate" :: in :: out :: opts =>

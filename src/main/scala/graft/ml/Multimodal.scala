@@ -177,6 +177,42 @@ object Multimodal {
       (0 until channels).map(c => (c, nFrames, sumSq(c), zc(c)))
     }
 
+  /** Integer decimation over the same validated PCM16 layout: keep
+    * every `every`-th frame (frame indices 0, every, 2·every, …) and
+    * emit per channel `(channel, nOut, sumSq, zeroCrossings)` of the
+    * DECIMATED stream — zero crossings counted between consecutive
+    * KEPT frames, so the stats describe the resampled signal a
+    * training pipeline would actually store. The decode → resample
+    * stage of the audio pipeline (the WAV sibling of [[ppmGridStats]]),
+    * sharing the one validated chunk walk ([[findWavPcm]]) with
+    * [[decodeWav]] / [[wavChannelStats]]. Integer-exact, so the DuckDB
+    * oracle replays it analytically from the synthesis formulas with a
+    * `frame % every = 0` restriction.
+    */
+  private[graft] def wavDecimatedStats(b: Array[Byte], every: Int)
+      : Option[Seq[(Int, Long, Long, Long)]] =
+    findWavPcm(b).map { case (channels, _, dataOff, dataLen) =>
+      val nFrames = dataLen / (channels * 2)
+      val nOut = (nFrames + every - 1) / every
+      val sumSq = new Array[Long](channels)
+      val zc = new Array[Long](channels)
+      val prev = new Array[Int](channels)
+      var f = 0L
+      while (f < nFrames) {
+        var c = 0
+        while (c < channels) {
+          val v = readLE16(b, dataOff + ((f * channels + c) * 2).toInt)
+            .toShort.toInt
+          sumSq(c) += v.toLong * v
+          if (f > 0 && ((prev(c) < 0) != (v < 0))) zc(c) += 1
+          prev(c) = v
+          c += 1
+        }
+        f += every
+      }
+      (0 until channels).map(c => (c, nOut, sumSq(c), zc(c)))
+    }
+
   /** Deterministic PCM16 WAV payload for the judged gate: every header
     * field and sample value is a pure function of `id`, so a DuckDB oracle
     * can recompute the decoded stats analytically from the same formulas
@@ -242,7 +278,11 @@ object Multimodal {
     * malformed: wrong magic, maxval > 255 (two-byte samples), truncated
     * or oversized pixel data.
     */
-  private[graft] def decodePpm(b: Array[Byte]): Option[PpmInfo] = {
+  /** Shared P6 header parse ending at a validated raster:
+    * `(width, height, maxval, rasterOff)`. One parser for [[decodePpm]]
+    * and [[ppmGridStats]], same rationale as [[findWavPcm]].
+    */
+  private def findPpmRaster(b: Array[Byte]): Option[(Long, Long, Long, Int)] = {
     if (b.length < 2 || b(0) != 'P' || b(1) != '6') return None
     var off = 2
     def skipSeparators(): Boolean = {
@@ -274,22 +314,64 @@ object Multimodal {
       case Some((w, h, m))
           if w > 0 && h > 0 && m > 0 && m <= 255 &&
             off < b.length && b(off).toChar.isWhitespace =>
-        off += 1 // exactly ONE whitespace byte separates maxval from pixels
-        val n = w * h
-        if (b.length - off != 3 * n) return None // truncated or trailing junk
-        val sums = new Array[Long](3)
-        val hist = new Array[Long](FeatureDim)
-        var i = 0L
-        while (i < 3 * n) {
-          val v = b(off + i.toInt) & 0xff
-          sums((i % 3).toInt) += v
-          hist(v * FeatureDim / 256) += 1
-          i += 1
-        }
-        Some(PpmInfo(w, h, m, sums(0), sums(1), sums(2), hist))
+        // exactly ONE whitespace byte separates maxval from pixels
+        if (b.length - (off + 1) != 3 * w * h) None // truncated or trailing junk
+        else Some((w, h, m, off + 1))
       case _ => None
     }
   }
+
+  private[graft] def decodePpm(b: Array[Byte]): Option[PpmInfo] =
+    findPpmRaster(b).map { case (w, h, m, off) =>
+      val n = w * h
+      val sums = new Array[Long](3)
+      val hist = new Array[Long](FeatureDim)
+      var i = 0L
+      while (i < 3 * n) {
+        val v = b(off + i.toInt) & 0xff
+        sums((i % 3).toInt) += v
+        hist(v * FeatureDim / 256) += 1
+        i += 1
+      }
+      PpmInfo(w, h, m, sums(0), sums(1), sums(2), hist)
+    }
+
+  /** Block-mean downsample numerators over the same validated raster: a
+    * `grid`×`grid` thumbnail where cell (cy, cx) accumulates the exact
+    * integer per-channel sums and pixel count of its block (pixel (x, y)
+    * maps to cell (y·grid div h, x·grid div w) — pure integer
+    * arithmetic, so the DuckDB oracle replays it from the synthesis
+    * formulas). The decode → resize stage of the image pipeline: the
+    * block means are the thumbnail's pixels, kept as (sum, count) so
+    * everything stays integer-exact.
+    */
+  private[graft] def ppmGridStats(b: Array[Byte], grid: Int)
+      : Option[Seq[(Int, Int, Long, Long, Long, Long)]] =
+    findPpmRaster(b).map { case (w, h, _, off) =>
+      val sums = Array.ofDim[Long](grid * grid, 3)
+      val counts = new Array[Long](grid * grid)
+      var y = 0L
+      while (y < h) {
+        val cy = (y * grid / h).toInt
+        var x = 0L
+        while (x < w) {
+          val cell = cy * grid + (x * grid / w).toInt
+          val p = (y * w + x).toInt
+          var c = 0
+          while (c < 3) {
+            sums(cell)(c) += b(off + 3 * p + c) & 0xff
+            c += 1
+          }
+          counts(cell) += 1
+          x += 1
+        }
+        y += 1
+      }
+      for (cy <- 0 until grid; cx <- 0 until grid) yield {
+        val cell = cy * grid + cx
+        (cy, cx, sums(cell)(0), sums(cell)(1), sums(cell)(2), counts(cell))
+      }
+    }
 
   /** Deterministic P6 payload for the judged gate — every header field
     * and pixel value a pure function of `id` (odd ids carry a `#`

@@ -89,6 +89,102 @@ object CurationQueries {
         col("n_tokens"), col("dup_frac"))
   }
 
+  /** The 5 query vectors (vec_id < 5) with their float arrays, driver
+    * side — shared by the ADC ranking and the recall calibration.
+    */
+  private def pqQueries(s: SparkSession, d: String): Array[(Long, Array[Float])] =
+    Tables.embeddings(s, d)
+      .filter(col("vec_id") < 5).select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+
+  /** ADC ranking over the PQ codes: `(query_id, neighbor_id, rank,
+    * approx_micro)` for EVERY database vector (rank unfiltered) — ONE
+    * definition for the `similarity_pq_adc_topk` gate and the
+    * `similarity_pq_recall` calibration, so the calibrated index is
+    * exactly the one the search gate ships.
+    * LUT[q][sub][c] in micro-units: floor(Σ(q_i−cb_i)²·1e6+0.5),
+    * index-order fold (the vecNorm arithmetic), so DuckDB's per-pair
+    * SUM sees the same value to well below the 1e-6 grid.
+    */
+  /** Per-query ADC lookup table: LUT[q][sub][c] =
+    * floor(Σ(q_i−cb_i)²·1e6+0.5), index-order fold — shared by the
+    * full-scan ADC ranking and the IVF-restricted probe.
+    */
+  private def pqAdcLut(queries: Array[(Long, Array[Float])],
+      cb: Seq[(Long, Array[Array[Float]])]): Array[Array[Array[Long]]] =
+    queries.map { case (_, qv) =>
+      Array.tabulate(NSub) { sub =>
+        cb.map { case (_, blocks) =>
+          val b = blocks(sub)
+          var acc = 0.0
+          var i = 0
+          while (i < SubDim) {
+            val diff = qv(sub * SubDim + i).toDouble - b(i).toDouble
+            acc += diff * diff
+            i += 1
+          }
+          math.floor(acc * 1000000.0 + 0.5).toLong
+        }.toArray
+      }
+    }.toArray
+
+  /** `Σ_sub LUT[qix][sub][code_sub]` over a codes relation carrying a
+    * 1-based `qix` column — four integer array lookups per row.
+    */
+  private def adcApproxCol(lutCol: Column): Column =
+    (0 until NSub).map { sub =>
+      element_at(element_at(element_at(lutCol, col("qix")), lit(sub + 1)),
+        (col(s"c$sub") + 1).cast("int"))
+    }.reduce(_ + _)
+
+  private[queries] def pqAdcRanked(s: SparkSession, d: String): DataFrame = {
+    val cb = pqCodebook(s, d)
+    val queries = pqQueries(s, d)
+    val lutCol = typedLit(pqAdcLut(queries, cb))
+    val qids = queries.map(_._1)
+    val codes = pqCodes(s, d, Some(cb)).filter(col("vec_id") >= 5)
+      .withColumn("qix", explode(typedLit(qids.indices.map(_ + 1).toArray)))
+    codes
+      .withColumn("query_id", element_at(typedLit(qids.toArray), col("qix")))
+      .withColumn("approx_micro", adcApproxCol(lutCol))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("approx_micro"), col("vec_id"))))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("approx_micro"))
+  }
+
+  /** Oracle twin of [[pqAdcRanked]]: appends the `lut`/`approx`/`adc`
+    * CTEs to [[pqCodesSql]]; `adc(query_id, neighbor_id, rank,
+    * approx_micro)` ranked, unfiltered.
+    */
+  // lazy: textually precedes pqCodesSql/NSub, evaluated first inside `all`
+  private lazy val pqAdcRankedSql: String = {
+    val lutBlocks = (0 until NSub).map { sub =>
+      val gs = s"generate_series(${sub * SubDim + 1}, ${(sub + 1) * SubDim}) t(i)"
+      s"""SELECT q.vec_id AS query_id, $sub AS sub, c.vec_id AS cid,
+         |    CAST(FLOOR((SELECT SUM((CAST(q.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))
+         |        * (CAST(q.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))) FROM $gs)
+         |      * 1000000.0 + 0.5) AS BIGINT) AS dmicro
+         |  FROM embeddings q JOIN embeddings c ON c.vec_id < $PqK
+         |  WHERE q.vec_id < 5""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""$pqCodesSql, lut AS (
+       |  $lutBlocks
+       |), approx AS (
+       |  SELECT l.query_id, cd.vec_id AS neighbor_id,
+       |    CAST(SUM(l.dmicro) AS BIGINT) AS approx_micro
+       |  FROM codes cd JOIN lut l ON l.sub = cd.sub AND l.cid = cd.code
+       |  WHERE cd.vec_id >= 5 GROUP BY 1, 2
+       |), adc AS (
+       |  SELECT query_id, neighbor_id, approx_micro, CAST(ROW_NUMBER() OVER (
+       |    PARTITION BY query_id ORDER BY approx_micro, neighbor_id) AS BIGINT)
+       |    AS rank
+       |  FROM approx
+       |)""".stripMargin
+  }
+
   private[graft] val projSigns: IndexedSeq[Array[Float]] =
     (0 until ProjDims).map { j =>
       Array.tabulate(SrcDims)(i =>
@@ -130,7 +226,7 @@ object CurationQueries {
     * its integer-exact micro-unit quantization error. Shared by the
     * encode gate and the ADC gate.
     */
-  private[queries] def pqCodes(s: SparkSession, d: String,
+  private[graft] def pqCodes(s: SparkSession, d: String,
       codebook: Option[Seq[(Long, Array[Array[Float]])]] = None): DataFrame = {
     // the ADC gate passes its already-collected codebook so the gate runs
     // ONE driver-side collect job, not two identical ones
@@ -593,42 +689,169 @@ object CurationQueries {
     // ranking contract of the similarity family.
     NamedQuery(
       "similarity_pq_adc_topk",
+      (s, d) => pqAdcRanked(s, d)
+        .filter(col("rank") <= 5)
+        .orderBy(col("query_id"), col("rank")),
+      Some(s"""WITH $pqAdcRankedSql
+              |SELECT query_id, neighbor_id, rank, approx_micro
+              |FROM adc WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    // PQ recall calibration: recall@5 of the ADC ranking (the EXACT
+    // ranking the search gate ships — ONE shared pqAdcRanked definition)
+    // against the exact full-precision L2² top-5 on the same queries —
+    // the measurement run before trusting a quantized index at scale,
+    // the similarity_recall_calibration sibling for the PQ family. Exact
+    // distances use the micro-unit expansion ‖q‖² − 2q·x + ‖x‖² with
+    // driver-fold ‖q‖² and the FloatVecDot kernel, so both engines see
+    // the same integers; the exact side is bounded to the 5-query sample
+    // (crossJoin is the measurement baseline, by design — at 100 TB the
+    // sample stays fixed while the index side scales).
+    NamedQuery(
+      "similarity_pq_recall",
+      (s, d) => {
+        val queries = pqQueries(s, d)
+        val db = Tables.embeddings(s, d).filter(col("vec_id") >= 5)
+          .select(col("vec_id"), col("embedding"),
+            vecDot(col("embedding"), col("embedding")).as("xx"))
+        val exactAll = queries.map { case (qid, qv) =>
+          var qq = 0.0
+          qv.foreach(x => qq += x.toDouble * x.toDouble)
+          db.select(lit(qid).as("query_id"), col("vec_id").as("neighbor_id"),
+            floor((lit(qq) - lit(2.0) * vecDot(col("embedding"), typedLit(qv))
+              + col("xx")) * lit(1000000.0) + lit(0.5)).cast("long")
+              .as("exact_micro"))
+        }.reduce(_ unionAll _)
+        val exact = exactAll
+          .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
+            .orderBy(col("exact_micro"), col("neighbor_id"))))
+          .filter(col("rank") <= 5)
+          .select(col("query_id"), col("neighbor_id"))
+        val adc = pqAdcRanked(s, d).filter(col("rank") <= 5)
+          .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1L))
+        exact.join(adc, Seq("query_id", "neighbor_id"), "left")
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).as("n_exact"),
+            sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_hits"))
+          .withColumn("recall", r6(col("n_hits").cast("double") / col("n_exact")))
+          .orderBy(col("query_id"))
+      },
+      Some {
+        val gs64 = s"generate_series(1, $SrcDims) t(i)"
+        s"""WITH $pqAdcRankedSql, xs AS (
+           |  SELECT vec_id, (SELECT SUM(CAST(embedding[i] AS DOUBLE)
+           |    * CAST(embedding[i] AS DOUBLE)) FROM $gs64) AS xx
+           |  FROM embeddings WHERE vec_id >= 5
+           |), qs AS (
+           |  SELECT vec_id, (SELECT SUM(CAST(embedding[i] AS DOUBLE)
+           |    * CAST(embedding[i] AS DOUBLE)) FROM $gs64) AS qq
+           |  FROM embeddings WHERE vec_id < 5
+           |), exd AS (
+           |  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+           |    CAST(FLOOR((qs.qq - 2 * (SELECT SUM(CAST(q.embedding[i] AS DOUBLE)
+           |      * CAST(x.embedding[i] AS DOUBLE)) FROM $gs64) + xs.xx)
+           |      * 1000000.0 + 0.5) AS BIGINT) AS exact_micro
+           |  FROM embeddings q JOIN embeddings x ON x.vec_id >= 5
+           |  JOIN qs ON qs.vec_id = q.vec_id
+           |  JOIN xs ON xs.vec_id = x.vec_id
+           |  WHERE q.vec_id < 5
+           |), ex AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+           |      PARTITION BY query_id ORDER BY exact_micro, neighbor_id) AS rn
+           |    FROM exd
+           |  ) WHERE rn <= 5
+           |)
+           |SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+           |  CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
+           |  ${r6Sql("CAST(COUNT(a.neighbor_id) AS DOUBLE) / COUNT(*)")} AS recall
+           |FROM ex e LEFT JOIN (SELECT query_id, neighbor_id FROM adc
+           |  WHERE rank <= 5) a
+           |  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+           |GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
+
+    // Thumbnail downsample over the REAL PPM decode path: each image
+    // reduced to a 2×2 grid of block-mean cells, kept as exact integer
+    // (channel sums, pixel count) numerators — the decode → resize stage
+    // of the image pipeline, sharing the one validated header parse
+    // (Multimodal.findPpmRaster) with multimodal_decode_ppm. Pixel
+    // (x, y) maps to cell (y·2 div h, x·2 div w) — pure integer
+    // arithmetic the oracle replays from the synthesis formulas. Narrow
+    // mapPartitions; payloads never leave the task.
+    NamedQuery(
+      "multimodal_thumbnail_grid",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions { ids =>
+            ids.flatMap { id =>
+              val cells = graft.ml.Multimodal
+                .ppmGridStats(graft.ml.Multimodal.synthPpm(id), grid = 2)
+                .getOrElse(throw new IllegalStateException(
+                  s"synthesized PPM for doc $id failed to decode"))
+              cells.map { case (cy, cx, r, g, b, n) =>
+                (id, cy.toLong, cx.toLong, r, g, b, n)
+              }
+            }
+          }
+          .toDF("doc_id", "cell_y", "cell_x", "r_sum", "g_sum", "b_sum", "n_px")
+          .orderBy(col("doc_id"), col("cell_y"), col("cell_x"))
+      },
+      Some("""WITH params AS (
+             |  SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+             |  FROM documents
+             |), px AS (
+             |  SELECT p.doc_id,
+             |    (y.y * 2) // p.h AS cell_y, (x.x * 2) // p.w AS cell_x,
+             |    (p.doc_id * 37 + (y.y * p.w + x.x) * 5 + 0) % 256 AS r,
+             |    (p.doc_id * 37 + (y.y * p.w + x.x) * 5 + 11) % 256 AS g,
+             |    (p.doc_id * 37 + (y.y * p.w + x.x) * 5 + 22) % 256 AS b
+             |  FROM params p
+             |  JOIN (SELECT UNNEST(generate_series(0, 8)) AS y) y ON y.y < p.h
+             |  JOIN (SELECT UNNEST(generate_series(0, 16)) AS x) x ON x.x < p.w
+             |)
+             |SELECT doc_id, CAST(cell_y AS BIGINT) AS cell_y,
+             |  CAST(cell_x AS BIGINT) AS cell_x,
+             |  CAST(SUM(r) AS BIGINT) AS r_sum,
+             |  CAST(SUM(g) AS BIGINT) AS g_sum,
+             |  CAST(SUM(b) AS BIGINT) AS b_sum,
+             |  CAST(COUNT(*) AS BIGINT) AS n_px
+             |FROM px GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
+    // IVF-PQ composed search (the production billion-scale ANN layout,
+    // Jégou et al. 2011 §IV): the coarse quantizer restricts the probe
+    // to the query's IVF cell, the fine quantizer (PQ codes + ADC LUT)
+    // ranks within it. Composes the TWO judged index definitions
+    // verbatim — MLQueries.ivfAssigned for cells (query cells read off
+    // the same definition, a 5-row bounded collect: at scale, cell
+    // assignment for a query batch is k driver dots), pqCodes + the
+    // shared pqAdcLut for ranking — so this gate searches exactly the
+    // index the ivf and pq gates each verified. Candidates in cells no
+    // query probes are dropped by an empty-array explode (zero work,
+    // the IVF promise); approx dist stays 4 integer lookups per
+    // surviving pair. At 100 TB the codes table is STORED partitioned
+    // by cell (the vec_id join here re-derives what an index build
+    // writes once), so a probe reads one cell's partitions and never
+    // touches a float vector.
+    NamedQuery(
+      "similarity_ann_ivfpq",
       (s, d) => {
         val cb = pqCodebook(s, d)
-        val queries = Tables.embeddings(s, d)
-          .filter(col("vec_id") < 5).select(col("vec_id"), col("embedding"))
-          .collect()
-          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-          .sortBy(_._1)
-        // LUT[q][sub][c] in micro-units: floor(r6(Σ(q_i-cb_i)²)·1e6+0.5).
-        // Index-order fold, the vecNorm arithmetic, so DuckDB's per-pair
-        // SUM sees the same value to well below the 1e-6 grid.
-        val lut: Array[Array[Array[Long]]] = queries.map { case (_, qv) =>
-          Array.tabulate(NSub) { sub =>
-            cb.map { case (_, blocks) =>
-              val b = blocks(sub)
-              var acc = 0.0
-              var i = 0
-              while (i < SubDim) {
-                val diff = qv(sub * SubDim + i).toDouble - b(i).toDouble
-                acc += diff * diff
-                i += 1
-              }
-              math.floor(acc * 1000000.0 + 0.5).toLong
-            }.toArray
-          }
-        }.toArray
-        val lutCol = typedLit(lut)
+        val queries = pqQueries(s, d)
+        val lutCol = typedLit(pqAdcLut(queries, cb))
         val qids = queries.map(_._1)
-        val codes = pqCodes(s, d, Some(cb)).filter(col("vec_id") >= 5)
-          .withColumn("qix", explode(typedLit(qids.indices.map(_ + 1).toArray)))
-        val approx: Column = (0 until NSub).map { sub =>
-          element_at(element_at(element_at(lutCol, col("qix")), lit(sub + 1)),
-            (col(s"c$sub") + 1).cast("int"))
-        }.reduce(_ + _)
-        codes
+        val cells = MLQueries.ivfAssigned(s, d).select(col("vec_id"), col("cell"))
+        // query → cell from the ONE judged assignment definition (5 rows)
+        val qcell = cells.filter(col("vec_id") < 5).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val cellToQix: Array[Array[Int]] = Array.tabulate(PqK)(c =>
+          qids.indices.collect { case i if qcell(qids(i)) == c => i + 1 }.toArray)
+        pqCodes(s, d, Some(cb)).filter(col("vec_id") >= 5)
+          .join(cells, "vec_id")
+          .withColumn("qix",
+            explode(element_at(typedLit(cellToQix), (col("cell") + 1).cast("int"))))
           .withColumn("query_id", element_at(typedLit(qids.toArray), col("qix")))
-          .withColumn("approx_micro", approx)
+          .withColumn("approx_micro", adcApproxCol(lutCol))
           .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
             .orderBy(col("approx_micro"), col("vec_id"))))
           .filter(col("rank") <= 5)
@@ -636,30 +859,67 @@ object CurationQueries {
             col("rank").cast("long").as("rank"), col("approx_micro"))
           .orderBy(col("query_id"), col("rank"))
       },
-      Some {
-        val lutBlocks = (0 until NSub).map { sub =>
-          val gs = s"generate_series(${sub * SubDim + 1}, ${(sub + 1) * SubDim}) t(i)"
-          s"""SELECT q.vec_id AS query_id, $sub AS sub, c.vec_id AS cid,
-             |    CAST(FLOOR((SELECT SUM((CAST(q.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))
-             |        * (CAST(q.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))) FROM $gs)
-             |      * 1000000.0 + 0.5) AS BIGINT) AS dmicro
-             |  FROM embeddings q JOIN embeddings c ON c.vec_id < $PqK
-             |  WHERE q.vec_id < 5""".stripMargin
-        }.mkString("\n  UNION ALL\n  ")
-        s"""WITH $pqCodesSql, lut AS (
-           |  $lutBlocks
-           |), approx AS (
-           |  SELECT l.query_id, cd.vec_id AS neighbor_id,
-           |    CAST(SUM(l.dmicro) AS BIGINT) AS approx_micro
-           |  FROM codes cd JOIN lut l ON l.sub = cd.sub AND l.cid = cd.code
-           |  WHERE cd.vec_id >= 5 GROUP BY 1, 2
-           |)
-           |SELECT query_id, neighbor_id, rank, approx_micro FROM (
-           |  SELECT query_id, neighbor_id, approx_micro, CAST(ROW_NUMBER() OVER (
-           |    PARTITION BY query_id ORDER BY approx_micro, neighbor_id) AS BIGINT) AS rank
-           |  FROM approx
-           |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
-      }),
+      Some(s"""WITH $pqAdcRankedSql, ${MLQueries.ivfAssignSql}
+              |SELECT query_id, neighbor_id, rank, approx_micro FROM (
+              |  SELECT a.query_id, a.neighbor_id, a.approx_micro,
+              |    CAST(ROW_NUMBER() OVER (PARTITION BY a.query_id
+              |      ORDER BY a.approx_micro, a.neighbor_id) AS BIGINT) AS rank
+              |  FROM approx a
+              |  JOIN assigned qa ON qa.vec_id = a.query_id
+              |  JOIN assigned nb ON nb.vec_id = a.neighbor_id
+              |    AND nb.cell = qa.cell
+              |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    // Audio decimation over the REAL PCM16 decode path: keep every 4th
+    // frame and emit the DECIMATED stream's per-channel integer energy
+    // and zero crossings — the decode → resample stage of the audio
+    // pipeline (the WAV sibling of multimodal_thumbnail_grid), sharing
+    // the one validated chunk walk (Multimodal.findWavPcm) with
+    // multimodal_decode_wav / multimodal_audio_features. Narrow
+    // mapPartitions; payloads never leave the task; the oracle replays
+    // the synthesis formulas with a frame % 4 = 0 restriction.
+    NamedQuery(
+      "multimodal_audio_downsample",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions { ids =>
+            ids.flatMap { id =>
+              val stats = graft.ml.Multimodal
+                .wavDecimatedStats(graft.ml.Multimodal.synthWav(id), every = 4)
+                .getOrElse(throw new IllegalStateException(
+                  s"synthesized WAV for doc $id failed to decode"))
+              stats.map { case (c, nf, sq, zc) => (id, c.toLong, nf, sq, zc) }
+            }
+          }
+          .toDF("doc_id", "channel", "n_frames_out", "sum_sq", "zero_crossings")
+          .orderBy(col("doc_id"), col("channel"))
+      },
+      Some("""WITH params AS (
+             |  SELECT doc_id,
+             |    1 + doc_id % 2 AS n_channels,
+             |    100 + doc_id % 400 AS n_frames
+             |  FROM documents
+             |), samples AS (
+             |  SELECT p.doc_id, u.c AS channel, t.i AS frame,
+             |    ((p.doc_id * 131 + t.i * 7 + u.c * 13) % 65536) - 32768 AS v
+             |  FROM params p
+             |  JOIN (SELECT UNNEST(generate_series(0, 499)) AS i) t
+             |    ON t.i < p.n_frames AND t.i % 4 = 0
+             |  JOIN (SELECT UNNEST(generate_series(0, 1)) AS c) u
+             |    ON u.c < p.n_channels
+             |), lagged AS (
+             |  SELECT doc_id, channel, v, LAG(v) OVER (
+             |    PARTITION BY doc_id, channel ORDER BY frame) AS pv
+             |  FROM samples
+             |)
+             |SELECT doc_id, CAST(channel AS BIGINT) AS channel,
+             |  CAST(COUNT(*) AS BIGINT) AS n_frames_out,
+             |  CAST(SUM(CAST(v AS BIGINT) * v) AS BIGINT) AS sum_sq,
+             |  CAST(SUM(CASE WHEN pv IS NOT NULL
+             |    AND ((pv < 0) <> (v < 0)) THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS zero_crossings
+             |FROM lagged GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
   )
 
 }

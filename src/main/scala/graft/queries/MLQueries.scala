@@ -229,7 +229,7 @@ object MLQueries {
     * matching the oracle's ROW_NUMBER (csim DESC, cent_id). Returns
     * `(vec_id, embedding, norm, cell)`.
     */
-  private def ivfAssigned(s: SparkSession, d: String): DataFrame = {
+  private[queries] def ivfAssigned(s: SparkSession, d: String): DataFrame = {
     val cents = Tables.embeddings(s, d)
       .filter(col("vec_id") < 8).select(col("vec_id"), col("embedding"))
       .collect()
@@ -261,7 +261,7 @@ object MLQueries {
     * ending in `assigned(vec_id, cell)` — ONE definition spliced into
     * every IVF-consuming oracle so the assignment cannot drift.
     */
-  private val ivfAssignSql: String =
+  private[queries] val ivfAssignSql: String =
     s"""csims AS (
        |  SELECT e.vec_id, c.vec_id AS cent_id,
        |    ${r6Sql(duckDot("e.embedding", "c.embedding") +

@@ -180,6 +180,90 @@ class CurationInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("similarity_pq_recall: 5 queries, recall a fraction of exactly 5 hits") {
+    val rows = SparkEntry.queries("similarity_pq_recall")(spark, d).collect()
+    assert(rows.map(_.getAs[Long]("query_id")).toSeq === (0L to 4L))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_exact") === 5L)
+      val hits = r.getAs[Long]("n_hits")
+      assert(hits >= 0L && hits <= 5L)
+      assert(r.getAs[Double]("recall") === hits.toDouble / 5.0)
+    }
+  }
+
+  test("multimodal_thumbnail_grid: 2x2 cells partition every image exactly") {
+    val rows = SparkEntry.queries("multimodal_thumbnail_grid")(spark, d).collect()
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    byDoc.foreach { case (id, rs) =>
+      assert(rs.length === 4, s"doc $id must have 2x2 cells")
+      // the cells partition the raster: pixel counts add to w*h of the
+      // synthesis contract, and channel sums stay within 8-bit range
+      val w = 4 + id % 13
+      val h = 3 + id % 7
+      assert(rs.map(_.getAs[Long]("n_px")).sum === w * h)
+      rs.foreach { r =>
+        val n = r.getAs[Long]("n_px")
+        assert(n >= 1L, "a 2x2 grid over w>=4,h>=3 leaves no empty cell")
+        Seq("r_sum", "g_sum", "b_sum").foreach(c =>
+          assert(r.getAs[Long](c) <= 255L * n))
+      }
+    }
+  }
+
+  test("similarity_ann_ivfpq: dense ranks, db-only, agrees with full ADC scan") {
+    val rows = SparkEntry.queries("similarity_ann_ivfpq")(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq ===
+        (1L to sorted.length).toSeq, s"query $q ranks must be dense from 1")
+      assert(sorted.length <= 5)
+      // approx distance is non-decreasing along the ranking
+      sorted.map(_.getAs[Long]("approx_micro")).toSeq.sliding(2).foreach {
+        case Seq(a, b) => assert(a <= b)
+        case _ => ()
+      }
+      sorted.foreach(r => assert(r.getAs[Long]("neighbor_id") >= 5L))
+    }
+    // the cell restriction changes WHICH pairs rank, never a pair's
+    // distance: any (query, neighbor) also in the full-scan ADC top-5
+    // carries the identical approx_micro (one pqAdcLut definition)
+    val full = SparkEntry.queries("similarity_pq_adc_topk")(spark, d).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Long]("approx_micro")).toMap
+    val shared = rows.flatMap { r =>
+      full.get((r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+        .map(m => (r.getAs[Long]("approx_micro"), m))
+    }
+    assert(shared.nonEmpty, "probe and full scan share at least one pair")
+    shared.foreach { case (a, b) => assert(a === b) }
+    // the IVF promise in the plan: a cell-keyed probe, never a cartesian
+    assert(!plan("similarity_ann_ivfpq").contains("CartesianProduct"))
+  }
+
+  test("multimodal_audio_downsample: frame counts and energy bound the full decode") {
+    val dec = SparkEntry.queries("multimodal_audio_downsample")(spark, d).collect()
+    assert(dec.nonEmpty)
+    val full = SparkEntry.queries("multimodal_audio_features")(spark, d).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("channel")) ->
+        (r.getAs[Long]("n_frames"), r.getAs[Long]("sum_sq"))).toMap
+    dec.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val c = r.getAs[Long]("channel")
+      val nOut = r.getAs[Long]("n_frames_out")
+      val (nFull, sqFull) = full((id, c))
+      assert(nFull === 100L + id % 400, "synthesis contract")
+      assert(nOut === (nFull + 3) / 4, s"doc $id ch $c: decimate-by-4 count")
+      // a kept-frame subset can never carry more energy than the stream
+      assert(r.getAs[Long]("sum_sq") <= sqFull)
+      // crossings are counted between consecutive KEPT frames
+      assert(r.getAs[Long]("zero_crossings") <= nOut - 1)
+    }
+    // every (doc, channel) of the full decode is present after decimation
+    assert(dec.length === full.size)
+  }
+
   test("events_funnel_steps: one user exchange; step counts are monotone") {
     val p = plan("events_funnel_steps")
     // all three step windows + the per-user distinct ride ONE user_id
