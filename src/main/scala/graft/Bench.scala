@@ -39,7 +39,7 @@ object Bench {
     */
   private val TpchEventPrefixes = Set(
     "array_", "broadcast_", "coalesce_", "concat_", "cube_", "date_",
-    "dict_", "equi_", "events_", "explode_", "greatest_", "hash_",
+    "dict_", "equi_", "events_", "explode_", "graph_", "greatest_", "hash_",
     "histogram_", "join_", "json_", "pivot_", "quantile_", "regexp_",
     "rollup_", "scan_", "scatter_", "sessionize_", "set_", "skew_",
     "stats_", "string_", "topk_", "topn_", "union_", "unit_", "window_")
@@ -50,6 +50,10 @@ object Bench {
     // table (the shingle contract), not embeddings — warm the documents
     // family or a filtered run times it against a cold table open
     else if (n == "similarity_containment") Set("dedup_exact")
+    // the two sketch_* gates built on the tpch/events tables, not the
+    // documents corpus — warm the tables they actually read
+    else if (n == "sketch_hll_distinct") Set("date_trunc_agg")
+    else if (n == "sketch_bloom_join") Set("hash_agg_sum", "date_trunc_agg")
     else if (n.startsWith("similarity_") || n.startsWith("embedding_") ||
       n.startsWith("ann_")) Set("similarity_topk_bruteforce")
     else if (n.startsWith("dedup_") || n.startsWith("text_") ||

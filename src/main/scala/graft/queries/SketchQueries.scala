@@ -1,0 +1,444 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.queries.QueryDsl._
+import graft.tables.Tables
+
+/** Round-14 sketch + graph additions: the bounded-memory summary
+  * structures a 100 TB engine actually runs on — HyperLogLog distinct
+  * counting (Flajolet et al. 2007) with register-level merge, Bloom-filter
+  * join pruning (Bloom 1970), Count-Min heavy-hitter estimation (Cormode &
+  * Muthukrishnan 2005) — plus an integer-exact iterative PageRank (Brin &
+  * Page 1998) beside the connected-components loop, and a z-score
+  * time-series anomaly gate. Every gate is DuckDB-oracle-judged: the
+  * sketches use md5-derived hash families (identical hex in Spark, JVM
+  * MessageDigest, and DuckDB — the registry's hashId contract) and keep
+  * their accumulators in exact integer units, so both engines compute the
+  * same registers, bits, counters, and ranks bit-for-bit.
+  */
+object SketchQueries {
+
+  // ---- HyperLogLog ---------------------------------------------------------
+  // m = 64 registers (6 index bits); the remaining 54 bits of the 60-bit
+  // md5-prefix hash feed rho = 1 + leading-zero count (1..54; 55 for an
+  // all-zero payload). The register sum Z = Σ 2^-max_rho is held scaled by
+  // 2^55 as a BIGINT — sums of sub-ulp-spanning powers of two would round
+  // order-dependently in double, the scaled integer sum cannot. Absent
+  // registers contribute 2^0 = 1 (scaled 2^55) each. Estimate = alpha_64 ·
+  // m² / Z with the standard m·ln(m/V) linear-counting fallback below
+  // 2.5m when V registers are empty; ln differs by ≤1 ulp across libms,
+  // which the r6 grid absorbs (the text_bigram_surprise precedent).
+  private val HllM = 64L
+  private val HllPayloadBits = 54
+  // alpha_64 · m² · 2^55 precomputed as ONE driver double so both engines
+  // evaluate a single literal-over-integer division (alpha_64 = 0.709,
+  // Flajolet et al. 2007 §4 for m = 64)
+  private val HllAlphaNumer: Double = 0.709 * 4096.0 * math.pow(2.0, 55)
+
+  /** rho over the 54-bit payload: an integer-comparison CASE ladder (first
+    * set bit from the top), exact in both engines — no log2 rounding risk.
+    */
+  private def hllRho(w: Column): Column =
+    (1 to HllPayloadBits).foldRight(lit(HllPayloadBits + 1)) { (j, els) =>
+      when(w >= lit(1L << (HllPayloadBits - j)), lit(j)).otherwise(els)
+    }
+
+  private def hllRhoSql(w: String): String = {
+    val whens = (1 to HllPayloadBits)
+      .map(j => s"WHEN ($w) >= ${1L << (HllPayloadBits - j)} THEN $j")
+      .mkString(" ")
+    s"(CASE $whens ELSE ${HllPayloadBits + 1} END)"
+  }
+
+  // ---- Bloom filter --------------------------------------------------------
+  private val BloomBits = 2048L
+  private val BloomK = 3
+
+  private def bloomPos(i: Column, key: Column): Column =
+    hashId(concat(lit("bloom"), i.cast("string"), lit("|"), key.cast("string")),
+      BloomBits)
+
+  private def bloomPosSql(i: String, key: String): String =
+    hashIdSql(s"'bloom' || CAST($i AS VARCHAR) || '|' || CAST($key AS VARCHAR)",
+      BloomBits)
+
+  // ---- Count-Min -----------------------------------------------------------
+  private val CmRows = 4
+  private val CmWidth = 512L
+
+  private def cmBucket(r: Column, word: Column): Column =
+    hashId(concat(lit("cm"), r.cast("string"), lit("|"), word), CmWidth)
+
+  private def cmBucketSql(r: String, word: String): String =
+    hashIdSql(s"'cm' || CAST($r AS VARCHAR) || '|' || $word", CmWidth)
+
+  // ---- PageRank ------------------------------------------------------------
+  // Ranks live in nano-units (init 1e9 // N) and every step is integer:
+  // per-edge contribution rank // outdeg, damping (17 · Σ) // 20
+  // (= 0.85), teleport 15e7 // N — truncating division of nonnegative
+  // longs is identical in Spark `div` and DuckDB `//`, so three rounds
+  // stay bit-exact across engines with no float rounding anywhere.
+  private val PrIters = 3
+
+  val all: Seq[NamedQuery] = Seq(
+
+    // HyperLogLog distinct-user estimation per event type PLUS the merged
+    // union sketch: the '__union__' row is computed by max-merging the
+    // per-type REGISTERS (never re-reading the raw data) — the property
+    // that makes HLL the 100 TB distinct-count operator: each partition /
+    // day / type keeps 64 six-bit registers, and any rollup is a register
+    // max, not a re-scan. At scale the only wide op is the (type, idx)
+    // hash-agg — 64 rows per group — while the exact COUNT(DISTINCT)
+    // this gate calibrates against would shuffle every user id; rel_err
+    // against that exact count is the gate's honesty column (±~13%
+    // expected at m = 64; raise m for production, the plan is unchanged).
+    NamedQuery(
+      "sketch_hll_distinct",
+      (s, d) => {
+        val h = conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("long")
+        val ev = Tables.events(s, d).select(col("event_type"), col("user_id"))
+        val hr = ev.select(col("event_type"), (h % HllM).as("idx"),
+          hllRho(h / lit(HllM)).as("rho"))
+        val regs = hr.groupBy(col("event_type"), col("idx"))
+          .agg(max(col("rho")).as("mx"))
+        val merged = regs.groupBy(col("idx")).agg(max(col("mx")).as("mx"))
+          .select(lit("__union__").as("event_type"), col("idx"), col("mx"))
+        val est = regs.unionAll(merged)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_registers"),
+            sum(expr(s"shiftleft(CAST(1 AS BIGINT), " +
+              s"CAST(${HllPayloadBits + 1} - mx AS INT))")).as("zp"))
+          .withColumn("zeros", lit(HllM) - col("n_registers"))
+          .withColumn("ztot",
+            col("zp") + col("zeros") * lit(1L << (HllPayloadBits + 1)))
+          .withColumn("raw", lit(HllAlphaNumer) / col("ztot").cast("double"))
+          .withColumn("hll_estimate", r6(
+            when(col("zeros") > 0 && col("raw") <= lit(2.5 * HllM),
+              lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("zeros").cast("double")))
+              .otherwise(col("raw"))))
+        val exact = ev.groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("n_exact"))
+          .unionAll(ev.agg(countDistinct(col("user_id")).as("n_exact"))
+            .select(lit("__union__").as("event_type"), col("n_exact")))
+        est.join(exact, "event_type")
+          .withColumn("rel_err",
+            r6((col("hll_estimate") - col("n_exact")) / col("n_exact")))
+          .select(col("event_type"), col("n_exact"), col("n_registers"),
+            col("hll_estimate"), col("rel_err"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""WITH h AS (
+              |  SELECT event_type,
+              |    CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)
+              |      AS BIGINT) AS h
+              |  FROM events
+              |), hr AS (
+              |  SELECT event_type, h % $HllM AS idx,
+              |    ${hllRhoSql(s"h // $HllM")} AS rho
+              |  FROM h
+              |), regs AS (
+              |  SELECT event_type, idx, MAX(rho) AS mx FROM hr GROUP BY 1, 2
+              |), allregs AS (
+              |  SELECT event_type, idx, mx FROM regs
+              |  UNION ALL
+              |  SELECT '__union__', idx, MAX(mx) FROM regs GROUP BY 2
+              |), est AS (
+              |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_registers,
+              |    CAST(SUM(CAST(1 AS BIGINT) << (${HllPayloadBits + 1} - mx))
+              |      AS BIGINT)
+              |      + ($HllM - CAST(COUNT(*) AS BIGINT))
+              |        * (CAST(1 AS BIGINT) << ${HllPayloadBits + 1}) AS ztot,
+              |    $HllM - CAST(COUNT(*) AS BIGINT) AS zeros
+              |  FROM allregs GROUP BY 1
+              |), est2 AS (
+              |  SELECT event_type, n_registers,
+              |    CASE WHEN zeros > 0
+              |        AND $HllAlphaNumer / CAST(ztot AS DOUBLE) <= ${2.5 * HllM}
+              |      THEN ${r6Sql(s"${HllM.toDouble} * ln(${HllM.toDouble} / CAST(zeros AS DOUBLE))")}
+              |      ELSE ${r6Sql(s"$HllAlphaNumer / CAST(ztot AS DOUBLE)")}
+              |    END AS hll_estimate
+              |  FROM est
+              |), ex AS (
+              |  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+              |    AS n_exact FROM events GROUP BY 1
+              |  UNION ALL
+              |  SELECT '__union__', CAST(COUNT(DISTINCT user_id) AS BIGINT)
+              |  FROM events
+              |)
+              |SELECT e.event_type, x.n_exact, e.n_registers, e.hll_estimate,
+              |  ${r6Sql("(e.hll_estimate - x.n_exact) / x.n_exact")} AS rel_err
+              |FROM est2 e JOIN ex x USING (event_type)
+              |ORDER BY event_type""".stripMargin)),
+
+    // Bloom-filter join pruning: the build side (urgent-order customers)
+    // compresses to a 2048-bit / 3-hash filter; every probe key checks
+    // its 3 bit positions and survives only if all are set. Per market
+    // segment: probes, candidates, true members, false positives, and
+    // the fp rate among true non-members — with the no-false-negative
+    // guarantee visible as n_candidates >= n_members. At 100 TB this is
+    // the shuffle killer: the bit set (2048 rows max, here materialized
+    // as a distinct-position relation and broadcast) prunes the probe
+    // side BEFORE the expensive join/exchange, exactly how runtime
+    // bloom-pruned joins work; build cost is one hash-agg over the
+    // (already filtered) build keys.
+    NamedQuery(
+      "sketch_bloom_join",
+      (s, d) => {
+        val is = typedLit((0 until BloomK).toArray)
+        val buildKeys = Tables.orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey")).distinct()
+        val bits = buildKeys.select(explode(is).as("i"), col("o_custkey"))
+          .select(bloomPos(col("i"), col("o_custkey")).as("pos"))
+          .distinct().withColumn("hit", lit(1L))
+        val cand = Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment"), explode(is).as("i"))
+          .withColumn("pos", bloomPos(col("i"), col("c_custkey")))
+          .join(broadcast(bits), Seq("pos"), "left")
+          .groupBy(col("c_custkey"), col("c_mktsegment"))
+          .agg((sum(coalesce(col("hit"), lit(0L))) === BloomK).as("candidate"))
+        cand
+          .join(buildKeys.withColumn("member", lit(1L)),
+            cand("c_custkey") === col("o_custkey"), "left")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_probed"),
+            sum(when(col("candidate"), 1L).otherwise(0L)).as("n_candidates"),
+            sum(when(col("member").isNotNull, 1L).otherwise(0L)).as("n_members"),
+            sum(when(col("candidate") && col("member").isNull, 1L).otherwise(0L))
+              .as("n_false_pos"))
+          .withColumn("fp_rate",
+            when(col("n_probed") > col("n_members"),
+              r6(col("n_false_pos").cast("double")
+                / (col("n_probed") - col("n_members")))))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some(s"""WITH bkeys AS (
+              |  SELECT DISTINCT o_custkey FROM orders
+              |  WHERE o_orderpriority = '1-URGENT'
+              |), bits AS (
+              |  SELECT DISTINCT ${bloomPosSql("t.i", "o_custkey")} AS pos
+              |  FROM bkeys CROSS JOIN
+              |    (SELECT UNNEST(generate_series(0, ${BloomK - 1})) AS i) t
+              |), cand AS (
+              |  SELECT c_custkey, c_mktsegment,
+              |    SUM(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) = $BloomK
+              |      AS candidate
+              |  FROM (
+              |    SELECT c.c_custkey, c.c_mktsegment,
+              |      ${bloomPosSql("t.i", "c.c_custkey")} AS pos
+              |    FROM customer c CROSS JOIN
+              |      (SELECT UNNEST(generate_series(0, ${BloomK - 1})) AS i) t
+              |  ) LEFT JOIN bits b USING (pos)
+              |  GROUP BY 1, 2
+              |), tr AS (
+              |  SELECT cand.c_mktsegment, cand.candidate, k.o_custkey
+              |  FROM cand LEFT JOIN bkeys k ON k.o_custkey = cand.c_custkey
+              |)
+              |SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_probed,
+              |  CAST(SUM(CASE WHEN candidate THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_candidates,
+              |  CAST(SUM(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS n_members,
+              |  CAST(SUM(CASE WHEN candidate AND o_custkey IS NULL
+              |    THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+              |  CASE WHEN COUNT(*) > SUM(CASE WHEN o_custkey IS NOT NULL
+              |      THEN 1 ELSE 0 END)
+              |    THEN ${r6Sql("CAST(SUM(CASE WHEN candidate AND o_custkey IS NULL " +
+                 "THEN 1 ELSE 0 END) AS DOUBLE) / (COUNT(*) - SUM(CASE WHEN " +
+                 "o_custkey IS NOT NULL THEN 1 ELSE 0 END))")}
+              |  END AS fp_rate
+              |FROM tr GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Count-Min heavy hitters: a 4-row × 512-bucket counter sketch over
+    // every token occurrence in the corpus; the exact top-20 tokens are
+    // then looked up in the sketch (estimate = min over the 4 rows) and
+    // reported with their overestimate — always >= 0, the CM one-sided
+    // guarantee the spec pins. At 100 TB the sketch is the point: token
+    // frequency tracking shuffles AT MOST d·w = 2048 counter cells (a
+    // map-side-combined hash-agg) instead of the full vocabulary, and
+    // sketches from different corpus shards merge by cell-wise addition;
+    // the exact side here is the calibration baseline, bounded to the
+    // top-20 probe set.
+    NamedQuery(
+      "sketch_countmin_heavy",
+      (s, d) => {
+        val rs = typedLit((0 until CmRows).toArray)
+        val toks = MLQueries.words(s, d)
+          .select(explode(col("w")).as("word"))
+        val sketch = toks.select(col("word"), explode(rs).as("r"))
+          .select(col("r"), cmBucket(col("r"), col("word")).as("bucket"))
+          .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("c"))
+        val top = toks.groupBy(col("word")).agg(count(lit(1)).as("exact_cnt"))
+          .orderBy(col("exact_cnt").desc, col("word")).limit(20)
+        top.select(col("word"), col("exact_cnt"), explode(rs).as("r"))
+          .withColumn("bucket", cmBucket(col("r"), col("word")))
+          .join(broadcast(sketch), Seq("r", "bucket"))
+          .groupBy(col("word"))
+          .agg(min(col("exact_cnt")).as("exact_cnt"),
+            min(col("c")).as("cm_estimate"))
+          .withColumn("overestimate", col("cm_estimate") - col("exact_cnt"))
+          .orderBy(col("exact_cnt").desc, col("word"))
+      },
+      Some(s"""WITH wrds AS (
+              |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+              |), toks AS (
+              |  SELECT UNNEST(w) AS word FROM wrds
+              |), sk AS (
+              |  SELECT r, bucket, CAST(COUNT(*) AS BIGINT) AS c FROM (
+              |    SELECT t.r, ${cmBucketSql("t.r", "word")} AS bucket
+              |    FROM toks CROSS JOIN
+              |      (SELECT UNNEST(generate_series(0, ${CmRows - 1})) AS r) t
+              |  ) GROUP BY 1, 2
+              |), ex AS (
+              |  SELECT word, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+              |  FROM toks GROUP BY 1
+              |), top AS (
+              |  SELECT word, exact_cnt FROM (
+              |    SELECT word, exact_cnt, ROW_NUMBER() OVER (
+              |      ORDER BY exact_cnt DESC, word) AS rn
+              |    FROM ex
+              |  ) WHERE rn <= 20
+              |), pb AS (
+              |  SELECT word, exact_cnt, t.r,
+              |    ${cmBucketSql("t.r", "word")} AS bucket
+              |  FROM top CROSS JOIN
+              |    (SELECT UNNEST(generate_series(0, ${CmRows - 1})) AS r) t
+              |)
+              |SELECT p.word, MIN(p.exact_cnt) AS exact_cnt,
+              |  MIN(s.c) AS cm_estimate,
+              |  MIN(s.c) - MIN(p.exact_cnt) AS overestimate
+              |FROM pb p JOIN sk s ON s.r = p.r AND s.bucket = p.bucket
+              |GROUP BY 1 ORDER BY exact_cnt DESC, word""".stripMargin)),
+
+    // Iterative PageRank over the part co-purchase graph (parts sharing
+    // an order are linked, undirected): 3 damped rounds in exact
+    // nano-unit integers — see the object doc for the arithmetic. The
+    // iterative sibling of dedup_connected_components: same
+    // edges-join-ranks + hash-agg round shape, one exchange keyed by dst
+    // per round, rank state O(nodes) — the 1000-executor plan, with the
+    // damping/teleport constants living in the plan, not the data. The
+    // all-node union/distinct/degree prelude is the one-time index build;
+    // at 100 TB it persists bucketed by src so every round's join is
+    // co-located.
+    NamedQuery(
+      "graph_pagerank_iter",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val pairs = li.as("a").join(li.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .select(col("a.pk").as("pa"), col("b.pk").as("pb")).distinct()
+        val edges = pairs.select(col("pa").as("src"), col("pb").as("dst"))
+          .unionAll(pairs.select(col("pb").as("src"), col("pa").as("dst")))
+        val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+        val edgesDeg = edges.join(deg, "src")
+        val nAgg = deg.agg(count(lit(1)).as("n"))
+        var ranks = deg.crossJoin(broadcast(nAgg))
+          .select(col("src").as("node"),
+            expr("CAST(1000000000 AS BIGINT) div n").as("rank"), col("n"))
+        for (_ <- 1 to PrIters) {
+          ranks = edgesDeg.join(ranks, edgesDeg("src") === ranks("node"))
+            .select(col("dst"), expr("rank div outdeg").as("contrib"), col("n"))
+            .groupBy(col("dst"))
+            .agg(sum(col("contrib")).as("inflow"), min(col("n")).as("n"))
+            .select(col("dst").as("node"),
+              expr("CAST(150000000 AS BIGINT) div n + (17 * inflow) div 20")
+                .as("rank"),
+              col("n"))
+        }
+        ranks.select(col("node").as("part_id"), col("rank").as("rank_nano"),
+            r6(col("rank").cast("double") / lit(1000000000.0)).as("rank"))
+          .orderBy(col("rank_nano").desc, col("part_id")).limit(20)
+      },
+      Some {
+        val iter = (prev: String, out: String) =>
+          s"""$out AS (
+             |  SELECT e.dst AS node,
+             |    150000000 // MIN(r.n)
+             |      + (17 * CAST(SUM(r.rank // d.outdeg) AS BIGINT)) // 20 AS rank,
+             |    MIN(r.n) AS n
+             |  FROM edges e
+             |  JOIN deg d ON d.src = e.src
+             |  JOIN $prev r ON r.node = e.src
+             |  GROUP BY e.dst
+             |)""".stripMargin
+        s"""WITH li AS (
+           |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+           |), prs AS (
+           |  SELECT DISTINCT a.pk AS pa, b.pk AS pb
+           |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+           |), edges AS (
+           |  SELECT pa AS src, pb AS dst FROM prs
+           |  UNION ALL
+           |  SELECT pb AS src, pa AS dst FROM prs
+           |), deg AS (
+           |  SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+           |  FROM edges GROUP BY 1
+           |), nn AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg
+           |), r0 AS (
+           |  SELECT d.src AS node, 1000000000 // nn.n AS rank, nn.n AS n
+           |  FROM deg d CROSS JOIN nn
+           |), ${iter("r0", "r1")}, ${iter("r1", "r2")}, ${iter("r2", "r3")}
+           |SELECT node AS part_id, CAST(rank AS BIGINT) AS rank_nano,
+           |  ${r6Sql("CAST(rank AS DOUBLE) / 1000000000.0")} AS rank
+           |FROM r3 ORDER BY rank_nano DESC, part_id LIMIT 20""".stripMargin
+      }),
+
+    // Z-score anomaly detection over the hourly event-count series, per
+    // event type: a bucket is anomalous when |count − mean| > 2σ over the
+    // type's own distribution. The comparison is EXACT INTEGER algebra —
+    // (c·n − s)² > 4·(n·Σc² − s²) is |z| > 2 cleared of divisions — so
+    // the flag set cannot drift between engines; only the reported
+    // z-score touches doubles (one IEEE-exact sqrt + division, then r6).
+    // The ingest-monitoring alarm of a pipeline: at 100 TB the hourly
+    // rollup is a tiny hash-agg and the stats are one window pass over
+    // buckets (thousands of rows), never over raw events — same
+    // single-exchange shape as the funnel/retention gates. Population σ;
+    // n·Σc² fits BIGINT to ~10⁵ buckets × 10⁶-row counts, decimal at
+    // true 100 TB.
+    NamedQuery(
+      "events_anomaly_zscore",
+      (s, d) => {
+        val w = Window.partitionBy(col("event_type"))
+        Tables.events(s, d)
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("nh", count(lit(1)).over(w))
+          .withColumn("s", sum(col("c")).over(w))
+          .withColumn("ss", sum(col("c") * col("c")).over(w))
+          .withColumn("num", col("c") * col("nh") - col("s"))
+          .withColumn("den2", col("nh") * col("ss") - col("s") * col("s"))
+          .filter(col("den2") > 0 &&
+            col("num") * col("num") > lit(4L) * col("den2"))
+          .withColumn("zscore",
+            r6(col("num").cast("double") / sqrt(col("den2").cast("double"))))
+          .select(col("event_type"), col("hour"), col("c").as("n_events"),
+            col("zscore"))
+          .orderBy(col("event_type"), col("hour"))
+      },
+      Some(s"""WITH hourly AS (
+              |  SELECT event_type, date_trunc('hour', ts) AS hour,
+              |    CAST(COUNT(*) AS BIGINT) AS c
+              |  FROM events GROUP BY 1, 2
+              |), st AS (
+              |  SELECT event_type, hour, c,
+              |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS nh,
+              |    CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS s,
+              |    CAST(SUM(c * c) OVER (PARTITION BY event_type) AS BIGINT) AS ss
+              |  FROM hourly
+              |)
+              |SELECT event_type, hour, c AS n_events,
+              |  ${r6Sql("CAST(c * nh - s AS DOUBLE) / sqrt(CAST(nh * ss - s * s AS DOUBLE))")}
+              |    AS zscore
+              |FROM st
+              |WHERE nh * ss - s * s > 0
+              |  AND (c * nh - s) * (c * nh - s) > 4 * (nh * ss - s * s)
+              |ORDER BY event_type, hour""".stripMargin)),
+  )
+
+}

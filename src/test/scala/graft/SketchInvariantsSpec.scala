@@ -1,0 +1,104 @@
+package graft
+
+/** Structural invariants + plan-shape pins of the sketch/graph gates
+  * (SketchQueries) — the guarantees the sketches are DEFINED by (HLL
+  * merge monotonicity, Bloom zero false negatives, Count-Min one-sided
+  * error, PageRank mass/ordering, the z-score integer flag algebra),
+  * stated explicitly on top of the DuckDB value-compare.
+  */
+class SketchInvariantsSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString
+
+  test("sketch_hll_distinct: union row dominates, registers bounded, error sane") {
+    val rows = SparkEntry.queries("sketch_hll_distinct")(spark, d).collect()
+    val byType = rows.map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(byType.contains("__union__"), "merged union row must be present")
+    val union = byType("__union__")
+    rows.foreach { r =>
+      val nReg = r.getAs[Long]("n_registers")
+      val est = r.getAs[Double]("hll_estimate")
+      val relErr = r.getAs[Double]("rel_err")
+      assert(nReg >= 1L && nReg <= 64L, s"register count out of range: $nReg")
+      assert(est > 0.0)
+      // m = 64 gives ~13% standard error; 60% is the loud-failure bound
+      assert(math.abs(relErr) < 0.6,
+        s"${r.getAs[String]("event_type")}: rel_err $relErr")
+      // the union sketch max-merges every per-type register, so its
+      // exact count and filled-register count dominate each member's
+      assert(union.getAs[Long]("n_exact") >= r.getAs[Long]("n_exact"))
+      assert(union.getAs[Long]("n_registers") >= nReg)
+    }
+  }
+
+  test("sketch_bloom_join: no false negatives, candidate accounting closes") {
+    val rows = SparkEntry.queries("sketch_bloom_join")(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val cand = r.getAs[Long]("n_candidates")
+      val mem = r.getAs[Long]("n_members")
+      val fp = r.getAs[Long]("n_false_pos")
+      // Bloom's defining guarantee: every true member survives the filter
+      assert(cand >= mem, s"false negative in segment ${r.getString(0)}")
+      assert(fp == cand - mem, "false positives must account for the gap")
+      assert(r.getAs[Long]("n_probed") >= cand)
+      if (!r.isNullAt(r.fieldIndex("fp_rate"))) {
+        val rate = r.getAs[Double]("fp_rate")
+        assert(rate >= 0.0 && rate <= 1.0)
+      }
+    }
+    // the 2048-row bit set reaches the probe side as a broadcast — the
+    // pre-shuffle pruning promise the scaladoc makes
+    assert(plan("sketch_bloom_join").contains("BroadcastHashJoin"),
+      "bloom bit set must broadcast")
+  }
+
+  test("sketch_countmin_heavy: one-sided error, top-k full, sketch broadcasts") {
+    val rows = SparkEntry.queries("sketch_countmin_heavy")(spark, d).collect()
+    assert(rows.length == 20, s"expected the full top-20, got ${rows.length}")
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact_cnt")
+      val est = r.getAs[Long]("cm_estimate")
+      // the Count-Min guarantee: estimates never undercount
+      assert(est >= exact, s"'${r.getString(0)}': estimate $est < exact $exact")
+      assert(r.getAs[Long]("overestimate") == est - exact)
+    }
+    // ranked by exact frequency, ties broken by word
+    val keys = rows.map(r => (-r.getAs[Long]("exact_cnt"), r.getString(0))).toSeq
+    assert(keys == keys.sorted, "top-20 must be ordered by (count desc, word)")
+    assert(plan("sketch_countmin_heavy").contains("BroadcastHashJoin"),
+      "the 2048-cell sketch must broadcast to the probe side")
+  }
+
+  test("graph_pagerank_iter: positive descending ranks, teleport floor holds") {
+    val rows = SparkEntry.queries("graph_pagerank_iter")(spark, d).collect()
+    assert(rows.length == 20)
+    val nanos = rows.map(_.getAs[Long]("rank_nano")).toSeq
+    assert(nanos.forall(_ > 0L))
+    assert(nanos == nanos.sorted.reverse, "rows must descend by rank")
+    rows.foreach { r =>
+      val nano = r.getAs[Long]("rank_nano")
+      val rank = r.getAs[Double]("rank")
+      assert(rank == math.floor(nano / 1e9 * 1e6 + 0.5) / 1e6,
+        "rank must be the r6 of rank_nano")
+      // every node keeps at least the damped teleport share
+      assert(nano >= 150000000L / 3000L,
+        s"rank $nano below any plausible teleport floor")
+    }
+  }
+
+  test("events_anomaly_zscore: every flagged bucket clears 2 sigma") {
+    val rows = SparkEntry.queries("events_anomaly_zscore")(spark, d).collect()
+    assert(rows.nonEmpty, "sf0.001 hourly series should carry >2-sigma buckets")
+    rows.foreach { r =>
+      val z = r.getAs[Double]("zscore")
+      // the integer predicate admits |z| strictly above 2; r6 can round
+      // the REPORTED value down onto the boundary, never below it
+      assert(math.abs(z) >= 2.0, s"flagged bucket with |z| = $z")
+      assert(r.getAs[Long]("n_events") >= 0L)
+    }
+  }
+}
