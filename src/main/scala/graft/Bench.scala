@@ -51,9 +51,11 @@ object Bench {
     // family or a filtered run times it against a cold table open
     else if (n == "similarity_containment") Set("dedup_exact")
     // the two sketch_* gates built on the tpch/events tables, not the
-    // documents corpus — warm the tables they actually read
-    else if (n == "sketch_hll_distinct") Set("date_trunc_agg")
-    else if (n == "sketch_bloom_join") Set("hash_agg_sum", "date_trunc_agg")
+    // documents corpus — warm the tables they actually read (events for
+    // the HLL; orders + customer via equi_join_inner for the bloom)
+    else if (n == "sketch_hll_distinct" || n == "sketch_hll_stream")
+      Set("date_trunc_agg")
+    else if (n == "sketch_bloom_join") Set("equi_join_inner")
     else if (n.startsWith("similarity_") || n.startsWith("embedding_") ||
       n.startsWith("ann_")) Set("similarity_topk_bruteforce")
     else if (n.startsWith("dedup_") || n.startsWith("text_") ||

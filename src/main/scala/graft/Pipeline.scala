@@ -41,6 +41,12 @@ import graft.process.JsonlProcess
   *                                       decontamination, incremental dedup
   *                                       against an existing curated corpus,
   *                                       and quality-weighted downsampling)
+  *   profile <dataDir> <outDir> [--hll] [--anomaly] [--heavy]
+  *                                     (ingest monitoring profile: HLL
+  *                                      distinct-user estimates, >2-sigma
+  *                                      hourly anomalies, Count-Min heavy
+  *                                      hitters — the judged sketch gates
+  *                                      as one product; no flags = all)
   *   ann <embDir> <outDir> [--k N] [--iters N] [--topk N] [--queries N]
   *       [--recall]                     (Lloyd-built IVF index + probe; --recall
   *                                       prints recall@topK vs brute force)
@@ -502,6 +508,41 @@ object Pipeline {
         hits2.write.mode("overwrite").parquet(out + "_ivfpq")
         println(s"ivfpq: ${spark.read.parquet(out + "_ivfpq").count()} " +
           s"ranked neighbors to ${out}_ivfpq")
+      }
+      spark.stop()
+
+    case "profile" :: in :: out :: opts =>
+      // ingest monitoring profile: the judged sketch/anomaly contracts
+      // run as ONE product over a data directory — HLL distinct-user
+      // estimates (with the register-merged '__union__' row), the
+      // >2-sigma hourly anomaly list, and the Count-Min heavy-hitter
+      // calibration table — each the verbatim SparkEntry.queries
+      // definition (the featurize --pq pattern), so the product cannot
+      // drift from what the oracle judged. No flags = all three.
+      val spark = session()
+      val allParts = opts.isEmpty
+      if (allParts || opts.contains("--hll")) {
+        val df = SparkEntry.queries("sketch_hll_distinct")(spark, in)
+        df.write.mode("overwrite").parquet(out + "/hll_distinct")
+        df.collect().foreach(r => println(
+          s"hll: type=${r.getAs[String]("event_type")} " +
+            s"exact=${r.getAs[Long]("n_exact")} " +
+            s"est=${r.getAs[Double]("hll_estimate")} " +
+            s"rel_err=${r.getAs[Double]("rel_err")}"))
+      }
+      if (allParts || opts.contains("--anomaly")) {
+        val df = SparkEntry.queries("events_anomaly_zscore")(spark, in)
+        df.write.mode("overwrite").parquet(out + "/anomalies")
+        println(s"anomalies: ${spark.read.parquet(out + "/anomalies").count()} " +
+          s"hourly buckets past 2 sigma to $out/anomalies")
+      }
+      if (allParts || opts.contains("--heavy")) {
+        val df = SparkEntry.queries("sketch_countmin_heavy")(spark, in)
+        df.write.mode("overwrite").parquet(out + "/heavy_hitters")
+        df.limit(5).collect().foreach(r => println(
+          s"heavy: '${r.getAs[String]("word")}' " +
+            s"exact=${r.getAs[Long]("exact_cnt")} " +
+            s"cm=${r.getAs[Long]("cm_estimate")}"))
       }
       spark.stop()
 

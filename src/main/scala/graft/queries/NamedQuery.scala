@@ -55,10 +55,13 @@ object QueryDsl {
     * sorting the whole vocabulary). Collisions under mod-m only perturb
     * downstream hash families, identically in both engines.
     */
-  def hashId(c: Column, m: Long): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long") % m
-  def hashIdSql(e: String, m: Long): String =
-    s"CAST('0x' || substring(md5($e), 1, 15) AS BIGINT) % $m"
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  def hash60Sql(e: String): String =
+    s"CAST('0x' || substring(md5($e), 1, 15) AS BIGINT)"
+
+  def hashId(c: Column, m: Long): Column = hash60(c) % m
+  def hashIdSql(e: String, m: Long): String = s"${hash60Sql(e)} % $m"
 
   /** THE repo-wide boolean-knob parse, one definition (round 12 — it had
     * grown copies): "1"/"true" (any case) enable; anything else,

@@ -39,6 +39,10 @@ object SketchQueries {
 
   /** rho over the 54-bit payload: an integer-comparison CASE ladder (first
     * set bit from the top), exact in both engines — no log2 rounding risk.
+    * The payload itself must stay INTEGRAL end to end: Spark's `/` on
+    * longs is double division (which rounds 60-bit hashes at the ladder
+    * thresholds), so the caller shifts the 6 index bits off with
+    * shiftright, the exact twin of the oracle's `// 64`.
     */
   private def hllRho(w: Column): Column =
     (1 to HllPayloadBits).foldRight(lit(HllPayloadBits + 1)) { (j, els) =>
@@ -51,6 +55,112 @@ object SketchQueries {
       .mkString(" ")
     s"(CASE $whens ELSE ${HllPayloadBits + 1} END)"
   }
+
+  /** `(event_type, idx, mx)` HLL registers over an `(event_type, user_id)`
+    * relation — ONE definition for the batch gate and the streaming twin
+    * (every expression is row-deterministic and the only aggregate is
+    * `max`, so the same code runs as a batch hash-agg or a streaming
+    * stateful agg with ≤ types×64 rows of state).
+    */
+  private[queries] def hllRegs(ev: DataFrame): DataFrame = {
+    val h = hash60(col("user_id").cast("string"))
+    ev.select(col("event_type"), (h % HllM).as("idx"),
+        hllRho(shiftright(h, 6)).as("rho"))
+      .groupBy(col("event_type"), col("idx"))
+      .agg(max(col("rho")).as("mx"))
+  }
+
+  /** Exact per-type distinct counts plus the overall '__union__' row —
+    * the calibration side both HLL gates join against.
+    */
+  private def hllExact(ev: DataFrame): DataFrame =
+    ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+      .unionAll(ev.agg(countDistinct(col("user_id")).as("n_exact"))
+        .select(lit("__union__").as("event_type"), col("n_exact")))
+
+  /** Register max-merge ('__union__' row), estimate (with the
+    * linear-counting fallback), and the rel_err calibration join — the
+    * shared tail of both HLL gates, taking registers from either the
+    * batch hash-agg or the streaming sink.
+    */
+  private def hllReport(regs: DataFrame, exact: DataFrame): DataFrame = {
+    val merged = regs.groupBy(col("idx")).agg(max(col("mx")).as("mx"))
+      .select(lit("__union__").as("event_type"), col("idx"), col("mx"))
+    val est = regs.select(col("event_type"), col("idx"), col("mx"))
+      .unionAll(merged)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_registers"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), " +
+          s"CAST(${HllPayloadBits + 1} - mx AS INT))")).as("zp"))
+      .withColumn("zeros", lit(HllM) - col("n_registers"))
+      .withColumn("ztot",
+        col("zp") + col("zeros") * lit(1L << (HllPayloadBits + 1)))
+      .withColumn("raw", lit(HllAlphaNumer) / col("ztot").cast("double"))
+      .withColumn("hll_estimate", r6(
+        when(col("zeros") > 0 && col("raw") <= lit(2.5 * HllM),
+          lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("zeros").cast("double")))
+          .otherwise(col("raw"))))
+    est.join(exact, "event_type")
+      .withColumn("rel_err",
+        r6((col("hll_estimate") - col("n_exact")) / col("n_exact")))
+      .select(col("event_type"), col("n_exact"), col("n_registers"),
+        col("hll_estimate"), col("rel_err"))
+      .orderBy(col("event_type"))
+  }
+
+  /** The full HLL oracle — shared verbatim by `sketch_hll_distinct` and
+    * `sketch_hll_stream`: the streaming twin runs in Complete mode over a
+    * bounded AvailableNow stream, so its sealed registers are exactly the
+    * batch registers and ONE oracle judges both paths.
+    */
+  private lazy val hllOracleSql: String =
+    s"""WITH h AS (
+       |  SELECT event_type,
+       |    ${hash60Sql("CAST(user_id AS VARCHAR)")} AS h
+       |  FROM events
+       |), hr AS (
+       |  SELECT event_type, h % $HllM AS idx,
+       |    ${hllRhoSql(s"h // $HllM")} AS rho
+       |  FROM h
+       |), regs AS (
+       |  SELECT event_type, idx, MAX(rho) AS mx FROM hr GROUP BY 1, 2
+       |), allregs AS (
+       |  SELECT event_type, idx, mx FROM regs
+       |  UNION ALL
+       |  SELECT '__union__', idx, MAX(mx) FROM regs GROUP BY 2
+       |), est AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_registers,
+       |    CAST(SUM(CAST(1 AS BIGINT) << (${HllPayloadBits + 1} - mx))
+       |      AS BIGINT)
+       |      + ($HllM - CAST(COUNT(*) AS BIGINT))
+       |        * (CAST(1 AS BIGINT) << ${HllPayloadBits + 1}) AS ztot,
+       |    $HllM - CAST(COUNT(*) AS BIGINT) AS zeros
+       |  FROM allregs GROUP BY 1
+       |), est2 AS (
+       |  SELECT event_type, n_registers,
+       |    CASE WHEN zeros > 0
+       |        AND $HllAlphaNumer / CAST(ztot AS DOUBLE) <= ${2.5 * HllM}
+       |      THEN ${r6Sql(s"${HllM.toDouble} * ln(${HllM.toDouble} / CAST(zeros AS DOUBLE))")}
+       |      ELSE ${r6Sql(s"$HllAlphaNumer / CAST(ztot AS DOUBLE)")}
+       |    END AS hll_estimate
+       |  FROM est
+       |), ex AS (
+       |  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+       |    AS n_exact FROM events GROUP BY 1
+       |  UNION ALL
+       |  SELECT '__union__', CAST(COUNT(DISTINCT user_id) AS BIGINT)
+       |  FROM events
+       |)
+       |SELECT e.event_type, x.n_exact, e.n_registers, e.hll_estimate,
+       |  ${r6Sql("(e.hll_estimate - x.n_exact) / x.n_exact")} AS rel_err
+       |FROM est2 e JOIN ex x USING (event_type)
+       |ORDER BY event_type""".stripMargin
+
+  /** Distinct memory-sink names per streaming-gate invocation (the bench
+    * runs a gate twice in one session; sink tables must not accumulate).
+    */
+  private val streamSinkSeq = new java.util.concurrent.atomic.AtomicLong(0)
 
   // ---- Bloom filter --------------------------------------------------------
   private val BloomBits = 2048L
@@ -97,81 +207,10 @@ object SketchQueries {
     NamedQuery(
       "sketch_hll_distinct",
       (s, d) => {
-        val h = conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
-          .cast("long")
         val ev = Tables.events(s, d).select(col("event_type"), col("user_id"))
-        val hr = ev.select(col("event_type"), (h % HllM).as("idx"),
-          hllRho(h / lit(HllM)).as("rho"))
-        val regs = hr.groupBy(col("event_type"), col("idx"))
-          .agg(max(col("rho")).as("mx"))
-        val merged = regs.groupBy(col("idx")).agg(max(col("mx")).as("mx"))
-          .select(lit("__union__").as("event_type"), col("idx"), col("mx"))
-        val est = regs.unionAll(merged)
-          .groupBy(col("event_type"))
-          .agg(count(lit(1)).as("n_registers"),
-            sum(expr(s"shiftleft(CAST(1 AS BIGINT), " +
-              s"CAST(${HllPayloadBits + 1} - mx AS INT))")).as("zp"))
-          .withColumn("zeros", lit(HllM) - col("n_registers"))
-          .withColumn("ztot",
-            col("zp") + col("zeros") * lit(1L << (HllPayloadBits + 1)))
-          .withColumn("raw", lit(HllAlphaNumer) / col("ztot").cast("double"))
-          .withColumn("hll_estimate", r6(
-            when(col("zeros") > 0 && col("raw") <= lit(2.5 * HllM),
-              lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("zeros").cast("double")))
-              .otherwise(col("raw"))))
-        val exact = ev.groupBy(col("event_type"))
-          .agg(countDistinct(col("user_id")).as("n_exact"))
-          .unionAll(ev.agg(countDistinct(col("user_id")).as("n_exact"))
-            .select(lit("__union__").as("event_type"), col("n_exact")))
-        est.join(exact, "event_type")
-          .withColumn("rel_err",
-            r6((col("hll_estimate") - col("n_exact")) / col("n_exact")))
-          .select(col("event_type"), col("n_exact"), col("n_registers"),
-            col("hll_estimate"), col("rel_err"))
-          .orderBy(col("event_type"))
+        hllReport(hllRegs(ev), hllExact(ev))
       },
-      Some(s"""WITH h AS (
-              |  SELECT event_type,
-              |    CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)
-              |      AS BIGINT) AS h
-              |  FROM events
-              |), hr AS (
-              |  SELECT event_type, h % $HllM AS idx,
-              |    ${hllRhoSql(s"h // $HllM")} AS rho
-              |  FROM h
-              |), regs AS (
-              |  SELECT event_type, idx, MAX(rho) AS mx FROM hr GROUP BY 1, 2
-              |), allregs AS (
-              |  SELECT event_type, idx, mx FROM regs
-              |  UNION ALL
-              |  SELECT '__union__', idx, MAX(mx) FROM regs GROUP BY 2
-              |), est AS (
-              |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_registers,
-              |    CAST(SUM(CAST(1 AS BIGINT) << (${HllPayloadBits + 1} - mx))
-              |      AS BIGINT)
-              |      + ($HllM - CAST(COUNT(*) AS BIGINT))
-              |        * (CAST(1 AS BIGINT) << ${HllPayloadBits + 1}) AS ztot,
-              |    $HllM - CAST(COUNT(*) AS BIGINT) AS zeros
-              |  FROM allregs GROUP BY 1
-              |), est2 AS (
-              |  SELECT event_type, n_registers,
-              |    CASE WHEN zeros > 0
-              |        AND $HllAlphaNumer / CAST(ztot AS DOUBLE) <= ${2.5 * HllM}
-              |      THEN ${r6Sql(s"${HllM.toDouble} * ln(${HllM.toDouble} / CAST(zeros AS DOUBLE))")}
-              |      ELSE ${r6Sql(s"$HllAlphaNumer / CAST(ztot AS DOUBLE)")}
-              |    END AS hll_estimate
-              |  FROM est
-              |), ex AS (
-              |  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT)
-              |    AS n_exact FROM events GROUP BY 1
-              |  UNION ALL
-              |  SELECT '__union__', CAST(COUNT(DISTINCT user_id) AS BIGINT)
-              |  FROM events
-              |)
-              |SELECT e.event_type, x.n_exact, e.n_registers, e.hll_estimate,
-              |  ${r6Sql("(e.hll_estimate - x.n_exact) / x.n_exact")} AS rel_err
-              |FROM est2 e JOIN ex x USING (event_type)
-              |ORDER BY event_type""".stripMargin)),
+      Some(hllOracleSql)),
 
     // Bloom-filter join pruning: the build side (urgent-order customers)
     // compresses to a 2048-bit / 3-hash filter; every probe key checks
@@ -332,10 +371,15 @@ object SketchQueries {
         val pairs = li.as("a").join(li.as("b"),
             col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
           .select(col("a.pk").as("pa"), col("b.pk").as("pb")).distinct()
+        // the distinct self-join is the expensive subtree; materialize the
+        // degree-annotated edge list ONCE (the Components.ckpt pattern) so
+        // the three unrolled rounds, the N aggregate, and the rank init
+        // all read the checkpointed rows instead of re-embedding it
         val edges = pairs.select(col("pa").as("src"), col("pb").as("dst"))
           .unionAll(pairs.select(col("pb").as("src"), col("pa").as("dst")))
-        val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-        val edgesDeg = edges.join(deg, "src")
+        val deg0 = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+        val edgesDeg = graft.ml.Components.ckpt(edges.join(deg0, "src"))
+        val deg = edgesDeg.select(col("src"), col("outdeg")).distinct()
         val nAgg = deg.agg(count(lit(1)).as("n"))
         var ranks = deg.crossJoin(broadcast(nAgg))
           .select(col("src").as("node"),
@@ -399,8 +443,10 @@ object SketchQueries {
     // rollup is a tiny hash-agg and the stats are one window pass over
     // buckets (thousands of rows), never over raw events — same
     // single-exchange shape as the funnel/retention gates. Population σ;
-    // n·Σc² fits BIGINT to ~10⁵ buckets × 10⁶-row counts, decimal at
-    // true 100 TB.
+    // BIGINT headroom: n·Σc² ≈ s² ≈ (n·c)², so the algebra is safe while
+    // n_buckets · per-bucket count stays under ~3·10⁹ (e.g. 10⁵ hourly
+    // buckets × ~3·10⁴ events each); past that, swap the three sums to
+    // decimal(38,0).
     NamedQuery(
       "events_anomaly_zscore",
       (s, d) => {
@@ -439,6 +485,50 @@ object SketchQueries {
               |WHERE nh * ss - s * s > 0
               |  AND (c * nh - s) * (c * nh - s) > 4 * (nh * ss - s * s)
               |ORDER BY event_type, hour""".stripMargin)),
+
+    // The streaming HLL twin, judged end-to-end: the SAME register
+    // definition (hllRegs — ONE definition with the batch gate) runs as a
+    // Structured Streaming stateful aggregation over the events table as
+    // a bounded file stream, Complete mode into a memory sink, under
+    // Trigger.AvailableNow; the estimate/merge/calibration tail then
+    // reads the sink. This is WHY sketches matter in a streaming ingest:
+    // exact streaming COUNT(DISTINCT) needs state proportional to the
+    // number of distinct users, the HLL register state is ≤ types×64
+    // six-bit rows FOREVER — the live distinct-users dashboard feed next
+    // to analyzer_trend_stream. Complete mode over a bounded stream
+    // seals exactly the batch registers, so ONE oracle judges both
+    // paths; at scale the register sink is a KV/memory dashboard table
+    // updated per micro-batch, and any rollup max-merges sink rows.
+    NamedQuery(
+      "sketch_hll_stream",
+      (s, d) => {
+        import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+        // partial schema: parquet prunes to the two judged columns; the
+        // ts column (whose physical encoding varies across testdata
+        // regens — see Tables.events) is never materialized
+        val schema = StructType(Seq(
+          StructField("event_type", StringType), StructField("user_id", LongType)))
+        val evs = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(d)
+        graft.streaming.GateStream.dropStaleSinks(s, "sketch_hll_stream_sink_")
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft-hll-gate").toString
+        val sink = s"sketch_hll_stream_sink_${streamSinkSeq.incrementAndGet()}"
+        graft.streaming.GateStream.withStreamShuffle(s) {
+          val q = hllRegs(evs)
+            .writeStream.format("memory").queryName(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("complete")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          graft.streaming.GateStream.debugProgress(q)
+        }
+        graft.streaming.GateStream.deleteScratch(ckpt)
+        val evb = Tables.events(s, d).select(col("event_type"), col("user_id"))
+        hllReport(s.table(sink), hllExact(evb))
+      },
+      Some(hllOracleSql)),
   )
 
 }

@@ -90,6 +90,31 @@ class SketchInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("sketch_hll_stream: the streaming twin equals the batch gate row-for-row") {
+    // Complete mode over a bounded AvailableNow stream must seal exactly
+    // the batch registers, so the two judged paths are value-identical
+    val batch = SparkEntry.queries("sketch_hll_distinct")(spark, d).collect()
+    val stream = SparkEntry.queries("sketch_hll_stream")(spark, d).collect()
+    assert(stream.map(_.toString).toSeq == batch.map(_.toString).toSeq,
+      "streaming HLL diverged from batch")
+  }
+
+  test("profile CLI artifacts round-trip equal to the judged gates") {
+    // the `profile` subcommand writes each gate's output verbatim; the
+    // read-back must equal the gate collect — this pins the parquet
+    // round-trip of the riskiest schema (the anomaly table's timestamp
+    // bucket) and of the HLL doubles
+    val out = java.nio.file.Files.createTempDirectory("graft-profile").toString
+    for (name <- Seq("events_anomaly_zscore", "sketch_hll_distinct")) {
+      val gate = SparkEntry.queries(name)(spark, d)
+      gate.write.mode("overwrite").parquet(s"$out/$name")
+      val back = spark.read.parquet(s"$out/$name")
+        .orderBy(gate.columns.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+      assert(back.collect().map(_.toString).toSeq
+        == gate.collect().map(_.toString).toSeq, s"$name round-trip drifted")
+    }
+  }
+
   test("events_anomaly_zscore: every flagged bucket clears 2 sigma") {
     val rows = SparkEntry.queries("events_anomaly_zscore")(spark, d).collect()
     assert(rows.nonEmpty, "sf0.001 hourly series should carry >2-sigma buckets")
