@@ -714,7 +714,15 @@ object Multimodal {
     * H.264/H.265-class codecs remain out of JVM reach without native
     * libraries — [[decodeStub]] covers exactly those now.
     */
-  private[graft] def decodeMjpegAvi(b: Array[Byte]): Option[MjpegInfo] = {
+  /** Shared MJPEG-in-AVI container walk ending at the validated video
+    * stream's frame slices: `(width, height, usPerFrame, frames)` with
+    * every container-level check applied (per-frame DECODE validation
+    * stays with the consumers via [[decodeFrames]]). One parser for
+    * [[decodeMjpegAvi]] and [[mjpegFrameStats]] — the [[findWavPcm]] /
+    * [[findPpmRaster]] rationale applied to the video path.
+    */
+  private def findMjpegFrames(b: Array[Byte])
+      : Option[(Long, Long, Long, IndexedSeq[(Int, Int)])] = {
     if (b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "AVI ") return None
     // header state, filled during the hdrl walk
     var usPerFrame = -1L
@@ -791,23 +799,62 @@ object Multimodal {
     if (videoStream < 0 || usPerFrame <= 0 || width <= 0 || height <= 0 ||
       width * height > (1L << 26) || frameSlices.size == 0 ||
       frameSlices.size > 4096 || declaredFrames != frameSlices.size) return None
-    val sums = new Array[Long](3)
-    val hist = new Array[Long](FeatureDim)
+    val out = Vector.newBuilder[(Int, Int)]
+    frameSlices.forEach(s => out += s)
+    Some((width, height, usPerFrame, out.result()))
+  }
+
+  /** Strict per-frame decode: every slice must decode as baseline JPEG at
+    * the container-declared geometry, or the whole container is rejected
+    * (the original decoder's posture, shared by both consumers).
+    */
+  private def decodeFrames(b: Array[Byte], width: Long, height: Long,
+      slices: IndexedSeq[(Int, Int)]): Option[IndexedSeq[JpegInfo]] = {
+    val out = Vector.newBuilder[JpegInfo]
     var f = 0
-    while (f < frameSlices.size) {
-      val (foff, flen) = frameSlices.get(f)
-      val j = decodeJpeg(java.util.Arrays.copyOfRange(b, foff, foff + flen))
-        .getOrElse(return None) // every frame must decode
-      if (j.width != width || j.height != height) return None
-      sums(0) += j.rSum; sums(1) += j.gSum; sums(2) += j.bSum
-      var k = 0
-      while (k < FeatureDim) { hist(k) += j.hist(k); k += 1 }
+    while (f < slices.length) {
+      val (foff, flen) = slices(f)
+      decodeJpeg(java.util.Arrays.copyOfRange(b, foff, foff + flen)) match {
+        case Some(j) if j.width == width && j.height == height => out += j
+        case _ => return None
+      }
       f += 1
     }
-    val n = frameSlices.size.toLong
-    Some(MjpegInfo(width, height, n, n * usPerFrame / 1000L,
-      sums(0), sums(1), sums(2), hist))
+    Some(out.result())
   }
+
+  private[graft] def decodeMjpegAvi(b: Array[Byte]): Option[MjpegInfo] =
+    findMjpegFrames(b).flatMap { meta =>
+      val (width, height, usPerFrame, slices) = meta
+      decodeFrames(b, width, height, slices).map { frames =>
+        val sums = new Array[Long](3)
+        val hist = new Array[Long](FeatureDim)
+        frames.foreach { j =>
+          sums(0) += j.rSum; sums(1) += j.gSum; sums(2) += j.bSum
+          var k = 0
+          while (k < FeatureDim) { hist(k) += j.hist(k); k += 1 }
+        }
+        val n = slices.length.toLong
+        MjpegInfo(width, height, n, n * usPerFrame / 1000L,
+          sums(0), sums(1), sums(2), hist)
+      }
+    }
+
+  /** Per-frame channel sums over the same validated container walk:
+    * `(width, height, frames)` with frames = (frame, rSum, gSum, bSum)
+    * in stream order — the decode → temporal-segmentation stage
+    * (scene-cut detection) consumes these.
+    */
+  private[graft] def mjpegFrameStats(b: Array[Byte])
+      : Option[(Long, Long, IndexedSeq[(Int, Long, Long, Long)])] =
+    findMjpegFrames(b).flatMap { meta =>
+      val (width, height, _, slices) = meta
+      decodeFrames(b, width, height, slices).map { frames =>
+        (width, height, frames.zipWithIndex.map { case (j, f) =>
+          (f, j.rSum, j.gSum, j.bSum)
+        })
+      }
+    }
 
   /** STUB decode: a real implementation would decode pixels/samples here.
     * Deterministic fake: fold the byte histogram into FeatureDim buckets

@@ -920,6 +920,75 @@ object CurationQueries {
              |    AND ((pv < 0) <> (v < 0)) THEN 1 ELSE 0 END) AS BIGINT)
              |    AS zero_crossings
              |FROM lagged GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Gopher-style rule filters (Rae et al. 2021, arXiv:2112.11446
+    // §A1.1): the named per-rule quality flags a curation pipeline logs
+    // BEFORE collapsing them into a keep decision — word-count band
+    // [50, 1e5], mean word length in [3, 10], >= 2 distinct required
+    // stopwords, >= 80% alphabetic words. Every rule is evaluated in
+    // EXACT INTEGER form (3·n_words <= Σlen <= 10·n_words instead of a
+    // float mean; 5·n_alpha >= 4·n_words instead of a ratio), so the
+    // flag set cannot drift between engines. The paper's symbol/bullet/
+    // ellipsis rules are degenerate on this corpus (no such glyphs) and
+    // are deliberately omitted rather than shipped untestable. A pure
+    // narrow map at scan speed — the word split is the registry's ONE
+    // split-on-single-space spelling (MLQueries.words), with n_chars
+    // riding along for the Σlen identity n_chars − (n_words − 1) (the
+    // qualityScore precedent).
+    NamedQuery(
+      "text_gopher_rules",
+      (s, d) => {
+        val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+        val base = Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("w"), col("n_chars"))
+          .withColumn("n_words", size(col("w")).cast("long"))
+          .withColumn("sum_len", col("n_chars") - (col("n_words") - 1))
+          .withColumn("n_alpha",
+            expr("CAST(size(filter(w, x -> x rlike '^[A-Za-z]+$')) AS BIGINT)"))
+          .withColumn("n_stop",
+            stops.map(sw => when(array_contains(col("w"), sw), 1L).otherwise(0L))
+              .reduce(_ + _))
+        base.select(col("doc_id"), col("n_words"),
+            (col("n_words") >= 50L && col("n_words") <= 100000L)
+              .as("flag_word_count"),
+            (lit(3L) * col("n_words") <= col("sum_len")
+              && col("sum_len") <= lit(10L) * col("n_words"))
+              .as("flag_mean_word_len"),
+            (col("n_stop") >= 2L).as("flag_stopwords"),
+            (lit(5L) * col("n_alpha") >= lit(4L) * col("n_words"))
+              .as("flag_alpha"))
+          .withColumn("keep", col("flag_word_count")
+            && col("flag_mean_word_len") && col("flag_stopwords")
+            && col("flag_alpha"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val stopSum = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+          .map(sw => s"(CASE WHEN list_contains(w, '$sw') THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH wrds AS (
+           |  SELECT doc_id, string_split(text, ' ') AS w, n_chars
+           |  FROM documents
+           |), base AS (
+           |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+           |    n_chars - (CAST(len(w) AS BIGINT) - 1) AS sum_len,
+           |    CAST(len(list_filter(w,
+           |      x -> regexp_full_match(x, '[A-Za-z]+'))) AS BIGINT) AS n_alpha,
+           |    $stopSum AS n_stop
+           |  FROM wrds
+           |)
+           |SELECT doc_id, n_words,
+           |  n_words >= 50 AND n_words <= 100000 AS flag_word_count,
+           |  3 * n_words <= sum_len AND sum_len <= 10 * n_words
+           |    AS flag_mean_word_len,
+           |  n_stop >= 2 AS flag_stopwords,
+           |  5 * n_alpha >= 4 * n_words AS flag_alpha,
+           |  (n_words >= 50 AND n_words <= 100000)
+           |    AND (3 * n_words <= sum_len AND sum_len <= 10 * n_words)
+           |    AND n_stop >= 2
+           |    AND (5 * n_alpha >= 4 * n_words) AS keep
+           |FROM base ORDER BY doc_id""".stripMargin
+      }),
   )
 
 }

@@ -143,6 +143,12 @@ object MLQueries {
         .map(u => java.nio.file.Paths.get(u.toURI).toString))
       .getOrElse("/root/repo/src/test/resources/mjpeg_gate")
 
+  /** Scene-cut threshold in micro-units of mean per-pixel channel shift —
+    * the `multimodal_scene_cut` judged constant (see the gate's comment
+    * for the measured score gap it sits in).
+    */
+  private val CutThresholdMicro = 70000L
+
   /** DuckDB twin of TextOps.splitName (md5 mod 100 → 80/10/10), shared
     * by the dataset_split_hash oracle and the curate_e2e_census chain.
     */
@@ -2704,6 +2710,66 @@ $blockSql
               |  duration_ms, r_sum, g_sum, b_sum
               |FROM read_parquet('$mjpegFixtureDir/expected.parquet/*.parquet')
               |ORDER BY media_id""".stripMargin)),
+
+    // Scene-cut detection over the REAL MJPEG decode path — the temporal
+    // segmentation stage of a video curation pipeline (shot boundaries
+    // decide where frame-sampling and captioning windows land). Per
+    // consecutive decoded frame pair, the mean per-pixel channel
+    // difference in micro-units: score = (|Δr|+|Δg|+|Δb|)·1e6 div
+    // (3·w·h·255), a cut past 70000 (7% mean shift — the committed
+    // corpus scores 15206..117945 with its nearest neighbors at 62643 /
+    // 75425, so the judged constant sits in a real gap, not on a knife
+    // edge). Frame stats come from the one validated container walk
+    // (Multimodal.mjpegFrameStats, shared with the decode gate); the DCT
+    // round-trip is lossy, so the per-frame sheet is fixture-committed
+    // (the decode_mjpeg pattern, MjpegFrameFixtureGen) and the oracle
+    // replays the SAME integer cut algebra over it with LAG — the
+    // detection logic, not just the decode, is cross-engine judged.
+    // Scale: decode stays a narrow mapPartitions over payloads; the LAG
+    // window partitions by media_id — the key video corpora shard by.
+    NamedQuery(
+      "multimodal_scene_cut",
+      (s, _) => {
+        import s.implicits._
+        val w = Window.partitionBy(col("media_id")).orderBy(col("frame"))
+        s.read.parquet(s"$mjpegFixtureDir/payloads.parquet")
+          .select(col("media_id"), col("payload"))
+          .as[(Long, Array[Byte])]
+          .mapPartitions { it =>
+            it.flatMap { case (id, bytes) =>
+              val (vw, vh, frames) = Multimodal.mjpegFrameStats(bytes)
+                .getOrElse(throw new IllegalStateException(
+                  s"committed AVI for media $id failed to decode"))
+              frames.map { case (f, r, g, b) => (id, vw, vh, f.toLong, r, g, b) }
+            }
+          }
+          .toDF("media_id", "width", "height", "frame",
+            "r_sum", "g_sum", "b_sum")
+          .withColumn("pr", lag(col("r_sum"), 1).over(w))
+          .withColumn("pg", lag(col("g_sum"), 1).over(w))
+          .withColumn("pb", lag(col("b_sum"), 1).over(w))
+          .filter(col("pr").isNotNull)
+          .withColumn("score_micro", expr("(abs(r_sum - pr) + abs(g_sum - pg) " +
+            "+ abs(b_sum - pb)) * 1000000 div (3 * width * height * 255)"))
+          .withColumn("is_cut", col("score_micro") > lit(CutThresholdMicro))
+          .select(col("media_id"), col("frame"), col("score_micro"),
+            col("is_cut"))
+          .orderBy(col("media_id"), col("frame"))
+      },
+      Some(s"""WITH fs AS (
+              |  SELECT media_id, width, height, frame, r_sum, g_sum, b_sum,
+              |    LAG(r_sum) OVER w AS pr, LAG(g_sum) OVER w AS pg,
+              |    LAG(b_sum) OVER w AS pb
+              |  FROM read_parquet('$mjpegFixtureDir/expected_frames.parquet/*.parquet')
+              |  WINDOW w AS (PARTITION BY media_id ORDER BY frame)
+              |)
+              |SELECT media_id, frame,
+              |  (abs(r_sum - pr) + abs(g_sum - pg) + abs(b_sum - pb)) * 1000000
+              |    // (3 * width * height * 255) AS score_micro,
+              |  (abs(r_sum - pr) + abs(g_sum - pg) + abs(b_sum - pb)) * 1000000
+              |    // (3 * width * height * 255) > $CutThresholdMicro AS is_cut
+              |FROM fs WHERE pr IS NOT NULL
+              |ORDER BY media_id, frame""".stripMargin)),
 
     // The COMPOSED curation product, judged end-to-end: the gate runs the
     // REAL ml.Curate pipeline (exact dedup keeping the first-seen doc →

@@ -486,6 +486,186 @@ object SketchQueries {
               |  AND (c * nh - s) * (c * nh - s) > 4 * (nh * ss - s * s)
               |ORDER BY event_type, hour""".stripMargin)),
 
+    // Histogram quantile sketch: the one-pass mergeable bin layout that
+    // replaces a global sort for percentiles at scale. 256 fixed
+    // equi-width bins over o_totalprice; p50/p90/p99 read off the
+    // cumulative bin counts with linear interpolation inside the target
+    // bin, each judged against the exact rank statistic (global
+    // row_number — the labeled calibration baseline, same status as the
+    // recall gates' brute-force side). Bin assignment and counts are
+    // exact integers; the interpolation touches doubles only through
+    // integer-derived operands in ONE spelled order, then r6. At 100 TB
+    // the histogram is a 256-cell map-side-combined hash-agg, shards
+    // merge by cell-wise addition, and any quantile is a driver-side
+    // read of 256 numbers — while the exact side would be a full sort.
+    // Production picks bounds from a first pass or log-spaced bins; the
+    // [0, 500000) range is the judged constant (prices above clamp to
+    // the top bin).
+    NamedQuery(
+      "sketch_quantile_hist",
+      (s, d) => {
+        val nb = 256
+        val width = 500000.0 / nb // 1953.125, exact in binary
+        val p = Tables.orders(s, d)
+          .select(col("o_totalprice").as("price"), col("o_orderkey"))
+        val nAgg = p.agg(count(lit(1)).as("n"))
+        val hist = p
+          .groupBy(least(floor(col("price") * nb / lit(500000.0)), lit(nb - 1L))
+            .cast("long").as("bin"))
+          .agg(count(lit(1)).as("cnt"))
+        val cum = hist.withColumn("cum",
+          sum(col("cnt")).over(Window.orderBy(col("bin"))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        val qs = s.range(1).select(
+            explode(typedLit(Array(0.5, 0.9, 0.99))).as("q"))
+          .crossJoin(broadcast(nAgg))
+          .withColumn("target", ceil(col("q") * col("n")).cast("long"))
+        val sel = qs.join(cum, cum("cum") >= qs("target"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("q")).orderBy(col("bin"))))
+          .filter(col("rn") === 1)
+          .withColumn("cumb", col("cum") - col("cnt"))
+        val ranks = p.withColumn("rn", row_number().over(
+          Window.orderBy(col("price"), col("o_orderkey"))))
+        sel.join(ranks, sel("target") === ranks("rn"))
+          .select(col("q"), col("n").as("n_rows"),
+            r6(col("bin") * lit(width)
+              + (col("target") - col("cumb")).cast("double")
+                / col("cnt").cast("double") * lit(width))
+              .as("hist_estimate"),
+            col("price").as("exact_value"))
+          .withColumn("err", r6(col("hist_estimate") - col("exact_value")))
+          .orderBy(col("q"))
+      },
+      Some(s"""WITH p AS (
+              |  SELECT o_totalprice AS price, o_orderkey FROM orders
+              |), n AS (
+              |  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM p
+              |), hist AS (
+              |  SELECT LEAST(CAST(FLOOR(price * 256 / 500000.0) AS BIGINT),
+              |    255) AS bin, CAST(COUNT(*) AS BIGINT) AS cnt
+              |  FROM p GROUP BY 1
+              |), cum AS (
+              |  SELECT bin, cnt,
+              |    CAST(SUM(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum
+              |  FROM hist
+              |), qs AS (
+              |  SELECT q, CAST(CEIL(q * n.n) AS BIGINT) AS target, n.n
+              |  FROM (SELECT UNNEST([0.5, 0.9, 0.99]) AS q) CROSS JOIN n
+              |), sel AS (
+              |  SELECT * FROM (
+              |    SELECT q, target, n, bin, cnt, cum, cum - cnt AS cumb,
+              |      ROW_NUMBER() OVER (PARTITION BY q ORDER BY bin) AS rn
+              |    FROM qs JOIN cum ON cum.cum >= qs.target
+              |  ) WHERE rn = 1
+              |), ranks AS (
+              |  SELECT price, ROW_NUMBER() OVER (ORDER BY price, o_orderkey)
+              |    AS rn
+              |  FROM p
+              |)
+              |SELECT e.q, e.n AS n_rows,
+              |  ${r6Sql("e.bin * 1953.125 + CAST(e.target - e.cumb AS DOUBLE) " +
+                 "/ CAST(e.cnt AS DOUBLE) * 1953.125")} AS hist_estimate,
+              |  r.price AS exact_value,
+              |  ${r6Sql(s"(${r6Sql("e.bin * 1953.125 + CAST(e.target - e.cumb AS DOUBLE) " +
+                 "/ CAST(e.cnt AS DOUBLE) * 1953.125")}) - r.price")} AS err
+              |FROM sel e JOIN ranks r ON r.rn = e.target
+              |ORDER BY e.q""".stripMargin)),
+
+    // Triangle counting over the 1995-ship-year part co-purchase graph —
+    // the third classic iterative/graph kernel beside components and
+    // PageRank, via the degree-orientation trick (Cohen 2009; Suri &
+    // Vassilvitskii 2011 "Counting Triangles and the Curse of the Last
+    // Reducer"): every undirected edge is directed from its lower
+    // (degree, id) endpoint to the higher, so wedge generation at a hub
+    // of degree D costs O(outdeg²) with outdeg bounded by ~√m instead of
+    // D² — exactly the last-reducer skew fix a 1000-executor run needs.
+    // Wedges (src → x, src → y with x < y) close into triangles via a
+    // LEFT SEMI probe of the undirected edge list; every count is an
+    // exact integer and the one double (global clustering 3·Δ/wedges)
+    // goes through r6. The edge list is materialized once
+    // (Components.ckpt) and feeds degrees, orientation, and the closing
+    // probe without re-running the distinct self-join.
+    NamedQuery(
+      "graph_triangle_count",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= lit("1995-01-01")
+            && col("l_shipdate") < lit("1996-01-01"))
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val edges = graft.ml.Components.ckpt(
+          li.as("a").join(li.as("b"),
+              col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+            .select(col("a.pk").as("pa"), col("b.pk").as("pb")).distinct())
+        val deg = edges.select(col("pa").as("v"))
+          .unionAll(edges.select(col("pb").as("v")))
+          .groupBy(col("v")).agg(count(lit(1)).as("dg"))
+        val ed = edges
+          .join(deg.select(col("v").as("pa"), col("dg").as("da")), "pa")
+          .join(deg.select(col("v").as("pb"), col("dg").as("db")), "pb")
+        val fwd = col("da") < col("db") ||
+          (col("da") === col("db") && col("pa") < col("pb"))
+        val oriented = ed.select(
+          when(fwd, col("pa")).otherwise(col("pb")).as("src"),
+          when(fwd, col("pb")).otherwise(col("pa")).as("dst"))
+        val wedges = oriented.as("o1").join(oriented.as("o2"),
+            col("o1.src") === col("o2.src") && col("o1.dst") < col("o2.dst"))
+          .select(col("o1.dst").as("pa"), col("o2.dst").as("pb"))
+        val triAgg = wedges.join(edges, Seq("pa", "pb"), "left_semi")
+          .agg(count(lit(1)).as("n_triangles"))
+        val statAgg = deg.agg(count(lit(1)).as("n_nodes"),
+          sum(expr("(dg * (dg - 1)) div 2")).as("n_wedges"))
+        val edgeAgg = edges.agg(count(lit(1)).as("n_edges"))
+        statAgg.crossJoin(broadcast(edgeAgg)).crossJoin(broadcast(triAgg))
+          .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+            col("n_triangles"),
+            r6(lit(3.0) * col("n_triangles") / col("n_wedges").cast("double"))
+              .as("clustering"))
+      },
+      Some(s"""WITH li AS (
+              |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+              |  FROM lineitem
+              |  WHERE l_shipdate >= '1995-01-01' AND l_shipdate < '1996-01-01'
+              |), edges AS (
+              |  SELECT DISTINCT a.pk AS pa, b.pk AS pb
+              |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+              |), deg AS (
+              |  SELECT v, CAST(COUNT(*) AS BIGINT) AS dg FROM (
+              |    SELECT pa AS v FROM edges
+              |    UNION ALL SELECT pb AS v FROM edges
+              |  ) GROUP BY 1
+              |), oriented AS (
+              |  SELECT CASE WHEN da.dg < db.dg
+              |      OR (da.dg = db.dg AND e.pa < e.pb) THEN e.pa ELSE e.pb
+              |    END AS src,
+              |    CASE WHEN da.dg < db.dg
+              |      OR (da.dg = db.dg AND e.pa < e.pb) THEN e.pb ELSE e.pa
+              |    END AS dst
+              |  FROM edges e
+              |  JOIN deg da ON da.v = e.pa
+              |  JOIN deg db ON db.v = e.pb
+              |), wedges AS (
+              |  SELECT o1.dst AS pa, o2.dst AS pb
+              |  FROM oriented o1 JOIN oriented o2
+              |    ON o1.src = o2.src AND o1.dst < o2.dst
+              |), tri AS (
+              |  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+              |  FROM wedges w
+              |  WHERE EXISTS (SELECT 1 FROM edges e
+              |                WHERE e.pa = w.pa AND e.pb = w.pb)
+              |), st AS (
+              |  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+              |    CAST(SUM((dg * (dg - 1)) // 2) AS BIGINT) AS n_wedges
+              |  FROM deg
+              |), ec AS (
+              |  SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM edges
+              |)
+              |SELECT st.n_nodes, ec.n_edges, st.n_wedges, tri.n_triangles,
+              |  ${r6Sql("3.0 * tri.n_triangles / CAST(st.n_wedges AS DOUBLE)")}
+              |    AS clustering
+              |FROM st CROSS JOIN ec CROSS JOIN tri""".stripMargin)),
+
     // The streaming HLL twin, judged end-to-end: the SAME register
     // definition (hllRegs — ONE definition with the batch gate) runs as a
     // Structured Streaming stateful aggregation over the events table as

@@ -34,6 +34,22 @@ class CurationInvariantsSpec extends SparkSpec {
     assert(rows.length >= 2, "a duplicated span needs two carriers")
   }
 
+  test("text_gopher_rules: keep is the AND of flags, both keep classes present") {
+    val rows = SparkEntry.queries("text_gopher_rules")(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val expected = r.getAs[Boolean]("flag_word_count") &&
+        r.getAs[Boolean]("flag_mean_word_len") &&
+        r.getAs[Boolean]("flag_stopwords") && r.getAs[Boolean]("flag_alpha")
+      assert(r.getAs[Boolean]("keep") == expected,
+        s"doc ${r.getAs[Long]("doc_id")}: keep is not the AND of its flags")
+    }
+    // the 10-99-word corpus must fail the [50, 1e5] band for some docs
+    // and pass it for others — the rule genuinely binds
+    assert(rows.exists(_.getAs[Boolean]("flag_word_count")))
+    assert(rows.exists(!_.getAs[Boolean]("flag_word_count")))
+  }
+
   test("similarity_containment: containment = max direction, bounds, >= jaccard") {
     val cont = SparkEntry.queries("similarity_containment")(spark, d).collect()
     assert(cont.nonEmpty)

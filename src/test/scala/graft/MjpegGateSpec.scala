@@ -34,6 +34,39 @@ class MjpegGateSpec extends SparkSpec {
     }
   }
 
+  test("the per-frame sheet sums to the committed totals; scene cuts split") {
+    // expected_frames.parquet (MjpegFrameFixtureGen) must stay consistent
+    // with expected.parquet: frame-level sums adding to each video's
+    // committed totals ties the scene-cut oracle's sheet to the decode
+    // gate's contract through ONE decoder
+    val frames = spark.read
+      .parquet(s"${MLQueries.mjpegFixtureDir}/expected_frames.parquet")
+      .collect()
+      .groupBy(_.getAs[Long]("media_id"))
+    val expected = spark.read
+      .parquet(s"${MLQueries.mjpegFixtureDir}/expected.parquet").collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        (r.getAs[Long]("n_frames"), r.getAs[Long]("r_sum"),
+          r.getAs[Long]("g_sum"), r.getAs[Long]("b_sum"))).toMap
+    assert(frames.keySet == expected.keySet)
+    frames.foreach { case (id, rows) =>
+      val (nf, rs, gs, bs) = expected(id)
+      assert(rows.length.toLong == nf, s"media $id frame count")
+      assert(rows.map(_.getAs[Long]("r_sum")).sum == rs, s"media $id r")
+      assert(rows.map(_.getAs[Long]("g_sum")).sum == gs, s"media $id g")
+      assert(rows.map(_.getAs[Long]("b_sum")).sum == bs, s"media $id b")
+    }
+    // the judged threshold genuinely separates: both cut classes present
+    val cuts = SparkEntry.queries("multimodal_scene_cut")(spark, "unused")
+      .collect()
+    assert(cuts.exists(_.getAs[Boolean]("is_cut")))
+    assert(cuts.exists(!_.getAs[Boolean]("is_cut")))
+    cuts.foreach { r =>
+      val sc = r.getAs[Long]("score_micro")
+      assert(sc >= 0L && sc <= 1000000L)
+    }
+  }
+
   test("decoded channel sums track the SOURCE pixels across every frame") {
     // pinned from a decode at fixture build, so exactness alone could
     // self-confirm; this bound ties the decode to the pre-encoding pixels

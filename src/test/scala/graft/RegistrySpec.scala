@@ -15,10 +15,10 @@ class RegistrySpec extends AnyFunSuite {
     assert((queries -- oracles).isEmpty,
       s"queries missing oracles: ${(queries -- oracles).toSeq.sorted}")
     assert((oracles -- queries).isEmpty)
-    // the round-14 judged inventory is 141; the registry only grows — keep
+    // the round-14 judged inventory is 143; the registry only grows — keep
     // this floor EQUAL to the current size when adding gates, so the
     // guard never carries slack a later removal could hide in
-    assert(queries.size >= 141, s"registry shrank to ${queries.size}")
+    assert(queries.size >= 145, s"registry shrank to ${queries.size}")
   }
 
   test("every registered query classifies into a bench warmup family") {

@@ -99,6 +99,37 @@ class SketchInvariantsSpec extends SparkSpec {
       "streaming HLL diverged from batch")
   }
 
+  test("sketch_quantile_hist: estimate lands in the exact value's bin") {
+    val rows = SparkEntry.queries("sketch_quantile_hist")(spark, d).collect()
+    assert(rows.length == 3)
+    val binWidth = 500000.0 / 256
+    var prev = Double.MinValue
+    rows.foreach { r =>
+      // the exact rank statistic lies inside the bin the cumulative
+      // counts selected, so the interpolated estimate can never be more
+      // than one bin width away — the histogram sketch's error bound
+      assert(math.abs(r.getAs[Double]("err")) < binWidth,
+        s"q=${r.getAs[Double]("q")}: err ${r.getAs[Double]("err")}")
+      val est = r.getAs[Double]("hist_estimate")
+      assert(est >= prev, "estimates must be monotone in q")
+      prev = est
+      assert(r.getAs[Long]("n_rows") > 0L)
+    }
+  }
+
+  test("graph_triangle_count: counts close, clustering bounded") {
+    val r = SparkEntry.queries("graph_triangle_count")(spark, d).collect().head
+    val tri = r.getAs[Long]("n_triangles")
+    val wedges = r.getAs[Long]("n_wedges")
+    assert(r.getAs[Long]("n_nodes") >= 3L)
+    assert(r.getAs[Long]("n_edges") >= 3L)
+    assert(tri > 0L, "the 1995 co-purchase graph should carry triangles")
+    // every triangle closes exactly 3 of the undirected wedges
+    assert(wedges >= 3L * tri, s"wedges $wedges < 3x triangles $tri")
+    val c = r.getAs[Double]("clustering")
+    assert(c > 0.0 && c <= 1.0)
+  }
+
   test("profile CLI artifacts round-trip equal to the judged gates") {
     // the `profile` subcommand writes each gate's output verbatim; the
     // read-back must equal the gate collect — this pins the parquet
