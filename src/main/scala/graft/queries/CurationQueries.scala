@@ -921,6 +921,48 @@ object CurationQueries {
              |    AS zero_crossings
              |FROM lagged GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Event-type Markov transition matrix: per user, consecutive event
+    // pairs under a total (ts, event_id) order; counts and first-order
+    // transition probabilities per (from, to) — the behavioral-sequence
+    // statistic that prices an event-prediction dataset (and the event
+    // sibling of text_bigram_surprise's LM counts). ONE user_id exchange
+    // feeds the LAG window; the transition aggregate is |types|² rows.
+    // Probabilities are r6 over integer counts — engine-exact.
+    NamedQuery(
+      "events_markov_transitions",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val tr = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+          .withColumn("from_type", lag(col("event_type"), 1).over(w))
+          .filter(col("from_type").isNotNull)
+        tr.groupBy(col("from_type"), col("event_type").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("n_from",
+            sum(col("n")).over(Window.partitionBy(col("from_type"))))
+          .withColumn("p", r6(col("n").cast("double") / col("n_from")))
+          .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+            col("p"))
+          .orderBy(col("from_type"), col("to_type"))
+      },
+      Some(s"""WITH tr AS (
+              |  SELECT user_id, event_type,
+              |    LAG(event_type) OVER (PARTITION BY user_id
+              |      ORDER BY ts, event_id) AS from_type
+              |  FROM events
+              |), cnt AS (
+              |  SELECT from_type, event_type AS to_type,
+              |    CAST(COUNT(*) AS BIGINT) AS n
+              |  FROM tr WHERE from_type IS NOT NULL
+              |  GROUP BY 1, 2
+              |)
+              |SELECT from_type, to_type, n,
+              |  CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS n_from,
+              |  ${r6Sql("CAST(n AS DOUBLE) / (SUM(n) OVER (PARTITION BY from_type))")}
+              |    AS p
+              |FROM cnt ORDER BY from_type, to_type""".stripMargin)),
+
     // Gopher-style rule filters (Rae et al. 2021, arXiv:2112.11446
     // §A1.1): the named per-rule quality flags a curation pipeline logs
     // BEFORE collapsing them into a keep decision — word-count band

@@ -175,14 +175,22 @@ object SketchQueries {
       BloomBits)
 
   // ---- Count-Min -----------------------------------------------------------
+  // The d row-hashes are DISJOINT 9-bit fields of one 60-bit md5 prefix
+  // (hash60) — md5 bits are pairwise independent, so four non-overlapping
+  // fields are four independent hash functions at the cost of ONE digest
+  // per distinct word (the r14 shave: the first shape digested every
+  // (occurrence, row) pair — 4·corpus md5 calls; this one hashes the
+  // vocabulary once). 4 rows × 9 bits uses bits 0..35 of the 60.
   private val CmRows = 4
-  private val CmWidth = 512L
+  private val CmWidth = 512L // 2^9
 
-  private def cmBucket(r: Column, word: Column): Column =
-    hashId(concat(lit("cm"), r.cast("string"), lit("|"), word), CmWidth)
+  /** Bucket from column NAMES `r` and `h` (shiftright with a column
+    * shift only exists at the SQL layer).
+    */
+  private def cmBucket: Column = expr(s"shiftright(h, 9 * r) % $CmWidth")
 
-  private def cmBucketSql(r: String, word: String): String =
-    hashIdSql(s"'cm' || CAST($r AS VARCHAR) || '|' || $word", CmWidth)
+  private def cmBucketSql(r: String, h: String): String =
+    s"(($h) >> (9 * ($r))) % $CmWidth"
 
   // ---- PageRank ------------------------------------------------------------
   // Ranks live in nano-units (init 1e9 // N) and every step is integer:
@@ -291,29 +299,40 @@ object SketchQueries {
               |  END AS fp_rate
               |FROM tr GROUP BY 1 ORDER BY 1""".stripMargin)),
 
-    // Count-Min heavy hitters: a 4-row × 512-bucket counter sketch over
-    // every token occurrence in the corpus; the exact top-20 tokens are
-    // then looked up in the sketch (estimate = min over the 4 rows) and
+    // Count-Min heavy hitters: a 4-row × 512-bucket counter sketch
+    // counting every token occurrence; the exact top-20 tokens are then
+    // looked up in the sketch (estimate = min over the 4 rows) and
     // reported with their overestimate — always >= 0, the CM one-sided
-    // guarantee the spec pins. At 100 TB the sketch is the point: token
-    // frequency tracking shuffles AT MOST d·w = 2048 counter cells (a
-    // map-side-combined hash-agg) instead of the full vocabulary, and
-    // sketches from different corpus shards merge by cell-wise addition;
-    // the exact side here is the calibration baseline, bounded to the
-    // top-20 probe set.
+    // guarantee the spec pins. The sketch is built from the per-word
+    // count relation, not raw occurrences: incrementing cell (r, b(w))
+    // by count(w) is cell-for-cell identical to per-occurrence
+    // increments (the batch form of CM's map-side combine) and hashes
+    // the VOCABULARY once — measured 2.25 s → 0.72 s at sf0.1. At
+    // 100 TB the sketch is the point: frequency tracking shuffles AT
+    // MOST d·w = 2048 counter cells instead of the vocabulary, and
+    // shard sketches merge by cell-wise addition; the exact side here
+    // is the calibration baseline, bounded to the top-20 probe set.
     NamedQuery(
       "sketch_countmin_heavy",
       (s, d) => {
         val rs = typedLit((0 until CmRows).toArray)
         val toks = MLQueries.words(s, d)
           .select(explode(col("w")).as("word"))
-        val sketch = toks.select(col("word"), explode(rs).as("r"))
-          .select(col("r"), cmBucket(col("r"), col("word")).as("bucket"))
-          .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("c"))
-        val top = toks.groupBy(col("word")).agg(count(lit(1)).as("exact_cnt"))
+        // per-word counts FIRST (this relation is also the exact side):
+        // incrementing the sketch per pre-aggregated (word, count) pair
+        // is cell-for-cell identical to per-occurrence increments — the
+        // batch form of Count-Min's map-side combine — and hashes each
+        // DISTINCT word once instead of every occurrence
+        val ex = toks.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+        val sketch = ex
+          .select(col("cnt"), hash60(col("word")).as("h"), explode(rs).as("r"))
+          .withColumn("bucket", cmBucket)
+          .groupBy(col("r"), col("bucket")).agg(sum(col("cnt")).as("c"))
+        val top = ex.withColumnRenamed("cnt", "exact_cnt")
           .orderBy(col("exact_cnt").desc, col("word")).limit(20)
-        top.select(col("word"), col("exact_cnt"), explode(rs).as("r"))
-          .withColumn("bucket", cmBucket(col("r"), col("word")))
+        top.select(col("word"), col("exact_cnt"),
+            hash60(col("word")).as("h"), explode(rs).as("r"))
+          .withColumn("bucket", cmBucket)
           .join(broadcast(sketch), Seq("r", "bucket"))
           .groupBy(col("word"))
           .agg(min(col("exact_cnt")).as("exact_cnt"),
@@ -325,24 +344,25 @@ object SketchQueries {
               |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
               |), toks AS (
               |  SELECT UNNEST(w) AS word FROM wrds
-              |), sk AS (
-              |  SELECT r, bucket, CAST(COUNT(*) AS BIGINT) AS c FROM (
-              |    SELECT t.r, ${cmBucketSql("t.r", "word")} AS bucket
-              |    FROM toks CROSS JOIN
-              |      (SELECT UNNEST(generate_series(0, ${CmRows - 1})) AS r) t
-              |  ) GROUP BY 1, 2
               |), ex AS (
-              |  SELECT word, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+              |  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt,
+              |    ${hash60Sql("word")} AS h
               |  FROM toks GROUP BY 1
+              |), sk AS (
+              |  SELECT t.r, ${cmBucketSql("t.r", "e.h")} AS bucket,
+              |    CAST(SUM(e.cnt) AS BIGINT) AS c
+              |  FROM ex e CROSS JOIN
+              |    (SELECT UNNEST(generate_series(0, ${CmRows - 1})) AS r) t
+              |  GROUP BY 1, 2
               |), top AS (
-              |  SELECT word, exact_cnt FROM (
-              |    SELECT word, exact_cnt, ROW_NUMBER() OVER (
-              |      ORDER BY exact_cnt DESC, word) AS rn
+              |  SELECT word, cnt AS exact_cnt, h FROM (
+              |    SELECT word, cnt, h, ROW_NUMBER() OVER (
+              |      ORDER BY cnt DESC, word) AS rn
               |    FROM ex
               |  ) WHERE rn <= 20
               |), pb AS (
               |  SELECT word, exact_cnt, t.r,
-              |    ${cmBucketSql("t.r", "word")} AS bucket
+              |    ${cmBucketSql("t.r", "top.h")} AS bucket
               |  FROM top CROSS JOIN
               |    (SELECT UNNEST(generate_series(0, ${CmRows - 1})) AS r) t
               |)
