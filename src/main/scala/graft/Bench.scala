@@ -56,6 +56,7 @@ object Bench {
     else if (n == "sketch_hll_distinct" || n == "sketch_hll_stream")
       Set("date_trunc_agg")
     else if (n == "sketch_bloom_join") Set("equi_join_inner")
+    else if (n == "sketch_quantile_hist") Set("equi_join_inner") // orders
     else if (n.startsWith("similarity_") || n.startsWith("embedding_") ||
       n.startsWith("ann_")) Set("similarity_topk_bruteforce")
     else if (n.startsWith("dedup_") || n.startsWith("text_") ||

@@ -519,30 +519,43 @@ object Pipeline {
       // calibration table — each the verbatim SparkEntry.queries
       // definition (the featurize --pq pattern), so the product cannot
       // drift from what the oracle judged. No flags = all three.
+      // unknown flags fail loudly: a typo'd section flag must not
+      // silently skip every section and exit 0 looking like a run
+      val knownProfileOpts = Set("--hll", "--anomaly", "--heavy")
+      val badOpts = opts.filterNot(knownProfileOpts)
+      require(badOpts.isEmpty,
+        s"profile: unknown option(s) ${badOpts.mkString(", ")} " +
+          s"(expected any of ${knownProfileOpts.mkString(", ")})")
       val spark = session()
       val allParts = opts.isEmpty
+      // each section prints from the just-written artifact, never by
+      // re-executing the gate plan (the write already ran it once)
       if (allParts || opts.contains("--hll")) {
-        val df = SparkEntry.queries("sketch_hll_distinct")(spark, in)
-        df.write.mode("overwrite").parquet(out + "/hll_distinct")
-        df.collect().foreach(r => println(
-          s"hll: type=${r.getAs[String]("event_type")} " +
-            s"exact=${r.getAs[Long]("n_exact")} " +
-            s"est=${r.getAs[Double]("hll_estimate")} " +
-            s"rel_err=${r.getAs[Double]("rel_err")}"))
+        SparkEntry.queries("sketch_hll_distinct")(spark, in)
+          .write.mode("overwrite").parquet(out + "/hll_distinct")
+        spark.read.parquet(out + "/hll_distinct")
+          .orderBy("event_type").collect().foreach(r => println(
+            s"hll: type=${r.getAs[String]("event_type")} " +
+              s"exact=${r.getAs[Long]("n_exact")} " +
+              s"est=${r.getAs[Double]("hll_estimate")} " +
+              s"rel_err=${r.getAs[Double]("rel_err")}"))
       }
       if (allParts || opts.contains("--anomaly")) {
-        val df = SparkEntry.queries("events_anomaly_zscore")(spark, in)
-        df.write.mode("overwrite").parquet(out + "/anomalies")
+        SparkEntry.queries("events_anomaly_zscore")(spark, in)
+          .write.mode("overwrite").parquet(out + "/anomalies")
         println(s"anomalies: ${spark.read.parquet(out + "/anomalies").count()} " +
           s"hourly buckets past 2 sigma to $out/anomalies")
       }
       if (allParts || opts.contains("--heavy")) {
-        val df = SparkEntry.queries("sketch_countmin_heavy")(spark, in)
-        df.write.mode("overwrite").parquet(out + "/heavy_hitters")
-        df.limit(5).collect().foreach(r => println(
-          s"heavy: '${r.getAs[String]("word")}' " +
-            s"exact=${r.getAs[Long]("exact_cnt")} " +
-            s"cm=${r.getAs[Long]("cm_estimate")}"))
+        SparkEntry.queries("sketch_countmin_heavy")(spark, in)
+          .write.mode("overwrite").parquet(out + "/heavy_hitters")
+        spark.read.parquet(out + "/heavy_hitters")
+          .orderBy(org.apache.spark.sql.functions.col("exact_cnt").desc,
+            org.apache.spark.sql.functions.col("word"))
+          .limit(5).collect().foreach(r => println(
+            s"heavy: '${r.getAs[String]("word")}' " +
+              s"exact=${r.getAs[Long]("exact_cnt")} " +
+              s"cm=${r.getAs[Long]("cm_estimate")}"))
       }
       spark.stop()
 

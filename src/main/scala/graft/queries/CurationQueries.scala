@@ -949,7 +949,7 @@ object CurationQueries {
       Some(s"""WITH tr AS (
               |  SELECT user_id, event_type,
               |    LAG(event_type) OVER (PARTITION BY user_id
-              |      ORDER BY ts, event_id) AS from_type
+              |      ORDER BY epoch_us(ts), event_id) AS from_type
               |  FROM events
               |), cnt AS (
               |  SELECT from_type, event_type AS to_type,

@@ -571,7 +571,8 @@ object SketchQueries {
               |  FROM hist
               |), qs AS (
               |  SELECT q, CAST(CEIL(q * n.n) AS BIGINT) AS target, n.n
-              |  FROM (SELECT UNNEST([0.5, 0.9, 0.99]) AS q) CROSS JOIN n
+              |  FROM (SELECT CAST(UNNEST([0.5, 0.9, 0.99]) AS DOUBLE) AS q)
+              |  CROSS JOIN n
               |), sel AS (
               |  SELECT * FROM (
               |    SELECT q, target, n, bin, cnt, cum, cum - cnt AS cumb,

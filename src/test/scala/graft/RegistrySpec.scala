@@ -15,9 +15,9 @@ class RegistrySpec extends AnyFunSuite {
     assert((queries -- oracles).isEmpty,
       s"queries missing oracles: ${(queries -- oracles).toSeq.sorted}")
     assert((oracles -- queries).isEmpty)
-    // the round-14 judged inventory is 143; the registry only grows — keep
-    // this floor EQUAL to the current size when adding gates, so the
-    // guard never carries slack a later removal could hide in
+    // the registry only grows — keep this floor EQUAL to the current
+    // size when adding gates (no number in this comment to drift), so
+    // the guard never carries slack a later removal could hide in
     assert(queries.size >= 146, s"registry shrank to ${queries.size}")
   }
 
