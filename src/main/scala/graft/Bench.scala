@@ -53,7 +53,8 @@ object Bench {
     // the two sketch_* gates built on the tpch/events tables, not the
     // documents corpus — warm the tables they actually read (events for
     // the HLL; orders + customer via equi_join_inner for the bloom)
-    else if (n == "sketch_hll_distinct" || n == "sketch_hll_stream")
+    else if (n == "sketch_hll_distinct" || n == "sketch_hll_stream" ||
+      n == "sketch_hll_intersection")
       Set("date_trunc_agg")
     else if (n == "sketch_bloom_join") Set("equi_join_inner")
     else if (n == "sketch_quantile_hist") Set("equi_join_inner") // orders

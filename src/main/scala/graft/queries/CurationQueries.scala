@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.VectorOps.vecDot
+import graft.functions.VectorOps.{vecDot, vecNorm}
 import graft.ml.TextOps
 import graft.queries.QueryDsl._
 import graft.tables.Tables
@@ -1030,6 +1030,263 @@ object CurationQueries {
            |    AND n_stop >= 2
            |    AND (5 * n_alpha >= 4 * n_words) AS keep
            |FROM base ORDER BY doc_id""".stripMargin
+      }),
+
+    // Corpus distribution drift between two ingest cohorts (even- vs
+    // odd-numbered sources): per-word symmetric-KL contributions over the
+    // shared top-40 vocabulary with add-one smoothing. The standard
+    // "did this crawl batch shift under me" monitor for a pretraining
+    // corpus — text_zipf_fit alarms on SHAPE drift of the whole
+    // frequency curve, this gate localizes WHICH words moved between two
+    // cohorts. Plan: explode → (word)-keyed count with map-side combine
+    // (one integer triple per word per partition) → TakeOrdered top-40
+    // (never a global vocabulary sort) → one broadcast row of cohort
+    // totals; at 100 TB the only wide op is the word-count agg, whose
+    // reduce side is |vocab| rows. Counts stay integer to the division;
+    // p's are r6-pinned before the log so the single ≤1-ulp ln
+    // difference between libms is absorbed (the text_bigram_surprise
+    // precedent).
+    NamedQuery(
+      "text_distribution_drift",
+      (s, d) => {
+        val grp = when(
+          regexp_extract(col("source"), "([0-9]+)", 1).cast("long") % 2 === 0,
+          lit("a")).otherwise(lit("b"))
+        val wc = Tables.documents(s, d)
+          .select(grp.as("grp"), explode(split(col("text"), " ")).as("word"))
+          .groupBy(col("word"))
+          .agg(count(lit(1)).as("tot"),
+            sum(when(col("grp") === "a", 1L).otherwise(0L)).as("cnt_a"),
+            sum(when(col("grp") === "b", 1L).otherwise(0L)).as("cnt_b"))
+        val top = wc.orderBy(col("tot").desc, col("word")).limit(40)
+        val tots = top.agg(sum(col("cnt_a")).as("tot_a"),
+          sum(col("cnt_b")).as("tot_b"))
+        top.crossJoin(broadcast(tots))
+          .withColumn("p_a",
+            r6((col("cnt_a") + 1).cast("double") / (col("tot_a") + 40).cast("double")))
+          .withColumn("p_b",
+            r6((col("cnt_b") + 1).cast("double") / (col("tot_b") + 40).cast("double")))
+          .withColumn("kl_term",
+            r6((col("p_a") - col("p_b")) * log(col("p_a") / col("p_b"))))
+          .select(col("word"), col("cnt_a"), col("cnt_b"), col("p_a"),
+            col("p_b"), col("kl_term"))
+          .orderBy(col("word"))
+      },
+      Some(s"""WITH wg AS (
+              |  SELECT CASE WHEN CAST(regexp_extract(source, '([0-9]+)', 1)
+              |      AS BIGINT) % 2 = 0 THEN 'a' ELSE 'b' END AS grp,
+              |    UNNEST(string_split(text, ' ')) AS word
+              |  FROM documents
+              |), wc AS (
+              |  SELECT word, CAST(COUNT(*) AS BIGINT) AS tot,
+              |    CAST(SUM(CASE WHEN grp = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+              |      AS cnt_a,
+              |    CAST(SUM(CASE WHEN grp = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+              |      AS cnt_b
+              |  FROM wg GROUP BY 1
+              |), top AS (
+              |  SELECT * FROM wc ORDER BY tot DESC, word LIMIT 40
+              |), tots AS (
+              |  SELECT SUM(cnt_a) AS tot_a, SUM(cnt_b) AS tot_b FROM top
+              |), probs AS (
+              |  SELECT word, cnt_a, cnt_b,
+              |    ${r6Sql("CAST(cnt_a + 1 AS DOUBLE) / CAST(tot_a + 40 AS DOUBLE)")}
+              |      AS p_a,
+              |    ${r6Sql("CAST(cnt_b + 1 AS DOUBLE) / CAST(tot_b + 40 AS DOUBLE)")}
+              |      AS p_b
+              |  FROM top CROSS JOIN tots
+              |)
+              |SELECT word, cnt_a, cnt_b, p_a, p_b,
+              |  ${r6Sql("(p_a - p_b) * ln(p_a / p_b)")} AS kl_term
+              |FROM probs ORDER BY word""".stripMargin)),
+
+    // Contrastive hard-example mining: for a bounded query sample
+    // (vec_id % 100 = 0, i.e. k ≪ N by construction), the single nearest
+    // SAME-label corpus vector (hardest positive) and nearest
+    // OTHER-label vector (hardest negative) by the similarity family's
+    // rounded-cosine contract. This is the retrieval-training data op
+    // (DPR/contrastive fine-tuning mines exactly these pairs). Plan:
+    // the bounded query side broadcasts into a nested-loop join, and the
+    // winner per (query, kind) is a max over a (sim, -neighbor) struct —
+    // a PARTIAL aggregate, so the q×N candidate stream combines map-side
+    // and only |Q|·2 rows per partition ever shuffle (no window sort
+    // over the cross product). Tie-break matches the oracle's
+    // ROW_NUMBER(sim DESC, neighbor_id): max of -neighbor_id = lowest
+    // id. At 100 TB the same mine runs per IVF cell
+    // (similarity_ann_ivf's assignment) instead of corpus-wide; the
+    // judged gate is the exact-mining contract that cell-local variant
+    // must reproduce within its cells.
+    NamedQuery(
+      "similarity_hard_negatives",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding"), col("label"),
+            vecNorm(col("embedding")).as("norm"))
+        val q = e.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("query_id"), col("embedding").as("ea"),
+            col("label").as("la"), col("norm").as("norm_a"))
+        val c = e.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("eb"), col("label").as("lb"),
+          col("norm").as("norm_b"))
+        broadcast(q).join(c, col("neighbor_id") =!= col("query_id"))
+          .withColumn("kind",
+            when(col("lb") === col("la"), lit("pos")).otherwise(lit("neg")))
+          .withColumn("sim",
+            r6(vecDot(col("ea"), col("eb")) / (col("norm_a") * col("norm_b"))))
+          .groupBy(col("query_id"), col("kind"))
+          .agg(max(struct(col("sim"), (-col("neighbor_id")).as("tie"),
+            col("neighbor_id"))).as("best"))
+          .select(col("query_id"), col("kind"),
+            col("best.neighbor_id").as("neighbor_id"),
+            col("best.sim").as("sim"))
+          .orderBy(col("query_id"), col("kind"))
+      },
+      Some(s"""WITH sims AS (
+              |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+              |    CASE WHEN b.label = a.label THEN 'pos' ELSE 'neg' END
+              |      AS kind,
+              |    ${MLQueries.duckDot("a.embedding", "b.embedding")}
+              |      / (${MLQueries.duckNorm("a.embedding")}
+              |        * ${MLQueries.duckNorm("b.embedding")}) AS sim_raw
+              |  FROM embeddings a JOIN embeddings b
+              |    ON b.vec_id <> a.vec_id
+              |  WHERE a.vec_id % 100 = 0
+              |), ranked AS (
+              |  SELECT query_id, kind, neighbor_id,
+              |    ${r6Sql("sim_raw")} AS sim,
+              |    ROW_NUMBER() OVER (PARTITION BY query_id, kind
+              |      ORDER BY ${r6Sql("sim_raw")} DESC, neighbor_id) AS rn
+              |  FROM sims
+              |)
+              |SELECT query_id, kind, neighbor_id, sim
+              |FROM ranked WHERE rn = 1
+              |ORDER BY query_id, kind""".stripMargin)),
+
+    // Top principal component of the embedding covariance by 4-round
+    // power iteration — the PCA leg every embedding pipeline runs
+    // (whitening, energy checks, ABBA-style drift monitors). The 100 TB
+    // shape is the k-means/IVF k ≪ N pattern taken to its limit: the
+    // ONLY data-sized work is one narrow explode of each row into its
+    // d(d+1)/2 = 2080 UPPER-TRIANGLE (i ≤ j) integer second-moment terms
+    // feeding a map-side-combining sum (the shuffle carries
+    // triangle·partitions rows, not N·d²; symmetry fills the mirror for
+    // free). The resulting 64×64 covariance is BOUNDED BY d² regardless
+    // of corpus size, so it collects to the driver exactly like the
+    // k-means/IVF centroids, and all four power-iteration rounds are
+    // driver loops over ~4096 longs — the first in-plan shape re-derived
+    // the second-moment agg per iteration branch (9.3 s at sf0.1);
+    // collecting the constant-size matrix makes the gate ONE distributed
+    // pass (~1 s). Cross-engine exactness is the PQ gates' micro-unit
+    // discipline: elements pin to 1e-6 integers up front, every sum is
+    // integer-exact and order-free (long adds on the driver, BIGINT/
+    // HUGEINT in the oracle), the norm enters double only as ONE
+    // correctly-rounded cast of an exact big-integer square sum
+    // (BigInt.doubleValue and DuckDB's HUGEINT→DOUBLE both round to
+    // nearest), and v re-pins to the 1e-6 grid after every normalize —
+    // both engines walk the identical integer lattice, so no float-order
+    // drift can accumulate across iterations. Sign pinned by v[1] ≥ 0.
+    NamedQuery(
+      "embedding_pca_power",
+      (s, d) => {
+        val dim = 64
+        val e = Tables.embeddings(s, d).select(col("embedding"))
+        val xm = e.withColumn("xm", expr(
+          "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))"))
+        val upper = xm
+          .select(col("xm"), posexplode(col("xm")).as(Seq("i0", "xi")))
+          .select((col("i0") + 1).as("i"), posexplode(expr(
+            s"transform(slice(xm, i0 + 1, $dim - i0), y -> xi * y)"))
+            .as(Seq("jj", "p")))
+          .select(col("i"), (col("i") + col("jj")).as("j"), col("p"))
+        val smat = upper.groupBy(col("i"), col("j")).agg(sum(col("p")).as("sp"))
+        val mu = xm.select(posexplode(col("xm")).as(Seq("i0", "xv")))
+          .groupBy((col("i0") + 1).as("mi")).agg(sum(col("xv")).as("mm"))
+        val cnt = xm.agg(count(lit(1)).cast("double").as("n"))
+        val cmat = smat
+          .join(broadcast(mu.select(col("mi"), col("mm").as("ma"))),
+            col("i") === col("mi")).drop("mi")
+          .join(broadcast(mu.select(col("mi"), col("mm").as("mb"))),
+            col("j") === col("mi")).drop("mi")
+          .crossJoin(broadcast(cnt))
+          .select(col("i"), col("j"), expr(
+            """CAST(FLOOR((CAST(sp AS DOUBLE) / 1e12 / n
+              |  - (CAST(ma AS DOUBLE) / 1e6 / n) * (CAST(mb AS DOUBLE) / 1e6 / n))
+              |  * 1000000.0 + 0.5) AS BIGINT)""".stripMargin).as("cm"))
+        // bounded collect: ≤ d(d+1)/2 rows by construction, independent
+        // of corpus size (the ivfAssigned / AnnIndex centroid contract)
+        val cm = Array.ofDim[Long](dim + 1, dim + 1)
+        cmat.collect().foreach { r =>
+          val (i, j, c) = (r.getInt(0), r.getInt(1), r.getLong(2))
+          cm(i)(j) = c; cm(j)(i) = c
+        }
+        var vm = Array.fill(dim)(125000L)
+        var nrm = 0.0
+        for (_ <- 1 to 4) {
+          // exact long matvec (|cm·vm| ≤ 1e12, ×64 terms < 2^63)
+          val wp = Array.tabulate(dim) { i0 =>
+            var acc = 0L
+            var j0 = 0
+            while (j0 < dim) { acc += cm(i0 + 1)(j0 + 1) * vm(j0); j0 += 1 }
+            acc
+          }
+          // exact 128-bit square sum; ONE correctly-rounded cast to double
+          val qq = wp.foldLeft(BigInt(0))((a, w) => a + BigInt(w) * BigInt(w))
+          nrm = math.sqrt(qq.doubleValue) / 1e12
+          vm = wp.map(w => math.floor(w.toDouble / 1e12 / nrm * 1000000.0 + 0.5).toLong)
+        }
+        val sg = if (vm(0) < 0) -1L else 1L
+        val eig = math.floor(nrm * 1000000.0 + 0.5) / 1000000.0 // r6 twin
+        import s.implicits._
+        (1 to dim).map(i =>
+            (i.toLong, (sg * vm(i - 1)).toDouble / 1000000.0, eig))
+          .toDF("i", "loading", "eigval")
+      },
+      Some {
+        val iters = (1 to 4).map { t =>
+          val prev = if (t == 1) "v0" else s"v${t - 1}"
+          s"""w$t AS (
+             |  SELECT c.i, SUM(c.cm * v.vm) AS wp
+             |  FROM c JOIN $prev v ON c.j = v.j GROUP BY 1
+             |), n$t AS (
+             |  SELECT sqrt(CAST(SUM(CAST(wp AS HUGEINT) * wp) AS DOUBLE)) / 1e12
+             |    AS nrm FROM w$t
+             |), v$t AS (
+             |  SELECT i AS j, CAST(FLOOR(CAST(wp AS DOUBLE) / 1e12 / nrm
+             |    * 1000000.0 + 0.5) AS BIGINT) AS vm
+             |  FROM w$t CROSS JOIN n$t
+             |)""".stripMargin
+        }.mkString(", ")
+        s"""WITH xm AS (
+           |  SELECT vec_id, i,
+           |    CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000.0 + 0.5)
+           |      AS BIGINT) AS xv
+           |  FROM embeddings, generate_series(1, 64) t(i)
+           |), nn AS (
+           |  SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM embeddings
+           |), s AS (
+           |  SELECT a.i AS i, b.i AS j, SUM(a.xv * b.xv) AS sp
+           |  FROM xm a JOIN xm b USING (vec_id) GROUP BY 1, 2
+           |), mu AS (
+           |  SELECT i, SUM(xv) AS mm FROM xm GROUP BY 1
+           |), c AS (
+           |  SELECT s.i, s.j,
+           |    CAST(FLOOR((CAST(sp AS DOUBLE) / 1e12 / nn.n
+           |      - (CAST(ma.mm AS DOUBLE) / 1e6 / nn.n)
+           |        * (CAST(mb.mm AS DOUBLE) / 1e6 / nn.n))
+           |      * 1000000.0 + 0.5) AS BIGINT) AS cm
+           |  FROM s JOIN mu ma ON ma.i = s.i JOIN mu mb ON mb.i = s.j
+           |  CROSS JOIN nn
+           |), v0 AS (
+           |  SELECT i AS j, CAST(125000 AS BIGINT) AS vm
+           |  FROM generate_series(1, 64) t(i)
+           |), $iters, sg AS (
+           |  SELECT CASE WHEN (SELECT vm FROM v4 WHERE j = 1) < 0
+           |    THEN -1 ELSE 1 END AS sg
+           |)
+           |SELECT CAST(j AS BIGINT) AS i,
+           |  CAST(sg * vm AS DOUBLE) / 1000000.0 AS loading,
+           |  ${r6Sql("nrm")} AS eigval
+           |FROM v4 CROSS JOIN sg CROSS JOIN n4 ORDER BY i""".stripMargin
       }),
   )
 

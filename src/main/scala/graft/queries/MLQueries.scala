@@ -35,9 +35,9 @@ object MLQueries {
   // hashId / hashIdSql (the md5-prefix id assignment every family here
   // builds on) live in QueryDsl — shared with the ml.Curate product path.
 
-  private def duckDot(a: String, b: String) =
+  private[queries] def duckDot(a: String, b: String) =
     s"(SELECT SUM(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)) FROM generate_series(1,64) t(i))"
-  private def duckNorm(a: String) =
+  private[queries] def duckNorm(a: String) =
     s"sqrt((SELECT SUM(CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE)) FROM generate_series(1,64) t(i)))"
 
   /** words per document (split on single spaces; corpus has no empties). */

@@ -109,6 +109,50 @@ object SketchQueries {
       .orderBy(col("event_type"))
   }
 
+  /** `(keys…, hll_estimate)` from a register relation `(keys…, idx, mx)` —
+    * the estimate chain of [[hllReport]] generalized to arbitrary grouping
+    * keys, so the intersection gate can estimate per-type AND
+    * per-type-pair (max-merged) cardinalities from the same registers.
+    * Same ztot scaled-integer sum, same linear-counting fallback, same r6
+    * pin.
+    */
+  private def hllEstFromRegs(regs: DataFrame, keys: Seq[String]): DataFrame =
+    regs.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_registers"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), " +
+          s"CAST(${HllPayloadBits + 1} - mx AS INT))")).as("zp"))
+      .withColumn("zeros", lit(HllM) - col("n_registers"))
+      .withColumn("ztot",
+        col("zp") + col("zeros") * lit(1L << (HllPayloadBits + 1)))
+      .withColumn("raw", lit(HllAlphaNumer) / col("ztot").cast("double"))
+      .withColumn("hll_estimate", r6(
+        when(col("zeros") > 0 && col("raw") <= lit(2.5 * HllM),
+          lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("zeros").cast("double")))
+          .otherwise(col("raw"))))
+      .select(keys.map(col) :+ col("hll_estimate"): _*)
+
+  /** Oracle twin of [[hllEstFromRegs]]: a SELECT over `regsRel` (columns
+    * `keys…, idx, mx`) ending in `(keys…, hll_estimate)`.
+    */
+  private def hllEstSql(regsRel: String, keys: String): String =
+    s"""SELECT $keys, hll_estimate FROM (
+       |  SELECT $keys,
+       |    CASE WHEN zeros > 0
+       |        AND $HllAlphaNumer / CAST(ztot AS DOUBLE) <= ${2.5 * HllM}
+       |      THEN ${r6Sql(s"${HllM.toDouble} * ln(${HllM.toDouble} / CAST(zeros AS DOUBLE))")}
+       |      ELSE ${r6Sql(s"$HllAlphaNumer / CAST(ztot AS DOUBLE)")}
+       |    END AS hll_estimate
+       |  FROM (
+       |    SELECT $keys,
+       |      CAST(SUM(CAST(1 AS BIGINT) << (${HllPayloadBits + 1} - mx))
+       |        AS BIGINT)
+       |        + ($HllM - CAST(COUNT(*) AS BIGINT))
+       |          * (CAST(1 AS BIGINT) << ${HllPayloadBits + 1}) AS ztot,
+       |      $HllM - CAST(COUNT(*) AS BIGINT) AS zeros
+       |    FROM $regsRel GROUP BY $keys
+       |  )
+       |)""".stripMargin
+
   /** The full HLL oracle — shared verbatim by `sketch_hll_distinct` and
     * `sketch_hll_stream`: the streaming twin runs in Complete mode over a
     * bounded AvailableNow stream, so its sealed registers are exactly the
@@ -730,6 +774,105 @@ object SketchQueries {
         hllReport(s.table(sink), hllExact(evb))
       },
       Some(hllOracleSql)),
+
+    // HLL set-intersection estimation: |A ∩ B| ≈ est(A) + est(B) −
+    // est(A ∪ B) (inclusion–exclusion) for every event-type pair, with
+    // est(A ∪ B) computed by REGISTER max-merge — never by re-reading
+    // raw ids. This is the audience-overlap / cross-split-contamination
+    // estimator: at 100 TB, "how many users do click and purchase
+    // share" costs 64 six-bit registers per side plus integer register
+    // algebra, while the exact answer this gate calibrates against
+    // (n_exact, via the distinct self-join) shuffles every user id.
+    // Inclusion–exclusion differences amplify HLL's relative error, so
+    // the estimate can go negative — clamped at 0, honestly reported
+    // next to the exact count as abs_err. All arithmetic rides the
+    // existing scaled-integer register sums; the three estimates are
+    // r6-pinned before the subtraction, so both engines difference
+    // identical doubles.
+    NamedQuery(
+      "sketch_hll_intersection",
+      (s, d) => {
+        val ev = Tables.events(s, d).select(col("event_type"), col("user_id"))
+        val regs = hllRegs(ev)
+        val types = ev.select(col("event_type")).distinct()
+        val pairs = types.select(col("event_type").as("ta"))
+          .crossJoin(types.select(col("event_type").as("tb")))
+          .filter(col("ta") < col("tb"))
+        val pregs = broadcast(pairs).join(regs,
+            col("event_type") === col("ta") || col("event_type") === col("tb"))
+          .groupBy(col("ta"), col("tb"), col("idx"))
+          .agg(max(col("mx")).as("mx"))
+        val estU = hllEstFromRegs(pregs, Seq("ta", "tb"))
+          .withColumnRenamed("hll_estimate", "est_union")
+        val estT = hllEstFromRegs(regs, Seq("event_type"))
+        val estA = estT.select(col("event_type").as("ta"),
+          col("hll_estimate").as("est_a"))
+        val estB = estT.select(col("event_type").as("tb"),
+          col("hll_estimate").as("est_b"))
+        val du = ev.distinct()
+        val exact = du.as("x")
+          .join(du.as("y"), col("x.user_id") === col("y.user_id")
+            && col("x.event_type") < col("y.event_type"))
+          .groupBy(col("x.event_type").as("ta"), col("y.event_type").as("tb"))
+          .agg(count(lit(1)).as("n_exact"))
+        estU.join(broadcast(estA), "ta").join(broadcast(estB), "tb")
+          .withColumn("est_inter",
+            r6(greatest(col("est_a") + col("est_b") - col("est_union"), lit(0.0))))
+          .join(exact, Seq("ta", "tb"))
+          .withColumn("abs_err", r6(col("est_inter") - col("n_exact")))
+          .select(col("ta").as("type_a"), col("tb").as("type_b"),
+            col("n_exact"), col("est_a"), col("est_b"), col("est_union"),
+            col("est_inter"), col("abs_err"))
+          .orderBy(col("type_a"), col("type_b"))
+      },
+      Some(s"""WITH h AS (
+              |  SELECT event_type,
+              |    ${hash60Sql("CAST(user_id AS VARCHAR)")} AS h
+              |  FROM events
+              |), hr AS (
+              |  SELECT event_type, h % $HllM AS idx,
+              |    ${hllRhoSql(s"h // $HllM")} AS rho
+              |  FROM h
+              |), regs AS (
+              |  SELECT event_type, idx, MAX(rho) AS mx FROM hr GROUP BY 1, 2
+              |), types AS (
+              |  SELECT DISTINCT event_type AS t FROM events
+              |), pairs AS (
+              |  SELECT a.t AS ta, b.t AS tb FROM types a JOIN types b
+              |  ON a.t < b.t
+              |), pregs AS (
+              |  SELECT ta, tb, idx, MAX(mx) AS mx
+              |  FROM pairs JOIN regs r ON r.event_type = ta OR r.event_type = tb
+              |  GROUP BY 1, 2, 3
+              |), eu AS (
+              |  ${hllEstSql("pregs", "ta, tb")}
+              |), et AS (
+              |  ${hllEstSql("regs", "event_type")}
+              |), de AS (
+              |  SELECT DISTINCT event_type, user_id FROM events
+              |), ex AS (
+              |  SELECT a.event_type AS ta, b.event_type AS tb,
+              |    CAST(COUNT(*) AS BIGINT) AS n_exact
+              |  FROM de a JOIN de b ON a.user_id = b.user_id
+              |    AND a.event_type < b.event_type
+              |  GROUP BY 1, 2
+              |), j AS (
+              |  SELECT eu.ta, eu.tb, ex.n_exact,
+              |    ea.hll_estimate AS est_a, eb.hll_estimate AS est_b,
+              |    eu.hll_estimate AS est_union
+              |  FROM eu JOIN et ea ON ea.event_type = eu.ta
+              |  JOIN et eb ON eb.event_type = eu.tb
+              |  JOIN ex ON ex.ta = eu.ta AND ex.tb = eu.tb
+              |), f AS (
+              |  SELECT ta, tb, n_exact, est_a, est_b, est_union,
+              |    ${r6Sql("GREATEST(est_a + est_b - est_union, 0.0)")}
+              |      AS est_inter
+              |  FROM j
+              |)
+              |SELECT ta AS type_a, tb AS type_b, n_exact, est_a, est_b,
+              |  est_union, est_inter,
+              |  ${r6Sql("est_inter - n_exact")} AS abs_err
+              |FROM f ORDER BY type_a, type_b""".stripMargin)),
   )
 
 }

@@ -34,6 +34,62 @@ class CurationInvariantsSpec extends SparkSpec {
     assert(rows.length >= 2, "a duplicated span needs two carriers")
   }
 
+  test("text_distribution_drift: probabilities normalize, kl terms nonnegative") {
+    val rows = SparkEntry.queries("text_distribution_drift")(spark, d).collect()
+    assert(rows.nonEmpty && rows.length <= 40)
+    rows.foreach { r =>
+      val (pa, pb) = (r.getAs[Double]("p_a"), r.getAs[Double]("p_b"))
+      assert(pa > 0.0 && pa < 1.0 && pb > 0.0 && pb < 1.0)
+      // (p_a - p_b) and ln(p_a / p_b) always share sign, so every
+      // symmetric-KL contribution is nonnegative (up to the r6 floor,
+      // which can round a ~0 term to exactly 0 but never below -1e-6)
+      assert(r.getAs[Double]("kl_term") >= -1e-6,
+        s"word ${r.getAs[String]("word")}: negative kl term")
+      assert(r.getAs[Long]("cnt_a") + r.getAs[Long]("cnt_b") >= 1L)
+    }
+  }
+
+  test("similarity_hard_negatives: labels match the kind, no self-pairs, no window sort") {
+    val labels = spark.read.parquet(s"$d/embeddings.parquet")
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = SparkEntry.queries("similarity_hard_negatives")(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (q, n) = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      assert(n != q, "self-pair mined")
+      val sim = r.getAs[Double]("sim")
+      assert(sim >= -1.000001 && sim <= 1.000001)
+      r.getAs[String]("kind") match {
+        case "pos" => assert(labels(n) == labels(q), s"pos pair across labels: $q->$n")
+        case "neg" => assert(labels(n) != labels(q), s"neg pair within label: $q->$n")
+        case k => fail(s"unknown kind $k")
+      }
+    }
+    // at most one pos and one neg per query
+    rows.groupBy(r => (r.getAs[Long]("query_id"), r.getAs[String]("kind")))
+      .foreach { case (k, g) => assert(g.length == 1, s"duplicate winner for $k") }
+    // SCALE.md promise: the winner comes from a partial max-aggregate over
+    // the broadcast nested-loop candidate stream, never a window sort of
+    // the full cross product
+    val p = plan("similarity_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin"), "query side must broadcast")
+    assert(!p.contains("Window"), "hard-negative mining must not window-sort")
+  }
+
+  test("embedding_pca_power: unit-norm loading, pinned sign, one eigenvalue") {
+    val rows = SparkEntry.queries("embedding_pca_power")(spark, d).collect()
+    assert(rows.length == 64)
+    val loads = rows.sortBy(_.getAs[Long]("i")).map(_.getAs[Double]("loading"))
+    // each component re-pins to the 1e-6 grid after the final normalize,
+    // so the norm can drift from 1 by at most ~64 half-ulps of that grid
+    val norm = math.sqrt(loads.map(x => x * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-3, s"loading norm $norm")
+    assert(loads.head >= 0.0, "sign pin: first component must be nonnegative")
+    val eigs = rows.map(_.getAs[Double]("eigval")).distinct
+    assert(eigs.length == 1 && eigs.head > 0.0, s"eigval column: ${eigs.toSeq}")
+  }
+
   test("text_gopher_rules: keep is the AND of flags, both keep classes present") {
     val rows = SparkEntry.queries("text_gopher_rules")(spark, d).collect()
     assert(rows.nonEmpty)

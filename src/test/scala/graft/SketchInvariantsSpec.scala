@@ -146,6 +146,26 @@ class SketchInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("sketch_hll_intersection: union dominates singles, clamp holds") {
+    val rows = SparkEntry.queries("sketch_hll_intersection")(spark, d).collect()
+    // 5 event types -> C(5,2) ordered pairs
+    assert(rows.length == 10, s"expected 10 type pairs, got ${rows.length}")
+    rows.foreach { r =>
+      val (ea, eb) = (r.getAs[Double]("est_a"), r.getAs[Double]("est_b"))
+      val eu = r.getAs[Double]("est_union")
+      val ei = r.getAs[Double]("est_inter")
+      // union registers dominate each side's registers per-index, so the
+      // union estimate can never fall below either single estimate
+      // (1e-6: both sides sit on the r6 grid)
+      assert(eu >= math.max(ea, eb) - 1e-6,
+        s"${r.getAs[String]("type_a")}/${r.getAs[String]("type_b")}: union $eu < max($ea, $eb)")
+      assert(ei >= 0.0, "inclusion-exclusion clamp must hold")
+      assert(ei <= ea + eb - math.max(ea, eb) + 1e-6,
+        "intersection estimate cannot exceed the smaller side")
+      assert(r.getAs[Long]("n_exact") >= 0L)
+    }
+  }
+
   test("events_anomaly_zscore: every flagged bucket clears 2 sigma") {
     val rows = SparkEntry.queries("events_anomaly_zscore")(spark, d).collect()
     assert(rows.nonEmpty, "sf0.001 hourly series should carry >2-sigma buckets")
