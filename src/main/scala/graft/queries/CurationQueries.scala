@@ -1073,7 +1073,8 @@ object CurationQueries {
           .orderBy(col("word"))
       },
       Some(s"""WITH wg AS (
-              |  SELECT CASE WHEN CAST(regexp_extract(source, '([0-9]+)', 1)
+              |  SELECT CASE WHEN CAST(NULLIF(
+              |      regexp_extract(source, '([0-9]+)', 1), '')
               |      AS BIGINT) % 2 = 0 THEN 'a' ELSE 'b' END AS grp,
               |    UNNEST(string_split(text, ' ')) AS word
               |  FROM documents
@@ -1166,25 +1167,30 @@ object CurationQueries {
     // power iteration — the PCA leg every embedding pipeline runs
     // (whitening, energy checks, ABBA-style drift monitors). The 100 TB
     // shape is the k-means/IVF k ≪ N pattern taken to its limit: the
-    // ONLY data-sized work is one narrow explode of each row into its
-    // d(d+1)/2 = 2080 UPPER-TRIANGLE (i ≤ j) integer second-moment terms
-    // feeding a map-side-combining sum (the shuffle carries
-    // triangle·partitions rows, not N·d²; symmetry fills the mirror for
-    // free). The resulting 64×64 covariance is BOUNDED BY d² regardless
-    // of corpus size, so it collects to the driver exactly like the
-    // k-means/IVF centroids, and all four power-iteration rounds are
+    // ONLY data-sized work is ONE narrow explode of each row into its
+    // d(d+1)/2 = 2080 upper-triangle (i ≤ j) integer second-moment terms
+    // plus d sentinel (j = 0) mean terms, all feeding a single
+    // map-side-combining (i, j)-keyed sum whose COUNT doubles as the row
+    // count — moments, means, and N from one pass, one shuffle of
+    // ~2144·partitions rows (symmetry fills the mirror for free). That
+    // aggregate is BOUNDED BY d² regardless of corpus size, so it
+    // collects to the driver exactly like the k-means/IVF centroids, and
+    // the covariance assembly plus all four power-iteration rounds are
     // driver loops over ~4096 longs — the first in-plan shape re-derived
     // the second-moment agg per iteration branch (9.3 s at sf0.1);
-    // collecting the constant-size matrix makes the gate ONE distributed
-    // pass (~1 s). Cross-engine exactness is the PQ gates' micro-unit
-    // discipline: elements pin to 1e-6 integers up front, every sum is
-    // integer-exact and order-free (long adds on the driver, BIGINT/
-    // HUGEINT in the oracle), the norm enters double only as ONE
-    // correctly-rounded cast of an exact big-integer square sum
-    // (BigInt.doubleValue and DuckDB's HUGEINT→DOUBLE both round to
-    // nearest), and v re-pins to the 1e-6 grid after every normalize —
-    // both engines walk the identical integer lattice, so no float-order
-    // drift can accumulate across iterations. Sign pinned by v[1] ≥ 0.
+    // this one runs the distributed pass once. Cross-engine exactness is
+    // the PQ gates' micro-unit discipline: elements pin to 1e-6 integers
+    // up front, every sum is integer-exact and order-free (driver long
+    // adds, BIGINT/HUGEINT in the oracle), and v re-pins to the 1e-6
+    // grid after every normalize, so both engines walk the identical
+    // integer lattice. The per-round norm crosses into double via an
+    // EXPLICIT 2^47 split of the exact square sum — both pieces sit
+    // under 2^53 (convert exactly), the 2^47 rescale is a power-of-two
+    // (exact), and the single rounding is the final add, identical IEEE
+    // in both engines. A direct HUGEINT→DOUBLE cast would NOT work:
+    // DuckDB double-rounds it past 2^64 (verified on tie-boundary
+    // probes), while BigInt.doubleValue rounds once. Sign pinned by
+    // v[1] ≥ 0.
     NamedQuery(
       "embedding_pca_power",
       (s, d) => {
@@ -1192,33 +1198,34 @@ object CurationQueries {
         val e = Tables.embeddings(s, d).select(col("embedding"))
         val xm = e.withColumn("xm", expr(
           "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))"))
-        val upper = xm
+        val terms = xm
           .select(col("xm"), posexplode(col("xm")).as(Seq("i0", "xi")))
           .select((col("i0") + 1).as("i"), posexplode(expr(
-            s"transform(slice(xm, i0 + 1, $dim - i0), y -> xi * y)"))
+            s"concat(array(xi), transform(slice(xm, i0 + 1, $dim - i0), y -> xi * y))"))
             .as(Seq("jj", "p")))
-          .select(col("i"), (col("i") + col("jj")).as("j"), col("p"))
-        val smat = upper.groupBy(col("i"), col("j")).agg(sum(col("p")).as("sp"))
-        val mu = xm.select(posexplode(col("xm")).as(Seq("i0", "xv")))
-          .groupBy((col("i0") + 1).as("mi")).agg(sum(col("xv")).as("mm"))
-        val cnt = xm.agg(count(lit(1)).cast("double").as("n"))
-        val cmat = smat
-          .join(broadcast(mu.select(col("mi"), col("mm").as("ma"))),
-            col("i") === col("mi")).drop("mi")
-          .join(broadcast(mu.select(col("mi"), col("mm").as("mb"))),
-            col("j") === col("mi")).drop("mi")
-          .crossJoin(broadcast(cnt))
-          .select(col("i"), col("j"), expr(
-            """CAST(FLOOR((CAST(sp AS DOUBLE) / 1e12 / n
-              |  - (CAST(ma AS DOUBLE) / 1e6 / n) * (CAST(mb AS DOUBLE) / 1e6 / n))
-              |  * 1000000.0 + 0.5) AS BIGINT)""".stripMargin).as("cm"))
-        // bounded collect: ≤ d(d+1)/2 rows by construction, independent
+          .select(col("i"),
+            when(col("jj") === 0, lit(0)).otherwise(col("i") + col("jj") - 1)
+              .as("j"),
+            col("p"))
+        val moments = terms.groupBy(col("i"), col("j"))
+          .agg(sum(col("p")).as("sp"), count(lit(1)).as("cnt"))
+        // bounded collect: ≤ d(d+3)/2 rows by construction, independent
         // of corpus size (the ivfAssigned / AnnIndex centroid contract)
-        val cm = Array.ofDim[Long](dim + 1, dim + 1)
-        cmat.collect().foreach { r =>
-          val (i, j, c) = (r.getInt(0), r.getInt(1), r.getLong(2))
-          cm(i)(j) = c; cm(j)(i) = c
+        val sums = Array.ofDim[Long](dim + 1, dim + 1)
+        val mm = Array.ofDim[Long](dim + 1)
+        var n = 0.0
+        moments.collect().foreach { r =>
+          val (i, j, sp) = (r.getInt(0), r.getInt(1), r.getLong(2))
+          if (j == 0) { mm(i) = sp; n = r.getLong(3).toDouble }
+          else { sums(i)(j) = sp; sums(j)(i) = sp }
         }
+        // covariance on the driver, in the ORACLE's exact double-op
+        // order: sp/1e12/n - (ma/1e6/n)*(mb/1e6/n), then the 1e-6 pin
+        val cm = Array.ofDim[Long](dim + 1, dim + 1)
+        for (i <- 1 to dim; j <- 1 to dim)
+          cm(i)(j) = math.floor((sums(i)(j).toDouble / 1e12 / n
+            - (mm(i).toDouble / 1e6 / n) * (mm(j).toDouble / 1e6 / n))
+            * 1000000.0 + 0.5).toLong
         var vm = Array.fill(dim)(125000L)
         var nrm = 0.0
         for (_ <- 1 to 4) {
@@ -1229,9 +1236,13 @@ object CurationQueries {
             while (j0 < dim) { acc += cm(i0 + 1)(j0 + 1) * vm(j0); j0 += 1 }
             acc
           }
-          // exact 128-bit square sum; ONE correctly-rounded cast to double
+          // exact 128-bit square sum → double via the 2^47 split (see
+          // the gate scaladoc; the oracle's n-CTEs perform the same
+          // split, so the doubles are bit-equal)
           val qq = wp.foldLeft(BigInt(0))((a, w) => a + BigInt(w) * BigInt(w))
-          nrm = math.sqrt(qq.doubleValue) / 1e12
+          val qd = (qq >> 47).toDouble * 140737488355328.0 +
+            (qq & ((BigInt(1) << 47) - 1)).toDouble
+          nrm = math.sqrt(qd) / 1e12
           vm = wp.map(w => math.floor(w.toDouble / 1e12 / nrm * 1000000.0 + 0.5).toLong)
         }
         val sg = if (vm(0) < 0) -1L else 1L
@@ -1248,8 +1259,10 @@ object CurationQueries {
              |  SELECT c.i, SUM(c.cm * v.vm) AS wp
              |  FROM c JOIN $prev v ON c.j = v.j GROUP BY 1
              |), n$t AS (
-             |  SELECT sqrt(CAST(SUM(CAST(wp AS HUGEINT) * wp) AS DOUBLE)) / 1e12
-             |    AS nrm FROM w$t
+             |  SELECT sqrt(CAST(q // 140737488355328 AS DOUBLE)
+             |      * 140737488355328.0
+             |    + CAST(q % 140737488355328 AS DOUBLE)) / 1e12 AS nrm
+             |  FROM (SELECT SUM(CAST(wp AS HUGEINT) * wp) AS q FROM w$t)
              |), v$t AS (
              |  SELECT i AS j, CAST(FLOOR(CAST(wp AS DOUBLE) / 1e12 / nrm
              |    * 1000000.0 + 0.5) AS BIGINT) AS vm

@@ -87,20 +87,9 @@ object SketchQueries {
   private def hllReport(regs: DataFrame, exact: DataFrame): DataFrame = {
     val merged = regs.groupBy(col("idx")).agg(max(col("mx")).as("mx"))
       .select(lit("__union__").as("event_type"), col("idx"), col("mx"))
-    val est = regs.select(col("event_type"), col("idx"), col("mx"))
-      .unionAll(merged)
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_registers"),
-        sum(expr(s"shiftleft(CAST(1 AS BIGINT), " +
-          s"CAST(${HllPayloadBits + 1} - mx AS INT))")).as("zp"))
-      .withColumn("zeros", lit(HllM) - col("n_registers"))
-      .withColumn("ztot",
-        col("zp") + col("zeros") * lit(1L << (HllPayloadBits + 1)))
-      .withColumn("raw", lit(HllAlphaNumer) / col("ztot").cast("double"))
-      .withColumn("hll_estimate", r6(
-        when(col("zeros") > 0 && col("raw") <= lit(2.5 * HllM),
-          lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("zeros").cast("double")))
-          .otherwise(col("raw"))))
+    val est = hllEstFromRegs(
+      regs.select(col("event_type"), col("idx"), col("mx")).unionAll(merged),
+      Seq("event_type"))
     est.join(exact, "event_type")
       .withColumn("rel_err",
         r6((col("hll_estimate") - col("n_exact")) / col("n_exact")))
@@ -109,12 +98,13 @@ object SketchQueries {
       .orderBy(col("event_type"))
   }
 
-  /** `(keys…, hll_estimate)` from a register relation `(keys…, idx, mx)` —
-    * the estimate chain of [[hllReport]] generalized to arbitrary grouping
-    * keys, so the intersection gate can estimate per-type AND
-    * per-type-pair (max-merged) cardinalities from the same registers.
-    * Same ztot scaled-integer sum, same linear-counting fallback, same r6
-    * pin.
+  /** `(keys…, n_registers, hll_estimate)` from a register relation
+    * `(keys…, idx, mx)` — THE estimate chain, one definition for all
+    * three HLL gates: [[hllReport]] (distinct + streaming twin) groups by
+    * event_type, the intersection gate by the (ta, tb) pair of its
+    * max-merged registers. Scaled-integer ztot sum, linear-counting
+    * fallback, and the r6 pin live only here, so a constant tune cannot
+    * de-synchronize the siblings.
     */
   private def hllEstFromRegs(regs: DataFrame, keys: Seq[String]): DataFrame =
     regs.groupBy(keys.map(col): _*)
@@ -129,21 +119,23 @@ object SketchQueries {
         when(col("zeros") > 0 && col("raw") <= lit(2.5 * HllM),
           lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("zeros").cast("double")))
           .otherwise(col("raw"))))
-      .select(keys.map(col) :+ col("hll_estimate"): _*)
+      .select(keys.map(col) ++ Seq(col("n_registers"), col("hll_estimate")): _*)
 
   /** Oracle twin of [[hllEstFromRegs]]: a SELECT over `regsRel` (columns
-    * `keys…, idx, mx`) ending in `(keys…, hll_estimate)`.
+    * `keys…, idx, mx`) ending in `(keys…, n_registers, hll_estimate)` —
+    * shared by [[hllOracleSql]] and the intersection oracle, mirroring
+    * the one-definition rule on the Spark side.
     */
   private def hllEstSql(regsRel: String, keys: String): String =
-    s"""SELECT $keys, hll_estimate FROM (
-       |  SELECT $keys,
+    s"""SELECT $keys, n_registers, hll_estimate FROM (
+       |  SELECT $keys, n_registers,
        |    CASE WHEN zeros > 0
        |        AND $HllAlphaNumer / CAST(ztot AS DOUBLE) <= ${2.5 * HllM}
        |      THEN ${r6Sql(s"${HllM.toDouble} * ln(${HllM.toDouble} / CAST(zeros AS DOUBLE))")}
        |      ELSE ${r6Sql(s"$HllAlphaNumer / CAST(ztot AS DOUBLE)")}
        |    END AS hll_estimate
        |  FROM (
-       |    SELECT $keys,
+       |    SELECT $keys, CAST(COUNT(*) AS BIGINT) AS n_registers,
        |      CAST(SUM(CAST(1 AS BIGINT) << (${HllPayloadBits + 1} - mx))
        |        AS BIGINT)
        |        + ($HllM - CAST(COUNT(*) AS BIGINT))
@@ -173,22 +165,8 @@ object SketchQueries {
        |  SELECT event_type, idx, mx FROM regs
        |  UNION ALL
        |  SELECT '__union__', idx, MAX(mx) FROM regs GROUP BY 2
-       |), est AS (
-       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_registers,
-       |    CAST(SUM(CAST(1 AS BIGINT) << (${HllPayloadBits + 1} - mx))
-       |      AS BIGINT)
-       |      + ($HllM - CAST(COUNT(*) AS BIGINT))
-       |        * (CAST(1 AS BIGINT) << ${HllPayloadBits + 1}) AS ztot,
-       |    $HllM - CAST(COUNT(*) AS BIGINT) AS zeros
-       |  FROM allregs GROUP BY 1
        |), est2 AS (
-       |  SELECT event_type, n_registers,
-       |    CASE WHEN zeros > 0
-       |        AND $HllAlphaNumer / CAST(ztot AS DOUBLE) <= ${2.5 * HllM}
-       |      THEN ${r6Sql(s"${HllM.toDouble} * ln(${HllM.toDouble} / CAST(zeros AS DOUBLE))")}
-       |      ELSE ${r6Sql(s"$HllAlphaNumer / CAST(ztot AS DOUBLE)")}
-       |    END AS hll_estimate
-       |  FROM est
+       |  ${hllEstSql("allregs", "event_type")}
        |), ex AS (
        |  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT)
        |    AS n_exact FROM events GROUP BY 1
