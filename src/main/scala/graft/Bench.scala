@@ -58,6 +58,8 @@ object Bench {
       Set("date_trunc_agg")
     else if (n == "sketch_bloom_join") Set("equi_join_inner")
     else if (n == "sketch_quantile_hist") Set("equi_join_inner") // orders
+    // the one dataset_* gate over events (temporal split), not documents
+    else if (n == "dataset_split_temporal") Set("date_trunc_agg")
     else if (n.startsWith("similarity_") || n.startsWith("embedding_") ||
       n.startsWith("ann_")) Set("similarity_topk_bruteforce")
     else if (n.startsWith("dedup_") || n.startsWith("text_") ||

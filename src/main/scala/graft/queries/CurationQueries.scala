@@ -1301,6 +1301,227 @@ object CurationQueries {
            |  ${r6Sql("nrm")} AS eigval
            |FROM v4 CROSS JOIN sg CROSS JOIN n4 ORDER BY i""".stripMargin
       }),
+
+    // Embedding QC: per-label norm census with 2σ outlier counts — the
+    // sanity pass every embedding batch runs before indexing (a broken
+    // encoder shows up as a norm-distribution shift long before recall
+    // degrades). Norms come from the exact integer lattice (Σ of 1e-6
+    // element squares is a plain long, < 2^53, so the double conversion
+    // is exact in both engines), means/variances from exact micro-unit
+    // long sums; the 2σ flag compares r6-pinned doubles computed from
+    // identical integers. Plan: one narrow norm map feeding a per-label
+    // aggregate (map-side combine), the |labels|-row stats broadcast
+    // back into a narrow flag pass — two scans, zero data-sized
+    // shuffles, the same shape at any corpus size.
+    NamedQuery(
+      "embedding_norm_outliers",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("label").cast("long").as("label"), expr(
+            """aggregate(transform(embedding,
+              |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)),
+              |  CAST(0 AS BIGINT), (acc, x) -> acc + x * x)""".stripMargin)
+            .as("n2"))
+          .withColumn("norm", r6(sqrt(col("n2").cast("double")) / lit(1000000.0)))
+          .withColumn("nm", floor(col("norm") * lit(1000000.0) + lit(0.5)).cast("long"))
+        val stats = e.groupBy(col("label"))
+          .agg(count(lit(1)).as("n"), sum(col("nm")).as("s1"),
+            sum(col("nm") * col("nm")).as("s2"))
+          .withColumn("mean_norm", r6(col("s1").cast("double") / lit(1000000.0) / col("n")))
+          .withColumn("sd_norm", r6(sqrt(greatest(
+            col("s2").cast("double") / col("n")
+              - (col("s1").cast("double") / col("n")) * (col("s1").cast("double") / col("n")),
+            lit(0.0))) / lit(1000000.0)))
+        e.join(broadcast(stats), "label")
+          .withColumn("is_out",
+            when(abs(col("norm") - col("mean_norm")) > lit(2.0) * col("sd_norm"), 1L)
+              .otherwise(0L))
+          .groupBy(col("label"), col("n"), col("mean_norm"), col("sd_norm"))
+          .agg(sum(col("is_out")).as("n_outliers"))
+          .select(col("label"), col("n"), col("mean_norm"), col("sd_norm"),
+            col("n_outliers"))
+          .orderBy(col("label"))
+      },
+      Some(s"""WITH nm AS (
+              |  SELECT CAST(label AS BIGINT) AS label, vec_id,
+              |    ${r6Sql("sqrt(CAST(n2 AS DOUBLE)) / 1000000.0")} AS norm
+              |  FROM (
+              |    SELECT label, vec_id,
+              |      SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000.0 + 0.5)
+              |          AS BIGINT)
+              |        * CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000.0 + 0.5)
+              |          AS BIGINT)) AS n2
+              |    FROM embeddings, generate_series(1, 64) t(i)
+              |    GROUP BY 1, 2
+              |  )
+              |), nmm AS (
+              |  SELECT label, vec_id, norm,
+              |    CAST(FLOOR(norm * 1000000.0 + 0.5) AS BIGINT) AS nm
+              |  FROM nm
+              |), stats AS (
+              |  SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+              |    CAST(SUM(nm) AS BIGINT) AS s1,
+              |    CAST(SUM(nm * nm) AS BIGINT) AS s2
+              |  FROM nmm GROUP BY 1
+              |), st2 AS (
+              |  SELECT label, n,
+              |    ${r6Sql("CAST(s1 AS DOUBLE) / 1000000.0 / n")} AS mean_norm,
+              |    ${r6Sql("sqrt(GREATEST(CAST(s2 AS DOUBLE) / n" +
+                " - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)," +
+                " 0.0)) / 1000000.0")} AS sd_norm
+              |  FROM stats
+              |)
+              |SELECT s.label, s.n, s.mean_norm, s.sd_norm,
+              |  CAST(SUM(CASE WHEN ABS(v.norm - s.mean_norm)
+              |    > 2.0 * s.sd_norm THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+              |FROM nmm v JOIN st2 s USING (label)
+              |GROUP BY 1, 2, 3, 4 ORDER BY s.label""".stripMargin)),
+
+    // Temporal train/val/test split with a leakage audit — the
+    // time-series discipline hash splits cannot give: train strictly
+    // precedes val precedes test (60/20/20 by the integer-exact time
+    // RANGE, cutoffs tmin + span·3 DIV 5 and ·4 DIV 5), and the same
+    // output row set reports USER overlap between every split pair,
+    // because a user appearing on both sides of a temporal boundary is
+    // exactly the entity-level leakage an evaluation must know about.
+    // All arithmetic is int64 epoch-micros; the audit is a distinct
+    // (part, user) self-join — at 100 TB one shuffle of the distinct
+    // pairs (≪ events), the split itself a broadcast-bounds narrow map
+    // on the same scan every downstream reader already does.
+    NamedQuery(
+      "dataset_split_temporal",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(unix_micros(col("ts")).as("tu"), col("user_id"))
+        val bounds = ev.agg(min(col("tu")).as("tmin"), max(col("tu")).as("tmax"))
+        val parts = ev.crossJoin(broadcast(bounds))
+          .withColumn("part",
+            when(col("tu") < expr("tmin + (((tmax - tmin) * 3) DIV 5)"), "train")
+              .when(col("tu") < expr("tmin + (((tmax - tmin) * 4) DIV 5)"), "val")
+              .otherwise("test"))
+        val splits = parts.groupBy(col("part"))
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("n_users"))
+        val du = parts.select(col("part"), col("user_id")).distinct()
+        val leaks = du.as("x")
+          .join(du.as("y"), col("x.user_id") === col("y.user_id")
+            && col("x.part") < col("y.part"))
+          .groupBy(concat(lit("leak_"), col("x.part"), lit("_"), col("y.part"))
+            .as("part"))
+          .agg(count(lit(1)).as("n_users"))
+          .select(col("part"), lit(0L).as("n_events"), col("n_users"))
+        splits.unionAll(leaks).orderBy(col("part"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT epoch_us(ts) AS tu, user_id FROM events
+             |), bounds AS (
+             |  SELECT MIN(tu) AS tmin, MAX(tu) AS tmax FROM ev
+             |), parts AS (
+             |  SELECT CASE
+             |    WHEN tu < tmin + (((tmax - tmin) * 3) // 5) THEN 'train'
+             |    WHEN tu < tmin + (((tmax - tmin) * 4) // 5) THEN 'val'
+             |    ELSE 'test' END AS part, user_id
+             |  FROM ev CROSS JOIN bounds
+             |), splits AS (
+             |  SELECT part, CAST(COUNT(*) AS BIGINT) AS n_events,
+             |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+             |  FROM parts GROUP BY 1
+             |), du AS (
+             |  SELECT DISTINCT part, user_id FROM parts
+             |), leaks AS (
+             |  SELECT 'leak_' || x.part || '_' || y.part AS part,
+             |    CAST(0 AS BIGINT) AS n_events,
+             |    CAST(COUNT(*) AS BIGINT) AS n_users
+             |  FROM du x JOIN du y ON x.user_id = y.user_id
+             |    AND x.part < y.part
+             |  GROUP BY 1
+             |)
+             |SELECT * FROM splits UNION ALL SELECT * FROM leaks
+             |ORDER BY part""".stripMargin)),
+
+    // Greedy k-center coreset (Gonzalez 1985, the 2-approximation):
+    // data-pruning / diverse-subset selection — pick the point farthest
+    // from the chosen set, k times. The selection rides the exact
+    // micro-unit lattice: squared distances to the (k ≪ N, plan-literal)
+    // chosen vectors are plain long sums, the per-round winner is a
+    // PARTIAL max over (min-dist, -id) — so each round is one narrow
+    // scan + combine-side argmax, k bounded driver collects of ONE row,
+    // exactly the AnnIndex centroid discipline. The radius column (r6 of
+    // the exact integer √) is the coverage guarantee: every corpus point
+    // sits within that distance of some chosen center when it was
+    // picked. At 100 TB: k passes over the scan, zero data-sized
+    // shuffles, centers never leave the plan.
+    NamedQuery(
+      "sample_coreset_kcenter",
+      (s, d) => {
+        val k = 8
+        val xm = Tables.embeddings(s, d)
+          .select(col("vec_id"), expr(
+            "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))")
+            .as("xm"))
+        def vecOf(id: Long): Seq[Long] =
+          xm.filter(col("vec_id") === id).select(col("xm"))
+            .collect()(0).getSeq[Long](0)
+        def d2To(v: Seq[Long]) = {
+          import org.apache.spark.sql.functions.{aggregate => fAgg, zip_with}
+          fAgg(zip_with(col("xm"), typedLit(v), (x, y) => (x - y) * (x - y)),
+            lit(0L), (acc, e) => acc + e)
+        }
+        var chosen = List((1L, 0L, 0.0)) // (round, id, radius); seed = min id
+        var vecs = List(vecOf(0L))
+        while (chosen.length < k) {
+          val mind = vecs.map(d2To).reduce(least(_, _))
+          val best = xm
+            .agg(max(struct(mind.as("d2"), (-col("vec_id")).as("tie"),
+              col("vec_id"))).as("b"))
+            .select(col("b.vec_id"), col("b.d2")).collect()(0)
+          val (id, d2v) = (best.getLong(0), best.getLong(1))
+          val radius = math.floor(math.sqrt(d2v.toDouble) / 1e6 * 1000000.0 + 0.5) / 1000000.0
+          chosen = chosen :+ ((chosen.length + 1L, id, radius))
+          vecs = vecs :+ vecOf(id)
+        }
+        import s.implicits._
+        chosen.toDF("round", "center_id", "radius")
+      },
+      Some {
+        val k = 8
+        val stages = (2 to k).map { t =>
+          val prevM = if (t == 2) "d_1" else s"m_${t - 1}"
+          s"""c_$t AS (
+             |  SELECT vec_id, d2 FROM $prevM ORDER BY d2 DESC, vec_id LIMIT 1
+             |), d_$t AS (
+             |  SELECT a.vec_id, SUM((a.xv - b.xv) * (a.xv - b.xv)) AS d2
+             |  FROM em a JOIN em b ON a.i = b.i
+             |    AND b.vec_id = (SELECT vec_id FROM c_$t)
+             |  GROUP BY 1
+             |), m_$t AS (
+             |  SELECT p.vec_id, LEAST(p.d2, q.d2) AS d2
+             |  FROM $prevM p JOIN d_$t q USING (vec_id)
+             |)""".stripMargin
+        }.mkString(", ")
+        val rows = (2 to k).map { t =>
+          s"""SELECT $t AS round, (SELECT vec_id FROM c_$t) AS center_id,
+             |  ${r6Sql(s"sqrt(CAST((SELECT d2 FROM c_$t) AS DOUBLE)) / 1000000.0")}
+             |    AS radius""".stripMargin
+        }.mkString("\n UNION ALL\n")
+        s"""WITH em AS (
+           |  SELECT vec_id, i,
+           |    CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000.0 + 0.5)
+           |      AS BIGINT) AS xv
+           |  FROM embeddings, generate_series(1, 64) t(i)
+           |), d_1 AS (
+           |  SELECT a.vec_id, SUM((a.xv - b.xv) * (a.xv - b.xv)) AS d2
+           |  FROM em a JOIN em b ON a.i = b.i AND b.vec_id = 0
+           |  GROUP BY 1
+           |), $stages
+           |SELECT CAST(round AS BIGINT) AS round,
+           |  CAST(center_id AS BIGINT) AS center_id, radius
+           |FROM (
+           |  SELECT 1 AS round, 0 AS center_id, CAST(0.0 AS DOUBLE) AS radius
+           |  UNION ALL
+           |$rows
+           |) ORDER BY round""".stripMargin
+      }),
   )
 
 }

@@ -44,6 +44,49 @@ object MLQueries {
   private[queries] def words(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(col("doc_id"), split(col("text"), " ").as("w"))
 
+  /** `(vec_id, embedding, norm, bucket)` under the 4-hyperplane LSH of the
+    * similarity family — ONE bucket definition shared by
+    * `similarity_ann_lsh` (top-k in the query's bucket) and
+    * `similarity_range_search` (all within-bucket pairs past a
+    * threshold), so the two probes index the same structure. Each plane
+    * dot is a sequential index-order fold (deterministic under any
+    * partitioning/AQE plan, unlike a sum over exploded rows); signs from
+    * the integer hyperplane formula, exact in both engines.
+    */
+  private def lshBucketed(s: SparkSession, d: String): DataFrame = {
+    def planeDot(j: Int) = expr(
+      s"""aggregate(sequence(0, size(embedding) - 1), CAST(0 AS DOUBLE),
+         |  (acc, i) -> acc + CAST(embedding[i] AS DOUBLE) *
+         |    (((CAST((i + 1) * ($j + 7) AS BIGINT) * 2654435761) % 1000003) / 1000003.0 - 0.5))"""
+        .stripMargin)
+    val bucket = (0 until 4)
+      .map(j => when(planeDot(j) > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), vecNorm(col("embedding")).as("norm"),
+        bucket.as("bucket"))
+  }
+
+  /** Oracle twin of [[lshBucketed]]: CTE pair ending in
+    * `bucketed(vec_id, bucket)`.
+    */
+  private val lshBucketedSql: String =
+    """dots AS (
+      |  SELECT vec_id, j,
+      |    SUM(CAST(embedding[i] AS DOUBLE) *
+      |      (((CAST(i * (j + 7) AS BIGINT) * 2654435761) % 1000003) / 1000003.0 - 0.5))
+      |      AS dot
+      |  FROM embeddings
+      |  CROSS JOIN (SELECT UNNEST(generate_series(1, 64)) AS i)
+      |  CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS j)
+      |  GROUP BY vec_id, j
+      |), bucketed AS (
+      |  SELECT vec_id,
+      |    CAST(SUM(CASE WHEN dot > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)
+      |      AS BIGINT) AS bucket
+      |  FROM dots GROUP BY vec_id
+      |)""".stripMargin
+
   /** Oracle twin of TextOps.qualityScore over `documents`: CTE ending in
     * `qual(doc_id, source, text, n_words, q)`. ONE definition spliced into
     * every quality-consuming oracle (text_quality_score /
@@ -1082,17 +1125,7 @@ $blockSql
     NamedQuery(
       "similarity_ann_lsh",
       (s, d) => {
-        def planeDot(j: Int) = expr(
-          s"""aggregate(sequence(0, size(embedding) - 1), CAST(0 AS DOUBLE),
-             |  (acc, i) -> acc + CAST(embedding[i] AS DOUBLE) *
-             |    (((CAST((i + 1) * ($j + 7) AS BIGINT) * 2654435761) % 1000003) / 1000003.0 - 0.5))"""
-            .stripMargin)
-        val bucket = (0 until 4)
-          .map(j => when(planeDot(j) > 0, lit(1L << j)).otherwise(lit(0L)))
-          .reduce(_ + _)
-        val buckets = Tables.embeddings(s, d)
-          .select(col("vec_id"), col("embedding"), vecNorm(col("embedding")).as("norm"),
-            bucket.as("bucket"))
+        val buckets = lshBucketed(s, d)
         val q = buckets.filter(col("vec_id") < 5)
           .select(col("vec_id").as("query_id"), col("embedding").as("ea"),
             col("norm").as("norm_a"), col("bucket"))
@@ -1101,21 +1134,7 @@ $blockSql
             col("norm").as("norm_b"), col("bucket"))
         cosineTopK(q, c, Seq("bucket"), k = 3)
       },
-      Some(topKSql(s"""dots AS (
-              |  SELECT vec_id, j,
-              |    SUM(CAST(embedding[i] AS DOUBLE) *
-              |      (((CAST(i * (j + 7) AS BIGINT) * 2654435761) % 1000003) / 1000003.0 - 0.5))
-              |      AS dot
-              |  FROM embeddings
-              |  CROSS JOIN (SELECT UNNEST(generate_series(1, 64)) AS i)
-              |  CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS j)
-              |  GROUP BY vec_id, j
-              |), bucketed AS (
-              |  SELECT vec_id,
-              |    CAST(SUM(CASE WHEN dot > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)
-              |      AS BIGINT) AS bucket
-              |  FROM dots GROUP BY vec_id
-              |), sims AS (
+      Some(topKSql(s"""$lshBucketedSql, sims AS (
               |  SELECT qa.vec_id AS query_id, cb.vec_id AS neighbor_id,
               |    ${r6Sql(duckDot("a.embedding", "b.embedding") +
                 s" / (${duckNorm("a.embedding")} * ${duckNorm("b.embedding")})")} AS sim
@@ -1125,6 +1144,46 @@ $blockSql
               |  JOIN embeddings b ON b.vec_id = cb.vec_id
               |  WHERE qa.vec_id < 5
               |)""".stripMargin, k = 3))),
+
+    // Range search (radius query): ALL within-bucket pairs with rounded
+    // cosine ≥ 0.4 — the "find everything this similar" probe that top-k
+    // cannot express (k truncates; a radius query's result size is
+    // data-driven). Shares the judged LSH bucket structure with
+    // similarity_ann_lsh via [[lshBucketed]], so at 100 TB it is one
+    // equi-join on bucket id (candidates drop ~2^planes×) followed by a
+    // narrow sim filter — never an all-pairs product; recall follows the
+    // same bucket-collision odds the ann gate's calibration measures.
+    // The 0.4 threshold is the judged constant, placed in the committed
+    // corpus's measured same-bucket sim range (max 0.55 at sf0.1) so
+    // both fixtures return a nonempty, bounded pair set.
+    NamedQuery(
+      "similarity_range_search",
+      (s, d) => {
+        val buckets = lshBucketed(s, d)
+        val a = buckets.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+          col("norm").as("norm_a"), col("bucket"))
+        val b = buckets.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+          col("norm").as("norm_b"), col("bucket"))
+        a.join(b, "bucket")
+          .filter(col("vec_a") < col("vec_b"))
+          .withColumn("sim",
+            r6(vecDot(col("ea"), col("eb")) / (col("norm_a") * col("norm_b"))))
+          .filter(col("sim") >= 0.4)
+          .select(col("vec_a"), col("vec_b"), col("sim"))
+          .orderBy(col("vec_a"), col("vec_b"))
+      },
+      Some(s"""WITH $lshBucketedSql, sims AS (
+              |  SELECT qa.vec_id AS vec_a, cb.vec_id AS vec_b,
+              |    ${r6Sql(duckDot("a.embedding", "b.embedding") +
+                s" / (${duckNorm("a.embedding")} * ${duckNorm("b.embedding")})")} AS sim
+              |  FROM bucketed qa
+              |  JOIN bucketed cb ON qa.bucket = cb.bucket
+              |    AND qa.vec_id < cb.vec_id
+              |  JOIN embeddings a ON a.vec_id = qa.vec_id
+              |  JOIN embeddings b ON b.vec_id = cb.vec_id
+              |)
+              |SELECT vec_a, vec_b, sim FROM sims WHERE sim >= 0.4
+              |ORDER BY vec_a, vec_b""".stripMargin)),
 
     // IVF-style ANN: cell assignment via the shared [[ivfAssigned]]
     // helper (driver-literal centroids, narrow codegen'd map — see its
@@ -2122,6 +2181,76 @@ $blockSql
               |  CAST(SUM(CASE WHEN hk < thresh THEN doc_id % 2147483647 ELSE 0 END)
               |    % 2147483647 AS BIGINT) AS kept_id_checksum
               |FROM samp GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Static mixture design (DoReMi-lite): how much each source SHOULD
+    // contribute — weight ∝ √tokens · avg_quality (the √ flattens size
+    // dominance exactly like the temperature draw's √n_s below; the
+    // quality factor up-weights clean sources), normalized and published
+    // as an r6 weight plus a docs-per-1000 budget. Integer-exact end to
+    // end: token counts and 1e-6-pinned quality sums aggregate as longs
+    // (map-side combine; reduce side is one row per source), scores pin
+    // to micro units before the normalizing division. At 100 TB this is
+    // the same single word-count-shaped aggregate every census already
+    // runs — the weights table (|sources| rows) then drives the sampler
+    // as a broadcast, so re-weighting a corpus costs one narrow pass,
+    // not a reshuffle.
+    NamedQuery(
+      "sample_mixture_weights",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("source"),
+          split(col("text"), " ").as("w"), col("n_chars"))
+        val per = docs
+          .withColumn("q_micro", floor(
+            graft.ml.TextOps.qualityScore(col("w"), col("n_chars"))
+              * lit(1000000.0) + lit(0.5)).cast("long"))
+          .withColumn("n_words", size(col("w")).cast("long"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("tokens"),
+            sum(col("q_micro")).as("q_sum"))
+          .withColumn("avg_q",
+            r6(col("q_sum").cast("double") / lit(1000000.0) / col("n_docs")))
+          .withColumn("score_micro", floor(
+            sqrt(col("tokens").cast("double")) * col("avg_q")
+              * lit(1000000.0) + lit(0.5)).cast("long"))
+        val tot = per.agg(sum(col("score_micro")).as("s_tot"))
+        per.crossJoin(broadcast(tot))
+          .withColumn("weight",
+            r6(col("score_micro").cast("double") / col("s_tot").cast("double")))
+          .withColumn("docs_per_1000",
+            floor(col("weight") * lit(1000.0) + lit(0.5)).cast("long"))
+          .select(col("source"), col("n_docs"), col("tokens"), col("avg_q"),
+            col("weight"), col("docs_per_1000"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH per AS (
+              |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |    CAST(SUM(CAST(len(w) AS BIGINT)) AS BIGINT) AS tokens,
+              |    CAST(SUM(CAST(FLOOR(q * 1000000.0 + 0.5) AS BIGINT))
+              |      AS BIGINT) AS q_sum
+              |  FROM (SELECT source, w, $qualityFormulaSql AS q
+              |        FROM (SELECT source, n_chars,
+              |              string_split(text, ' ') AS w FROM documents))
+              |  GROUP BY 1
+              |), scored AS (
+              |  SELECT source, n_docs, tokens,
+              |    ${r6Sql("CAST(q_sum AS DOUBLE) / 1000000.0 / n_docs")} AS avg_q
+              |  FROM per
+              |), sc2 AS (
+              |  SELECT source, n_docs, tokens, avg_q,
+              |    CAST(FLOOR(SQRT(CAST(tokens AS DOUBLE)) * avg_q
+              |      * 1000000.0 + 0.5) AS BIGINT) AS score_micro
+              |  FROM scored
+              |), tot AS (
+              |  SELECT CAST(SUM(score_micro) AS BIGINT) AS s_tot FROM sc2
+              |), wts AS (
+              |  SELECT source, n_docs, tokens, avg_q,
+              |    ${r6Sql("CAST(score_micro AS DOUBLE) / CAST(s_tot AS DOUBLE)")}
+              |      AS weight
+              |  FROM sc2 CROSS JOIN tot
+              |)
+              |SELECT source, n_docs, tokens, avg_q, weight,
+              |  CAST(FLOOR(weight * 1000.0 + 0.5) AS BIGINT) AS docs_per_1000
+              |FROM wts ORDER BY source""".stripMargin)),
 
     // Temperature-flattened mixture sampling — the multi-source corpus
     // rebalancing pass (the public XLM-R / multilingual-BERT recipe:

@@ -90,6 +90,78 @@ class CurationInvariantsSpec extends SparkSpec {
     assert(eigs.length == 1 && eigs.head > 0.0, s"eigval column: ${eigs.toSeq}")
   }
 
+  test("embedding_norm_outliers: outliers bounded, sd nonnegative") {
+    val rows = SparkEntry.queries("embedding_norm_outliers")(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, out) = (r.getAs[Long]("n"), r.getAs[Long]("n_outliers"))
+      assert(out >= 0L && out <= n)
+      assert(r.getAs[Double]("sd_norm") >= 0.0)
+      assert(r.getAs[Double]("mean_norm") > 0.0)
+      // Chebyshev: at most 1/4 of any distribution sits past 2 sigma
+      assert(4L * out <= n + 3L, s"label ${r.getAs[Long]("label")}: $out of $n past 2 sigma")
+    }
+  }
+
+  test("dataset_split_temporal: splits partition events, leaks bounded by sides") {
+    val rows = SparkEntry.queries("dataset_split_temporal")(spark, d).collect()
+      .map(r => r.getAs[String]("part") ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("n_users"))).toMap
+    for (p <- Seq("train", "val", "test"))
+      assert(rows.contains(p) && rows(p)._1 > 0L, s"split $p missing or empty")
+    // temporal split partitions the table exactly
+    val total = spark.read.parquet(s"$d/events.parquet").count()
+    assert(rows("train")._1 + rows("val")._1 + rows("test")._1 == total)
+    // every leak row's overlap is bounded by the smaller side's users
+    for ((a, b) <- Seq(("test", "train"), ("test", "val"), ("train", "val"))) {
+      rows.get(s"leak_${a}_$b").foreach { case (ne, nu) =>
+        assert(ne == 0L)
+        assert(nu <= math.min(rows(a)._2, rows(b)._2))
+      }
+    }
+  }
+
+  test("sample_coreset_kcenter: radii non-increasing, centers distinct, seed pinned") {
+    val rows = SparkEntry.queries("sample_coreset_kcenter")(spark, d).collect()
+      .sortBy(_.getAs[Long]("round"))
+    assert(rows.length == 8)
+    assert(rows.head.getAs[Long]("center_id") == 0L
+      && rows.head.getAs[Double]("radius") == 0.0)
+    val ids = rows.map(_.getAs[Long]("center_id"))
+    assert(ids.distinct.length == ids.length, "a center was picked twice")
+    // greedy farthest-point radii can never increase round over round
+    val radii = rows.drop(1).map(_.getAs[Double]("radius"))
+    radii.sliding(2).foreach { case Array(a, b) =>
+      assert(b <= a + 1e-6, s"radius rose: $a -> $b")
+    }
+  }
+
+  test("sample_mixture_weights: weights normalize and follow sqrt-size ordering") {
+    val rows = SparkEntry.queries("sample_mixture_weights")(spark, d).collect()
+    assert(rows.nonEmpty)
+    val wsum = rows.map(_.getAs[Double]("weight")).sum
+    // each weight is r6-floored so the sum undershoots 1 by < 20e-6
+    assert(wsum > 1.0 - 2e-5 && wsum <= 1.0 + 2e-5, s"weights sum to $wsum")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("weight") > 0.0)
+      assert(r.getAs[Double]("avg_q") > 0.0 && r.getAs[Double]("avg_q") <= 1.0)
+      assert(r.getAs[Long]("docs_per_1000") >= 0L)
+    }
+  }
+
+  test("similarity_range_search: every pair clears the threshold, shares a bucket plan") {
+    val rows = SparkEntry.queries("similarity_range_search")(spark, d).collect()
+    assert(rows.nonEmpty, "0.4 threshold should match planted same-bucket pairs")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("sim") >= 0.4)
+      assert(r.getAs[Long]("vec_a") < r.getAs[Long]("vec_b"))
+    }
+    // the range probe must ride the LSH bucket join, never a cross product
+    val p = plan("similarity_range_search")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "range search fell back to an all-pairs product")
+  }
+
   test("text_gopher_rules: keep is the AND of flags, both keep classes present") {
     val rows = SparkEntry.queries("text_gopher_rules")(spark, d).collect()
     assert(rows.nonEmpty)
