@@ -40,6 +40,27 @@ object CurationQueries {
   private val ProjDims = 16
   private val SrcDims = 64
 
+  /** THE micro-unit embedding lattice: elements pinned to 1e-6 integers
+    * (floor(x·1e6 + 0.5) of the exact float→double value). ONE spelling
+    * shared by embedding_pca_power, embedding_norm_outliers, and
+    * sample_coreset_kcenter — the byte-identical expression is what
+    * keeps their integer lattices (and therefore their oracles)
+    * consistent, the lshBucketed rationale applied to quantization.
+    */
+  private[queries] val microVecExpr: String =
+    "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))"
+
+  /** Oracle twin of [[microVecExpr]]: CTE `em(vec_id, i, xv)` with
+    * 1-based i over the 64 dims.
+    */
+  private[queries] val emCteSql: String =
+    """em AS (
+      |  SELECT vec_id, i,
+      |    CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000.0 + 0.5)
+      |      AS BIGINT) AS xv
+      |  FROM embeddings, generate_series(1, 64) t(i)
+      |)""".stripMargin
+
   private def md5FirstHexEven(key: String): Boolean = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -1196,8 +1217,7 @@ object CurationQueries {
       (s, d) => {
         val dim = 64
         val e = Tables.embeddings(s, d).select(col("embedding"))
-        val xm = e.withColumn("xm", expr(
-          "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))"))
+        val xm = e.withColumn("xm", expr(microVecExpr))
         val terms = xm
           .select(col("xm"), posexplode(col("xm")).as(Seq("i0", "xi")))
           .select((col("i0") + 1).as("i"), posexplode(expr(
@@ -1269,18 +1289,13 @@ object CurationQueries {
              |  FROM w$t CROSS JOIN n$t
              |)""".stripMargin
         }.mkString(", ")
-        s"""WITH xm AS (
-           |  SELECT vec_id, i,
-           |    CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000.0 + 0.5)
-           |      AS BIGINT) AS xv
-           |  FROM embeddings, generate_series(1, 64) t(i)
-           |), nn AS (
+        s"""WITH $emCteSql, nn AS (
            |  SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM embeddings
            |), s AS (
            |  SELECT a.i AS i, b.i AS j, SUM(a.xv * b.xv) AS sp
-           |  FROM xm a JOIN xm b USING (vec_id) GROUP BY 1, 2
+           |  FROM em a JOIN em b USING (vec_id) GROUP BY 1, 2
            |), mu AS (
-           |  SELECT i, SUM(xv) AS mm FROM xm GROUP BY 1
+           |  SELECT i, SUM(xv) AS mm FROM em GROUP BY 1
            |), c AS (
            |  SELECT s.i, s.j,
            |    CAST(FLOOR((CAST(sp AS DOUBLE) / 1e12 / nn.n
@@ -1318,9 +1333,7 @@ object CurationQueries {
       (s, d) => {
         val e = Tables.embeddings(s, d)
           .select(col("label").cast("long").as("label"), expr(
-            """aggregate(transform(embedding,
-              |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)),
-              |  CAST(0 AS BIGINT), (acc, x) -> acc + x * x)""".stripMargin)
+            s"aggregate($microVecExpr, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)")
             .as("n2"))
           .withColumn("norm", r6(sqrt(col("n2").cast("double")) / lit(1000000.0)))
           .withColumn("nm", floor(col("norm") * lit(1000000.0) + lit(0.5)).cast("long"))
@@ -1342,18 +1355,12 @@ object CurationQueries {
             col("n_outliers"))
           .orderBy(col("label"))
       },
-      Some(s"""WITH nm AS (
-              |  SELECT CAST(label AS BIGINT) AS label, vec_id,
+      Some(s"""WITH $emCteSql, n2s AS (
+              |  SELECT vec_id, SUM(xv * xv) AS n2 FROM em GROUP BY 1
+              |), nm AS (
+              |  SELECT CAST(e.label AS BIGINT) AS label, n.vec_id,
               |    ${r6Sql("sqrt(CAST(n2 AS DOUBLE)) / 1000000.0")} AS norm
-              |  FROM (
-              |    SELECT label, vec_id,
-              |      SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000.0 + 0.5)
-              |          AS BIGINT)
-              |        * CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000.0 + 0.5)
-              |          AS BIGINT)) AS n2
-              |    FROM embeddings, generate_series(1, 64) t(i)
-              |    GROUP BY 1, 2
-              |  )
+              |  FROM n2s n JOIN embeddings e USING (vec_id)
               |), nmm AS (
               |  SELECT label, vec_id, norm,
               |    CAST(FLOOR(norm * 1000000.0 + 0.5) AS BIGINT) AS nm
@@ -1443,42 +1450,41 @@ object CurationQueries {
     // data-pruning / diverse-subset selection — pick the point farthest
     // from the chosen set, k times. The selection rides the exact
     // micro-unit lattice: squared distances to the (k ≪ N, plan-literal)
-    // chosen vectors are plain long sums, the per-round winner is a
-    // PARTIAL max over (min-dist, -id) — so each round is one narrow
-    // scan + combine-side argmax, k bounded driver collects of ONE row,
-    // exactly the AnnIndex centroid discipline. The radius column (r6 of
-    // the exact integer √) is the coverage guarantee: every corpus point
-    // sits within that distance of some chosen center when it was
-    // picked. At 100 TB: k passes over the scan, zero data-sized
-    // shuffles, centers never leave the plan.
+    // chosen vectors are plain long sums, and each round is ONE narrow
+    // scan into a PARTIAL max over (min-dist, -id, id, vector) — the
+    // winner's vector rides the argmax struct, so the round costs
+    // exactly one 1-row driver collect (plus one min-struct collect for
+    // the data-driven seed = lowest vec_id), the AnnIndex centroid
+    // discipline. The radius column (r6 of the exact integer √) is the
+    // coverage guarantee: every corpus point sits within that distance
+    // of some chosen center when it was picked. At 100 TB: k passes
+    // over the scan, zero data-sized shuffles, centers never leave the
+    // plan.
     NamedQuery(
       "sample_coreset_kcenter",
       (s, d) => {
         val k = 8
         val xm = Tables.embeddings(s, d)
-          .select(col("vec_id"), expr(
-            "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))")
-            .as("xm"))
-        def vecOf(id: Long): Seq[Long] =
-          xm.filter(col("vec_id") === id).select(col("xm"))
-            .collect()(0).getSeq[Long](0)
+          .select(col("vec_id"), expr(microVecExpr).as("xm"))
         def d2To(v: Seq[Long]) = {
           import org.apache.spark.sql.functions.{aggregate => fAgg, zip_with}
           fAgg(zip_with(col("xm"), typedLit(v), (x, y) => (x - y) * (x - y)),
             lit(0L), (acc, e) => acc + e)
         }
-        var chosen = List((1L, 0L, 0.0)) // (round, id, radius); seed = min id
-        var vecs = List(vecOf(0L))
+        val seed = xm.agg(min(struct(col("vec_id"), col("xm"))).as("s"))
+          .select(col("s.vec_id"), col("s.xm")).collect()(0)
+        var chosen = List((1L, seed.getLong(0), 0.0))
+        var vecs = List(seed.getSeq[Long](1))
         while (chosen.length < k) {
           val mind = vecs.map(d2To).reduce(least(_, _))
           val best = xm
             .agg(max(struct(mind.as("d2"), (-col("vec_id")).as("tie"),
-              col("vec_id"))).as("b"))
-            .select(col("b.vec_id"), col("b.d2")).collect()(0)
+              col("vec_id"), col("xm"))).as("b"))
+            .select(col("b.vec_id"), col("b.d2"), col("b.xm")).collect()(0)
           val (id, d2v) = (best.getLong(0), best.getLong(1))
           val radius = math.floor(math.sqrt(d2v.toDouble) / 1e6 * 1000000.0 + 0.5) / 1000000.0
           chosen = chosen :+ ((chosen.length + 1L, id, radius))
-          vecs = vecs :+ vecOf(id)
+          vecs = vecs :+ best.getSeq[Long](2)
         }
         import s.implicits._
         chosen.toDF("round", "center_id", "radius")
@@ -1504,20 +1510,18 @@ object CurationQueries {
              |  ${r6Sql(s"sqrt(CAST((SELECT d2 FROM c_$t) AS DOUBLE)) / 1000000.0")}
              |    AS radius""".stripMargin
         }.mkString("\n UNION ALL\n")
-        s"""WITH em AS (
-           |  SELECT vec_id, i,
-           |    CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000.0 + 0.5)
-           |      AS BIGINT) AS xv
-           |  FROM embeddings, generate_series(1, 64) t(i)
-           |), d_1 AS (
+        s"""WITH $emCteSql, d_1 AS (
            |  SELECT a.vec_id, SUM((a.xv - b.xv) * (a.xv - b.xv)) AS d2
-           |  FROM em a JOIN em b ON a.i = b.i AND b.vec_id = 0
+           |  FROM em a JOIN em b ON a.i = b.i
+           |    AND b.vec_id = (SELECT MIN(vec_id) FROM embeddings)
            |  GROUP BY 1
            |), $stages
            |SELECT CAST(round AS BIGINT) AS round,
            |  CAST(center_id AS BIGINT) AS center_id, radius
            |FROM (
-           |  SELECT 1 AS round, 0 AS center_id, CAST(0.0 AS DOUBLE) AS radius
+           |  SELECT 1 AS round,
+           |    (SELECT MIN(vec_id) FROM embeddings) AS center_id,
+           |    CAST(0.0 AS DOUBLE) AS radius
            |  UNION ALL
            |$rows
            |) ORDER BY round""".stripMargin
