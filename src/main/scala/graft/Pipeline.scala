@@ -597,6 +597,11 @@ object Pipeline {
       // contract): whole-doc dedup already ran, so any remaining span
       // coverage is boilerplate/template duplication inside survivors
       val spansRow = graft.ml.Curate.spanProfile(curated).collect().head
+      // mixture design (the judged sample_mixture_weights contract over
+      // the survivors): the per-source sampling weights this drop should
+      // train with — published with the census so downstream samplers
+      // read them from the drop, not recompute them differently
+      val mix = graft.ml.Curate.mixtureProfile(curated).collect()
       curated.unpersist()
       census.foreach(r => println(
         s"curated: split=${r.getString(0)} source=${r.getString(1)} " +
@@ -608,6 +613,11 @@ object Pipeline {
         s"dup_tokens=${spansRow.getLong(1)} " +
         s"corpus_tokens=${if (spansRow.isNullAt(2)) 0L else spansRow.getLong(2)} " +
         s"coverage=${if (spansRow.isNullAt(3)) 0.0 else spansRow.getDouble(3)}")
+      mix.foreach(r => println(
+        s"mixture: source=${r.getAs[String]("source")} " +
+          s"weight=${r.getAs[Double]("weight")} " +
+          s"docs_per_1000=${r.getAs[Long]("docs_per_1000")} " +
+          s"avg_q=${r.getAs[Double]("avg_q")}"))
       println(s"curated ${census.map(_.getLong(2)).sum} documents to $out")
       spark.stop()
 

@@ -120,6 +120,17 @@ object Curate {
   def vocabProfile(curated: DataFrame): DataFrame =
     TextOps.zipfFit(curated.select(col("text")))
 
+  /** Per-source mixture weights over the curated survivors: the judged
+    * `sample_mixture_weights` contract (ONE shared definition,
+    * MLQueries.mixtureWeights) applied to the scrubbed corpus — the
+    * weights a training run should sample this drop with. n_chars is
+    * derived from the scrubbed text (redaction changes lengths; the
+    * weights must describe what ships, not what was ingested).
+    */
+  def mixtureProfile(curated: DataFrame): DataFrame =
+    graft.queries.MLQueries.mixtureWeights(curated.select(col("source"),
+      col("text"), length(col("text")).cast("long").as("n_chars")))
+
   /** Duplicated-span coverage of a curated corpus: the judged
     * `dedup_substring_spans` contract (ONE shared definition,
     * CurationQueries.substringSpans) aggregated to a single row

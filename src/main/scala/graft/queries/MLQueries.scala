@@ -44,6 +44,40 @@ object MLQueries {
   private[queries] def words(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(col("doc_id"), split(col("text"), " ").as("w"))
 
+  /** Per-source mixture-weight table over `(source, text, n_chars)` rows —
+    * THE `sample_mixture_weights` contract (weight ∝ √tokens ·
+    * avg_quality, micro-unit integer sums, r6-pinned normalization), ONE
+    * definition shared by the judged gate (raw documents) and the Curate
+    * product's mixture profile (curated survivors), so the weights a
+    * drop publishes are exactly what the oracle judged.
+    */
+  private[graft] def mixtureWeights(in: DataFrame): DataFrame = {
+    val docs = in.select(col("source"), split(col("text"), " ").as("w"),
+      col("n_chars"))
+    val per = docs
+      .withColumn("q_micro", floor(
+        graft.ml.TextOps.qualityScore(col("w"), col("n_chars"))
+          * lit(1000000.0) + lit(0.5)).cast("long"))
+      .withColumn("n_words", size(col("w")).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("tokens"),
+        sum(col("q_micro")).as("q_sum"))
+      .withColumn("avg_q",
+        r6(col("q_sum").cast("double") / lit(1000000.0) / col("n_docs")))
+      .withColumn("score_micro", floor(
+        sqrt(col("tokens").cast("double")) * col("avg_q")
+          * lit(1000000.0) + lit(0.5)).cast("long"))
+    val tot = per.agg(sum(col("score_micro")).as("s_tot"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("weight",
+        r6(col("score_micro").cast("double") / col("s_tot").cast("double")))
+      .withColumn("docs_per_1000",
+        floor(col("weight") * lit(1000.0) + lit(0.5)).cast("long"))
+      .select(col("source"), col("n_docs"), col("tokens"), col("avg_q"),
+        col("weight"), col("docs_per_1000"))
+      .orderBy(col("source"))
+  }
+
   /** `(vec_id, embedding, norm, bucket)` under the 4-hyperplane LSH of the
     * similarity family — ONE bucket definition shared by
     * `similarity_ann_lsh` (top-k in the query's bucket) and
@@ -2203,32 +2237,8 @@ $blockSql
     // not a reshuffle.
     NamedQuery(
       "sample_mixture_weights",
-      (s, d) => {
-        val docs = Tables.documents(s, d).select(col("source"),
-          split(col("text"), " ").as("w"), col("n_chars"))
-        val per = docs
-          .withColumn("q_micro", floor(
-            graft.ml.TextOps.qualityScore(col("w"), col("n_chars"))
-              * lit(1000000.0) + lit(0.5)).cast("long"))
-          .withColumn("n_words", size(col("w")).cast("long"))
-          .groupBy(col("source"))
-          .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("tokens"),
-            sum(col("q_micro")).as("q_sum"))
-          .withColumn("avg_q",
-            r6(col("q_sum").cast("double") / lit(1000000.0) / col("n_docs")))
-          .withColumn("score_micro", floor(
-            sqrt(col("tokens").cast("double")) * col("avg_q")
-              * lit(1000000.0) + lit(0.5)).cast("long"))
-        val tot = per.agg(sum(col("score_micro")).as("s_tot"))
-        per.crossJoin(broadcast(tot))
-          .withColumn("weight",
-            r6(col("score_micro").cast("double") / col("s_tot").cast("double")))
-          .withColumn("docs_per_1000",
-            floor(col("weight") * lit(1000.0) + lit(0.5)).cast("long"))
-          .select(col("source"), col("n_docs"), col("tokens"), col("avg_q"),
-            col("weight"), col("docs_per_1000"))
-          .orderBy(col("source"))
-      },
+      (s, d) => mixtureWeights(
+        Tables.documents(s, d).select(col("source"), col("text"), col("n_chars"))),
       Some(s"""WITH per AS (
               |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
               |    CAST(SUM(CAST(len(w) AS BIGINT)) AS BIGINT) AS tokens,

@@ -224,6 +224,28 @@ class CurateSpec extends SparkSpec {
     }
   }
 
+  test("mixtureProfile is the judged sample_mixture_weights contract, one shared definition") {
+    // same input → identical values: the product's mixture table IS the
+    // oracle-judged computation (MLQueries.mixtureWeights) over
+    // (source, text, n_chars) — the raw documents table carries the same
+    // n_chars the helper derives, so the gate and the profile agree row
+    // for row
+    val d = "/root/testdata/sf0.001"
+    val viaGate = SparkEntry.queries("sample_mixture_weights")(spark, d).collect()
+    val viaProduct = Curate.mixtureProfile(
+      graft.tables.Tables.documents(spark, d)
+        .select(org.apache.spark.sql.functions.col("source"),
+          org.apache.spark.sql.functions.col("text"))).collect()
+    assert(viaProduct.map(_.toString).toSeq === viaGate.map(_.toString).toSeq)
+    // the curated (scrubbed, deduped) frame profiles too — the CLI path:
+    // weights renormalize over survivors and still sum to ~1
+    val curated = Curate.curate(docs)
+    val rows = Curate.mixtureProfile(curated).collect()
+    assert(rows.nonEmpty)
+    val wsum = rows.map(_.getAs[Double]("weight")).sum
+    assert(wsum > 1.0 - 2e-5 && wsum <= 1.0 + 2e-5, s"weights sum to $wsum")
+  }
+
   test("min-quality gate filters and census aggregates per (split, source)") {
     val curated = Curate.curate(docs)
     val qs = curated.select(min(col("quality")), max(col("quality")))
