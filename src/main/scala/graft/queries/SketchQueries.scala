@@ -214,6 +214,67 @@ object SketchQueries {
   private def cmBucketSql(r: String, h: String): String =
     s"(($h) >> (9 * ($r))) % $CmWidth"
 
+  /** The full Count-Min oracle — shared verbatim by
+    * `sketch_countmin_heavy` and `sketch_countmin_stream`: the streaming
+    * twin's per-occurrence stateful counts seal to exactly the batch
+    * sketch's per-cell sums (increment order never matters for a counter
+    * array), so ONE oracle judges both paths — the hllOracleSql pattern.
+    */
+  private lazy val cmOracleSql: String =
+    s"""WITH wrds AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |), toks AS (
+       |  SELECT UNNEST(w) AS word FROM wrds
+       |), ex AS (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt,
+       |    ${hash60Sql("word")} AS h
+       |  FROM toks GROUP BY 1
+       |), sk AS (
+       |  SELECT t.r, ${cmBucketSql("t.r", "e.h")} AS bucket,
+       |    CAST(SUM(e.cnt) AS BIGINT) AS c
+       |  FROM ex e CROSS JOIN
+       |    (SELECT UNNEST(generate_series(0, ${CmRows - 1})) AS r) t
+       |  GROUP BY 1, 2
+       |), top AS (
+       |  SELECT word, cnt AS exact_cnt, h FROM (
+       |    SELECT word, cnt, h, ROW_NUMBER() OVER (
+       |      ORDER BY cnt DESC, word) AS rn
+       |    FROM ex
+       |  ) WHERE rn <= 20
+       |), pb AS (
+       |  SELECT word, exact_cnt, t.r,
+       |    ${cmBucketSql("t.r", "top.h")} AS bucket
+       |  FROM top CROSS JOIN
+       |    (SELECT UNNEST(generate_series(0, ${CmRows - 1})) AS r) t
+       |)
+       |SELECT p.word, MIN(p.exact_cnt) AS exact_cnt,
+       |  MIN(s.c) AS cm_estimate,
+       |  MIN(s.c) - MIN(p.exact_cnt) AS overestimate
+       |FROM pb p JOIN sk s ON s.r = p.r AND s.bucket = p.bucket
+       |GROUP BY 1 ORDER BY exact_cnt DESC, word""".stripMargin
+
+  /** The shared probe tail of both Count-Min gates: exact top-20 words
+    * joined against a `(r, bucket, c)` cell relation (the batch sketch
+    * or the streaming sink's sealed state), estimate = min over rows.
+    */
+  private def cmProbe(s: SparkSession, d: String, cells: DataFrame): DataFrame = {
+    val rs = typedLit((0 until CmRows).toArray)
+    val ex = MLQueries.words(s, d)
+      .select(explode(col("w")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    val top = ex.withColumnRenamed("cnt", "exact_cnt")
+      .orderBy(col("exact_cnt").desc, col("word")).limit(20)
+    top.select(col("word"), col("exact_cnt"),
+        hash60(col("word")).as("h"), explode(rs).as("r"))
+      .withColumn("bucket", cmBucket)
+      .join(broadcast(cells), Seq("r", "bucket"))
+      .groupBy(col("word"))
+      .agg(min(col("exact_cnt")).as("exact_cnt"),
+        min(col("c")).as("cm_estimate"))
+      .withColumn("overestimate", col("cm_estimate") - col("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("word"))
+  }
+
   // ---- PageRank ------------------------------------------------------------
   // Ranks live in nano-units (init 1e9 // N) and every step is integer:
   // per-edge contribution rank // outdeg, damping (17 · Σ) // 20
@@ -350,49 +411,9 @@ object SketchQueries {
           .select(col("cnt"), hash60(col("word")).as("h"), explode(rs).as("r"))
           .withColumn("bucket", cmBucket)
           .groupBy(col("r"), col("bucket")).agg(sum(col("cnt")).as("c"))
-        val top = ex.withColumnRenamed("cnt", "exact_cnt")
-          .orderBy(col("exact_cnt").desc, col("word")).limit(20)
-        top.select(col("word"), col("exact_cnt"),
-            hash60(col("word")).as("h"), explode(rs).as("r"))
-          .withColumn("bucket", cmBucket)
-          .join(broadcast(sketch), Seq("r", "bucket"))
-          .groupBy(col("word"))
-          .agg(min(col("exact_cnt")).as("exact_cnt"),
-            min(col("c")).as("cm_estimate"))
-          .withColumn("overestimate", col("cm_estimate") - col("exact_cnt"))
-          .orderBy(col("exact_cnt").desc, col("word"))
+        cmProbe(s, d, sketch)
       },
-      Some(s"""WITH wrds AS (
-              |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
-              |), toks AS (
-              |  SELECT UNNEST(w) AS word FROM wrds
-              |), ex AS (
-              |  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt,
-              |    ${hash60Sql("word")} AS h
-              |  FROM toks GROUP BY 1
-              |), sk AS (
-              |  SELECT t.r, ${cmBucketSql("t.r", "e.h")} AS bucket,
-              |    CAST(SUM(e.cnt) AS BIGINT) AS c
-              |  FROM ex e CROSS JOIN
-              |    (SELECT UNNEST(generate_series(0, ${CmRows - 1})) AS r) t
-              |  GROUP BY 1, 2
-              |), top AS (
-              |  SELECT word, cnt AS exact_cnt, h FROM (
-              |    SELECT word, cnt, h, ROW_NUMBER() OVER (
-              |      ORDER BY cnt DESC, word) AS rn
-              |    FROM ex
-              |  ) WHERE rn <= 20
-              |), pb AS (
-              |  SELECT word, exact_cnt, t.r,
-              |    ${cmBucketSql("t.r", "top.h")} AS bucket
-              |  FROM top CROSS JOIN
-              |    (SELECT UNNEST(generate_series(0, ${CmRows - 1})) AS r) t
-              |)
-              |SELECT p.word, MIN(p.exact_cnt) AS exact_cnt,
-              |  MIN(s.c) AS cm_estimate,
-              |  MIN(s.c) - MIN(p.exact_cnt) AS overestimate
-              |FROM pb p JOIN sk s ON s.r = p.r AND s.bucket = p.bucket
-              |GROUP BY 1 ORDER BY exact_cnt DESC, word""".stripMargin)),
+      Some(cmOracleSql)),
 
     // Iterative PageRank over the part co-purchase graph (parts sharing
     // an order are linked, undirected): 3 damped rounds in exact
@@ -851,6 +872,48 @@ object SketchQueries {
               |  est_union, est_inter,
               |  ${r6Sql("est_inter - n_exact")} AS abs_err
               |FROM f ORDER BY type_a, type_b""".stripMargin)),
+
+    // Streaming Count-Min twin: the SAME d×w counter cells maintained as
+    // a stateful streaming aggregate over per-occurrence tokens —
+    // Complete mode over the bounded AvailableNow stream seals exactly
+    // the batch sketch's cells (counter arrays are increment-order-free),
+    // so ONE oracle judges both paths, the sketch_hll_stream pattern.
+    // State is ≤ d·w = 2048 rows forever — the live heavy-hitter feed
+    // whose exact streaming twin would hold distinct-vocabulary state.
+    // Honest cost note: the stream pays one md5 per token OCCURRENCE
+    // (incremental updates cannot pre-aggregate the vocabulary the way
+    // the batch gate's r14 shave does) — that is the price of a
+    // continuously-current sketch, and it is narrow per-record work.
+    NamedQuery(
+      "sketch_countmin_stream",
+      (s, d) => {
+        import org.apache.spark.sql.types.{StringType, StructField, StructType}
+        val schema = StructType(Seq(StructField("text", StringType)))
+        val docs = s.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet").parquet(d)
+        graft.streaming.GateStream.dropStaleSinks(s, "sketch_cm_stream_sink_")
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft-cm-gate").toString
+        val sink = s"sketch_cm_stream_sink_${streamSinkSeq.incrementAndGet()}"
+        val rs = typedLit((0 until CmRows).toArray)
+        graft.streaming.GateStream.withStreamShuffle(s) {
+          val cells = docs
+            .select(explode(split(col("text"), " ")).as("word"))
+            .select(hash60(col("word")).as("h"), explode(rs).as("r"))
+            .withColumn("bucket", cmBucket)
+            .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("c"))
+          val q = cells.writeStream.format("memory").queryName(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("complete")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          graft.streaming.GateStream.debugProgress(q)
+        }
+        graft.streaming.GateStream.deleteScratch(ckpt)
+        cmProbe(s, d, s.table(sink))
+      },
+      Some(cmOracleSql)),
   )
 
 }

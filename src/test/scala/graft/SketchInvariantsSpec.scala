@@ -99,6 +99,16 @@ class SketchInvariantsSpec extends SparkSpec {
       "streaming HLL diverged from batch")
   }
 
+  test("sketch_countmin_stream: the streaming twin equals the batch gate row-for-row") {
+    // a counter array is increment-order-free, so the sealed streaming
+    // cells reproduce the batch sketch exactly and the probed heavy
+    // hitters are value-identical
+    val batch = SparkEntry.queries("sketch_countmin_heavy")(spark, d).collect()
+    val stream = SparkEntry.queries("sketch_countmin_stream")(spark, d).collect()
+    assert(stream.map(_.toString).toSeq == batch.map(_.toString).toSeq,
+      "streaming Count-Min diverged from batch")
+  }
+
   test("sketch_quantile_hist: estimate lands in the exact value's bin") {
     val rows = SparkEntry.queries("sketch_quantile_hist")(spark, d).collect()
     assert(rows.length == 3)
