@@ -121,15 +121,21 @@ object Curate {
     TextOps.zipfFit(curated.select(col("text")))
 
   /** Per-source mixture weights over the curated survivors: the judged
-    * `sample_mixture_weights` contract (ONE shared definition,
-    * MLQueries.mixtureWeights) applied to the scrubbed corpus — the
-    * weights a training run should sample this drop with. n_chars is
-    * derived from the scrubbed text (redaction changes lengths; the
-    * weights must describe what ships, not what was ingested).
+    * `sample_mixture_weights` contract (ONE shared aggregation tail,
+    * MLQueries.mixtureWeightsPerDoc) applied to the scrubbed corpus —
+    * the weights a training run should sample this drop with. The
+    * survivors already carry the judged quality score over the SCRUBBED
+    * text (curate computes it with n_chars = length(text)), so this
+    * path re-pins that column to micro units instead of re-running the
+    * tokenize-and-score pass a second time; the micro value is
+    * bit-identical because quality sits on the r6 grid.
     */
   def mixtureProfile(curated: DataFrame): DataFrame =
-    graft.queries.MLQueries.mixtureWeights(curated.select(col("source"),
-      col("text"), length(col("text")).cast("long").as("n_chars")))
+    graft.queries.MLQueries.mixtureWeightsPerDoc(curated.select(
+      col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_words"),
+      floor(col("quality") * lit(1000000.0) + lit(0.5)).cast("long")
+        .as("q_micro")))
 
   /** Duplicated-span coverage of a curated corpus: the judged
     * `dedup_substring_spans` contract (ONE shared definition,

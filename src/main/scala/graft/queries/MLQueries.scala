@@ -51,14 +51,22 @@ object MLQueries {
     * product's mixture profile (curated survivors), so the weights a
     * drop publishes are exactly what the oracle judged.
     */
-  private[graft] def mixtureWeights(in: DataFrame): DataFrame = {
-    val docs = in.select(col("source"), split(col("text"), " ").as("w"),
-      col("n_chars"))
-    val per = docs
+  private[graft] def mixtureWeights(in: DataFrame): DataFrame =
+    mixtureWeightsPerDoc(in
+      .select(col("source"), split(col("text"), " ").as("w"), col("n_chars"))
       .withColumn("q_micro", floor(
         graft.ml.TextOps.qualityScore(col("w"), col("n_chars"))
           * lit(1000000.0) + lit(0.5)).cast("long"))
-      .withColumn("n_words", size(col("w")).cast("long"))
+      .withColumn("n_words", size(col("w")).cast("long")))
+
+  /** The aggregation tail of [[mixtureWeights]] over per-doc
+    * `(source, n_words, q_micro)` rows — split out so the Curate product
+    * can feed its ALREADY-SCORED survivors (the cached `quality` column
+    * re-pinned to micro units) instead of re-tokenizing the corpus a
+    * second time on the CLI path.
+    */
+  private[graft] def mixtureWeightsPerDoc(perDoc: DataFrame): DataFrame = {
+    val per = perDoc
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("tokens"),
         sum(col("q_micro")).as("q_sum"))

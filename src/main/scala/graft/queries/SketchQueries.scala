@@ -758,7 +758,11 @@ object SketchQueries {
         val ckpt = java.nio.file.Files
           .createTempDirectory("graft-hll-gate").toString
         val sink = s"sketch_hll_stream_sink_${streamSinkSeq.incrementAndGet()}"
-        graft.streaming.GateStream.withStreamShuffle(s) {
+        // finally: a failed drain (corrupt footer, lost executor) must
+        // not leak the scratch checkpoint dir — awaitTermination throwing
+        // means the query already terminated, so cleanup is all that
+        // remains
+        try graft.streaming.GateStream.withStreamShuffle(s) {
           val q = hllRegs(evs)
             .writeStream.format("memory").queryName(sink)
             .option("checkpointLocation", ckpt)
@@ -767,8 +771,7 @@ object SketchQueries {
             .start()
           q.awaitTermination()
           graft.streaming.GateStream.debugProgress(q)
-        }
-        graft.streaming.GateStream.deleteScratch(ckpt)
+        } finally graft.streaming.GateStream.deleteScratch(ckpt)
         val evb = Tables.events(s, d).select(col("event_type"), col("user_id"))
         hllReport(s.table(sink), hllExact(evb))
       },
@@ -896,7 +899,8 @@ object SketchQueries {
           .createTempDirectory("graft-cm-gate").toString
         val sink = s"sketch_cm_stream_sink_${streamSinkSeq.incrementAndGet()}"
         val rs = typedLit((0 until CmRows).toArray)
-        graft.streaming.GateStream.withStreamShuffle(s) {
+        // finally: see the hll twin — no scratch-dir leak on a failed drain
+        try graft.streaming.GateStream.withStreamShuffle(s) {
           val cells = docs
             .select(explode(split(col("text"), " ")).as("word"))
             .select(hash60(col("word")).as("h"), explode(rs).as("r"))
@@ -909,8 +913,7 @@ object SketchQueries {
             .start()
           q.awaitTermination()
           graft.streaming.GateStream.debugProgress(q)
-        }
-        graft.streaming.GateStream.deleteScratch(ckpt)
+        } finally graft.streaming.GateStream.deleteScratch(ckpt)
         cmProbe(s, d, s.table(sink))
       },
       Some(cmOracleSql)),

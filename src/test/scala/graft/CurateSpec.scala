@@ -231,11 +231,18 @@ class CurateSpec extends SparkSpec {
     // n_chars the helper derives, so the gate and the profile agree row
     // for row
     val d = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions.{col, length, split}
     val viaGate = SparkEntry.queries("sample_mixture_weights")(spark, d).collect()
+    // product input = survivors carrying the judged quality column (the
+    // curate shape); on the raw corpus that column is qualityScore over
+    // (text, length(text)) — the same n_chars the table stores, so the
+    // micro re-pin must reproduce the gate bit-for-bit
     val viaProduct = Curate.mixtureProfile(
       graft.tables.Tables.documents(spark, d)
-        .select(org.apache.spark.sql.functions.col("source"),
-          org.apache.spark.sql.functions.col("text"))).collect()
+        .select(col("source"), col("text"))
+        .withColumn("quality", graft.ml.TextOps.qualityScore(
+          split(col("text"), " "), length(col("text")).cast("long"))))
+      .collect()
     assert(viaProduct.map(_.toString).toSeq === viaGate.map(_.toString).toSeq)
     // the curated (scrubbed, deduped) frame profiles too — the CLI path:
     // weights renormalize over survivors and still sum to ~1
