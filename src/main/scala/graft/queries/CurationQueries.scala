@@ -47,7 +47,7 @@ object CurationQueries {
     * keeps their integer lattices (and therefore their oracles)
     * consistent, the lshBucketed rationale applied to quantization.
     */
-  private[queries] val microVecExpr: String =
+  private[graft] val microVecExpr: String =
     "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))"
 
   /** Oracle twin of [[microVecExpr]]: CTE `em(vec_id, i, xv)` with
