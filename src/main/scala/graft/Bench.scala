@@ -50,22 +50,30 @@ object Bench {
     // table (the shingle contract), not embeddings — warm the documents
     // family or a filtered run times it against a cold table open
     else if (n == "similarity_containment") Set("dedup_exact")
-    // the two sketch_* gates built on the tpch/events tables, not the
-    // documents corpus — warm the tables they actually read (events for
-    // the HLL; orders + customer via equi_join_inner for the bloom)
+    // sketch_*/dataset_* gates read VARIED tables (events, orders,
+    // lineitem, documents) — every one is classified by NAME here, and an
+    // unlisted name in either family falls through to the loud failure
+    // below instead of silently inheriting the documents branch (round
+    // 15, ADVICE: the prefix catch-all would have run a future
+    // events-table sketch gate against a cold input family).
     else if (n == "sketch_hll_distinct" || n == "sketch_hll_stream" ||
       n == "sketch_hll_intersection")
-      Set("date_trunc_agg")
-    else if (n == "sketch_bloom_join") Set("equi_join_inner")
+      Set("date_trunc_agg") // events
+    else if (n == "sketch_bloom_join") Set("equi_join_inner") // orders+customer
     else if (n == "sketch_quantile_hist") Set("equi_join_inner") // orders
-    // the one dataset_* gate over events (temporal split), not documents
-    else if (n == "dataset_split_temporal") Set("date_trunc_agg")
+    else if (n == "sketch_minhash_calibration" || n == "sketch_countmin_heavy" ||
+      n == "sketch_countmin_stream" || n == "dataset_split_hash")
+      Set("dedup_exact") // documents corpus
+    else if (n == "dataset_split_temporal") Set("date_trunc_agg") // events
+    else if (n.startsWith("sketch_") || n.startsWith("dataset_"))
+      throw new IllegalArgumentException(
+        s"gate '$n': sketch_/dataset_ gates read varied tables — name it " +
+          "explicitly in Bench.families with the warmup of the table it reads")
     else if (n.startsWith("similarity_") || n.startsWith("embedding_") ||
       n.startsWith("ann_")) Set("similarity_topk_bruteforce")
     else if (n.startsWith("dedup_") || n.startsWith("text_") ||
       n.startsWith("multimodal_") || n.startsWith("sample_") ||
-      n.startsWith("sketch_") || n.startsWith("pack_") ||
-      n.startsWith("filter_") || n.startsWith("dataset_") ||
+      n.startsWith("pack_") || n.startsWith("filter_") ||
       n.startsWith("curate_"))
       Set("dedup_exact", "similarity_topk_bruteforce") // embedding-cosine dedup reads both
     else if (TpchEventPrefixes.exists(n.startsWith))
@@ -164,6 +172,51 @@ object Bench {
     */
   private[graft] def steadyAll(cold: GateRun, rest: Seq[GateRun]): Double =
     rest.filter(_.ok).foldLeft(cold.sec)((m, r) => math.min(m, r.sec))
+
+  // ---- steal-aware re-run window (round 15) ----------------------------
+  //
+  // The r14 round artifact re-ran its 14 contended gates straight back
+  // into the same 263 s hypervisor-steal storm and published a 2.32×
+  // headline that the committed quiet record (1.21×) contradicted. The
+  // re-run loop therefore now WAITS for a quiet window first: poll the
+  // cumulative steal counter over short windows until one passes with
+  // ~zero steal (the regen-workflow check, moved into Bench itself), with
+  // a bounded total wait. loadavg is deliberately NOT gated on here — the
+  // sweep's own 32-core burn keeps load1 high for minutes after the last
+  // gate, and waiting on our own decay would always exhaust the budget.
+
+  /** One poll window: steal must stay under this many seconds across it
+    * to call the window quiet (kernel bookkeeping noise only — a real
+    * co-tenant burst charges whole seconds per window).
+    */
+  private[graft] val QuietStealPerWindowSec = 0.25
+  private[graft] val QuietWindowMs = 2000L
+  private[graft] val QuietMaxWaitMs = 120000L
+
+  /** Poll `steal` (cumulative seconds) in `windowMs` slices until one
+    * slice shows less than `quietSteal` of foreign steal; give up after
+    * `maxWaitMs`. Returns (quiet?, waitedMs). An unreadable counter
+    * (-1) returns quiet immediately — off-Linux there is no steal
+    * evidence to wait out, and blocking two minutes on an unknowable
+    * would cost every run the full budget. Samplers injected for the
+    * spec (BenchSpec simulates a busy→quiet transition).
+    */
+  private[graft] def awaitQuietWindow(steal: () => Double, sleep: Long => Unit,
+      windowMs: Long = QuietWindowMs, maxWaitMs: Long = QuietMaxWaitMs,
+      quietSteal: Double = QuietStealPerWindowSec): (Boolean, Long) = {
+    var waited = 0L
+    var prev = steal()
+    if (prev < 0) return (true, 0L)
+    while (waited < maxWaitMs) {
+      sleep(windowMs)
+      waited += windowMs
+      val cur = steal()
+      if (cur < 0) return (true, waited)
+      if (cur - prev <= quietSteal) return (true, waited)
+      prev = cur
+    }
+    (false, waited)
+  }
 
   /** Cap on post-sweep contended re-runs. The driver's loaded round-11
     * run had 6 contended gates; 15 covers every burst pattern observed
@@ -623,6 +676,23 @@ object Bench {
     if (rerunNames.nonEmpty)
       System.err.println(s"[bench] re-running ${rerunNames.size} contended " +
         s"gate(s) after the sweep: ${rerunNames.mkString(",")}")
+    // steal-aware gate (round 15): wait for a quiet steal window before
+    // re-measuring, so the re-runs converge to the quiet record instead
+    // of re-sampling the same storm (see awaitQuietWindow)
+    val quietWait: Option[(Boolean, Long)] =
+      if (rerunNames.nonEmpty)
+        Some(Bench.awaitQuietWindow(() => stealSec(), ms => Thread.sleep(ms)))
+      else None
+    quietWait.foreach { case (quiet, waitedMs) =>
+      if (!quiet)
+        System.err.println(s"[bench] NO quiet window within ${waitedMs / 1000}s " +
+          "of steal polling — re-runs will re-measure under load and the " +
+          "contended flags stand; trust the committed reference record over " +
+          "this artifact's inflated numbers")
+      else if (waitedMs > Bench.QuietWindowMs)
+        System.err.println(s"[bench] waited ${waitedMs / 1000}s for a quiet " +
+          "steal window before the contended re-runs")
+    }
     val results = {
       val reruns = rerunNames.map(n => n -> run(n)).toMap
       sweep.map { case (k, c, w) => (k, c, w, reruns.get(k)) }
@@ -714,7 +784,15 @@ object Bench {
     // (round 8's judged artifact read as a 3.6× regression until two
     // manual re-runs proved it was contention). n_rerun records how many
     // gates went through the post-sweep re-measurement either way.
-    val rerunField = if (rerunNames.nonEmpty) s""","n_rerun":${rerunNames.size}""" else ""
+    // rerun_quiet records whether the steal-window wait found quiet before
+    // the re-runs (false = the artifact's re-run numbers were measured
+    // under a storm that never lifted — read the committed reference
+    // instead); rerun_quiet_wait_sec is how long the wait took.
+    val rerunField =
+      if (rerunNames.isEmpty) ""
+      else s""","n_rerun":${rerunNames.size}""" + quietWait.map { case (q, w) =>
+        s""","rerun_quiet":$q,"rerun_quiet_wait_sec":${w / 1000}"""
+      }.getOrElse("")
     val contField =
       if (nContended > 0) s""","contended":true,"n_contended":$nContended""" else ""
     // Reference self-check: the steady total over fingerprint-MATCHED

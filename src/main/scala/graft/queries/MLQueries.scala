@@ -177,10 +177,13 @@ object MLQueries {
     */
   private def curateChainSql(pred: String, sfx: String): String =
     s"""survivors$sfx AS (
+       |  -- NFC BEFORE the digest (round 15) — identity on the ASCII
+       |  -- fixture, but the definition matches Curate.curate exactly
        |  SELECT doc_id, source, text FROM (
        |    SELECT doc_id, source, text,
        |      ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
-       |    FROM documents WHERE $pred) WHERE rn = 1
+       |    FROM (SELECT doc_id, source, nfc_normalize(text) AS text
+       |          FROM documents WHERE $pred)) WHERE rn = 1
        |), scrub$sfx AS (
        |  SELECT doc_id, source, ${piiScrubSql("text")} AS text
        |  FROM survivors$sfx

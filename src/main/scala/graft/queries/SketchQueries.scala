@@ -521,7 +521,22 @@ object SketchQueries {
           .withColumn("s", sum(col("c")).over(w))
           .withColumn("ss", sum(col("c") * col("c")).over(w))
           .withColumn("num", col("c") * col("nh") - col("s"))
-          .withColumn("den2", col("nh") * col("ss") - col("s") * col("s"))
+          // the documented BIGINT-headroom bound, ENFORCED (round 15,
+          // ADVICE): past it the integer algebra would wrap silently and
+          // flip anomaly flags in both engines — fail loudly instead.
+          // sqrt(2^63) ≈ 3.037e9 bounds every squared operand; ss is
+          // checked against MaxLong/nh so nh·ss cannot wrap either. The
+          // guard rides the den2 expression (a pruned side-column would
+          // be optimized away); on in-bound data the branch is never
+          // taken and the value is unchanged.
+          .withColumn("den2",
+            when(col("ss") > lit(Long.MaxValue) / col("nh")
+                || abs(col("s")) > lit(3037000499L)
+                || abs(col("num")) > lit(3037000499L),
+              expr("raise_error('events_anomaly_zscore: counts exceed the " +
+                "BIGINT headroom bound (~3e9) — switch the three sums to " +
+                "decimal(38,0)')").cast("long"))
+            .otherwise(col("nh") * col("ss") - col("s") * col("s")))
           .filter(col("den2") > 0 &&
             col("num") * col("num") > lit(4L) * col("den2"))
           .withColumn("zscore",
@@ -820,7 +835,12 @@ object SketchQueries {
         estU.join(broadcast(estA), "ta").join(broadcast(estB), "tb")
           .withColumn("est_inter",
             r6(greatest(col("est_a") + col("est_b") - col("est_union"), lit(0.0))))
-          .join(exact, Seq("ta", "tb"))
+          // LEFT join + coalesce 0 (round 15, ADVICE): a type pair with
+          // ZERO shared users has no exact row, and an inner join would
+          // silently drop exactly the "no overlap" rows an overlap
+          // estimator exists to report
+          .join(exact, Seq("ta", "tb"), "left")
+          .withColumn("n_exact", coalesce(col("n_exact"), lit(0L)))
           .withColumn("abs_err", r6(col("est_inter") - col("n_exact")))
           .select(col("ta").as("type_a"), col("tb").as("type_b"),
             col("n_exact"), col("est_a"), col("est_b"), col("est_union"),
@@ -859,12 +879,13 @@ object SketchQueries {
               |    AND a.event_type < b.event_type
               |  GROUP BY 1, 2
               |), j AS (
-              |  SELECT eu.ta, eu.tb, ex.n_exact,
+              |  SELECT eu.ta, eu.tb,
+              |    CAST(COALESCE(ex.n_exact, 0) AS BIGINT) AS n_exact,
               |    ea.hll_estimate AS est_a, eb.hll_estimate AS est_b,
               |    eu.hll_estimate AS est_union
               |  FROM eu JOIN et ea ON ea.event_type = eu.ta
               |  JOIN et eb ON eb.event_type = eu.tb
-              |  JOIN ex ON ex.ta = eu.ta AND ex.tb = eu.tb
+              |  LEFT JOIN ex ON ex.ta = eu.ta AND ex.tb = eu.tb
               |), f AS (
               |  SELECT ta, tb, n_exact, est_a, est_b, est_union,
               |    ${r6Sql("GREATEST(est_a + est_b - est_union, 0.0)")}

@@ -113,6 +113,44 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("addBatch: frozen centroids under the bound; over-bound cells re-split") {
+    val e = emb.select(col("vec_id"), col("embedding"))
+    val n = e.count()
+    val base = e.filter(col("vec_id") < n / 2)
+    val batch = e.filter(col("vec_id") >= n / 2)
+    val m0 = AnnIndex.build(base, k = 4, iters = 0)
+    val indexed = AnnIndex.assignCells(base, m0)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    // a bound nothing reaches: the model comes back IDENTICAL — appending
+    // a batch must never move a frozen centroid
+    val rNone = AnnIndex.addBatch(indexed, batch, m0, splitBound = n + 1)
+    assert(rNone.model.centroids.map(_._1) === m0.centroids.map(_._1))
+    assert(rNone.model.centroids.map(_._2.toSeq) === m0.centroids.map(_._2.toSeq))
+    assert(rNone.splitFrom.isEmpty)
+    assert(rNone.census.values.sum === n)
+    // the re-split trigger: bound just under the largest cell — exactly
+    // the cells past it split; parents keep their ids, siblings take
+    // fresh ids in ascending parent order, and membership is conserved
+    val counts = AnnIndex.assignCells(e, m0).groupBy(col("cell")).count()
+      .collect().map(r => r.getAs[Long]("cell") -> r.getAs[Long]("count")).toMap
+    val bound = counts.values.max - 1
+    val parents = counts.filter(_._2 > bound).keys.toSeq.sorted
+    assert(parents.nonEmpty)
+    val r = AnnIndex.addBatch(indexed, batch, m0, bound)
+    val siblings = parents.indices.map(i => 4L + i)
+    assert(r.splitFrom === siblings.zip(parents).toMap)
+    val m0map = m0.centroids.toMap
+    r.model.centroids
+      .filterNot(c => parents.contains(c._1) || siblings.contains(c._1))
+      .foreach { case (cid, v) =>
+        assert(v.toSeq === m0map(cid).toSeq, s"frozen cell $cid moved") }
+    parents.zip(siblings).foreach { case (p, sib) =>
+      assert(r.census.getOrElse(p, 0L) + r.census.getOrElse(sib, 0L)
+        === counts(p), s"split of cell $p lost members")
+    }
+    assert(r.census.values.sum === n)
+  }
+
   test("probe returns ranked cell-mate neighbors with the gate's contract") {
     val m = AnnIndex.build(emb, k = 4, iters = 1)
     val out = AnnIndex.probe(emb, m, queryIds = Seq(0L, 1L, 2L), topK = 3).collect()

@@ -243,6 +243,34 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.ProbeSlowRatio === 1.5)
   }
 
+  test("awaitQuietWindow: waits out a steal storm, bounded, unknowable = quiet") {
+    // simulated busy→quiet transition (round 15): the counter climbs 2 s
+    // of steal per 2 s window for three windows, then flatlines — the
+    // wait must return quiet on the FIRST flat window, not before
+    var t = 0.0
+    val samples = Iterator(0.0, 2.0, 4.0, 6.0, 6.1) ++ Iterator.continually(6.1)
+    val it = samples
+    val (quiet, waited) = Bench.awaitQuietWindow(
+      steal = () => { t = it.next(); t }, sleep = _ => (),
+      windowMs = 2000L, maxWaitMs = 120000L, quietSteal = 0.25)
+    assert(quiet && waited === 8000L,
+      s"expected quiet after the 4th window (8 s), got quiet=$quiet waited=$waited")
+    // a storm that NEVER lifts: give up at the budget, loudly not-quiet
+    var c = 0.0
+    val (q2, w2) = Bench.awaitQuietWindow(
+      steal = () => { c += 2.0; c }, sleep = _ => (),
+      windowMs = 2000L, maxWaitMs = 10000L, quietSteal = 0.25)
+    assert(!q2 && w2 === 10000L)
+    // an unreadable counter (-1, off-Linux): no evidence to wait out —
+    // quiet immediately, never a two-minute block on an unknowable
+    val (q3, w3) = Bench.awaitQuietWindow(() => -1.0, _ => ())
+    assert(q3 && w3 === 0L)
+    // quiet machine from the start: one confirmation window, then go
+    val (q4, w4) = Bench.awaitQuietWindow(() => 5.0, _ => (),
+      windowMs = 2000L, maxWaitMs = 120000L, quietSteal = 0.25)
+    assert(q4 && w4 === 2000L)
+  }
+
   test("cpuProbe: deterministic workload returns plausible positive timings") {
     // 2 threads keeps the unit test cheap; the probe must be strictly
     // positive and the multi pass (same per-core work on every core,

@@ -42,6 +42,25 @@ class CurateSpec extends SparkSpec {
       again.map(_.getAs[String]("split")).toSeq)
   }
 
+  test("curate digests POST-normalization: decomposed and composed twins dedup") {
+    import spark.implicits._
+    // identical content, one decomposed (e + combining acute U+0301), one
+    // precomposed (U+00E9) — byte-distinct, NFC-identical. The round-15
+    // normalize-before-digest contract must collapse them to ONE
+    // survivor (the first-seen), shipping the composed form.
+    val twins = Seq(
+      (1L, "s1", "café terrace at night"),
+      (2L, "s1", "café terrace at night"),
+      (3L, "s2", "plain ascii stays untouched"))
+      .toDF("doc_id", "source", "text")
+    val out = Curate.curate(twins).orderBy(col("doc_id")).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq === Seq(1L, 3L),
+      "NFC twins must share a digest — only the first-seen survives")
+    assert(out.head.getAs[String]("text") === "café terrace at night",
+      "the shipped text is the composed (NFC) form")
+    assert(out(1).getAs[String]("text") === "plain ascii stays untouched")
+  }
+
   test("decontaminate drops exactly the docs sharing a 4-gram with the benchmark") {
     import spark.implicits._
     // doc 1 shares the 4-gram "quick brown fox jumps"; doc 5 shares none

@@ -287,6 +287,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("WindowExec: No Partition"))
   }
 
+  test("dedup_source_overlap_matrix: gram relation equi-joins on gh; only the source list crosses") {
+    val p = plan("dedup_source_overlap_matrix")
+    // the corpus-sized gram relation must meet itself in an EQUI-join on
+    // the gram digest, never a cartesian product
+    assert("Join \\[gh#\\d+\\], \\[gh#\\d+\\]".r.findFirstIn(p).isDefined,
+      "gram self-join must be gh-keyed")
+    assert(!p.contains("CartesianProduct"))
+    // the |sources|² frame comes from crossing the TINY distinct-source
+    // list — the only nested-loop join allowed is that broadcast cross
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnlj <= 1, s"expected at most the source×source cross, saw $bnlj")
+    // the df cap rides a gh-partitioned window, not a separate agg+join
+    assert(p.contains("Window") || p.contains("WindowGroupLimit"))
+  }
+
+  test("text_tokenize_bpe / pack_sequences_bpe: the merge chain is a join-free narrow map") {
+    // 32 nested replaces per word must stay inside the row's projection:
+    // no join, no explode-shuffle of words — tokenization at scan speed
+    val p1 = plan("text_tokenize_bpe")
+    assert(!p1.contains("Join"), "tokenize must not join")
+    assert(!p1.contains("Generate"), "tokenize must not explode words")
+    val p2 = plan("pack_sequences_bpe")
+    assert(!p2.contains("Join"), "packing must not join")
+    assert(!p2.contains("Generate"), "packing must not explode words")
+  }
+
   test("multimodal decode gates: narrow synth+decode map, id-only scan") {
     for (name <- Seq("multimodal_decode_wav", "multimodal_decode_ppm")) {
       val p = plan(name)
