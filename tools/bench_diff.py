@@ -230,14 +230,24 @@ def main():
                     records.append((int(m.group(1)), os.path.join(sd, f)))
         if not records:
             return
-        rn, rec_path = max(records)
-        # avoid leading a record with itself
-        if os.path.abspath(rec_path) == os.path.abspath(path):
-            return
-        try:
-            with open(rec_path) as f:
-                rec = json.loads(f.read())
-        except (OSError, ValueError):
+        # Walk records highest-round first, skipping any whose OWN doc is
+        # a contended/inflated sweep (a storm-hit round record would
+        # present inflated numbers as the trustworthy baseline) and the
+        # artifact being diffed itself.
+        rec, rec_path = None, None
+        for rn, cand_path in sorted(records, reverse=True):
+            if os.path.abspath(cand_path) == os.path.abspath(path):
+                continue
+            try:
+                with open(cand_path) as f:
+                    cand = json.loads(f.read())
+            except (OSError, ValueError):
+                continue
+            if cand.get("contended") or cand.get("inflated_vs_reference"):
+                continue
+            rec, rec_path = cand, cand_path
+            break
+        if rec is None:
             return
         flags = [k for k in ("contended", "inflated_vs_reference") if doc.get(k)]
         print(f"QUIET RECORD FIRST: the {side} artifact is a "
