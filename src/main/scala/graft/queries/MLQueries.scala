@@ -95,12 +95,20 @@ object MLQueries {
     * partitioning/AQE plan, unlike a sum over exploded rows); signs from
     * the integer hyperplane formula, exact in both engines.
     */
+  /** Signed dot with pseudo-random hyperplane `j` — the ONE plane formula
+    * of every hyperplane-LSH structure in this file ([[lshBucketed]]'s
+    * 4-plane bucket and [[lshBanded]]'s 2×4-plane bands index with the
+    * same planes 0-3). A sequential index-order fold (deterministic under
+    * any partitioning/AQE plan, unlike a sum over exploded rows); the
+    * integer hyperplane formula is exact in both engines.
+    */
+  private def planeDot(j: Int) = expr(
+    s"""aggregate(sequence(0, size(embedding) - 1), CAST(0 AS DOUBLE),
+       |  (acc, i) -> acc + CAST(embedding[i] AS DOUBLE) *
+       |    (((CAST((i + 1) * ($j + 7) AS BIGINT) * 2654435761) % 1000003) / 1000003.0 - 0.5))"""
+      .stripMargin)
+
   private def lshBucketed(s: SparkSession, d: String): DataFrame = {
-    def planeDot(j: Int) = expr(
-      s"""aggregate(sequence(0, size(embedding) - 1), CAST(0 AS DOUBLE),
-         |  (acc, i) -> acc + CAST(embedding[i] AS DOUBLE) *
-         |    (((CAST((i + 1) * ($j + 7) AS BIGINT) * 2654435761) % 1000003) / 1000003.0 - 0.5))"""
-        .stripMargin)
     val bucket = (0 until 4)
       .map(j => when(planeDot(j) > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
@@ -108,6 +116,48 @@ object MLQueries {
       .select(col("vec_id"), col("embedding"), vecNorm(col("embedding")).as("norm"),
         bucket.as("bucket"))
   }
+
+  /** `(vec_id, embedding, norm, band0, band1)` under banded hyperplane
+    * LSH (round 16): band0 is exactly [[lshBucketed]]'s 4-plane bucket
+    * (planes 0-3), band1 signs planes 4-7. Near-dup candidates are the
+    * pairs agreeing on AT LEAST ONE band — the classic banding trade
+    * (Leskovec et al., Mining of Massive Datasets §3.4, mirroring the
+    * minhash band contract of `dedup_minhash_lsh`): each extra band
+    * raises recall at high cosine while candidates stay bucket-bounded.
+    * At 100 TB the per-band join shuffles 2×8-bit keys per vector and
+    * meets in 16-way buckets; widen bands to 16 planes (65k buckets)
+    * as N grows, exactly like the IVF k(N) policy.
+    */
+  private def lshBanded(s: SparkSession, d: String): DataFrame = {
+    def band(planes: Range, base: Int) = planes
+      .map(j => when(planeDot(j) > 0, lit(1L << (j - base))).otherwise(lit(0L)))
+      .reduce(_ + _)
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), vecNorm(col("embedding")).as("norm"),
+        band(0 until 4, 0).as("band0"), band(4 until 8, 4).as("band1"))
+  }
+
+  /** Oracle twin of [[lshBanded]]: CTE pair ending in
+    * `bands(vec_id, band0, band1)`.
+    */
+  private val lshBandedSql: String =
+    """bdots AS (
+      |  SELECT vec_id, j,
+      |    SUM(CAST(embedding[i] AS DOUBLE) *
+      |      (((CAST(i * (j + 7) AS BIGINT) * 2654435761) % 1000003) / 1000003.0 - 0.5))
+      |      AS dot
+      |  FROM embeddings
+      |  CROSS JOIN (SELECT UNNEST(generate_series(1, 64)) AS i)
+      |  CROSS JOIN (SELECT UNNEST(generate_series(0, 7)) AS j)
+      |  GROUP BY vec_id, j
+      |), bands AS (
+      |  SELECT vec_id,
+      |    CAST(SUM(CASE WHEN j < 4 AND dot > 0
+      |      THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS band0,
+      |    CAST(SUM(CASE WHEN j >= 4 AND dot > 0
+      |      THEN CAST(pow(2, j - 4) AS BIGINT) ELSE 0 END) AS BIGINT) AS band1
+      |  FROM bdots GROUP BY vec_id
+      |)""".stripMargin
 
   /** Oracle twin of [[lshBucketed]]: CTE pair ending in
     * `bucketed(vec_id, bucket)`.
@@ -1062,27 +1112,51 @@ $blockSql
               |JOIN sizes sb ON sb.doc_id = doc_b
               |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 10""".stripMargin)),
 
-    // Embedding cosine near-dup: all-pairs cosine (i<j), top-10. Brute
-    // force is the sf-scale baseline; the ANN path below is the scale path.
+    // Embedding cosine near-dup (re-planned round 16): exact cosine over
+    // the BANDED LSH candidate pairs, top-10. The r15 gate was the one
+    // corpus×corpus cartesian left in the registry — at 100 TB its exact
+    // side scaled N². Candidates now come from [[lshBanded]]: pairs
+    // agreeing on either 4-plane band, each band an equi-join in 16-way
+    // buckets (the same band-or-band contract as `dedup_minhash_lsh`'s
+    // shingle bands), so the pair set is bucket-bounded and the exact
+    // cosine runs only on candidates. The gate keeps its exact-cosine
+    // verification semantics; what changed is WHERE the pairs come from
+    // — PlanShapeSpec pins the plan cartesian-free. The true-exhaustive
+    // baseline lives on in `similarity_topk_bruteforce` (query-bounded)
+    // and `similarity_pq_recall` (sample-bounded).
     NamedQuery(
       "dedup_embedding_cosine",
       (s, d) => {
-        val e = Tables.embeddings(s, d)
-          .select(col("vec_id"), col("embedding"), vecNorm(col("embedding")).as("norm"))
+        val e = lshBanded(s, d)
         val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
-          col("norm").as("norm_a"))
+          col("norm").as("norm_a"), col("band0").as("b0a"), col("band1").as("b1a"))
         val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
-          col("norm").as("norm_b"))
-        a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
+          col("norm").as("norm_b"), col("band0").as("b0b"), col("band1").as("b1b"))
+        val p0 = a.join(b, col("b0a") === col("b0b") && col("vec_a") < col("vec_b"))
+        val p1 = a.join(b, col("b1a") === col("b1b") && col("vec_a") < col("vec_b"))
+        p0.union(p1)
           .withColumn("sim", r6(vecDot(col("ea"), col("eb")) / (col("norm_a") * col("norm_b"))))
           .select(col("vec_a"), col("vec_b"), col("sim"))
+          .distinct() // a pair agreeing on both bands is one candidate
           .orderBy(col("sim").desc, col("vec_a"), col("vec_b"))
           .limit(10)
       },
-      Some(s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      Some(s"""WITH $lshBandedSql,
+              |cand AS (
+              |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+              |  FROM bands a JOIN bands b
+              |    ON a.band0 = b.band0 AND a.vec_id < b.vec_id
+              |  UNION
+              |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+              |  FROM bands a JOIN bands b
+              |    ON a.band1 = b.band1 AND a.vec_id < b.vec_id
+              |)
+              |SELECT c.vec_a, c.vec_b,
               |  ${r6Sql(duckDot("a.embedding", "b.embedding") +
                 s" / (${duckNorm("a.embedding")} * ${duckNorm("b.embedding")})")} AS sim
-              |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+              |FROM cand c
+              |JOIN embeddings a ON a.vec_id = c.vec_a
+              |JOIN embeddings b ON b.vec_id = c.vec_b
               |ORDER BY sim DESC, vec_a, vec_b LIMIT 10""".stripMargin)),
 
     // Semantic deduplication — the SemDeDup curation pass (Abbas et al.

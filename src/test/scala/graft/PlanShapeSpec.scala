@@ -302,6 +302,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Window") || p.contains("WindowGroupLimit"))
   }
 
+  test("dedup_embedding_cosine: banded LSH candidates only, no corpus cartesian") {
+    // re-planned round 16: the exact-cosine side runs on band-equi-join
+    // candidates — a corpus×corpus cartesian (the r15 shape) must never
+    // reappear in this plan
+    val p = plan("dedup_embedding_cosine")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "dedup_embedding_cosine regressed to an all-pairs cartesian")
+    // both band joins are key-equi joins on the band columns
+    assert("Join \\[band0#\\d+".r.findFirstIn(p).isDefined
+      || "\\[b0a#\\d+\\], \\[b0b#\\d+\\]".r.findFirstIn(p).isDefined
+      || p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      "band candidate joins must be hash/merge equi-joins")
+    assert(p.contains("TakeOrderedAndProject(limit=10"))
+  }
+
   test("text_tokenize_bpe / pack_sequences_bpe: the merge chain is a join-free narrow map") {
     // 32 nested replaces per word must stay inside the row's projection:
     // no join, no explode-shuffle of words — tokenization at scan speed
