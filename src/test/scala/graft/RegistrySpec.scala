@@ -18,7 +18,7 @@ class RegistrySpec extends AnyFunSuite {
     // the registry only grows — keep this floor EQUAL to the current
     // size when adding gates (no number in this comment to drift), so
     // the guard never carries slack a later removal could hide in
-    assert(queries.size >= 163, s"registry shrank to ${queries.size}")
+    assert(queries.size >= 164, s"registry shrank to ${queries.size}")
   }
 
   test("every registered query classifies into a bench warmup family") {
@@ -38,7 +38,8 @@ class RegistrySpec extends AnyFunSuite {
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       val froms = "(?i)\\bFROM\\s+([a-z_][a-z0-9_]*)\\b".r
         .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
-      val ctes = "(?i)\\b([a-z_][a-z0-9_]*)\\s+AS\\s*\\(".r
+      // both CTE spellings: `name AS (` and `name(col, ...) AS (`
+      val ctes = "(?i)\\b([a-z_][a-z0-9_]*)\\s*(?:\\([^)]*\\))?\\s+AS\\s*\\(".r
         .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
       val unknown = froms -- known -- ctes --
         Set("read_parquet", "generate_series", "unnest", "glob")

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.ml.TextOps
+import graft.tables.Tables
 
 /** The committed BPE contract (round 15): the judged replace-chain
   * tokenizer must equal the classic per-symbol merge scan (Sennrich et
@@ -15,9 +16,10 @@ class TextOpsBpeSpec extends SparkSpec {
     * list, merging every (a, b) occurrence left-to-right, one merge rule
     * at a time in table order.
     */
-  private def classicScan(word: String): Seq[String] = {
+  private def tableOrderScan(word: String,
+      merges: Seq[(String, String)]): Seq[String] = {
     var sym: List[String] = word.map(_.toString).toList
-    TextOps.BpeMerges.foreach { case (a, b) =>
+    merges.foreach { case (a, b) =>
       val out = scala.collection.mutable.ListBuffer.empty[String]
       var i = 0
       while (i < sym.length) {
@@ -29,6 +31,9 @@ class TextOpsBpeSpec extends SparkSpec {
     }
     sym
   }
+
+  private def classicScan(word: String): Seq[String] =
+    tableOrderScan(word, TextOps.BpeMerges)
 
   private def sparkCounts(words: Seq[String]): Map[String, Long] = {
     import spark.implicits._
@@ -73,5 +78,83 @@ class TextOpsBpeSpec extends SparkSpec {
       .select(expr(TextOps.bpeTokenCountExpr("text")).as("n"))
       .head().getLong(0)
     assert(n === 1L + 1L + 3L + 5L)
+  }
+
+  // ---- production-vocabulary path (round 16) ---------------------------
+
+  private val adversarial = Seq("join", "hash", "customer", "table", "the",
+    "fast", "group", "stream", "a", "dup", "x", "aaas", "sss", "ererer",
+    "stst", "ststst", "partpart", "joinjoin", "atat", "cucu", "",
+    "tokenization", "broadcast", "partition", "zzzzq")
+
+  private def ranksOf(merges: Seq[(String, String)]) =
+    merges.iterator.zipWithIndex.map { case (p, i) => (p, i) }.toMap
+
+  test("bpeApply (pair-rank scan) equals the table-order scan on BOTH tables") {
+    // the production path's equivalence claim: for a well-formed learned
+    // table, processing pairs lowest-rank-first visits exactly the rules
+    // the per-rule table-order scan applies — pinned on the 32-merge
+    // judged table, the committed 1024-merge production table, and every
+    // distinct word of the fixture corpus plus adversarial inputs
+    val corpusWords = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").distinct()
+      .collect().map(_.getString(0)).toSeq
+    val words = (corpusWords ++ adversarial).distinct
+    for (merges <- Seq(TextOps.BpeMerges, TextOps.BpeMerges1k)) {
+      val ranks = ranksOf(merges)
+      words.foreach { w =>
+        assert(TextOps.bpeApply(w, ranks) === tableOrderScan(w, merges),
+          s"'$w' diverges under the ${merges.size}-merge table")
+      }
+    }
+  }
+
+  test("bpeApply with the 32-merge table equals the judged replace chain") {
+    val ranks = ranksOf(TextOps.BpeMerges)
+    val got = sparkCounts(adversarial.filter(_.nonEmpty))
+    got.foreach { case (w, n) =>
+      assert(TextOps.bpeApply(w, ranks).length.toLong === n,
+        s"'$w': scan path diverges from the judged chain")
+    }
+  }
+
+  test("the committed 1024-merge table is well-formed and genuinely deep") {
+    val m = TextOps.BpeMerges1k
+    assert(m.size === 1024)
+    // every symbol is letter-only (SQL/regex-safe by construction)
+    m.foreach { case (a, b) =>
+      assert((a + b).forall(c => c >= 'a' && c <= 'z'), s"bad symbol ($a,$b)")
+    }
+    // well-formed: each merge's operands are base chars or the output of
+    // an EARLIER merge — the property the scan/table-order equivalence
+    // proof rides on
+    val minted = scala.collection.mutable.Set.empty[String]
+    m.foreach { case (a, b) =>
+      Seq(a, b).foreach(s =>
+        assert(s.length == 1 || minted.contains(s),
+          s"merge ($a,$b) references a symbol no earlier merge minted"))
+      minted += a + b
+    }
+    // and it genuinely fires on the fixture lexicon: common corpus words
+    // fully merge to one token
+    val ranks = ranksOf(m)
+    Seq("join", "hash", "filter", "batch", "table", "partition").foreach(w =>
+      assert(TextOps.bpeApply(w, ranks).length === 1, s"'$w' not merged"))
+  }
+
+  test("bpeTokens mapPartitions path: doc-level counts match the scan") {
+    import spark.implicits._
+    val docs = Seq((1L, "s1", "join hash fast table"), (2L, "s2", ""),
+      (3L, "s1", "stst  customer")).toDF("doc_id", "source", "text")
+    val ranks = ranksOf(TextOps.BpeMerges1k)
+    val got = TextOps.bpeTokens(docs, TextOps.BpeMerges1k)
+      .groupBy(col("doc_id")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def expected(text: String) = text.split(' ').filter(_.nonEmpty)
+      .map(w => TextOps.bpeApply(w, ranks).length.toLong).sum
+    assert(got.getOrElse(1L, 0L) === expected("join hash fast table"))
+    assert(!got.contains(2L)) // empty doc emits no token rows
+    assert(got(3L) === expected("stst  customer")) // double space skipped
   }
 }
