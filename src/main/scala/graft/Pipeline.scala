@@ -623,7 +623,8 @@ object Pipeline {
       curated.unpersist()
       census.foreach(r => println(
         s"curated: split=${r.getString(0)} source=${r.getString(1)} " +
-          s"n=${r.getLong(2)} avg_quality=${r.getDouble(3)}"))
+          s"n=${r.getLong(2)} bpe_tokens=${r.getAs[Long]("bpe_tokens")} " +
+          s"avg_quality=${r.getAs[Double]("avg_quality")}"))
       if (!vocab.isNullAt(0)) println(
         s"vocab profile: zipf_slope=${vocab.getDouble(0)} " +
           s"zipf_intercept=${vocab.getDouble(1)} n_ranks=${vocab.getLong(2)}")

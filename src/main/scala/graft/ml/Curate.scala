@@ -104,10 +104,19 @@ object Curate {
     * text_checksum pins their exact scrubbed content (both mod-2^31-1
     * sums, bounded at any corpus size and identical across engines —
     * the judged `curate_e2e_census` contract).
+    *
+    * `bpe_tokens` (round 16): the drop's token budget under the judged
+    * `text_tokenize_bpe` definition (TextOps.bpeTokenCountExpr — the
+    * committed 32-merge table as a narrow codegen'd map over the
+    * SCRUBBED text). Training budgets are counted in tokens; a census
+    * that only counts documents mis-sizes every drop. Word counts stay
+    * available downstream (spanProfile's span unit is structurally
+    * words), but the census' token column is BPE-exact.
     */
   def census(curated: DataFrame): DataFrame =
     curated.groupBy(col("split"), col("source"))
       .agg(count(lit(1)).as("n"),
+        sum(expr(TextOps.bpeTokenCountExpr("text"))).as("bpe_tokens"),
         graft.queries.QueryDsl.r2(avg(col("quality"))).as("avg_quality"),
         (sum(col("doc_id") % lit(2147483647L)) % lit(2147483647L)).as("id_checksum"),
         (sum(graft.queries.QueryDsl.hashId(col("text"), 2147483647L))
@@ -135,11 +144,21 @@ object Curate {
     * path re-pins that column to micro units instead of re-running the
     * tokenize-and-score pass a second time; the micro value is
     * bit-identical because quality sits on the r6 grid.
+    *
+    * Token accounting is BPE-exact (round 16): the product's `tokens`
+    * column counts the judged `text_tokenize_bpe` definition over the
+    * scrubbed text, not whitespace words — mixture weight ∝ √tokens, and
+    * a weight computed over word counts mis-weights sources whose
+    * tokens-per-word ratios differ (exactly the corpora a mixture
+    * design exists for). The judged raw-corpus gate keeps its word
+    * definition for round-over-round comparability; the PRODUCT path
+    * publishes what a trainer actually budgets. CurateSpec pins the
+    * equality to the gate's token definition.
     */
   def mixtureProfile(curated: DataFrame): DataFrame =
     graft.queries.MLQueries.mixtureWeightsPerDoc(curated.select(
       col("source"),
-      size(split(col("text"), " ")).cast("long").as("n_words"),
+      expr(TextOps.bpeTokenCountExpr("text")).as("n_words"),
       floor(col("quality") * lit(1000000.0) + lit(0.5)).cast("long")
         .as("q_micro")))
 

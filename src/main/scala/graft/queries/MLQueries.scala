@@ -248,9 +248,18 @@ object MLQueries {
 
   /** DuckDB twin of Curate.census over a curated relation `from` with
     * columns (doc_id, source, text, q, split) — shared by both e2e gates.
+    * bpe_tokens (round 16) replays the `text_tokenize_bpe` chain
+    * (TextOps.bpeSymbolsSql) per word through nested list lambdas —
+    * the same per-word encode the judged tokenize oracle uses, summed
+    * to the census grain.
     */
   private def censusSql(from: String): String =
     s"""SELECT split, source, CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(list_aggregate(list_transform(
+       |    list_transform(string_split(text, ' '),
+       |      w -> ${graft.ml.TextOps.bpeSymbolsSql("w")}),
+       |    sy -> (length(sy) - length(replace(sy, ' ', ''))) // 2), 'sum'))
+       |    AS BIGINT) AS bpe_tokens,
        |  ${r2Sql("AVG(q)")} AS avg_quality,
        |  CAST(SUM(doc_id % 2147483647) % 2147483647 AS BIGINT) AS id_checksum,
        |  CAST(SUM(${hashIdSql("text", 2147483647L)}) % 2147483647 AS BIGINT)

@@ -243,32 +243,41 @@ class CurateSpec extends SparkSpec {
     }
   }
 
-  test("mixtureProfile is the judged sample_mixture_weights contract, one shared definition") {
-    // same input → identical values: the product's mixture table IS the
-    // oracle-judged computation (MLQueries.mixtureWeights) over
-    // (source, text, n_chars) — the raw documents table carries the same
-    // n_chars the helper derives, so the gate and the profile agree row
-    // for row
+  test("mixtureProfile: judged aggregation tail over BPE-exact token counts") {
+    // round 16: the PRODUCT's mixture weights budget in BPE tokens (the
+    // judged text_tokenize_bpe definition), not whitespace words — weight
+    // ∝ √tokens, and word counts mis-weight sources whose tokens-per-word
+    // differ. The aggregation tail stays the oracle-judged
+    // mixtureWeightsPerDoc (shared code), so only the token definition
+    // moved; this test pins the tokens column EQUAL to the gate's
+    // per-word chain summed per source, and the divergence from the
+    // word-count gate as real (the fixture has multi-token words).
     val d = "/root/testdata/sf0.001"
-    import org.apache.spark.sql.functions.{col, length, split}
-    val viaGate = SparkEntry.queries("sample_mixture_weights")(spark, d).collect()
-    // product input = survivors carrying the judged quality column (the
-    // curate shape); on the raw corpus that column is qualityScore over
-    // (text, length(text)) — the same n_chars the table stores, so the
-    // micro re-pin must reproduce the gate bit-for-bit
-    val viaProduct = Curate.mixtureProfile(
-      graft.tables.Tables.documents(spark, d)
-        .select(col("source"), col("text"))
-        .withColumn("quality", graft.ml.TextOps.qualityScore(
-          split(col("text"), " "), length(col("text")).cast("long"))))
-      .collect()
-    assert(viaProduct.map(_.toString).toSeq === viaGate.map(_.toString).toSeq)
+    import org.apache.spark.sql.functions.{col, expr, length, split, sum => fsum}
+    val input = graft.tables.Tables.documents(spark, d)
+      .select(col("source"), col("text"))
+      .withColumn("quality", graft.ml.TextOps.qualityScore(
+        split(col("text"), " "), length(col("text")).cast("long")))
+    val rows = Curate.mixtureProfile(input).collect()
+    val bpePerSource = graft.tables.Tables.documents(spark, d)
+      .select(col("source"),
+        expr(graft.ml.TextOps.bpeTokenCountExpr("text")).as("t"))
+      .groupBy(col("source")).agg(fsum(col("t")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(
+      r.getAs[Long]("tokens") === bpePerSource(r.getAs[String]("source")),
+      s"${r.getAs[String]("source")}: mixture tokens are not the judged BPE count"))
+    // and BPE genuinely differs from words here — the switch is load-bearing
+    val wordsPerSource = SparkEntry.queries("sample_mixture_weights")(spark, d)
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("tokens")).toMap
+    assert(bpePerSource !== wordsPerSource)
     // the curated (scrubbed, deduped) frame profiles too — the CLI path:
     // weights renormalize over survivors and still sum to ~1
     val curated = Curate.curate(docs)
-    val rows = Curate.mixtureProfile(curated).collect()
-    assert(rows.nonEmpty)
-    val wsum = rows.map(_.getAs[Double]("weight")).sum
+    val prows = Curate.mixtureProfile(curated).collect()
+    assert(prows.nonEmpty)
+    val wsum = prows.map(_.getAs[Double]("weight")).sum
     assert(wsum > 1.0 - 2e-5 && wsum <= 1.0 + 2e-5, s"weights sum to $wsum")
   }
 
@@ -283,5 +292,18 @@ class CurateSpec extends SparkSpec {
     val cen = Curate.census(curated).collect()
     assert(cen.map(_.getAs[Long]("n")).sum === curated.count())
     assert(cen.forall(r => r.getAs[Double]("avg_quality") >= 0.0))
+    // census bpe_tokens (round 16) is the judged text_tokenize_bpe
+    // definition summed over the scrubbed survivors, per (split, source)
+    import org.apache.spark.sql.functions.{expr, sum => fsum}
+    val expected = curated
+      .select(col("split"), col("source"),
+        expr(graft.ml.TextOps.bpeTokenCountExpr("text")).as("t"))
+      .groupBy(col("split"), col("source")).agg(fsum(col("t")).as("t"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    cen.foreach(r => assert(
+      r.getAs[Long]("bpe_tokens")
+        === expected((r.getString(0), r.getString(1))),
+      s"census bpe_tokens drifted from the judged token definition"))
   }
 }
