@@ -175,6 +175,42 @@ class BenchSpec extends AnyFunSuite {
     }
   }
 
+  test("quietRecordEligible: only a clean, uncontended, un-inflated FULL sweep persists") {
+    // round 16: the persisted bench_last_quiet.json must never be written
+    // by a run whose own numbers are suspect — each leg of the contract
+    // individually blocks eligibility
+    def ok(full: Boolean = true, failed: Boolean = false, cont: Int = 0,
+        vs: Option[Double] = Some(1.1)) =
+      Bench.quietRecordEligible(full, failed, cont, vs)
+    assert(ok())
+    assert(ok(vs = Some(Bench.InflatedVsRef))) // exactly at the bar is quiet
+    assert(!ok(full = false), "a BENCH_ONLY-filtered run must not persist")
+    assert(!ok(failed = true), "a run with crashed gates must not persist")
+    assert(!ok(cont = 1), "a contended run must not persist")
+    assert(!ok(vs = Some(1.31)), "an inflated run must not persist")
+    assert(!ok(vs = None), "no reference ratio → unverifiable → not quiet")
+  }
+
+  test("lastQuietSummary embeds headline fields and refuses flagged/malformed docs") {
+    val quiet = """{"metric":"total","value":121.3,"vs_reference":1.23,""" +
+      """"vs_reference_probe_adj":0.98,"queries":{"a":{},"b":{}}}"""
+    val got = Bench.lastQuietSummary(quiet)
+    assert(got === Some(
+      """{"value":121.3,"vs_reference":1.23,"vs_reference_probe_adj":0.98,"n_queries":2}"""))
+    // the embed itself must be valid JSON — it nests into the artifact
+    val tree = new com.fasterxml.jackson.databind.ObjectMapper().readTree(got.get)
+    assert(tree.get("value").asDouble === 121.3 && tree.get("n_queries").asInt === 2)
+    // a doc carrying its own contended/inflated flags is poisoned evidence
+    assert(Bench.lastQuietSummary(
+      """{"value":581.8,"vs_reference":5.89,"inflated_vs_reference":true}""").isEmpty)
+    assert(Bench.lastQuietSummary(
+      """{"value":200.6,"vs_reference":2.32,"contended":true}""").isEmpty)
+    // malformed / headline-less docs are refused, not thrown
+    assert(Bench.lastQuietSummary("not json").isEmpty)
+    assert(Bench.lastQuietSummary("""{"value":1.0}""").isEmpty)
+    assert(Bench.lastQuietSummary("").isEmpty)
+  }
+
   test("parseReference round-trips and rejects malformed rows") {
     val (sf, probe, gates) = Bench.parseReference(Seq(
       "# comment", "sf=sf0.1",
