@@ -650,16 +650,7 @@ object Pipeline {
       val html = graft.report.Report.render(
         graft.ingest.WorkloadViews(readSummaries(spark, in)),
         colorblind = opts.contains("--colorblind"))
-      if (out.endsWith(".zip")) {
-        val zos = new java.util.zip.ZipOutputStream(
-          new java.io.FileOutputStream(out))
-        try {
-          zos.putNextEntry(new java.util.zip.ZipEntry("output.html"))
-          zos.write(html.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          zos.closeEntry()
-        } finally zos.close()
-      } else
-        java.nio.file.Files.writeString(java.nio.file.Paths.get(out), html)
+      graft.report.Report.write(out, html)
       println(s"report: ${html.length} chars to $out")
       spark.stop()
 

@@ -218,6 +218,25 @@ object Report {
   /** Full report HTML from the derived views. `colorblind` mirrors the
     * reference's palette switch (`analyze.py:708-713`).
     */
+  /** Suffix-dispatched artifact sink, the reference CLI's `-o` contract
+    * (`analyze.py:1284-1292`): a target ending `.zip` wraps the rendered
+    * HTML as a single DEFLATE `output.html` entry — the reference's
+    * fixed member name — anything else writes the HTML verbatim. Shared
+    * by the `report` CLI and ReportSpec so the zip path is judged by the
+    * same code the CLI ships.
+    */
+  def write(out: String, html: String): Unit =
+    if (out.endsWith(".zip")) {
+      val zos = new java.util.zip.ZipOutputStream(
+        new java.io.FileOutputStream(out))
+      try {
+        zos.putNextEntry(new java.util.zip.ZipEntry("output.html"))
+        zos.write(html.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        zos.closeEntry()
+      } finally zos.close()
+    } else
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(out), html)
+
   def render(views: WorkloadViews, colorblind: Boolean = false): String = {
     val palette = if (colorblind) Colorblind8 else Category10
     val m: Row = Analyzers.metrics(views).collect()(0)

@@ -24,6 +24,30 @@ class ReportSpec extends SparkSpec {
     assert(html.contains("<circle cx=")) // scatter points
   }
 
+  test("write: a .zip target wraps the HTML as the reference's output.html entry") {
+    // analyze.py:1284-1292 parity: suffix-dispatched sink — `.zip` wraps
+    // the artifact as a single DEFLATE entry named output.html; any other
+    // target writes the HTML verbatim. Round-tripped through real
+    // ZipFile/Files reads, same bytes both ways.
+    val html = Report.render(views)
+    val dir = java.nio.file.Files.createTempDirectory("report_zip").toFile
+    val zipPath = new java.io.File(dir, "out.zip").getAbsolutePath
+    val htmlPath = new java.io.File(dir, "out.html").getAbsolutePath
+    Report.write(zipPath, html)
+    Report.write(htmlPath, html)
+    val zf = new java.util.zip.ZipFile(zipPath)
+    try {
+      val entries = zf.entries()
+      val e = entries.nextElement()
+      assert(e.getName === "output.html", "the reference's fixed member name")
+      assert(!entries.hasMoreElements, "exactly one entry")
+      val bytes = zf.getInputStream(e).readAllBytes()
+      assert(new String(bytes, java.nio.charset.StandardCharsets.UTF_8) === html)
+    } finally zf.close()
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(htmlPath)) === html)
+  }
+
   test("interactive shell: hover payloads on marks, one self-contained script") {
     val html = Report.render(views)
     // every mark family carries a hover payload for the JS tooltip
