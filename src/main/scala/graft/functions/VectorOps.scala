@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftBridge}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.sqrt
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 
 /** Native float-vector kernels for the similarity/dedup operators.
   *
@@ -56,6 +56,131 @@ case class FloatVecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Fused nearest-centroid argmax (round 17): the cell id whose centroid
+  * maximizes the r6-rounded cosine with the input embedding, ties to the
+  * FIRST centroid in `cells` order (callers pass ascending cell id — the
+  * assignCells contract). Born from a measured failure, not taste: the
+  * previous assignCells materialized one `withColumn` per centroid plus a
+  * k×(k-1) comparison chain, and at k = 64 janino already refuses the
+  * generated projection (InternalCompilerException, method over the JVM
+  * limit) — at the k ≈ √N a 100 TB index needs (tens of thousands), the
+  * plan cannot even be BUILT. This expression keeps the plan at one node
+  * regardless of k: centroids ride along as reference objects (driver
+  * state k×dim floats — the same k≪N bound as the Lloyd collects) and the
+  * whole scan is one fused zero-allocation loop.
+  *
+  * Arithmetic is bit-identical to the column formulation the oracles pin:
+  * per centroid sim = r6(dot(e, c) / (norm(e) · cnorm_c)) with the
+  * FloatVecDot index-order float→double fold, norm(e) = sqrt(dot(e, e)),
+  * cnorm precomputed driver-side with the same fold; r6's floor returns
+  * LONG in Spark (so ±Inf/NaN collapse to integers exactly like the
+  * column plan — `(long) Math.floor` here); the ascending scan keeps a
+  * strictly-greater winner = the lowest cell id among the argmax set,
+  * exactly the old chain's `csim_c >= all others` first match. NULL
+  * embedding yields -1L, the old chain's fall-through literal.
+  */
+case class NearestCentroid(child: Expression, cells: Seq[Long],
+    cents: Seq[Array[Float]], cnorms: Seq[Double])
+    extends UnaryExpression {
+
+  require(cells.length == cents.length && cells.length == cnorms.length,
+    "cells/cents/cnorms must be parallel")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def prettyName: String = "nearest_centroid"
+
+  @transient private lazy val cellsArr: Array[Long] = cells.toArray
+  @transient private lazy val centsArr: Array[Array[Float]] = cents.toArray
+  @transient private lazy val cnormsArr: Array[Double] = cnorms.toArray
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return -1L
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    var nacc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble; nacc += x * x; i += 1
+    }
+    val norm = math.sqrt(nacc)
+    var best = Double.NegativeInfinity
+    var bestId = -1L
+    var c = 0
+    while (c < centsArr.length) {
+      val cv = centsArr(c)
+      val m = math.min(n, cv.length)
+      var acc = 0.0
+      i = 0
+      while (i < m) {
+        acc += a.getFloat(i).toDouble * cv(i).toDouble; i += 1
+      }
+      val sim =
+        math.floor(acc / (norm * cnormsArr(c)) * 1000000.0 + 0.5).toLong /
+          1000000.0
+      if (sim > best) { best = sim; bestId = cellsArr(c) }
+      c += 1
+    }
+    bestId
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val centsRef = ctx.addReferenceObj("cents", centsArr, "float[][]")
+    val cellsRef = ctx.addReferenceObj("cells", cellsArr, "long[]")
+    val cnormsRef = ctx.addReferenceObj("cnorms", cnormsArr, "double[]")
+    val a = ctx.freshName("arr")
+    val n = ctx.freshName("n")
+    val nacc = ctx.freshName("nacc")
+    val norm = ctx.freshName("norm")
+    val best = ctx.freshName("best")
+    val bestId = ctx.freshName("bestId")
+    val c = ctx.freshName("c")
+    val i = ctx.freshName("i")
+    val cv = ctx.freshName("cv")
+    val m = ctx.freshName("m")
+    val acc = ctx.freshName("acc")
+    val sim = ctx.freshName("sim")
+    val x = ctx.freshName("x")
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val body =
+      code"""
+         |${childGen.code}
+         |long ${ev.value} = -1L;
+         |if (!${childGen.isNull}) {
+         |  org.apache.spark.sql.catalyst.util.ArrayData $a = ${childGen.value};
+         |  int $n = $a.numElements();
+         |  double $nacc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $x = (double) $a.getFloat($i);
+         |    $nacc += $x * $x;
+         |  }
+         |  double $norm = java.lang.Math.sqrt($nacc);
+         |  double $best = java.lang.Double.NEGATIVE_INFINITY;
+         |  long $bestId = -1L;
+         |  for (int $c = 0; $c < $centsRef.length; $c++) {
+         |    float[] $cv = $centsRef[$c];
+         |    int $m = java.lang.Math.min($n, $cv.length);
+         |    double $acc = 0.0;
+         |    for (int $i = 0; $i < $m; $i++) {
+         |      $acc += ((double) $a.getFloat($i)) * ((double) $cv[$i]);
+         |    }
+         |    double $sim = ((double) (long) java.lang.Math.floor(
+         |      $acc / ($norm * $cnormsRef[$c]) * 1000000.0 + 0.5)) / 1000000.0;
+         |    if ($sim > $best) { $best = $sim; $bestId = $cellsRef[$c]; }
+         |  }
+         |  ${ev.value} = $bestId;
+         |}
+       """.stripMargin
+    ev.copy(code = body,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorOps {
   /** dot(a, b) with float→double casts, index order — oracle-exact. */
   def vecDot(a: Column, b: Column): Column =
@@ -63,4 +188,12 @@ object VectorOps {
 
   /** L2 norm = sqrt(dot(a, a)). */
   def vecNorm(a: Column): Column = sqrt(vecDot(a, a))
+
+  /** Constant-plan-size nearest-centroid assignment — see
+    * [[NearestCentroid]].
+    */
+  def nearestCentroid(embedding: Column, cells: Seq[Long],
+      cents: Seq[Array[Float]], cnorms: Seq[Double]): Column =
+    GraftBridge.column(
+      NearestCentroid(GraftBridge.expression(embedding), cells, cents, cnorms))
 }

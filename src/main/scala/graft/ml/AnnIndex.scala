@@ -1,6 +1,6 @@
 package graft.ml
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorOps.{vecDot, vecNorm}
@@ -30,22 +30,17 @@ object AnnIndex {
 
   /** Nearest-centroid cell per row (adds `cell`, keeps input columns).
     * Same argmax contract as the judged gates: r6-rounded cosine, ties to
-    * the lowest centroid id.
+    * the lowest centroid id. One fused [[graft.functions.NearestCentroid]]
+    * expression (round 17): the previous per-centroid withColumn fan-out
+    * plus k×(k-1) comparison chain stopped COMPILING at k = 64 (janino
+    * method-limit InternalCompilerException) — at the k ≈ √N a real index
+    * needs, the plan is one node and one codegen'd loop regardless of k.
     */
   def assignCells(df: DataFrame, model: Model): DataFrame = {
     val cents = model.centroids.sortBy(_._1)
-    val scored = cents.foldLeft(df.withColumn("__norm", vecNorm(col("embedding")))) {
-      case (d, (cid, cv)) =>
-        d.withColumn(s"__csim_$cid",
-          r6(vecDot(col("embedding"), typedLit(cv)) / (col("__norm") * lit(centNorm(cv)))))
-    }
-    val ids = cents.map(_._1)
-    val cell = ids.foldRight(lit(-1L)) { (cid, els) =>
-      when(ids.filter(_ != cid).map(o => col(s"__csim_$cid") >= col(s"__csim_$o"))
-        .reduceOption(_ && _).getOrElse(lit(true)), lit(cid)).otherwise(els)
-    }
-    scored.withColumn("cell", cell)
-      .drop("__norm").drop(ids.map(i => s"__csim_$i"): _*)
+    df.withColumn("cell", graft.functions.VectorOps.nearestCentroid(
+      col("embedding"), cents.map(_._1), cents.map(_._2),
+      cents.map(c => centNorm(c._2))))
   }
 
   /** [[build]] plus the last round's per-cell member census — what the
@@ -232,16 +227,28 @@ object AnnIndex {
     // one batched training round: per row the assignCells argmax against
     // its OWN parent's two seeds (parent id keeps the lower seed; ties
     // go to the lower cell id = the parent, listed first), then the
-    // shared (cell, dim)-keyed microMeans over all splitting cells
-    val withNorm = splitting.withColumn("__norm", vecNorm(col("embedding")))
-    def simTo(cv: Array[Float]) =
-      r6(vecDot(col("embedding"), typedLit(cv)) / (col("__norm") * lit(centNorm(cv))))
-    val childCell = splitParents.foldRight(lit(-1L)) { (p, els) =>
+    // shared (cell, dim)-keyed microMeans over all splitting cells.
+    // The per-parent seeds ride a broadcast join, not a when-chain: a
+    // skewed ingest can split hundreds of cells at once, and a
+    // per-parent CASE WHEN would grow the expression tree (and blow
+    // codegen's method-size limit) with the split count, while the join
+    // keeps expression depth constant. Same arithmetic as assignCells:
+    // the seed vectors and their driver-side index-order-fold norms come
+    // from the one seed collect above; r6 cosine, ties (>=) keep the
+    // parent = the lower cell id.
+    val spark = splitting.sparkSession
+    import spark.implicits._
+    val seedDf = broadcast(splitParents.map { p =>
       val s = seedsByParent(p)
-      when(col("cell") === p,
-        when(simTo(s(0)) >= simTo(s(1)), lit(p)).otherwise(lit(siblingOf(p))))
-        .otherwise(els)
-    }
+      (p, s(0), centNorm(s(0)), s(1), centNorm(s(1)), siblingOf(p))
+    }.toDF("cell", "__s0", "__cn0", "__s1", "__cn1", "__sib"))
+    val withNorm = splitting.withColumn("__norm", vecNorm(col("embedding")))
+      .join(seedDf, "cell")
+    def simTo(seed: Column, cn: Column) =
+      r6(vecDot(col("embedding"), seed) / (col("__norm") * cn))
+    val childCell =
+      when(simTo(col("__s0"), col("__cn0")) >= simTo(col("__s1"), col("__cn1")),
+        col("cell")).otherwise(col("__sib"))
     val qm = microMeans(withNorm.withColumn("cell", childCell)
       .select(col("cell"), col("embedding")))
     val children = splitParents.flatMap { p =>

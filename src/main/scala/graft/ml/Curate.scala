@@ -105,18 +105,23 @@ object Curate {
     * sums, bounded at any corpus size and identical across engines —
     * the judged `curate_e2e_census` contract).
     *
-    * `bpe_tokens` (round 16): the drop's token budget under the judged
-    * `text_tokenize_bpe` definition (TextOps.bpeTokenCountExpr — the
-    * committed 32-merge table as a narrow codegen'd map over the
-    * SCRUBBED text). Training budgets are counted in tokens; a census
-    * that only counts documents mis-sizes every drop. Word counts stay
-    * available downstream (spanProfile's span unit is structurally
-    * words), but the census' token column is BPE-exact.
+    * `bpe_tokens` (round 16, re-based round 17): the drop's token budget
+    * under the PRODUCTION vocabulary — the committed 1024-merge table
+    * applied per row by TextOps.withBpeTokenCount, the same definition
+    * the judged `text_tokenize_bpe_trie` gate censuses (CurateSpec pins
+    * the equality). Training budgets are counted in tokens, and a
+    * 32-merge vocabulary over-fragments real text, systematically
+    * inflating every budget a trainer would act on; the unit gate keeps
+    * the 32-merge definition for round-over-round comparability, the
+    * product budgets with the vocabulary a training run ships. Word
+    * counts stay available downstream (spanProfile's span unit is
+    * structurally words), but the census' token column is BPE-exact.
     */
   def census(curated: DataFrame): DataFrame =
-    curated.groupBy(col("split"), col("source"))
+    TextOps.withBpeTokenCount(curated, "text", "__bpe_n", TextOps.BpeMerges1k)
+      .groupBy(col("split"), col("source"))
       .agg(count(lit(1)).as("n"),
-        sum(expr(TextOps.bpeTokenCountExpr("text"))).as("bpe_tokens"),
+        sum(col("__bpe_n")).as("bpe_tokens"),
         graft.queries.QueryDsl.r2(avg(col("quality"))).as("avg_quality"),
         (sum(col("doc_id") % lit(2147483647L)) % lit(2147483647L)).as("id_checksum"),
         (sum(graft.queries.QueryDsl.hashId(col("text"), 2147483647L))
@@ -145,22 +150,29 @@ object Curate {
     * tokenize-and-score pass a second time; the micro value is
     * bit-identical because quality sits on the r6 grid.
     *
-    * Token accounting is BPE-exact (round 16): the product's `tokens`
-    * column counts the judged `text_tokenize_bpe` definition over the
-    * scrubbed text, not whitespace words — mixture weight ∝ √tokens, and
-    * a weight computed over word counts mis-weights sources whose
-    * tokens-per-word ratios differ (exactly the corpora a mixture
-    * design exists for). The judged raw-corpus gate keeps its word
-    * definition for round-over-round comparability; the PRODUCT path
-    * publishes what a trainer actually budgets. CurateSpec pins the
-    * equality to the gate's token definition.
+    * Token accounting is BPE-exact (round 16) under the PRODUCTION
+    * vocabulary (round 17): the product's `tokens` column counts the
+    * committed 1024-merge table — the `text_tokenize_bpe_trie`
+    * definition via TextOps.withBpeTokenCount — not whitespace words and
+    * not the 32-merge teaching table (which over-fragments real text and
+    * inflates every budget). Mixture weight ∝ √tokens; a weight computed
+    * over word counts mis-weights sources whose tokens-per-word ratios
+    * differ (exactly the corpora a mixture design exists for). The
+    * judged raw-corpus gate keeps its word definition for
+    * round-over-round comparability; the PRODUCT path publishes what a
+    * trainer actually budgets. CurateSpec pins the equality to the trie
+    * gate's token definition.
     */
   def mixtureProfile(curated: DataFrame): DataFrame =
-    graft.queries.MLQueries.mixtureWeightsPerDoc(curated.select(
-      col("source"),
-      expr(TextOps.bpeTokenCountExpr("text")).as("n_words"),
-      floor(col("quality") * lit(1000000.0) + lit(0.5)).cast("long")
-        .as("q_micro")))
+    graft.queries.MLQueries.mixtureWeightsPerDoc(
+      TextOps.withBpeTokenCount(
+          curated.select(col("source"), col("text"), col("quality")),
+          "text", "__bpe_n", TextOps.BpeMerges1k)
+        .select(
+          col("source"),
+          col("__bpe_n").as("n_words"),
+          floor(col("quality") * lit(1000000.0) + lit(0.5)).cast("long")
+            .as("q_micro")))
 
   /** Duplicated-span coverage of a curated corpus: the judged
     * `dedup_substring_spans` contract (ONE shared definition,

@@ -1898,11 +1898,8 @@ object CurationQueries {
             countDistinct(col("token")).as("distinct_tokens"))
           .orderBy(col("source")),
       Some {
-        val values = graft.ml.TextOps.BpeMerges1k.iterator.zipWithIndex
-          .map { case ((a, b), i) => s"(${i + 1},'$a','$b')" }
-          .grouped(8).map(_.mkString(",")).mkString(",\n  ")
         s"""WITH RECURSIVE merges(mi, ma, mb) AS (VALUES
-           |  $values
+           |  ${graft.ml.TextOps.bpeMerges1kValuesSql}
            |), wf AS (
            |  SELECT doc_id, source, UNNEST(string_split(text, ' ')) AS w
            |  FROM documents
@@ -1934,14 +1931,21 @@ object CurationQueries {
     // judged grid-window assignment (same shard/window/chunk contract,
     // ONE budget constant of 512) with the document cost measured in
     // BPE tokens instead of whitespace words — the accounting a training
-    // run actually budgets by. The word-count gate is retained for
-    // round-over-round comparability; this is the token-exact sibling.
+    // run actually budgets by. Round 17: the cost is the PRODUCTION
+    // 1024-merge vocabulary (TextOps.withBpeTokenCount — a 32-merge
+    // vocab over-fragments real text and inflates every chunk budget);
+    // the oracle replays the trie gate's recursive-CTE table-order chain
+    // over the distinct-word vocabulary and sums per document. The
+    // word-count gate is retained for round-over-round comparability;
+    // this is the token-exact sibling.
     NamedQuery(
       "pack_sequences_bpe",
       (s, d) => {
-        val docs = Tables.documents(s, d)
-          .select(col("doc_id"), col("source"),
-            expr(TextOps.bpeTokenCountExpr("text")).as("tokens"),
+        val docs = TextOps.withBpeTokenCount(
+            Tables.documents(s, d)
+              .select(col("doc_id"), col("source"), col("text")),
+            "text", "tokens", TextOps.BpeMerges1k)
+          .select(col("doc_id"), col("source"), col("tokens"),
             hashId(col("text"), 2147483647L).as("hk"))
           .withColumn("shard", col("hk") % 8)
         val w = Window.partitionBy(col("source"), col("shard"))
@@ -1953,20 +1957,17 @@ object CurationQueries {
           .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("token_sum"))
           .orderBy(col("source"), col("shard"), col("chunk_id"))
       },
-      Some(s"""WITH wrds AS (
-              |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
-              |), toks AS (
-              |  SELECT doc_id, UNNEST(w) AS word FROM wrds
-              |), enc AS (
-              |  SELECT doc_id, ${TextOps.bpeSymbolsSql("word")} AS sy FROM toks
-              |), bpe AS (
-              |  SELECT doc_id, CAST(SUM((length(sy) - length(replace(sy, ' ', '')))
-              |    // 2) AS BIGINT) AS tokens
-              |  FROM enc GROUP BY 1
+      Some(s"""WITH RECURSIVE ${TextOps.bpe1kWordTokensSql("documents", "_p")},
+              |docbpe AS (
+              |  SELECT doc_id, CAST(SUM(t.n) AS BIGINT) AS tokens
+              |  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w
+              |        FROM documents) f
+              |  JOIN wtok_p t ON t.w = f.w
+              |  GROUP BY 1
               |), docs AS (
-              |  SELECT d.doc_id, d.source, b.tokens,
+              |  SELECT d.doc_id, d.source, COALESCE(b.tokens, 0) AS tokens,
               |    ${hashIdSql("d.text", 2147483647L)} AS hk
-              |  FROM documents d JOIN bpe b USING (doc_id)
+              |  FROM documents d LEFT JOIN docbpe b USING (doc_id)
               |), packed AS (
               |  SELECT source, hk % 8 AS shard, tokens,
               |    SUM(tokens) OVER (PARTITION BY source, hk % 8

@@ -86,18 +86,9 @@ object MLQueries {
       .orderBy(col("source"))
   }
 
-  /** `(vec_id, embedding, norm, bucket)` under the 4-hyperplane LSH of the
-    * similarity family — ONE bucket definition shared by
-    * `similarity_ann_lsh` (top-k in the query's bucket) and
-    * `similarity_range_search` (all within-bucket pairs past a
-    * threshold), so the two probes index the same structure. Each plane
-    * dot is a sequential index-order fold (deterministic under any
-    * partitioning/AQE plan, unlike a sum over exploded rows); signs from
-    * the integer hyperplane formula, exact in both engines.
-    */
   /** Signed dot with pseudo-random hyperplane `j` — the ONE plane formula
     * of every hyperplane-LSH structure in this file ([[lshBucketed]]'s
-    * 4-plane bucket and [[lshBanded]]'s 2×4-plane bands index with the
+    * 4-plane bucket and [[lshBanded]]'s banded variant index with the
     * same planes 0-3). A sequential index-order fold (deterministic under
     * any partitioning/AQE plan, unlike a sum over exploded rows); the
     * integer hyperplane formula is exact in both engines.
@@ -108,6 +99,12 @@ object MLQueries {
        |    (((CAST((i + 1) * ($j + 7) AS BIGINT) * 2654435761) % 1000003) / 1000003.0 - 0.5))"""
       .stripMargin)
 
+  /** `(vec_id, embedding, norm, bucket)` under the 4-hyperplane LSH of the
+    * similarity family — ONE bucket definition shared by
+    * `similarity_ann_lsh` (top-k in the query's bucket) and
+    * `similarity_range_search` (all within-bucket pairs past a
+    * threshold), so the two probes index the same structure.
+    */
   private def lshBucketed(s: SparkSession, d: String): DataFrame = {
     val bucket = (0 until 4)
       .map(j => when(planeDot(j) > 0, lit(1L << j)).otherwise(lit(0L)))
@@ -248,23 +245,32 @@ object MLQueries {
 
   /** DuckDB twin of Curate.census over a curated relation `from` with
     * columns (doc_id, source, text, q, split) — shared by both e2e gates.
-    * bpe_tokens (round 16) replays the `text_tokenize_bpe` chain
-    * (TextOps.bpeSymbolsSql) per word through nested list lambdas —
-    * the same per-word encode the judged tokenize oracle uses, summed
-    * to the census grain.
+    * bpe_tokens (round 17) replays the PRODUCTION 1024-merge vocabulary
+    * the product now budgets with: the trie gate's recursive-CTE
+    * table-order chain over the curated text's distinct words
+    * (TextOps.bpe1kWordTokensSql — O(vocab), not O(corpus)), joined back
+    * to word occurrences and summed to the census grain. The enclosing
+    * WITH must be RECURSIVE. Documents with no non-empty word (possible
+    * after scrubbing) fall out of the join and count 0 via the LEFT
+    * JOIN, matching the Spark side's empty-split count.
     */
   private def censusSql(from: String): String =
-    s"""SELECT split, source, CAST(COUNT(*) AS BIGINT) AS n,
-       |  CAST(SUM(list_aggregate(list_transform(
-       |    list_transform(string_split(text, ' '),
-       |      w -> ${graft.ml.TextOps.bpeSymbolsSql("w")}),
-       |    sy -> (length(sy) - length(replace(sy, ' ', ''))) // 2), 'sum'))
-       |    AS BIGINT) AS bpe_tokens,
+    s""", ${graft.ml.TextOps.bpe1kWordTokensSql(from, "_c")},
+       |docbpe_c AS (
+       |  SELECT doc_id, CAST(SUM(t.n) AS BIGINT) AS bpe
+       |  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w
+       |        FROM $from) f
+       |  JOIN wtok_c t ON t.w = f.w
+       |  GROUP BY 1
+       |)
+       |SELECT split, source, CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(COALESCE(b.bpe, 0)) AS BIGINT) AS bpe_tokens,
        |  ${r2Sql("AVG(q)")} AS avg_quality,
        |  CAST(SUM(doc_id % 2147483647) % 2147483647 AS BIGINT) AS id_checksum,
        |  CAST(SUM(${hashIdSql("text", 2147483647L)}) % 2147483647 AS BIGINT)
        |    AS text_checksum
-       |FROM $from GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+       |FROM $from k LEFT JOIN docbpe_c b USING (doc_id)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** Committed JPEG gate fixture location (payloads + expected stats
     * parquet) — the [[AnalyzerGates.fixtureDir]] resolution order:
@@ -392,22 +398,16 @@ object MLQueries {
     // arithmetic of vecNorm/duckNorm, so both engines see one value.
     def centNorm(v: Array[Float]): Double =
       math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
-    val scored = cents.foldLeft(
-      Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding"), vecNorm(col("embedding")).as("norm"))) {
-      case (df, (cid, cv)) =>
-        df.withColumn(s"csim_$cid",
-          r6(vecDot(col("embedding"), typedLit(cv)) / (col("norm") * lit(centNorm(cv)))))
-    }
-    // first centroid (ascending id) whose sim >= all others
-    val ids = cents.map(_._1)
-    val cell = ids.foldRight(lit(-1L)) { (cid, els) =>
-      // reduceOption: with a single centroid the comparison set is
-      // empty and the winner is unconditional
-      when(ids.filter(_ != cid).map(o => col(s"csim_$cid") >= col(s"csim_$o"))
-        .reduceOption(_ && _).getOrElse(lit(true)), lit(cid)).otherwise(els)
-    }
-    scored.select(col("vec_id"), col("embedding"), col("norm"), cell.as("cell"))
+    // one fused NearestCentroid expression (round 17) — the same argmax
+    // contract (r6 cosine, first ascending id wins ties) at constant
+    // plan size; the per-centroid withColumn fan-out this replaces
+    // stopped compiling at k = 64 (see functions.NearestCentroid)
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        vecNorm(col("embedding")).as("norm"),
+        graft.functions.VectorOps.nearestCentroid(col("embedding"),
+          cents.map(_._1).toSeq, cents.map(_._2).toSeq,
+          cents.map(c => centNorm(c._2)).toSeq).as("cell"))
   }
 
   /** Oracle twin of [[ivfAssigned]]: the `csims`/`assigned` CTE pair
@@ -3030,7 +3030,7 @@ $blockSql
       (s, d) => graft.ml.Curate.census(graft.ml.Curate.curate(
         Tables.documents(s, d).select(col("doc_id"), col("source"), col("text")),
         minQuality = 0.65)),
-      Some(s"""WITH ${curateChainSql("TRUE", "")}
+      Some(s"""WITH RECURSIVE ${curateChainSql("TRUE", "")}
               |${censusSql("kept")}""".stripMargin)),
 
     // The INCREMENTAL posture of the curation product, judged end-to-end
@@ -3067,7 +3067,7 @@ $blockSql
           corpus)
         graft.ml.Curate.census(fresh)
       },
-      Some(s"""WITH ${curateChainSql(
+      Some(s"""WITH RECURSIVE ${curateChainSql(
                "doc_id <= (SELECT MAX(doc_id) // 2 FROM documents)", "1")},
               |${curateChainSql(
                "doc_id > (SELECT MAX(doc_id) // 2 FROM documents)", "2")},

@@ -203,6 +203,68 @@ class AnnIndexSpec extends SparkSpec {
         s"vs $jMany for $nMany — re-split training is no longer batched")
   }
 
+  test("addBatch: ~64 simultaneous splits stay codegen-compiled (no fallback)") {
+    // round 17 (ADVICE): the per-parent argmax used to be an
+    // O(#splits)-deep nested CASE WHEN, each branch embedding two 64-term
+    // cosines — at hundreds of hot cells codegen blows the JVM method
+    // limit and falls back to interpreted eval. The seeds now ride a
+    // broadcast join (constant expression depth), and this case pins it:
+    // split (nearly) every cell of a k=64 index at once and assert no
+    // codegen compile-failure/fallback warning fires.
+    import org.apache.logging.log4j.{Level, LogManager}
+    import org.apache.logging.log4j.core.{LogEvent, LoggerContext}
+    import org.apache.logging.log4j.core.appender.AbstractAppender
+    import org.apache.logging.log4j.core.config.{Configurator, Property}
+    def codegenWarningsDuring(body: => Unit): Seq[String] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      val app = new AbstractAppender(
+          "graft-codegen-probe", null, null, false, Property.EMPTY_ARRAY) {
+        override def append(e: LogEvent): Unit = {
+          val msg = e.getMessage.getFormattedMessage
+          if ((msg.contains("odegen") && msg.contains("disabled")) ||
+              msg.contains("alling back") || msg.contains("ailed to compile"))
+            buf.synchronized { buf += s"${e.getLoggerName}: $msg" }
+        }
+      }
+      app.start()
+      val watched = Seq(
+        "org.apache.spark.sql.catalyst.expressions.codegen",
+        "org.apache.spark.sql.execution.WholeStageCodegenExec")
+      val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+      val cfg = ctx.getConfiguration
+      val saved = watched.map(n => n -> LogManager.getLogger(n).getLevel)
+      watched.foreach(Configurator.setLevel(_, Level.WARN))
+      cfg.getRootLogger.addAppender(app, Level.WARN, null)
+      ctx.updateLoggers()
+      try body finally {
+        cfg.getRootLogger.removeAppender("graft-codegen-probe")
+        saved.foreach { case (n, l) => Configurator.setLevel(n, l) }
+        ctx.updateLoggers(); app.stop()
+      }
+      buf.toSeq
+    }
+    val e = emb.select(col("vec_id"), col("embedding"))
+    val m0 = AnnIndex.build(e, k = 64, iters = 0)
+    val indexed = AnnIndex.assignCells(e, m0)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    val counts = indexed.groupBy(col("cell")).count()
+      .collect().map(r => r.getAs[Long]("cell") -> r.getAs[Long]("count")).toMap
+    val nSplits = counts.count(_._2 > 1) // bound=1: every 2+ member cell
+    assert(nSplits >= 48, s"fixture spreads only $nSplits multi-member cells")
+    var r: AnnIndex.UpdateResult = null
+    val warnings = codegenWarningsDuring {
+      r = AnnIndex.addBatch(indexed, e.filter(col("vec_id") < 0), m0, 1L)
+    }
+    assert(warnings.isEmpty,
+      s"codegen fell back during a $nSplits-way split:\n${warnings.mkString("\n")}")
+    assert(r.splitFrom.size === nSplits)
+    assert(r.census.values.sum === e.count())
+    r.splitFrom.foreach { case (sib, p) =>
+      assert(r.census.getOrElse(p, 0L) + r.census.getOrElse(sib, 0L)
+        === counts(p), s"split of cell $p lost members")
+    }
+  }
+
   test("probe returns ranked cell-mate neighbors with the gate's contract") {
     val m = AnnIndex.build(emb, k = 4, iters = 1)
     val out = AnnIndex.probe(emb, m, queryIds = Seq(0L, 1L, 2L), topK = 3).collect()

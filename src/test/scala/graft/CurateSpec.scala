@@ -244,25 +244,23 @@ class CurateSpec extends SparkSpec {
   }
 
   test("mixtureProfile: judged aggregation tail over BPE-exact token counts") {
-    // round 16: the PRODUCT's mixture weights budget in BPE tokens (the
-    // judged text_tokenize_bpe definition), not whitespace words — weight
-    // ∝ √tokens, and word counts mis-weight sources whose tokens-per-word
-    // differ. The aggregation tail stays the oracle-judged
-    // mixtureWeightsPerDoc (shared code), so only the token definition
-    // moved; this test pins the tokens column EQUAL to the gate's
-    // per-word chain summed per source, and the divergence from the
-    // word-count gate as real (the fixture has multi-token words).
+    // round 16: the PRODUCT's mixture weights budget in BPE tokens, not
+    // whitespace words — weight ∝ √tokens, and word counts mis-weight
+    // sources whose tokens-per-word differ. Round 17: the definition is
+    // the PRODUCTION 1024-merge vocabulary — this test pins the tokens
+    // column EQUAL to the judged text_tokenize_bpe_trie engine
+    // (TextOps.bpeTokens occurrence rows) counted per source, and the
+    // divergence from the word-count gate as real.
     val d = "/root/testdata/sf0.001"
-    import org.apache.spark.sql.functions.{col, expr, length, split, sum => fsum}
+    import org.apache.spark.sql.functions.{col, length, split}
     val input = graft.tables.Tables.documents(spark, d)
       .select(col("source"), col("text"))
       .withColumn("quality", graft.ml.TextOps.qualityScore(
         split(col("text"), " "), length(col("text")).cast("long")))
     val rows = Curate.mixtureProfile(input).collect()
-    val bpePerSource = graft.tables.Tables.documents(spark, d)
-      .select(col("source"),
-        expr(graft.ml.TextOps.bpeTokenCountExpr("text")).as("t"))
-      .groupBy(col("source")).agg(fsum(col("t")).as("t"))
+    val bpePerSource = graft.ml.TextOps.bpeTokens(
+        graft.tables.Tables.documents(spark, d), graft.ml.TextOps.BpeMerges1k)
+      .groupBy(col("source")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(rows.nonEmpty)
     rows.foreach(r => assert(
@@ -292,13 +290,21 @@ class CurateSpec extends SparkSpec {
     val cen = Curate.census(curated).collect()
     assert(cen.map(_.getAs[Long]("n")).sum === curated.count())
     assert(cen.forall(r => r.getAs[Double]("avg_quality") >= 0.0))
-    // census bpe_tokens (round 16) is the judged text_tokenize_bpe
-    // definition summed over the scrubbed survivors, per (split, source)
-    import org.apache.spark.sql.functions.{expr, sum => fsum}
-    val expected = curated
-      .select(col("split"), col("source"),
-        expr(graft.ml.TextOps.bpeTokenCountExpr("text")).as("t"))
-      .groupBy(col("split"), col("source")).agg(fsum(col("t")).as("t"))
+    // census bpe_tokens (round 17) is the judged text_tokenize_bpe_trie
+    // definition — the 1024-merge production vocabulary, counted by the
+    // gate's own engine (TextOps.bpeTokens occurrence rows) — summed
+    // over the scrubbed survivors per (split, source); docs that scrub
+    // to zero words count 0, not drop
+    import org.apache.spark.sql.functions.{coalesce, count => fcount,
+      lit => flit, sum => fsum}
+    val perDoc = graft.ml.TextOps.bpeTokens(
+        curated.select(col("doc_id"), col("source"), col("text")),
+        graft.ml.TextOps.BpeMerges1k)
+      .groupBy(col("doc_id")).agg(fcount(flit(1)).as("t"))
+    val expected = curated.select(col("doc_id"), col("split"), col("source"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .groupBy(col("split"), col("source"))
+      .agg(fsum(coalesce(col("t"), flit(0L))).as("t"))
       .collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     cen.foreach(r => assert(
