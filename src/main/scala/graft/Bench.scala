@@ -542,24 +542,27 @@ object Bench {
 
   /** Compact `last_quiet` embed from a persisted quiet details doc:
     * headline value, ratios, gate count. None on unreadable JSON, a doc
-    * missing the headline fields, or one that carries its own
+    * missing the headline fields or the per-gate queries object (only
+    * full sweeps are eligible to persist, so a queries-less doc is
+    * malformed, not summarizable — round 17, ADVICE: the old -1 sentinel
+    * leaked into the published artifact), or one that carries its own
     * contended/inflated flags (a poisoned file must not be cited — the
     * bench_diff committed-record rule, applied to self-evidence).
     */
   private[graft] def lastQuietSummary(json: String): Option[String] =
     try {
       val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
-      if (root == null || !root.has("value") || !root.has("vs_reference")) None
+      if (root == null || !root.has("value") || !root.has("vs_reference") ||
+        !root.has("queries")) None
       else if (root.has("contended") || root.has("inflated_vs_reference")) None
       else {
         val adj =
           if (root.has("vs_reference_probe_adj"))
             s""","vs_reference_probe_adj":${root.get("vs_reference_probe_adj").asDouble}"""
           else ""
-        val nq = if (root.has("queries")) root.get("queries").size() else -1
         Some(s"""{"value":${root.get("value").asDouble},""" +
           s""""vs_reference":${root.get("vs_reference").asDouble}$adj,""" +
-          s""""n_queries":$nq}""")
+          s""""n_queries":${root.get("queries").size()}}""")
       }
     } catch { case _: Exception => None }
 

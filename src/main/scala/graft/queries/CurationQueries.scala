@@ -1889,14 +1889,32 @@ object CurationQueries {
     // table-order == chain on both tables).
     NamedQuery(
       "text_tokenize_bpe_trie",
-      (s, d) =>
-        graft.ml.TextOps.bpeTokens(Tables.documents(s, d),
-            graft.ml.TextOps.BpeMerges1k)
+      (s, d) => {
+        // NO multi-distinct aggregate here (round 17): two countDistincts
+        // on different columns in one agg go through Catalyst's
+        // RewriteDistinctAggregates, whose gid-group numbering hangs on a
+        // HashMap over expression trees — hashCodes include global expr
+        // ids, so the emitted plan STRING is bi-stable across JVM
+        // execution histories (this was the r16 "stale bench-reference
+        // row" mystery: ecd25cf0 vs 31a2fa9d, each stable within its own
+        // JVM context). Two plain partial-aggregations are also the
+        // better 100 TB plan: the rewrite's Expand triples the
+        // corpus-token relation before its shuffle; these shuffle only
+        // per-group partials.
+        val toks = graft.ml.TextOps.bpeTokens(Tables.documents(s, d),
+          graft.ml.TextOps.BpeMerges1k)
+        val tokStats = toks.groupBy(col("source"), col("token"))
+          .agg(count(lit(1)).as("occ"))
           .groupBy(col("source"))
-          .agg(countDistinct(col("doc_id")).as("n_docs"),
-            count(lit(1)).as("bpe_tokens"),
-            countDistinct(col("token")).as("distinct_tokens"))
-          .orderBy(col("source")),
+          .agg(sum(col("occ")).as("bpe_tokens"),
+            count(lit(1)).as("distinct_tokens"))
+        val docStats = toks.select(col("source"), col("doc_id")).distinct()
+          .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        docStats.join(tokStats, Seq("source"))
+          .select(col("source"), col("n_docs"), col("bpe_tokens"),
+            col("distinct_tokens"))
+          .orderBy(col("source"))
+      },
       Some {
         s"""WITH RECURSIVE merges(mi, ma, mb) AS (VALUES
            |  ${graft.ml.TextOps.bpeMerges1kValuesSql}

@@ -221,9 +221,11 @@ object Report {
   /** Suffix-dispatched artifact sink, the reference CLI's `-o` contract
     * (`analyze.py:1284-1292`): a target ending `.zip` wraps the rendered
     * HTML as a single DEFLATE `output.html` entry — the reference's
-    * fixed member name — anything else writes the HTML verbatim. Shared
-    * by the `report` CLI and ReportSpec so the zip path is judged by the
-    * same code the CLI ships.
+    * fixed member name — `.html` writes the HTML verbatim, and any other
+    * suffix is REJECTED exactly like the reference's ValueError (round
+    * 17, ADVICE: silently writing HTML to `report.pdf` honors neither
+    * the name nor the contract). Shared by the `report` CLI and
+    * ReportSpec so both paths are judged by the same code.
     */
   def write(out: String, html: String): Unit =
     if (out.endsWith(".zip")) {
@@ -234,8 +236,11 @@ object Report {
         zos.write(html.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         zos.closeEntry()
       } finally zos.close()
-    } else
+    } else if (out.endsWith(".html")) {
       java.nio.file.Files.writeString(java.nio.file.Paths.get(out), html)
+      ()
+    } else throw new IllegalArgumentException(
+      s"unsupported output file extension: $out (want .html or .zip)")
 
   def render(views: WorkloadViews, colorblind: Boolean = false): String = {
     val palette = if (colorblind) Colorblind8 else Category10

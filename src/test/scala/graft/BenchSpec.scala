@@ -209,6 +209,10 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.lastQuietSummary("not json").isEmpty)
     assert(Bench.lastQuietSummary("""{"value":1.0}""").isEmpty)
     assert(Bench.lastQuietSummary("").isEmpty)
+    // a queries-less doc is malformed (only FULL sweeps persist) — refuse
+    // it rather than leak an n_queries sentinel into the artifact (r17)
+    assert(Bench.lastQuietSummary(
+      """{"value":121.3,"vs_reference":1.23}""").isEmpty)
   }
 
   test("parseReference round-trips and rejects malformed rows") {

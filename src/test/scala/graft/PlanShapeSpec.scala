@@ -195,10 +195,11 @@ class PlanShapeSpec extends SparkSpec {
 
   test("embedding_kmeans_iter: assignment is a narrow map (no vec_id shuffle)") {
     val p = plan("embedding_kmeans_iter")
-    // seed centroids are plan literals — the 8 csim projections sit on the
-    // file scan; only the (cell, dim) update aggregation shuffles
+    // seed centroids ride INSIDE the one fused nearest_centroid expression
+    // (r17 — constant plan size at any k; the unused norm column prunes
+    // away entirely); only the (cell, dim) update aggregation shuffles
     assert(!p.contains("Exchange hashpartitioning(vec_id"))
-    assert(p.contains("float_vec_dot(embedding"))
+    assert(p.contains("nearest_centroid(embedding"))
   }
 
   test("dedup_decontaminate: benchmark membership is a broadcast LEFT SEMI") {
@@ -302,19 +303,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Window") || p.contains("WindowGroupLimit"))
   }
 
-  test("dedup_embedding_cosine: banded LSH candidates only, no corpus cartesian") {
-    // re-planned round 16: the exact-cosine side runs on band-equi-join
-    // candidates — a corpus×corpus cartesian (the r15 shape) must never
-    // reappear in this plan
-    val p = plan("dedup_embedding_cosine")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      "dedup_embedding_cosine regressed to an all-pairs cartesian")
-    // both band joins are key-equi joins on the band columns
-    assert("Join \\[band0#\\d+".r.findFirstIn(p).isDefined
-      || "\\[b0a#\\d+\\], \\[b0b#\\d+\\]".r.findFirstIn(p).isDefined
-      || p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
-      "band candidate joins must be hash/merge equi-joins")
-    assert(p.contains("TakeOrderedAndProject(limit=10"))
+  test("dedup_embedding_cosine(+_wide): banded LSH candidates only, no corpus cartesian") {
+    // re-planned round 16; parameterized round 17: the exact-cosine side
+    // runs on band-equi-join candidates — a corpus×corpus cartesian (the
+    // r15 shape) must never reappear in this plan, at EITHER judged band
+    // width (the shared lshBandedPairs definition owns both)
+    for (gate <- Seq("dedup_embedding_cosine", "dedup_embedding_cosine_wide")) {
+      val p = plan(gate)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$gate regressed to an all-pairs cartesian")
+      // both band joins are key-equi joins on the band columns
+      assert("Join \\[band0#\\d+".r.findFirstIn(p).isDefined
+        || "\\[b0a#\\d+\\], \\[b0b#\\d+\\]".r.findFirstIn(p).isDefined
+        || p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+        s"$gate: band candidate joins must be hash/merge equi-joins")
+      assert(p.contains("TakeOrderedAndProject(limit=10"))
+    }
+  }
+
+  test("dedup_embedding_recall: the exact side is the BOUNDED sample, filter pushed") {
+    // the calibration gate's all-pairs join is allowed ONLY because both
+    // sides are the vec_id < 200 sample — the bound must be pushed into
+    // the scan, or at corpus scale the 'sample' reads 100 TB to keep 200
+    // rows
+    val p = plan("dedup_embedding_recall")
+    assert(p.contains("PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,200)]")
+      || "LessThan\\(vec_id,200\\)".r.findFirstIn(p).isDefined,
+      "sample bound must reach the parquet scan")
   }
 
   test("text_tokenize_bpe / pack_sequences_bpe: the merge chain is a join-free narrow map") {

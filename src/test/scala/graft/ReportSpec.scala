@@ -26,9 +26,9 @@ class ReportSpec extends SparkSpec {
 
   test("write: a .zip target wraps the HTML as the reference's output.html entry") {
     // analyze.py:1284-1292 parity: suffix-dispatched sink — `.zip` wraps
-    // the artifact as a single DEFLATE entry named output.html; any other
-    // target writes the HTML verbatim. Round-tripped through real
-    // ZipFile/Files reads, same bytes both ways.
+    // the artifact as a single DEFLATE entry named output.html, `.html`
+    // writes verbatim, anything else is rejected. Round-tripped through
+    // real ZipFile/Files reads, same bytes both ways.
     val html = Report.render(views)
     val dir = java.nio.file.Files.createTempDirectory("report_zip").toFile
     val zipPath = new java.io.File(dir, "out.zip").getAbsolutePath
@@ -46,6 +46,10 @@ class ReportSpec extends SparkSpec {
     } finally zf.close()
     assert(java.nio.file.Files.readString(
       java.nio.file.Paths.get(htmlPath)) === html)
+    // any other suffix is rejected like the reference's ValueError
+    // (analyze.py:1291-1292) — round 17, ADVICE item
+    intercept[IllegalArgumentException](
+      Report.write(new java.io.File(dir, "out.pdf").getAbsolutePath, html))
   }
 
   test("interactive shell: hover payloads on marks, one self-contained script") {
