@@ -27,7 +27,12 @@ cd "$(dirname "$0")/.."
 ROUND="${1:?usage: tools/close_round.sh <round-number>}"
 SF_DIR="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}"
 
-if [[ -n "$(git status --porcelain -- src build.sbt)" ]]; then
+# the script's OWN outputs are exempt — a storm-aborted earlier attempt
+# leaves them modified (min-merge makes the retry converge), and that must
+# not block the retry
+if [[ -n "$(git status --porcelain -- src build.sbt \
+    ':(exclude)src/main/resources/bench_reference.txt' \
+    ':(exclude)src/test/resources/plan_fingerprints.txt')" ]]; then
   echo "FATAL: src/build.sbt have uncommitted changes — commit first so the" >&2
   echo "regenerated reference describes a reproducible tree" >&2
   exit 2
@@ -78,7 +83,9 @@ echo "== step 4: confirm sweep (prices every gate against the NEW reference)"
 quiet_wait
 SPARK_GRAFT_SF_DIR="$SF_DIR" sbt "runMain graft.Bench" | grep '^{' \
   > /tmp/close_round_confirm.json
-python3 - /tmp/close_round_confirm.json <<'PY'
+# per-gate data lives in bench_details.json (the stdout headline carries
+# only n_queries/flags) — judge the record from the file the record IS
+python3 - bench_details.json <<'PY'
 import json, sys
 d = json.load(open(sys.argv[1]))
 n = len(d.get("queries", {}))
