@@ -181,6 +181,101 @@ case class NearestCentroid(child: Expression, cells: Seq[Long],
     copy(child = newChild)
 }
 
+/** Fused per-subspace nearest-codeword argmin (round 17): over the
+  * embedding SLICE [offset, offset+len) scores every codeword with the
+  * judged PQ encode formula r6(bias_c − 2·dot(x_slice, c)) — bias is the
+  * caller-precomputed ‖c‖² index-order fold — and returns the argmin's id
+  * (`returnScore = false`, LongType) or its winning score
+  * (`returnScore = true`, DoubleType). Ties keep the FIRST candidate in
+  * list order, exactly the `score_c <= all others` first-match chain it
+  * replaces; candidates must be passed in the contract order (ascending
+  * id). Same born-from-failure rationale as [[NearestCentroid]]: the
+  * per-codeword column fan-out is fine at the judged k* = 16 but cannot
+  * PLAN at the k* = 256 a production 8-bit PQ code ships — this keeps the
+  * plan at one node per (subspace, output) at any k*, with the slice read
+  * in place (no intermediate array). Short/overrun slices contribute the
+  * dot terms that exist — the FloatVecDot min-length contract.
+  */
+case class NearestCodeword(child: Expression, offset: Int, len: Int,
+    ids: Seq[Long], cents: Seq[Array[Float]], biases: Seq[Double],
+    returnScore: Boolean)
+    extends UnaryExpression {
+
+  require(ids.length == cents.length && ids.length == biases.length
+    && ids.nonEmpty, "ids/cents/biases must be parallel and non-empty")
+
+  override def dataType: DataType = if (returnScore) DoubleType else LongType
+  override def prettyName: String =
+    if (returnScore) "nearest_codeword_score" else "nearest_codeword"
+
+  @transient private lazy val idsArr: Array[Long] = ids.toArray
+  @transient private lazy val centsArr: Array[Array[Float]] = cents.toArray
+  @transient private lazy val biasArr: Array[Double] = biases.toArray
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val m0 = math.max(0, math.min(len, n - offset))
+    var best = Double.PositiveInfinity
+    var bestId = -1L
+    var c = 0
+    while (c < centsArr.length) {
+      val cv = centsArr(c)
+      val m = math.min(m0, cv.length)
+      var acc = 0.0
+      var i = 0
+      while (i < m) {
+        acc += a.getFloat(offset + i).toDouble * cv(i).toDouble; i += 1
+      }
+      val score =
+        math.floor((biasArr(c) - 2.0 * acc) * 1000000.0 + 0.5).toLong /
+          1000000.0
+      if (score < best) { best = score; bestId = idsArr(c) }
+      c += 1
+    }
+    if (returnScore) best else bestId
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("cents", centsArr, "float[][]")
+    val idsRef = ctx.addReferenceObj("ids", idsArr, "long[]")
+    val biasRef = ctx.addReferenceObj("biases", biasArr, "double[]")
+    val n = ctx.freshName("n")
+    val m0 = ctx.freshName("m0")
+    val best = ctx.freshName("best")
+    val bestId = ctx.freshName("bestId")
+    val c = ctx.freshName("c")
+    val i = ctx.freshName("i")
+    val cv = ctx.freshName("cv")
+    val m = ctx.freshName("m")
+    val acc = ctx.freshName("acc")
+    val score = ctx.freshName("score")
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |int $n = $a.numElements();
+         |int $m0 = java.lang.Math.max(0, java.lang.Math.min($len, $n - $offset));
+         |double $best = java.lang.Double.POSITIVE_INFINITY;
+         |long $bestId = -1L;
+         |for (int $c = 0; $c < $centsRef.length; $c++) {
+         |  float[] $cv = $centsRef[$c];
+         |  int $m = java.lang.Math.min($m0, $cv.length);
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $m; $i++) {
+         |    $acc += ((double) $a.getFloat($offset + $i)) * ((double) $cv[$i]);
+         |  }
+         |  double $score = ((double) (long) java.lang.Math.floor(
+         |    ($biasRef[$c] - 2.0 * $acc) * 1000000.0 + 0.5)) / 1000000.0;
+         |  if ($score < $best) { $best = $score; $bestId = $idsRef[$c]; }
+         |}
+         |${ev.value} = ${if (returnScore) best else bestId};
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorOps {
   /** dot(a, b) with float→double casts, index order — oracle-exact. */
   def vecDot(a: Column, b: Column): Column =
@@ -196,4 +291,13 @@ object VectorOps {
       cents: Seq[Array[Float]], cnorms: Seq[Double]): Column =
     GraftBridge.column(
       NearestCentroid(GraftBridge.expression(embedding), cells, cents, cnorms))
+
+  /** Constant-plan-size per-subspace PQ codeword argmin — see
+    * [[NearestCodeword]].
+    */
+  def nearestCodeword(embedding: Column, offset: Int, len: Int,
+      ids: Seq[Long], cents: Seq[Array[Float]], biases: Seq[Double],
+      returnScore: Boolean): Column =
+    GraftBridge.column(NearestCodeword(GraftBridge.expression(embedding),
+      offset, len, ids, cents, biases, returnScore))
 }

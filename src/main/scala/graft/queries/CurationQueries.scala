@@ -303,20 +303,16 @@ object CurationQueries {
         r.getSeq[Float](1).slice(sub * SubDim, (sub + 1) * SubDim).toArray))
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     // per-subspace nearest-seed assignment: argmin of the judged encode
-    // score r6(‖cb‖² − 2·x_sub·cb), ties to the lowest codeword position
+    // score r6(‖cb‖² − 2·x_sub·cb), ties to the lowest codeword position —
+    // ONE fused NearestCodeword expression per subspace (round 17:
+    // constant plan size; the per-codeword column fan-out this replaces
+    // cannot plan at a production k* = 256)
     val withCodes = (0 until NSub).foldLeft(e) { (df, sub) =>
-      val x = slice(col("embedding"), sub * SubDim + 1, SubDim)
-      val scored = (0 until PqTrainK).foldLeft(df) { (df2, c) =>
-        df2.withColumn(s"tsc_${sub}_$c",
-          r6(lit(sq(seeds(c)(sub))) - lit(2.0) * vecDot(x, typedLit(seeds(c)(sub)))))
-      }
-      val ids = 0 until PqTrainK
-      val code = ids.foldRight(lit(-1)) { (c, els) =>
-        when(ids.filter(_ != c).map(o => col(s"tsc_${sub}_$c") <= col(s"tsc_${sub}_$o"))
-          .reduce(_ && _), lit(c)).otherwise(els)
-      }
-      scored.withColumn(s"tc$sub", code)
-        .drop(ids.map(c => s"tsc_${sub}_$c"): _*)
+      val blocks = (0 until PqTrainK).map(c => seeds(c)(sub))
+      df.withColumn(s"tc$sub",
+        graft.functions.VectorOps.nearestCodeword(col("embedding"),
+          sub * SubDim, SubDim, (0 until PqTrainK).map(_.toLong),
+          blocks, blocks.map(sq), returnScore = false).cast("int"))
     }
     // micro-unit integer mean per (sub, code, dim) — one exploded
     // aggregation pass over all 64 global dims
@@ -461,24 +457,22 @@ object CurationQueries {
     // ONE driver-side collect job, not two identical ones
     val cb = codebook.getOrElse(pqCodebook(s, d))
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    // per-subspace argmin + its winning score as TWO fused NearestCodeword
+    // expressions (round 17 — constant plan size at any k*; candidates in
+    // cb list order = ascending id, the judged tie rule). The winning
+    // score IS the running min, so the score variant equals the old
+    // chosen-by-code lookup by construction.
     val withScores = (0 until NSub).foldLeft(e) { (df, sub) =>
       val x = slice(col("embedding"), sub * SubDim + 1, SubDim)
-      val scored = cb.foldLeft(df) { case (df2, (cid, blocks)) =>
-        df2.withColumn(s"sc_${sub}_$cid",
-          r6(lit(sq(blocks(sub))) - lit(2.0) * vecDot(x, typedLit(blocks(sub)))))
-      }
-      // first codeword (ascending id) whose score <= all others
       val ids = cb.map(_._1)
-      val code = ids.foldRight(lit(-1L)) { (cid, els) =>
-        when(ids.filter(_ != cid).map(o => col(s"sc_${sub}_$cid") <= col(s"sc_${sub}_$o"))
-          .reduceOption(_ && _).getOrElse(lit(true)), lit(cid)).otherwise(els)
-      }
-      val chosen = ids.foldRight(lit(Double.MaxValue)) { (cid, els) =>
-        when(col(s"c$sub") === cid, col(s"sc_${sub}_$cid")).otherwise(els)
-      }
-      val withCode = scored.withColumn(s"c$sub", code)
-      withCode.withColumn(s"err_$sub",
-        floor((vecDot(x, x) + chosen) * lit(1000000.0) + lit(0.5)).cast("long"))
+      val blocks = cb.map(_._2(sub))
+      def nc(score: Boolean) =
+        graft.functions.VectorOps.nearestCodeword(col("embedding"),
+          sub * SubDim, SubDim, ids, blocks, blocks.map(sq), score)
+      df.withColumn(s"c$sub", nc(score = false))
+        .withColumn(s"err_$sub",
+          floor((vecDot(x, x) + nc(score = true)) * lit(1000000.0) + lit(0.5))
+            .cast("long"))
     }
     withScores.withColumn("err_micro",
       (0 until NSub).map(sub => col(s"err_$sub")).reduce(_ + _))

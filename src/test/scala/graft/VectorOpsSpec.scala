@@ -58,4 +58,73 @@ class VectorOpsSpec extends SparkSpec {
     val df = Seq(Seq(3.0f, 4.0f)).toDF("a")
     assert(df.select(VectorOps.vecNorm(col("a"))).collect()(0).getDouble(0) === 5.0)
   }
+
+  test("nearestCentroid: argmax contract vs a per-row Scala reference") {
+    // the fused expression must equal the old per-centroid column chain:
+    // r6-rounded cosine, FIRST (= lowest id, callers sort) wins ties,
+    // null embedding -> -1
+    val rnd = new scala.util.Random(13)
+    def r6d(x: Double) = math.floor(x * 1e6 + 0.5).toLong / 1e6
+    def norm(v: Seq[Float]) =
+      math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+    val cents = (0 until 9).map(i => i.toLong -> Seq.fill(16)(rnd.nextFloat() - 0.5f))
+    val vecs = Seq.fill(40)(Seq.fill(16)(rnd.nextFloat() - 0.5f))
+    val expected = vecs.map { v =>
+      val nv = norm(v)
+      var best = Double.NegativeInfinity; var id = -1L
+      cents.foreach { case (cid, c) =>
+        val dot = v.zip(c).foldLeft(0.0) { case (a, (x, y)) => a + x.toDouble * y.toDouble }
+        val sim = r6d(dot / (nv * norm(c)))
+        if (sim > best) { best = sim; id = cid }
+      }
+      id
+    }
+    val got = vecs.toDF("a").select(VectorOps.nearestCentroid(col("a"),
+      cents.map(_._1), cents.map(_._2.toArray), cents.map(c => norm(c._2))))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === expected)
+    // a duplicated centroid ties exactly -> the first id wins
+    val dup = Seq(cents.head._2, cents.head._2).zipWithIndex
+      .map { case (c, i) => (10L + i, c) }
+    val tied = vecs.take(5).toDF("a").select(VectorOps.nearestCentroid(col("a"),
+      dup.map(_._1), dup.map(_._2.toArray), dup.map(c => norm(c._2))))
+      .collect().map(_.getLong(0)).toSeq
+    assert(tied.forall(_ === 10L), "ties must keep the first-listed id")
+    // null embedding falls through to the old chain's -1 literal
+    val withNull = Seq(Option(Seq.fill(16)(0.25f)), Option.empty[Seq[Float]]).toDF("a")
+    val nulls = withNull.select(VectorOps.nearestCentroid(col("a"),
+      cents.map(_._1), cents.map(_._2.toArray), cents.map(c => norm(c._2))))
+      .collect().map(_.getLong(0))
+    assert(nulls(1) === -1L)
+  }
+
+  test("nearestCodeword: PQ argmin at the production k*=256, score twin consistent") {
+    // 256 codewords per subspace is the standard 8-bit PQ code — the
+    // per-codeword column fan-out this expression replaced cannot even
+    // PLAN there; the fused loop must both run AND match a Scala
+    // reference of the judged encode formula r6(||c||^2 - 2 x.c) with
+    // first-listed tie-break on the sliced input
+    val rnd = new scala.util.Random(29)
+    def r6d(x: Double) = math.floor(x * 1e6 + 0.5).toLong / 1e6
+    def sq(v: Seq[Float]) = v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)
+    val k = 256; val off = 16; val len = 16
+    val cws = (0 until k).map(c => c.toLong -> Seq.fill(len)(rnd.nextFloat() - 0.5f))
+    val vecs = Seq.fill(30)(Seq.fill(64)(rnd.nextFloat() - 0.5f))
+    val expected = vecs.map { v =>
+      val x = v.slice(off, off + len)
+      var best = Double.PositiveInfinity; var id = -1L
+      cws.foreach { case (cid, c) =>
+        val dot = x.zip(c).foldLeft(0.0) { case (a, (p, q)) => a + p.toDouble * q.toDouble }
+        val s = r6d(sq(c) - 2.0 * dot)
+        if (s < best) { best = s; id = cid }
+      }
+      (id, best)
+    }
+    val df = vecs.toDF("a")
+    def nc(score: Boolean) = VectorOps.nearestCodeword(col("a"), off, len,
+      cws.map(_._1), cws.map(_._2.toArray), cws.map(c => sq(c._2)), score)
+    val got = df.select(nc(false).as("code"), nc(true).as("s")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === expected)
+  }
 }
