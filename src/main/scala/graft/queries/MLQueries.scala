@@ -89,15 +89,27 @@ object MLQueries {
   /** Signed dot with pseudo-random hyperplane `j` — the ONE plane formula
     * of every hyperplane-LSH structure in this file ([[lshBucketed]]'s
     * 4-plane bucket and [[lshBanded]]'s banded variant index with the
-    * same planes 0-3). A sequential index-order fold (deterministic under
-    * any partitioning/AQE plan, unlike a sum over exploded rows); the
-    * integer hyperplane formula is exact in both engines.
+    * same planes 0-3). The weight table is precomputed driver-side with
+    * the exact integer hyperplane formula (exact in both engines; long
+    * products ≤ 4e12, no overflow) over the fixed 64-dim corpus contract
+    * — the same 1..64 domain the oracles replay — and the dot rides the
+    * fused [[graft.functions.FloatWeightedDot]] loop (round 17: the
+    * interpreted aggregate() lambda this replaces dispatched per element
+    * and materialized an index array per row×plane — the pattern
+    * FloatVecDot already killed for the exact kernel). Index-order
+    * accumulation from 0.0, deterministic under any partitioning/AQE
+    * plan. Parity note: the lambda's `/ 1000003.0` parsed as
+    * DECIMAL(8,1) in Spark SQL, silently routing the weight through
+    * scale-9 decimal division — ~1e-16 off the pure-double weight the
+    * DuckDB oracles compute for the same spelling (signs and r6 absorbed
+    * it). The precomputed table is pure double, so both engines now
+    * evaluate bit-identical weights — VectorOpsSpec pins fused ==
+    * double-typed fold.
     */
-  private def planeDot(j: Int) = expr(
-    s"""aggregate(sequence(0, size(embedding) - 1), CAST(0 AS DOUBLE),
-       |  (acc, i) -> acc + CAST(embedding[i] AS DOUBLE) *
-       |    (((CAST((i + 1) * ($j + 7) AS BIGINT) * 2654435761) % 1000003) / 1000003.0 - 0.5))"""
-      .stripMargin)
+  private def planeDot(j: Int) = graft.functions.VectorOps.floatWeightedDot(
+    col("embedding"),
+    (0 until 64).map(i =>
+      (((i + 1).toLong * (j + 7) * 2654435761L) % 1000003L) / 1000003.0 - 0.5))
 
   /** `(vec_id, embedding, norm, bucket)` under the 4-hyperplane LSH of the
     * similarity family — ONE bucket definition shared by

@@ -59,6 +59,44 @@ class VectorOpsSpec extends SparkSpec {
     assert(df.select(VectorOps.vecNorm(col("a"))).collect()(0).getDouble(0) === 5.0)
   }
 
+  test("floatWeightedDot equals the interpreted aggregate() plane fold bit-for-bit") {
+    // the LSH plane-dot contract: fused loop == the DOUBLE-typed lambda
+    // fold on the exact hyperplane weight formula (j = 0..7). The
+    // division literal must be cast: a bare `/ 1000003.0` parses as
+    // DECIMAL(8,1) in Spark SQL, routing the weight through decimal
+    // division (scale-9 HALF_UP) — ~1e-16 off the pure-double weight
+    // DuckDB computes for the same spelling. The old interpreted plane
+    // dot silently rode that decimal path; the fused expression pins the
+    // ORACLE's double semantics on both engines, retiring the residual
+    // near-zero sign-flip risk.
+    val rnd = new scala.util.Random(17)
+    val vecs = Seq.fill(40)(Seq.fill(64)(rnd.nextFloat() - 0.5f))
+    val df = vecs.toDF("embedding")
+    for (j <- 0 until 8) {
+      val weights = (0 until 64).map(i =>
+        (((i + 1).toLong * (j + 7) * 2654435761L) % 1000003L) / 1000003.0 - 0.5)
+      val lambda = expr(
+        s"""aggregate(sequence(0, size(embedding) - 1), CAST(0 AS DOUBLE),
+           |  (acc, i) -> acc + CAST(embedding[i] AS DOUBLE) *
+           |    (CAST((CAST((i + 1) * ($j + 7) AS BIGINT) * 2654435761) % 1000003
+           |      AS DOUBLE) / CAST(1000003 AS DOUBLE) - 0.5D))""".stripMargin)
+      val rows = df.select(
+        VectorOps.floatWeightedDot(col("embedding"), weights).as("fused"),
+        lambda.as("fold")).collect()
+      rows.foreach { r =>
+        assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+          java.lang.Double.doubleToLongBits(r.getDouble(1)),
+          s"plane $j drifted from the lambda fold")
+      }
+    }
+    // null propagates; short vectors bound by min-length
+    val edge = Seq(Option(Seq(1.0f, 2.0f)), Option.empty[Seq[Float]]).toDF("embedding")
+    val w2 = Seq(0.5, 0.25, 99.0)
+    val got = edge.select(VectorOps.floatWeightedDot(col("embedding"), w2)).collect()
+    assert(got(0).getDouble(0) === 1.0)
+    assert(got(1).isNullAt(0))
+  }
+
   test("nearestCentroid: argmax contract vs a per-row Scala reference") {
     // the fused expression must equal the old per-centroid column chain:
     // r6-rounded cosine, FIRST (= lowest id, callers sort) wins ties,
