@@ -94,6 +94,16 @@ case class NearestCentroid(child: Expression, cells: Seq[Long],
   @transient private lazy val centsArr: Array[Array[Float]] = cents.toArray
   @transient private lazy val cnormsArr: Array[Double] = cnorms.toArray
 
+  // plan strings must be STABLE and content-addressed: the default
+  // case-class rendering prints Array[Float] as [F@<identityHash>, which
+  // varies per JVM (and 5-hex-digit hashes slip past the fingerprint
+  // normalizer's 6+ rule — observed as a bi-stable plan fingerprint)
+  // while hiding real centroid changes. A digest shows both.
+  override protected def stringArgs: Iterator[Any] =
+    Iterator(child, s"k=${cells.length}",
+      VectorOps.contentTag(cells.iterator.map(_.toDouble) ++
+        cents.iterator.flatMap(_.iterator.map(_.toDouble)) ++ cnorms.iterator))
+
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val v = child.eval(input)
     if (v == null) return -1L
@@ -203,6 +213,11 @@ case class FloatWeightedDot(child: Expression, weights: Seq[Double])
 
   @transient private lazy val wArr: Array[Double] = weights.toArray
 
+  // stable, content-addressed plan rendering — see NearestCentroid
+  override protected def stringArgs: Iterator[Any] =
+    Iterator(child, s"n=${weights.length}",
+      VectorOps.contentTag(weights.iterator))
+
   override def nullSafeEval(v: Any): Any = {
     val a = v.asInstanceOf[ArrayData]
     val n = math.min(a.numElements(), wArr.length)
@@ -263,6 +278,13 @@ case class NearestCodeword(child: Expression, offset: Int, len: Int,
   @transient private lazy val idsArr: Array[Long] = ids.toArray
   @transient private lazy val centsArr: Array[Array[Float]] = cents.toArray
   @transient private lazy val biasArr: Array[Double] = biases.toArray
+
+  // stable, content-addressed plan rendering — see NearestCentroid
+  override protected def stringArgs: Iterator[Any] =
+    Iterator(child, offset, len, s"k=${ids.length}",
+      VectorOps.contentTag(ids.iterator.map(_.toDouble) ++
+        cents.iterator.flatMap(_.iterator.map(_.toDouble)) ++ biases.iterator),
+      returnScore)
 
   override def nullSafeEval(v: Any): Any = {
     val a = v.asInstanceOf[ArrayData]
@@ -329,6 +351,21 @@ case class NearestCodeword(child: Expression, offset: Int, len: Int,
 }
 
 object VectorOps {
+
+  /** 8-hex-char md5 of a double stream — the content-addressed tag the
+    * vector expressions print instead of JVM identity hashes, so plan
+    * fingerprints are stable across JVMs AND sensitive to real
+    * centroid/codebook/weight changes.
+    */
+  private[functions] def contentTag(values: Iterator[Double]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val bb = java.nio.ByteBuffer.allocate(8)
+    values.foreach { d =>
+      bb.clear(); bb.putDouble(d); md.update(bb.array())
+    }
+    md.digest().take(4).map(b => f"${b & 0xff}%02x").mkString
+  }
+
   /** dot(a, b) with float→double casts, index order — oracle-exact. */
   def vecDot(a: Column, b: Column): Column =
     GraftBridge.column(FloatVecDot(GraftBridge.expression(a), GraftBridge.expression(b)))
