@@ -36,7 +36,8 @@ import graft.process.JsonlProcess
   *                                      ends in .zip; --colorblind swaps the
   *                                      palette like the reference's option)
   *   curate <docsDir> <outDir> [--min-quality Q] [--benchmark DIR]
-  *          [--against CURATED_DIR] [--sample-weighted]
+  *          [--against CURATED_DIR] [--embedding-dedup EMB_DIR]
+  *          [--sample-weighted]
   *                                      (dedup → scrub → score → split; optional
   *                                       decontamination, incremental dedup
   *                                       against an existing curated corpus,
@@ -598,8 +599,16 @@ object Pipeline {
       // --against: incremental run — drop batch documents already present
       // (by scrubbed-content digest) in an existing curated corpus, so
       // re-ingesting overlapping dumps appends only genuinely new content
-      val base = againstDir.foldLeft(graft.ml.Curate.curate(docs, minQ))((c, a) =>
+      val base0 = againstDir.foldLeft(graft.ml.Curate.curate(docs, minQ))((c, a) =>
         graft.ml.Curate.dedupAgainst(c, spark.read.parquet(a)))
+      // --embedding-dedup DIR: the banded-LSH near-dup stage (the judged
+      // curate_e2e_embedding composition) over the survivors' embeddings
+      // (vec_id = doc_id rows under DIR); docs without an embedding are
+      // kept — see Curate.dedupEmbeddings
+      val base = opts.sliding(2).collectFirst {
+        case Seq("--embedding-dedup", v) => v
+      }.foldLeft(base0)((c, e) => graft.ml.Curate.dedupEmbeddings(
+        c, graft.tables.Tables.embeddings(spark, e)))
       val curated =
         (if (opts.contains("--sample-weighted"))
           graft.ml.Curate.sampleWeighted(base) else base).cache()

@@ -83,8 +83,8 @@ case class NearestCentroid(child: Expression, cells: Seq[Long],
     cents: Seq[Array[Float]], cnorms: Seq[Double])
     extends UnaryExpression {
 
-  require(cells.length == cents.length && cells.length == cnorms.length,
-    "cells/cents/cnorms must be parallel")
+  require(cells.length == cents.length && cells.length == cnorms.length
+    && cells.nonEmpty, "cells/cents/cnorms must be parallel and non-empty")
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = false

@@ -185,12 +185,40 @@ object TextOps {
     * `text_tokenize_bpe_trie` gate and any token-accounting consumer
     * share this one definition.
     */
+  /** One rank-map broadcast per (live SparkContext, merge table) — NOT
+    * one per call (round 18, ADVICE): census / mixtureProfile /
+    * pack_sequences_bpe each tokenize under [[BpeMerges1k]], and a
+    * long-lived session (CLI loops, repeated bench sweeps) was
+    * accumulating an orphan broadcast block per invocation. Keyed by
+    * merge-table VALUE, holding only the newest context's broadcast per
+    * table: a restarted session (each test suite) re-broadcasts, and the
+    * replaced entry dies with its stopped context.
+    */
+  @transient private var rankBcCache
+      : Map[Seq[(String, String)], (org.apache.spark.SparkContext,
+        org.apache.spark.broadcast.Broadcast[Map[(String, String), Int]])] =
+    Map.empty
+
+  private def rankBroadcast(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[(String, String)])
+      : org.apache.spark.broadcast.Broadcast[Map[(String, String), Int]] =
+    synchronized {
+      val sc = spark.sparkContext
+      rankBcCache.get(merges) match {
+        case Some((cachedSc, bc)) if cachedSc eq sc => bc
+        case _ =>
+          val bc = sc.broadcast(
+            merges.iterator.zipWithIndex.map { case (p, i) => (p, i) }.toMap)
+          rankBcCache = rankBcCache.updated(merges, (sc, bc))
+          bc
+      }
+    }
+
   def bpeTokens(docs: org.apache.spark.sql.DataFrame,
       merges: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val bc = spark.sparkContext.broadcast(
-      merges.iterator.zipWithIndex.map { case (p, i) => (p, i) }.toMap)
+    val bc = rankBroadcast(spark, merges)
     docs
       .select(col("doc_id").cast("long"), col("source").cast("string"),
         col("text").cast("string"))
@@ -222,8 +250,7 @@ object TextOps {
       outCol: String, merges: Seq[(String, String)])
       : org.apache.spark.sql.DataFrame = {
     val spark = df.sparkSession
-    val bc = spark.sparkContext.broadcast(
-      merges.iterator.zipWithIndex.map { case (p, i) => (p, i) }.toMap)
+    val bc = rankBroadcast(spark, merges)
     val idx = df.schema.fieldIndex(textCol)
     val outSchema = df.schema
       .add(outCol, org.apache.spark.sql.types.LongType, nullable = false)

@@ -175,6 +175,47 @@ class BenchSpec extends AnyFunSuite {
     }
   }
 
+  test("the latest round record's plan hashes agree with the committed reference") {
+    // Round 17 closed with a record and a reference regenerated from
+    // DIFFERENT build states: the gate-name completeness check above
+    // passed while 14 plan hashes disagreed, and only PlanFingerprintSpec
+    // (at sf0.001) caught the drift. The desync must be a red test the
+    // moment it is committed: for every gate present in BOTH artifacts the
+    // plan hash must MATCH, and the record's own n_ref_matched must equal
+    // its gate count (r17's scripted record carried 165 for 166 gates —
+    // an impossibility under close_round.sh's own step-4 assert, i.e. the
+    // record did not come from the close it claimed). Records before
+    // round 18 predate this contract and are exempt; r17's is the
+    // documented stale instance.
+    val repoRoot = new java.io.File(sys.props("user.dir"))
+    val records = Option(repoRoot.listFiles()).get
+      .filter(_.getName.matches("bench_r\\d+_gates\\.json"))
+    assert(records.nonEmpty, "no committed bench_r{N}_gates.json round record")
+    val latest = records.maxBy(f => "\\d+".r.findFirstIn(f.getName).get.toInt)
+    val roundNo = "\\d+".r.findFirstIn(latest.getName).get.toInt
+    if (roundNo >= 18) {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(latest)
+      val qs = root.get("queries")
+      val (_, _, refGates) = Bench.parseReference(java.nio.file.Files
+        .readAllLines(java.nio.file.Paths.get(Bench.ReferencePath))
+        .toArray.toSeq.map(_.toString))
+      val names = {
+        val it = qs.fieldNames(); val b = Seq.newBuilder[String]
+        while (it.hasNext) b += it.next(); b.result()
+      }
+      val mismatched = names.filter { n =>
+        refGates.get(n).exists(_.plan != qs.get(n).get("plan").asText())
+      }
+      assert(mismatched.isEmpty,
+        s"${latest.getName} and bench_reference.txt carry different plan hashes " +
+          s"for ${mismatched.sorted} — record and reference describe DIFFERENT " +
+          "code; re-run tools/close_round.sh on the committed tree")
+      assert(root.get("n_ref_matched").asInt() === names.size,
+        s"${latest.getName}: n_ref_matched ${root.get("n_ref_matched")} != " +
+          s"${names.size} gates — a reference row was recorded from other code")
+    }
+  }
+
   test("quietRecordEligible: only a clean, uncontended, un-inflated FULL sweep persists") {
     // round 16: the persisted bench_last_quiet.json must never be written
     // by a run whose own numbers are suspect — each leg of the contract

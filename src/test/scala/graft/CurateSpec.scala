@@ -102,6 +102,31 @@ class CurateSpec extends SparkSpec {
     assert(SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop).passed)
   }
 
+  test("dedupEmbeddings: drops higher-id near-dups among SURVIVORS only; no-embedding docs kept") {
+    import spark.implicits._
+    // survivors 1, 3, 4, 5, 7 (doc 2 is the planted exact dup of 1)
+    val curated = Curate.curate(docs.unionAll(Seq(
+      (7L, "s3", "another fully distinct document that certainly survives ok"))
+      .toDF("doc_id", "source", "text")))
+    def vec(hot: Int): Array[Float] =
+      Array.tabulate(64)(i => if (i == hot) 1.0f else 0.0f)
+    val embeddings = Seq(
+      (1L, vec(0)),  // survivor
+      (3L, vec(1)),  // survivor, orthogonal to 1 (cosine 0 < τ) — kept
+      (5L, vec(0)),  // survivor, identical to 1 (cosine 1) — dropped (higher id)
+      (0L, vec(2)),  // NOT a survivor (no doc 0): must not count as a neighbor
+      (7L, vec(2))   // survivor; its ONLY near-dup is non-survivor 0 — kept
+      // doc 4 has no embedding row at all — kept by construction
+    ).toDF("vec_id", "embedding")
+    val out = Curate.dedupEmbeddings(curated, embeddings, tau = 0.35)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(out === Set(1L, 3L, 4L, 7L),
+      s"expected 5 dropped (near-dup of 1), 4 kept (no embedding), " +
+        s"7 kept (neighbor 0 is not a survivor); got $out")
+    // the stage never drops the LOWER id of a pair
+    assert(out.contains(1L))
+  }
+
   test("sampleWeighted: deterministic, subset, and quality-1.0 docs always kept") {
     import spark.implicits._
     // 100 long non-stopword words → quality exactly 1.0 (thresh = 1e6,

@@ -321,6 +321,26 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("ann_assign_fused_k1024: join-free one-node argmax at production k") {
+    // the fused gate's plan must be a scan + ONE nearest_centroid
+    // projection + the census aggregation — no join against a centroid
+    // table, no cartesian, and the argmax must not fan out per centroid
+    // (the pre-r17 shape that stopped compiling at k=64)
+    val p = plan("ann_assign_fused_k1024")
+    assert(!p.contains("Join"), "k=1024 assignment must not join centroids")
+    assert("nearest_centroid".r.findAllIn(p).length <= 2, // project (+partial agg copy)
+      "per-centroid fan-out reappeared at k=1024")
+  }
+
+  test("curate_e2e_embedding: banded candidates only, never an all-pairs cartesian") {
+    // the product stage rides the same lshBandedPairsOf definition as the
+    // judged dedup gates — a survivors×survivors cartesian must never
+    // appear however the composition evolves
+    val p = plan("curate_e2e_embedding")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "curate embedding-dedup regressed to an all-pairs cartesian")
+  }
+
   test("dedup_embedding_recall: the exact side is the BOUNDED sample, filter pushed") {
     // the calibration gate's all-pairs join is allowed ONLY because both
     // sides are the vec_id < 200 sample — the bound must be pushed into

@@ -68,8 +68,10 @@ SPARK_GRAFT_REGEN_FINGERPRINTS=1 sbt "Test/testOnly graft.PlanFingerprintSpec"
 echo "== step 3: quiet window (pre-reference-regen)"
 quiet_wait
 echo "== step 3: bench reference regen (full sweep)"
+# tail -1: the headline is the LAST {-prefixed stdout line — any other
+# JSON-ish sbt line must not poison the json.load below (ADVICE r17)
 SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_REGEN_BENCH_REFERENCE=1 \
-  sbt "runMain graft.Bench" | grep '^{' > /tmp/close_round_regen.json
+  sbt "runMain graft.Bench" | grep '^{' | tail -n 1 > /tmp/close_round_regen.json
 python3 - /tmp/close_round_regen.json <<'PY'
 import json, sys
 d = json.load(open(sys.argv[1]))
@@ -82,7 +84,7 @@ PY
 echo "== step 4: confirm sweep (prices every gate against the NEW reference)"
 quiet_wait
 SPARK_GRAFT_SF_DIR="$SF_DIR" sbt "runMain graft.Bench" | grep '^{' \
-  > /tmp/close_round_confirm.json
+  | tail -n 1 > /tmp/close_round_confirm.json
 # per-gate data lives in bench_details.json (the stdout headline carries
 # only n_queries/flags) — judge the record from the file the record IS
 python3 - bench_details.json <<'PY'
