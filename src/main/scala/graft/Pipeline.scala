@@ -131,6 +131,23 @@ object Pipeline {
   private[graft] def limitSummaries(df: org.apache.spark.sql.DataFrame, n: Int) =
     df.orderBy("query_id").limit(n)
 
+  /** `--flag VALUE` lookup that FAILS when the flag is present without a
+    * usable value (round 19, ADVICE): a trailing `--embedding-dedup` was
+    * silently ignored by the bare sliding(2) match and the curation run
+    * skipped the near-dup stage with no warning — a silently changed
+    * shipped corpus. A following token that is itself a `--` flag is the
+    * same mistake (the value was forgotten, the next flag slid into its
+    * place), so it is rejected too, not consumed.
+    */
+  private[graft] def valueOpt(opts: List[String], flag: String): Option[String] = {
+    val v = opts.sliding(2).collectFirst {
+      case Seq(`flag`, value) if !value.startsWith("--") => value
+    }
+    require(v.isDefined || !opts.contains(flag),
+      s"$flag requires a value (got ${opts.mkString(" ")})")
+    v
+  }
+
   def main(args: Array[String]): Unit = args.toList match {
     case "extract" :: in :: out :: rest =>
       val spark = session()
@@ -581,12 +598,11 @@ object Pipeline {
     case "curate" :: in :: out :: opts =>
       // composed training-data curation: exact dedup → PII scrub →
       // quality score → content-hash split → parquet partitioned by split
-      val minQ = opts.sliding(2).collectFirst {
-        case Seq("--min-quality", v) => v.toDouble }.getOrElse(0.0)
-      val benchDir = opts.sliding(2).collectFirst {
-        case Seq("--benchmark", v) => v }
-      val againstDir = opts.sliding(2).collectFirst {
-        case Seq("--against", v) => v }
+      // every valued flag rides valueOpt — present-without-a-value fails
+      // fast instead of silently skipping its stage (round 19, ADVICE)
+      val minQ = valueOpt(opts, "--min-quality").map(_.toDouble).getOrElse(0.0)
+      val benchDir = valueOpt(opts, "--benchmark")
+      val againstDir = valueOpt(opts, "--against")
       val spark = session()
       def load(dir: String) = graft.tables.Tables.documents(spark, dir)
         .select(org.apache.spark.sql.functions.col("doc_id"),
@@ -605,10 +621,9 @@ object Pipeline {
       // curate_e2e_embedding composition) over the survivors' embeddings
       // (vec_id = doc_id rows under DIR); docs without an embedding are
       // kept — see Curate.dedupEmbeddings
-      val base = opts.sliding(2).collectFirst {
-        case Seq("--embedding-dedup", v) => v
-      }.foldLeft(base0)((c, e) => graft.ml.Curate.dedupEmbeddings(
-        c, graft.tables.Tables.embeddings(spark, e)))
+      val base = valueOpt(opts, "--embedding-dedup")
+        .foldLeft(base0)((c, e) => graft.ml.Curate.dedupEmbeddings(
+          c, graft.tables.Tables.embeddings(spark, e)))
       val curated =
         (if (opts.contains("--sample-weighted"))
           graft.ml.Curate.sampleWeighted(base) else base).cache()

