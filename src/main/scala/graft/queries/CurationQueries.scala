@@ -900,6 +900,83 @@ object CurationQueries {
               |  CAST(SUM(err_micro_sub) AS BIGINT) AS err_micro
               |FROM codes GROUP BY vec_id ORDER BY vec_id""".stripMargin)),
 
+    // The fused per-subspace encode judged at PRODUCTION k* (round 19 —
+    // the r18 verdict's ask: ann_assign_fused_k1024's recipe applied per
+    // subspace). NearestCodeword exists because the per-codeword column
+    // fan-out cannot PLAN at the k* = 256 an 8-bit PQ code ships, yet the
+    // largest judged k* was 16 — this gate proves the fused encode
+    // builds, stays codegen'd, and encodes oracle-exactly at the
+    // production shape. The codebook is 256 synthetic codewords per
+    // subspace on the exact 1/4096 float grid — dim gi of codeword c is
+    // ((gi·(c+7)·2654435761) mod 2048 − 1024)/4096 with gi the GLOBAL
+    // 1-based dim (so the four subspace codebooks differ); the ±0.25
+    // range matches the corpus' per-element scale, so the argmin
+    // genuinely spreads over the codebook instead of collapsing to the
+    // min-bias codeword (measured: a ±1 grid left subspaces 1-3 on 2-4
+    // codewords; at ±0.25 every subspace uses 150+ of its 256 at
+    // sf0.01). Every
+    // value is exactly FLOAT-representable, so the ‖cb‖² bias is EXACT in double
+    // under ANY summation order (the k1024 gate's provably-safe
+    // unordered-SUM construction); the slice dot stays an order-fixed
+    // float→double fold in both engines. Judged output is the per
+    // (subspace, codeword) census + member id-checksum, which pins all
+    // four encode argmins of every vector. Driver state is 4×256×16
+    // floats (~64 KB — the k ≪ N bound); the scan is FOUR one-node fused
+    // argmins, join-free (PlanShapeSpec) with codegen pinned active at
+    // k*=256 (VectorOpsSpec).
+    NamedQuery(
+      "ann_encode_fused_k256",
+      (s, d) => {
+        val kStar = 256
+        def block(sub: Int, c: Long): Array[Float] = Array.tabulate(SubDim) { i0 =>
+          val gi = (sub * SubDim + i0 + 1).toLong
+          (((gi * (c + 7L) * 2654435761L) % 2048L - 1024L).toDouble / 4096.0).toFloat
+        }
+        val ids: Seq[Long] = (0L until kStar.toLong).toSeq
+        val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+        val coded = (0 until NSub).foldLeft(e) { (df, sub) =>
+          val blocks = ids.map(c => block(sub, c))
+          df.withColumn(s"c$sub", graft.functions.VectorOps.nearestCodeword(
+            col("embedding"), sub * SubDim, SubDim, ids, blocks,
+            blocks.map(sq), returnScore = false))
+        }
+        coded.select(col("vec_id"),
+            expr(s"stack($NSub, ${(0 until NSub).map(sub =>
+              s"CAST($sub AS BIGINT), c$sub").mkString(", ")}) AS (sub, code)"))
+          .groupBy(col("sub"), col("code"))
+          .agg(count(lit(1)).as("n_members"),
+            (sum(col("vec_id") % lit(2147483647L)) % lit(2147483647L))
+              .as("id_checksum"))
+          .orderBy(col("sub"), col("code"))
+      },
+      Some(s"""WITH cw AS (
+              |  SELECT sub.s AS sub, c.c AS code, i.i AS dim,
+              |    CAST((CAST((sub.s * $SubDim + i.i) * (c.c + 7) AS BIGINT)
+              |      * 2654435761) % 2048 - 1024 AS DOUBLE) / 4096.0 AS v
+              |  FROM (SELECT UNNEST(generate_series(0, ${NSub - 1})) AS s) sub
+              |  CROSS JOIN (SELECT UNNEST(generate_series(0, 255)) AS c) c
+              |  CROSS JOIN (SELECT UNNEST(generate_series(1, $SubDim)) AS i) i
+              |), cvec AS (
+              |  SELECT sub, code, list(v ORDER BY dim) AS cv, SUM(v*v) AS bias
+              |  FROM cw GROUP BY sub, code
+              |), scores AS (
+              |  SELECT e.vec_id, c.sub, c.code,
+              |    FLOOR((c.bias - 2.0 * list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              |      list_transform(generate_series(1, $SubDim), i ->
+              |        CAST(e.embedding[c.sub * $SubDim + i] AS DOUBLE) * c.cv[i])),
+              |      (acc, x) -> acc + x)) * 1000000.0 + 0.5) / 1000000.0 AS score
+              |  FROM embeddings e CROSS JOIN cvec c
+              |), enc AS (
+              |  SELECT vec_id, sub, code FROM (
+              |    SELECT vec_id, sub, code, ROW_NUMBER() OVER (
+              |      PARTITION BY vec_id, sub ORDER BY score ASC, code) AS rn
+              |    FROM scores) WHERE rn = 1
+              |)
+              |SELECT CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code,
+              |  CAST(COUNT(*) AS BIGINT) AS n_members,
+              |  CAST(SUM(vec_id % 2147483647) % 2147483647 AS BIGINT) AS id_checksum
+              |FROM enc GROUP BY sub, code ORDER BY sub, code""".stripMargin)),
+
     // Asymmetric-distance (ADC) top-k over the PQ codes: per query, the
     // 4×8 lookup table of exact-query-sub-block-to-codeword squared
     // distances is precomputed on the DRIVER in micro-units and embedded

@@ -308,7 +308,8 @@ class PlanShapeSpec extends SparkSpec {
     // runs on band-equi-join candidates — a corpus×corpus cartesian (the
     // r15 shape) must never reappear in this plan, at EITHER judged band
     // width (the shared lshBandedPairs definition owns both)
-    for (gate <- Seq("dedup_embedding_cosine", "dedup_embedding_cosine_wide")) {
+    for (gate <- Seq("dedup_embedding_cosine", "dedup_embedding_cosine_wide",
+        "dedup_embedding_cosine_b3")) {
       val p = plan(gate)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
         s"$gate regressed to an all-pairs cartesian")
@@ -330,6 +331,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), "k=1024 assignment must not join centroids")
     assert("nearest_centroid".r.findAllIn(p).length <= 2, // project (+partial agg copy)
       "per-centroid fan-out reappeared at k=1024")
+  }
+
+  test("ann_encode_fused_k256: join-free fused encode, one node per subspace") {
+    // round 19 (the r18 verdict's ask #5): the production-k* encode must
+    // stay four fused nearest_codeword nodes over one scan — no codebook
+    // join, no cartesian, no per-codeword fan-out (the pre-r17 shape that
+    // cannot plan at k* = 256) — and inside whole-stage codegen
+    val df = SparkEntry.queries("ann_encode_fused_k256")(spark, d)
+    df.collect() // finalize the adaptive plan — codegen spans exist only there
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), "k*=256 encode must not join codebooks")
+    val fused = "nearest_codeword".r.findAllIn(p).length
+    assert(fused <= 8, // 4 subspaces (+ a generate/project copy each)
+      s"per-codeword fan-out reappeared at k*=256 ($fused nodes)")
+    // codegen'd spans print as `*(n)` in the finalized tree string
+    assert(p.contains("*("),
+      s"k*=256 encode fell out of whole-stage codegen:\n$p")
+  }
+
+  test("similarity_ann_ivf_nprobe2: fused rank argmaxes on the query side, cell equi-join") {
+    // the multi-probe knob must stay join-free on the ASSIGNMENT side:
+    // two nearest_centroid_rank nodes expand the query to its top-2
+    // cells, candidates keep their one-node argmax, and the only join is
+    // the cell equi-join — never a cartesian against the centroid table
+    val p = plan("similarity_ann_ivf_nprobe2")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "nprobe probe regressed to a cartesian")
+    assert("nearest_centroid_rank".r.findAllIn(p).nonEmpty,
+      "query side lost the fused rank argmax")
   }
 
   test("curate_e2e_embedding: banded candidates only, never an all-pairs cartesian") {
