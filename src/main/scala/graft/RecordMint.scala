@@ -1,0 +1,203 @@
+package graft
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+/** Storm-resilient round-record mint (round 19 — the r18 verdict's ask
+  * #1). The round close used to demand ONE uninterrupted storm-free
+  * ~30-minute full sweep before `bench_r{N}_gates.json` could exist;
+  * round 18 ran nine confirm sweeps into recurring hypervisor-steal
+  * storms (25-434 s each), every one was rightly refused, and the suite
+  * shipped red for the fourth consecutive round. The machine demonstrably
+  * delivers quiet only in WINDOWS — so the record is now assembled the
+  * way the committed bench reference already is: per gate, min-merged
+  * across every sweep whose window for THAT gate was quiet, with the
+  * headline recomputed from the merged steadies and the
+  * contended/inflated verdicts recomputed on the merged result.
+  *
+  * Per-gate quiet evidence is the sweep's own /proc instrumentation —
+  * the same fields the judged artifact carries: a measurement qualifies
+  * iff the gate succeeded (`steady` non-null), its window tripped
+  * neither the foreign-core `contended` verdict nor the
+  * efficiency-collapse `eff_drop` verdict, and its plan hash matches the
+  * COMMITTED reference row (a stale-build measurement must never price a
+  * gate the committed tree plans differently — the r16 trie bug). The
+  * record contract's hard lines are untouched: zero failed gates, full
+  * registry coverage, every plan hash agreeing with the reference,
+  * `n_ref_matched` == gate count, and the merged run-level vs_reference
+  * under the inflation bar. What changed is only HOW the evidence may be
+  * collected: across sweeps instead of within one.
+  *
+  * Usage (from tools/close_round.sh):
+  *   runMain graft.RecordMint <round> <sweep1.json> [<sweep2.json> ...]
+  * Writes bench_r<round>_gates.json and — because a successful mint IS a
+  * full-registry quiet measurement — refreshes bench_last_quiet.json.
+  */
+object RecordMint {
+
+  /** One gate measurement lifted from a sweep's bench_details.json. */
+  final case class SweepGate(
+      steady: Double, cold: Double, plan: String, otherCores: Double,
+      ownCpu: Double, cpuWall: Double, load1: Double,
+      contended: Boolean, effDrop: Boolean)
+
+  /** The merged (minted) row for one gate plus its provenance. */
+  final case class Minted(g: SweepGate, sweep: Int)
+
+  /** A measurement qualifies as quiet evidence for the record: the gate
+    * ran (crashed gates carry steady null and never reach here), its
+    * window carried no contention verdict, and its plan is the committed
+    * reference's. The plan check doubles as build-state provenance: a
+    * sweep from before a re-plan prices the OLD tree and must not merge.
+    */
+  private[graft] def qualifies(g: SweepGate, ref: Option[Bench.RefGate]): Boolean =
+    !g.contended && !g.effDrop && ref.exists(_.plan == g.plan)
+
+  /** Parse one bench_details.json document's per-gate map. Returns
+    * Left(reason) on a malformed document — the close script feeds only
+    * files the bench just wrote, so malformed means a real bug, not a
+    * condition to paper over.
+    */
+  private[graft] def parseSweep(json: String): Either[String, (String, Map[String, SweepGate])] =
+    try {
+      val root = new ObjectMapper().readTree(json)
+      if (root == null || !root.has("queries"))
+        return Left("no queries object")
+      val sf = if (root.has("sf")) root.get("sf").asText() else ""
+      val qs = root.get("queries")
+      val names = {
+        val it = qs.fieldNames(); val b = Seq.newBuilder[String]
+        while (it.hasNext) b += it.next(); b.result()
+      }
+      def num(n: JsonNode, f: String, dflt: Double = -1.0): Double =
+        if (n.has(f) && !n.get(f).isNull) n.get(f).asDouble() else dflt
+      val gates = names.flatMap { k =>
+        val n = qs.get(k)
+        if (!n.has("steady") || n.get("steady").isNull) None
+        else Some(k -> SweepGate(
+          steady = n.get("steady").asDouble(),
+          cold = num(n, "cold", -1.0),
+          plan = if (n.has("plan")) n.get("plan").asText() else "err",
+          otherCores = num(n, "other_cores"),
+          ownCpu = num(n, "own_cpu"),
+          cpuWall = num(n, "cpu_wall"),
+          load1 = num(n, "load1"),
+          contended = n.has("contended") && n.get("contended").asBoolean(),
+          effDrop = n.has("eff_drop") && n.get("eff_drop").asBoolean()))
+      }.toMap
+      Right((sf, gates))
+    } catch { case e: Exception => Left(s"unparseable: ${e.getMessage}") }
+
+  /** Min-merge across sweeps: for every registry gate, the minimum
+    * qualifying steady (with that measurement's companion fields and its
+    * providing sweep index). Left lists the gates with NO qualifying
+    * measurement yet — the close loop's "run another sweep" signal.
+    */
+  private[graft] def merge(sweeps: Seq[Map[String, SweepGate]],
+      ref: Map[String, Bench.RefGate],
+      registry: Set[String]): Either[String, Map[String, Minted]] = {
+    val merged = registry.toSeq.sorted.flatMap { k =>
+      val cands = sweeps.zipWithIndex.flatMap { case (s, i) =>
+        s.get(k).filter(g => qualifies(g, ref.get(k))).map(g => Minted(g, i))
+      }
+      if (cands.isEmpty) None else Some(k -> cands.minBy(_.g.steady))
+    }.toMap
+    val missing = registry -- merged.keySet
+    if (missing.nonEmpty)
+      Left(s"no quiet qualifying measurement yet for ${missing.size} gate(s): " +
+        missing.toSeq.sorted.take(20).mkString(",") +
+        (if (missing.size > 20) ",…" else ""))
+    else Right(merged)
+  }
+
+  private def r2s(x: Double): String =
+    if (x < 0) "-1" else (math.floor(x * 100 + 0.5) / 100).toString
+
+  /** Render the minted record in bench_details.json's field shapes (so
+    * tools/bench_diff.py and the BenchSpec record contract read it
+    * unchanged), minus the flags a record must not carry — plus explicit
+    * mint provenance. Left when the merged run-level vs_reference still
+    * clears the inflation bar (quiet-window evidence notwithstanding,
+    * such a record must not be committed as the round's number).
+    */
+  private[graft] def render(merged: Map[String, Minted],
+      ref: Map[String, Bench.RefGate], sf: String,
+      nSweeps: Int): Either[String, String] = {
+    val names = merged.keys.toSeq.sorted
+    val matched = names.map(k => (merged(k).g.steady, ref(k).steady))
+    val ratio = Bench.vsReference(matched)
+    ratio match {
+      case Some(r) if r > Bench.InflatedVsRef =>
+        return Left(f"minted record still inflated vs reference ($r%.2fx > " +
+          s"${Bench.InflatedVsRef}) — the quiet windows measured a slower " +
+          "engine, or the reference predates a real regression; investigate " +
+          "before committing a record")
+      case None =>
+        return Left("too few reference-matched gates to price the record")
+      case _ => ()
+    }
+    val qs = names.map { k =>
+      val m = merged(k)
+      val vsRef = m.g.steady / ref(k).steady
+      s""""$k":{"cold":${m.g.cold},"steady":${m.g.steady},"plan":"${m.g.plan}"""" +
+        s""","other_cores":${r2s(m.g.otherCores)},"own_cpu":${r2s(m.g.ownCpu)}""" +
+        s""","cpu_wall":${r2s(m.g.cpuWall)},"load1":${r2s(m.g.load1)}""" +
+        s""","vs_ref":${r2s(vsRef)},"sweep":${m.sweep}}"""
+    }.mkString("{", ",", "}")
+    val total = names.map(merged(_).g.steady).sum
+    val coldTotal = names.map(merged(_).g.cold).filter(_ >= 0).sum
+    Right(s"""{"metric":"total","value":$total,"unit":"sec","bench_format":4""" +
+      s""","cold_total":$coldTotal,"minted":true,"n_sweeps":$nSweeps""" +
+      s""","vs_reference":${r2s(ratio.get)},"n_ref_matched":${names.size}""" +
+      s""","queries":$qs,"sf":"$sf"}""")
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: RecordMint <round> <sweep1.json> [<sweep2.json> ...]")
+    val round = args(0).toInt
+    val sweepFiles = args.drop(1).toSeq
+    val docs = sweepFiles.map { f =>
+      f -> parseSweep(java.nio.file.Files.readString(java.nio.file.Paths.get(f)))
+    }
+    docs.collect { case (f, Left(e)) => s"$f: $e" } match {
+      case Nil => ()
+      case errs => sys.error(s"malformed sweep file(s): ${errs.mkString("; ")}")
+    }
+    val parsed = docs.collect { case (_, Right(v)) => v }
+    val sfs = parsed.map(_._1).distinct
+    require(sfs.size == 1 && sfs.head.nonEmpty,
+      s"sweeps disagree on sf (or carry none): $sfs")
+    val sfTail = java.nio.file.Paths.get(sfs.head).getFileName.toString
+    val (refSf, _, refGates) = Bench.parseReference(java.nio.file.Files
+      .readAllLines(java.nio.file.Paths.get(Bench.ReferencePath))
+      .toArray.toSeq.map(_.toString))
+    require(refSf == sfTail,
+      s"committed reference is at $refSf but sweeps ran at $sfTail")
+    val registry = SparkEntry.queries.keySet
+    val result = for {
+      merged <- merge(parsed.map(_._2), refGates, registry)
+      doc <- render(merged, refGates, sfs.head, parsed.size)
+    } yield (merged, doc)
+    // sentinel lines on STDOUT (sbt passes app stdout through raw; it
+    // does NOT propagate the forked JVM's exit code, so close_round.sh
+    // greps these): MINTED = record written; RETRY = legitimately not
+    // enough quiet windows yet, run another sweep. Real failures (the
+    // requires above) throw and fail the sbt task — a third, loud state.
+    result match {
+      case Left(reason) =>
+        println(s"[mint] RETRY: $reason")
+      case Right((merged, doc)) =>
+        val out = s"bench_r${round}_gates.json"
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(out), doc + "\n")
+        // a successful mint IS a quiet full-registry measurement of this
+        // exact tree — refresh the persisted quiet record so every later
+        // headline cites the CURRENT registry (the r18 verdict's ask #2)
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(Bench.LastQuietPath), doc + "\n")
+        val bySweep = merged.values.groupBy(_.sweep).view.mapValues(_.size)
+          .toMap.toSeq.sorted.map { case (i, n) => s"sweep$i:$n" }
+        println(s"[mint] MINTED $out from ${parsed.size} sweep(s) " +
+          s"(${merged.size} gates; provenance ${bySweep.mkString(" ")})")
+    }
+  }
+}

@@ -187,6 +187,14 @@ class BenchSpec extends AnyFunSuite {
     // record did not come from the close it claimed). Records before
     // round 18 predate this contract and are exempt; r17's is the
     // documented stale instance.
+    //
+    // CONTRACT (round 19, ADVICE): bench_reference.txt is regenerated
+    // ONLY by tools/close_round.sh. Between a mid-round re-plan/registry
+    // change and the next close, this test (and the reference-coverage
+    // test above) is EXPECTEDLY red — a tree whose committed record and
+    // committed reference describe different code must not look green.
+    // The close's own final `sbt test` is the green gate; do not regen
+    // the reference by hand to silence the interim red.
     val repoRoot = new java.io.File(sys.props("user.dir"))
     val records = Option(repoRoot.listFiles()).get
       .filter(_.getName.matches("bench_r\\d+_gates\\.json"))
@@ -214,6 +222,91 @@ class BenchSpec extends AnyFunSuite {
         s"${latest.getName}: n_ref_matched ${root.get("n_ref_matched")} != " +
           s"${names.size} gates — a reference row was recorded from other code")
     }
+  }
+
+  // ---- round-19 record mint (storm-resilient round close) -------------
+  // The round-18 close ran nine confirm sweeps into recurring hypervisor
+  // steal storms and could not mint a record; the mint now assembles the
+  // record per gate from every sweep whose window for THAT gate was
+  // quiet, min-merged like the committed reference. These pins are the
+  // mint's evidence rules.
+
+  test("mint qualification: contended, eff_drop, plan-mismatch, no-reference are not evidence") {
+    val ref = Some(Bench.RefGate(1.0, "fp", 28.0))
+    def g(contended: Boolean = false, effDrop: Boolean = false,
+        plan: String = "fp") =
+      RecordMint.SweepGate(1.1, 1.5, plan, 0.1, 30.0, 27.0, 1.0, contended, effDrop)
+    assert(RecordMint.qualifies(g(), ref))
+    assert(!RecordMint.qualifies(g(contended = true), ref))
+    assert(!RecordMint.qualifies(g(effDrop = true), ref))
+    // a stale-build measurement (plan differs from the committed
+    // reference) prices code this tree does not ship — never evidence
+    assert(!RecordMint.qualifies(g(plan = "other"), ref))
+    // no reference row at all: the record could not price it — refuse
+    assert(!RecordMint.qualifies(g(), None))
+  }
+
+  test("mint merge: per-gate min across quiet windows only; a never-quiet gate refuses") {
+    val ref = Map("a" -> Bench.RefGate(1.0, "fa", 28.0),
+      "b" -> Bench.RefGate(2.0, "fb", 28.0))
+    def g(s: Double, plan: String, contended: Boolean = false) =
+      RecordMint.SweepGate(s, s, plan, 0.1, 30.0, 27.0, 1.0, contended, false)
+    val s0 = Map("a" -> g(5.0, "fa", contended = true), "b" -> g(2.2, "fb"))
+    val s1 = Map("a" -> g(1.2, "fa"), "b" -> g(2.8, "fb"))
+    val merged = RecordMint.merge(Seq(s0, s1), ref, Set("a", "b"))
+      .toOption.get
+    // a's storm-hit sweep-0 measurement is NOT min'd in; b's sweep-0 IS
+    // (its window was quiet even though a's was not — per-gate evidence)
+    assert(merged("a").g.steady === 1.2 && merged("a").sweep === 1)
+    assert(merged("b").g.steady === 2.2 && merged("b").sweep === 0)
+    // a gate with no quiet window anywhere refuses the mint, named
+    val left = RecordMint.merge(Seq(s0), ref, Set("a", "b"))
+    assert(left.isLeft && left.left.toOption.get.contains("a"))
+  }
+
+  test("mint render: record satisfies the committed-record contract; inflated refuses") {
+    val n = 25 // above vsReference's 20-matched floor
+    val ref = (0 until n).map(i => s"g$i" -> Bench.RefGate(1.0, s"f$i", 28.0)).toMap
+    def merged(steady: Double) = (0 until n).map(i => s"g$i" ->
+      RecordMint.Minted(RecordMint.SweepGate(
+        steady, steady, s"f$i", 0.1, 30.0, 27.0, 1.0,
+        contended = false, effDrop = false), 0)).toMap
+    val doc = RecordMint.render(merged(1.05), ref, "/root/testdata/sf0.1", 3)
+      .toOption.get
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(doc)
+    // exactly the flags the committed-record contract rejects must be absent
+    assert(!root.has("failed") && !root.has("contended")
+      && !root.has("inflated_vs_reference"))
+    assert(root.get("n_ref_matched").asInt === n)
+    assert(root.get("queries").size === n)
+    assert(root.get("minted").asBoolean && root.get("n_sweeps").asInt === 3)
+    assert(math.abs(root.get("vs_reference").asDouble - 1.05) < 0.011)
+    (0 until n).foreach { i =>
+      val q = root.get("queries").get(s"g$i")
+      assert(!q.get("steady").isNull && q.get("plan").asText === s"f$i")
+    }
+    // a successful mint doubles as the persisted quiet record
+    assert(Bench.lastQuietSummary(doc).isDefined)
+    // quiet windows that still measure slow: such a record must NOT mint
+    assert(RecordMint.render(merged(1.5), ref, "sf", 1).isLeft)
+  }
+
+  test("mint parseSweep: lifts flags and skips crashed gates; refuses malformed docs") {
+    val doc = """{"metric":"total","value":3.0,"queries":{
+      |"ok":{"cold":2.0,"steady":1.5,"plan":"ab","other_cores":0.1,
+      |  "own_cpu":30.0,"cpu_wall":27.0,"load1":1.0},
+      |"storm":{"cold":9.0,"steady":8.0,"plan":"cd","other_cores":11.0,
+      |  "own_cpu":30.0,"cpu_wall":3.0,"load1":9.0,"eff_drop":true,"contended":true},
+      |"crashed":{"cold":null,"steady":null,"plan":"err","other_cores":-1,
+      |  "own_cpu":-1,"cpu_wall":-1,"load1":1.0}
+      |},"sf":"/root/testdata/sf0.1"}""".stripMargin
+    val (sf, gates) = RecordMint.parseSweep(doc).toOption.get
+    assert(sf === "/root/testdata/sf0.1")
+    assert(gates.keySet === Set("ok", "storm")) // crashed never parses in
+    assert(gates("ok").steady === 1.5 && !gates("ok").contended)
+    assert(gates("storm").contended && gates("storm").effDrop)
+    assert(RecordMint.parseSweep("not json").isLeft)
+    assert(RecordMint.parseSweep("""{"value":1.0}""").isLeft)
   }
 
   test("quietRecordEligible: only a clean, uncontended, un-inflated FULL sweep persists") {
