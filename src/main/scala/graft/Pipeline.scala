@@ -52,8 +52,11 @@ import graft.process.JsonlProcess
   *                                      AvailableNow stateful twins,
   *                                      cross-checked equal to the batch)
   *   ann <embDir> <outDir> [--k N] [--iters N] [--topk N] [--queries N]
-  *       [--recall]                     (Lloyd-built IVF index + probe; --recall
-  *                                       prints recall@topK vs brute force)
+  *       [--nprobe N] [--recall]        (Lloyd-built IVF index + probe of each
+  *                                       query's top-nprobe cells; --recall
+  *                                       prints recall@topK vs brute force —
+  *                                       at the probed nprobe, so the knob's
+  *                                       effect is the number printed)
   *   stream <queryInfoDir> <outDir> [--follow] [--trend day|hour]
   *                                     (continuous collect+extract: file-source
   *                                      stream → exactly-once parquet; --trend
@@ -505,7 +508,8 @@ object Pipeline {
       // unknown tokens fail loudly BEFORE any Spark work (the profile
       // subcommand's rule): a typo'd leg flag (--ivpq) must not silently
       // skip its leg and exit 0 looking like a run
-      val annValueOpts = Set("--k", "--iters", "--topk", "--queries", "--seed")
+      val annValueOpts = Set("--k", "--iters", "--topk", "--queries", "--seed",
+        "--nprobe")
       val annBoolOpts = Set("--recall", "--pq", "--ivfpq")
       @annotation.tailrec
       def validateAnnOpts(rest: List[String]): Unit = rest match {
@@ -524,6 +528,10 @@ object Pipeline {
         case Seq(`name`, v) => v.toInt }.getOrElse(default)
       val (k, iters, topK, nQueries) =
         (opt("--k", 8), opt("--iters", 2), opt("--topk", 3), opt("--queries", 5))
+      // --nprobe N (round 19): probe each query's top-N cells — the
+      // production recall lever; assignment stays one fused scan per
+      // rank, candidates stay one-cell (see AnnIndex.probeCells)
+      val nprobe = opt("--nprobe", 1)
       // --seed hash|first (round 12): hash = uniform deterministic
       // md5-sampled seeds (the 100 TB default — id-order seeds inherit
       // ingest-batch locality); first = the k lowest vec_ids (the judged
@@ -537,9 +545,9 @@ object Pipeline {
       val model = graft.ml.AnnIndex.build(emb, k, iters,
         hashSeeded = seedMode == "hash")
       val hits = graft.ml.AnnIndex.probe(emb, model,
-        queryIds = (0L until nQueries.toLong), topK = topK)
+        queryIds = (0L until nQueries.toLong), topK = topK, nprobe = nprobe)
       hits.write.mode("overwrite").parquet(out)
-      println(s"ann: k=$k iters=$iters seed=$seedMode -> " +
+      println(s"ann: k=$k iters=$iters seed=$seedMode nprobe=$nprobe -> " +
         s"${spark.read.parquet(out).count()} ranked neighbors " +
         s"for $nQueries queries to $out")
       if (opts.contains("--recall")) {
