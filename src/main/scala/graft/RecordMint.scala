@@ -34,23 +34,54 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
   */
 object RecordMint {
 
-  /** One gate measurement lifted from a sweep's bench_details.json. */
+  /** One gate measurement lifted from a sweep's bench_details.json.
+    * `vsRefProbeAdj` is the sweep's probe-normalized per-gate ratio
+    * (-1 when the sweep had no probe or the gate no reference row).
+    */
   final case class SweepGate(
       steady: Double, cold: Double, plan: String, otherCores: Double,
       ownCpu: Double, cpuWall: Double, load1: Double,
-      contended: Boolean, effDrop: Boolean)
+      contended: Boolean, effDrop: Boolean, vsRefProbeAdj: Double = -1.0)
 
   /** The merged (minted) row for one gate plus its provenance. */
   final case class Minted(g: SweepGate, sweep: Int)
 
+  /** Foreign-core bar for [[probeAdjAdmissible]]: the floor of the
+    * bench's own contendedCores threshold (max(2, cpus/8)) — the mint
+    * does not know the sweep's cpu count, so it holds the conservative
+    * end.
+    */
+  private[graft] val MintQuietOtherCores = 2.0
+
+  /** The probe-adjusted fallback (round 19, found during the first
+    * minted close): `join_range_views_before_purchase`'s committed
+    * reference row (0.309 s, cpu/wall 3.3) is the min-merged ALL-TIME
+    * best machine state, and on a merely-average machine every quiet
+    * window of this sub-second gate reads ~1.5× raw — tripping the
+    * eff_drop heuristic forever and deadlocking the mint exactly like
+    * the storm contract it replaced. A window with NO foreign-core
+    * evidence whose probe-adjusted ratio clears the inflation bar is a
+    * quiet measurement of a uniformly SLOWER machine, not a collapsed
+    * gate — the probe exists to price exactly this. A real same-plan
+    * regression fails this test too (the probe measures the machine,
+    * not the gate, so the gate's own slowdown survives the adjustment).
+    * Unknown samples (-1 on either field) admit nothing — the repo-wide
+    * absence-of-evidence rule.
+    */
+  private[graft] def probeAdjAdmissible(g: SweepGate): Boolean =
+    g.otherCores >= 0 && g.otherCores < MintQuietOtherCores &&
+      g.vsRefProbeAdj > 0 && g.vsRefProbeAdj <= Bench.InflatedVsRef
+
   /** A measurement qualifies as quiet evidence for the record: the gate
     * ran (crashed gates carry steady null and never reach here), its
-    * window carried no contention verdict, and its plan is the committed
-    * reference's. The plan check doubles as build-state provenance: a
-    * sweep from before a re-plan prices the OLD tree and must not merge.
+    * plan is the committed reference's (build-state provenance: a sweep
+    * from before a re-plan prices the OLD tree and must not merge), and
+    * its window either carried no contention verdict at all or is
+    * admissible under the probe-adjusted fallback above.
     */
   private[graft] def qualifies(g: SweepGate, ref: Option[Bench.RefGate]): Boolean =
-    !g.contended && !g.effDrop && ref.exists(_.plan == g.plan)
+    ref.exists(_.plan == g.plan) &&
+      ((!g.contended && !g.effDrop) || probeAdjAdmissible(g))
 
   /** Parse one bench_details.json document's per-gate map. Returns
     * Left(reason) on a malformed document — the close script feeds only
@@ -82,7 +113,8 @@ object RecordMint {
           cpuWall = num(n, "cpu_wall"),
           load1 = num(n, "load1"),
           contended = n.has("contended") && n.get("contended").asBoolean(),
-          effDrop = n.has("eff_drop") && n.get("eff_drop").asBoolean()))
+          effDrop = n.has("eff_drop") && n.get("eff_drop").asBoolean(),
+          vsRefProbeAdj = num(n, "vs_ref_probe_adj")))
       }.toMap
       Right((sf, gates))
     } catch { case e: Exception => Left(s"unparseable: ${e.getMessage}") }

@@ -234,8 +234,9 @@ class BenchSpec extends AnyFunSuite {
   test("mint qualification: contended, eff_drop, plan-mismatch, no-reference are not evidence") {
     val ref = Some(Bench.RefGate(1.0, "fp", 28.0))
     def g(contended: Boolean = false, effDrop: Boolean = false,
-        plan: String = "fp") =
-      RecordMint.SweepGate(1.1, 1.5, plan, 0.1, 30.0, 27.0, 1.0, contended, effDrop)
+        plan: String = "fp", other: Double = 0.1, adj: Double = -1.0) =
+      RecordMint.SweepGate(1.1, 1.5, plan, other, 30.0, 27.0, 1.0,
+        contended, effDrop, adj)
     assert(RecordMint.qualifies(g(), ref))
     assert(!RecordMint.qualifies(g(contended = true), ref))
     assert(!RecordMint.qualifies(g(effDrop = true), ref))
@@ -244,6 +245,26 @@ class BenchSpec extends AnyFunSuite {
     assert(!RecordMint.qualifies(g(plan = "other"), ref))
     // no reference row at all: the record could not price it — refuse
     assert(!RecordMint.qualifies(g(), None))
+    // the probe-adjusted fallback: a window flagged ONLY by the
+    // eff_drop heuristic, with no foreign-core evidence and a
+    // probe-adjusted ratio at/under the inflation bar, is a quiet
+    // measurement of a slower machine — admissible (the
+    // join_range_views_before_purchase deadlock of the first close)
+    assert(RecordMint.qualifies(
+      g(contended = true, effDrop = true, adj = 0.96), ref))
+    assert(RecordMint.qualifies(
+      g(contended = true, effDrop = true, adj = Bench.InflatedVsRef), ref))
+    // ...but a probe-adjusted ratio past the bar is a REAL slowdown
+    assert(!RecordMint.qualifies(
+      g(contended = true, effDrop = true, adj = 1.31), ref))
+    // ...foreign-core evidence in the window blocks the fallback
+    assert(!RecordMint.qualifies(
+      g(contended = true, effDrop = true, other = 5.0, adj = 0.96), ref))
+    // ...and unknown samples (-1) admit nothing
+    assert(!RecordMint.qualifies(
+      g(contended = true, effDrop = true, other = -1.0, adj = 0.96), ref))
+    assert(!RecordMint.qualifies(
+      g(contended = true, effDrop = true, adj = -1.0), ref))
   }
 
   test("mint merge: per-gate min across quiet windows only; a never-quiet gate refuses") {
