@@ -310,6 +310,21 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.lastQuietSummary(doc).isDefined)
     // quiet windows that still measure slow: such a record must NOT mint
     assert(RecordMint.render(merged(1.5), ref, "sf", 1).isLeft)
+    // raw-inflated on a probe-measured slow machine: mints, carrying BOTH
+    // numbers (the r18 judge's raw-1.99x/adjusted-1.05x adjudication)
+    def mergedAdj(steady: Double, adj: Double) = (0 until n).map(i => s"g$i" ->
+      RecordMint.Minted(RecordMint.SweepGate(
+        steady, steady, s"f$i", 0.1, 30.0, 27.0, 1.0,
+        contended = false, effDrop = false, vsRefProbeAdj = adj), 0)).toMap
+    val slowDoc = RecordMint.render(mergedAdj(1.5, 1.02), ref, "sf", 2)
+      .toOption.get
+    val slowRoot = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(slowDoc)
+    assert(math.abs(slowRoot.get("vs_reference").asDouble - 1.5) < 0.011)
+    assert(math.abs(slowRoot.get("vs_reference_probe_adj").asDouble - 1.02) < 0.011)
+    assert(!slowRoot.has("inflated_vs_reference"))
+    // a real regression inflates the ADJUSTED ratio too — refused
+    assert(RecordMint.render(mergedAdj(1.5, 1.45), ref, "sf", 2).isLeft)
   }
 
   test("mint parseSweep: lifts flags and skips crashed gates; refuses malformed docs") {
