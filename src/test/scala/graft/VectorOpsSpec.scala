@@ -136,6 +136,60 @@ class VectorOpsSpec extends SparkSpec {
     assert(nulls(1) === -1L)
   }
 
+  test("nearestCentroidRank: rank-r selection vs a Scala reference; rank 0 == nearestCentroid") {
+    // the multi-probe expression must equal ROW_NUMBER() OVER
+    // (ORDER BY r6-cosine DESC, list position) = rank+1 — the ordering
+    // the ivfProbed oracle replays — and collapse to the judged
+    // nearestCentroid argmax at rank 0
+    val rnd = new scala.util.Random(41)
+    def r6d(x: Double) = math.floor(x * 1e6 + 0.5).toLong / 1e6
+    def norm(v: Seq[Float]) =
+      math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+    val cents = (0 until 9).map(i => i.toLong -> Seq.fill(16)(rnd.nextFloat() - 0.5f))
+    val vecs = Seq.fill(40)(Seq.fill(16)(rnd.nextFloat() - 0.5f))
+    def rankRef(v: Seq[Float], r: Int): Long = {
+      val nv = norm(v)
+      cents.zipWithIndex.map { case ((cid, c), pos) =>
+        val dot = v.zip(c).foldLeft(0.0) { case (a, (x, y)) => a + x.toDouble * y.toDouble }
+        (-r6d(dot / (nv * norm(c))), pos, cid) // sim desc, position asc
+      }.sorted.apply(r)._3
+    }
+    val df = vecs.toDF("a")
+    for (r <- Seq(0, 1, 3, 8)) {
+      val got = df.select(VectorOps.nearestCentroidRank(col("a"),
+        cents.map(_._1), cents.map(_._2.toArray), cents.map(c => norm(c._2)), r))
+        .collect().map(_.getLong(0)).toSeq
+      assert(got === vecs.map(rankRef(_, r)), s"rank $r selection diverged")
+    }
+    // rank 0 is bit-identical to the judged argmax expression
+    val both = df.select(
+      VectorOps.nearestCentroidRank(col("a"), cents.map(_._1),
+        cents.map(_._2.toArray), cents.map(c => norm(c._2)), 0).as("r0"),
+      VectorOps.nearestCentroid(col("a"), cents.map(_._1),
+        cents.map(_._2.toArray), cents.map(c => norm(c._2))).as("c"))
+      .collect()
+    assert(both.forall(r => r.getLong(0) === r.getLong(1)))
+    // exact ties (duplicated centroid): rank 0 the first listed, rank 1
+    // the duplicate — position order, never id re-sorting
+    val dup = Seq((10L, cents.head._2), (7L, cents.head._2))
+    for ((r, want) <- Seq(0 -> 10L, 1 -> 7L)) {
+      val tied = vecs.take(5).toDF("a").select(VectorOps.nearestCentroidRank(
+        col("a"), dup.map(_._1), dup.map(_._2.toArray),
+        dup.map(c => norm(c._2)), r)).collect().map(_.getLong(0))
+      assert(tied.forall(_ === want), s"tie at rank $r must keep list order")
+    }
+    // null embedding -> -1 (the assignCells fall-through)
+    val nulls = Seq(Option.empty[Seq[Float]]).toDF("a")
+      .select(VectorOps.nearestCentroidRank(col("a"), cents.map(_._1),
+        cents.map(_._2.toArray), cents.map(c => norm(c._2)), 1))
+      .collect().map(_.getLong(0))
+    assert(nulls(0) === -1L)
+    // rank out of range refuses at construction, not silently at eval
+    intercept[IllegalArgumentException](VectorOps.nearestCentroidRank(
+      col("a"), cents.map(_._1), cents.map(_._2.toArray),
+      cents.map(c => norm(c._2)), 9))
+  }
+
   test("nearestCodeword: PQ argmin at the production k*=256, score twin consistent") {
     // 256 codewords per subspace is the standard 8-bit PQ code — the
     // per-codeword column fan-out this expression replaced cannot even
