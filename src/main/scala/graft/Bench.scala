@@ -71,6 +71,10 @@ object Bench {
           "explicitly in Bench.families with the warmup of the table it reads")
     else if (n.startsWith("similarity_") || n.startsWith("embedding_") ||
       n.startsWith("ann_")) Set("similarity_topk_bruteforce")
+    // RRF fusion reads both retrieval surfaces: the BM25 leg (documents)
+    // and the dense leg (embeddings)
+    else if (n.startsWith("retrieval_"))
+      Set("dedup_exact", "similarity_topk_bruteforce")
     else if (n.startsWith("dedup_") || n.startsWith("text_") ||
       n.startsWith("multimodal_") || n.startsWith("sample_") ||
       n.startsWith("pack_") || n.startsWith("filter_") ||

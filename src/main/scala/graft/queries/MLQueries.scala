@@ -417,6 +417,89 @@ object MLQueries {
     num / den
   }
 
+  /** The judged BM25 top-10 (the `text_bm25_retrieval` contract),
+    * extracted round 19 so `retrieval_rrf_fusion` fuses EXACTLY the
+    * lexical ranking that ships — the registry's one-definition sharing
+    * pattern. Query = the corpus's 3 highest-df words; scoring is the
+    * integer-exact [[bm25ScoreMicro]] formula; output
+    * `(rank, doc_id, n_terms, score_micro)` with rank 1..10 by
+    * (score desc, doc_id). Plan: one (doc, word) aggregation feeds tf
+    * and df, query terms ride a TakeOrdered broadcast, top-10 is a
+    * TakeOrdered — no global sort.
+    */
+  private def bm25Ranked(s: SparkSession, d: String): DataFrame = {
+    val w = words(s, d)
+    val lens = w.select(col("doc_id"), size(col("w")).cast("long").as("len"))
+    val totals = lens.agg(sum(col("len")).as("tl"), count(lit(1)).as("n_docs"))
+      .withColumn("g", greatest(lit(1L), expr("tl div 1000000")))
+      .withColumn("tls", expr("tl div g"))
+    val wcounts = w
+      .select(col("doc_id"), explode(col("w")).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val dfreq = wcounts.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val qterms = dfreq.orderBy(col("df").desc, col("word")).limit(3)
+    wcounts
+      .join(broadcast(qterms), "word")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(totals))
+      .withColumn("score_micro",
+        expr("((1000000 div df) * 22 * tf * tls) div " +
+          "(10 * tf * tls + 3 * tls + " +
+          "9 * ((len div g) * n_docs + ((len % g) * n_docs) div g))"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("score_micro")).as("score_micro"))
+      .orderBy(col("score_micro").desc, col("doc_id")).limit(10)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score_micro").desc, col("doc_id"))))
+      .select(col("rank").cast("long").as("rank"), col("doc_id"),
+        col("n_terms"), col("score_micro"))
+  }
+
+  /** Oracle twin of [[bm25Ranked]]: CTE chain ending in
+    * `lexranked(rank, doc_id, n_terms, score_micro)` — spliced into the
+    * bm25 gate and the RRF fusion so the lexical contract cannot drift.
+    */
+  private val bm25RankedSql: String =
+    """w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |), lens AS (
+      |  SELECT doc_id, CAST(len(w) AS BIGINT) AS len FROM w
+      |), totals AS (
+      |  SELECT CAST(SUM(len) AS BIGINT) AS tl,
+      |    CAST(COUNT(*) AS BIGINT) AS n_docs FROM lens
+      |), scaled AS (
+      |  SELECT n_docs, GREATEST(1, tl // 1000000) AS g,
+      |    tl // GREATEST(1, tl // 1000000) AS tls
+      |  FROM totals
+      |), wcounts AS (
+      |  SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+      |    SELECT doc_id, UNNEST(w) AS word FROM w
+      |  ) GROUP BY 1, 2
+      |), dfreq AS (
+      |  SELECT word, CAST(COUNT(*) AS BIGINT) AS df
+      |  FROM wcounts GROUP BY 1
+      |), qterms AS (
+      |  SELECT word, df FROM dfreq ORDER BY df DESC, word LIMIT 3
+      |), scored AS (
+      |  SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+      |    CAST(SUM(((1000000 // q.df) * 22 * c.tf * t.tls) //
+      |      (10 * c.tf * t.tls + 3 * t.tls +
+      |       9 * ((l.len // t.g) * t.n_docs + ((l.len % t.g) * t.n_docs) // t.g)))
+      |      AS BIGINT) AS score_micro
+      |  FROM wcounts c
+      |  JOIN qterms q USING (word)
+      |  JOIN lens l ON l.doc_id = c.doc_id
+      |  CROSS JOIN scaled t
+      |  GROUP BY 1
+      |), lexranked AS (
+      |  SELECT rank, doc_id, n_terms, score_micro FROM (
+      |    SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id)
+      |        AS BIGINT) AS rank,
+      |      doc_id, n_terms, score_micro
+      |    FROM scored
+      |  ) WHERE rank <= 10
+      |)""".stripMargin
+
   /** Shared probe scaffold of the similarity family (bruteforce / LSH /
     * IVF): join queries `(query_id, ea, norm_a, …)` to candidates
     * `(neighbor_id, eb, norm_b, …)` — on the index's bucket/cell column, or
@@ -1496,6 +1579,89 @@ $blockSql
            |  FROM embeddings a JOIN embeddings b ON b.vec_id >= 5
            |  WHERE a.vec_id < 5
            |)""".stripMargin, k = 5))),
+
+    // Matryoshka (MRL) truncation recall — the dimension-reduction knob of
+    // modern embedding stacks (Kusupati et al. 2022, arXiv:2205.13147):
+    // serve the PREFIX of each embedding (dims 1..m) and pay a measured
+    // recall cost for an m/64 memory+compute cut. Judged per operating
+    // point (the dedup_embedding_recall / nprobe pattern): one row per
+    // (dims ∈ {16, 32, 64}, query), recall@3 of the truncated cosine
+    // ranking vs the full-64-dim exact top-3, both sides the shared
+    // cosineTopK contract on the bounded 5-query sample. dims=64 is the
+    // identity row (recall exactly 1 by construction — a baked-in sanity
+    // pin). The truncation itself is slice(), a narrow map; at 100 TB
+    // the m-dim working set is what the ANN index stores, and this gate
+    // is the calibration run priced before switching the index to it.
+    NamedQuery(
+      "similarity_matryoshka_recall",
+      (s, d) => {
+        val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+        def sliced(m: Int) = {
+          val base = e.select(col("vec_id"),
+              expr(s"slice(embedding, 1, $m)").as("emb"))
+            .withColumn("norm", vecNorm(col("emb")))
+          (base.filter(col("vec_id") < 5)
+             .select(col("vec_id").as("query_id"), col("emb").as("ea"),
+               col("norm").as("norm_a")),
+           base.filter(col("vec_id") >= 5)
+             .select(col("vec_id").as("neighbor_id"), col("emb").as("eb"),
+               col("norm").as("norm_b")))
+        }
+        val (qf, cf) = sliced(64)
+        val exact = cosineTopK(qf, cf, Nil, k = 3)
+          .select(col("query_id"), col("neighbor_id"))
+        Seq(16, 32, 64).map { m =>
+          val (q, c) = sliced(m)
+          val ann = cosineTopK(q, c, Nil, k = 3)
+            .select(col("query_id"), col("neighbor_id"))
+            .withColumn("hit", lit(1L))
+          exact.join(ann, Seq("query_id", "neighbor_id"), "left")
+            .groupBy(col("query_id"))
+            .agg(count(lit(1)).as("n_exact"),
+              sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_hits"))
+            .select(lit(m.toLong).as("dims"), col("query_id"),
+              col("n_exact"), col("n_hits"))
+        }.reduce(_ unionAll _)
+          .withColumn("recall", r6(col("n_hits").cast("double") / col("n_exact")))
+          .orderBy(col("dims"), col("query_id"))
+      },
+      Some {
+        def dotN(a: String, b: String, m: Int) =
+          s"(SELECT SUM(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)) " +
+            s"FROM generate_series(1,$m) t(i))"
+        def normN(a: String, m: Int) = s"sqrt(${dotN(a, a, m)})"
+        def rankedCte(m: Int, name: String) =
+          s"""${name}sims AS (
+             |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             |    ${r6Sql(dotN("a.embedding", "b.embedding", m) +
+              s" / (${normN("a.embedding", m)} * ${normN("b.embedding", m)})")} AS sim
+             |  FROM embeddings a JOIN embeddings b ON b.vec_id >= 5
+             |  WHERE a.vec_id < 5
+             |), $name AS (
+             |  SELECT query_id, neighbor_id FROM (
+             |    SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+             |      PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+             |    FROM ${name}sims
+             |  ) WHERE rank <= 3
+             |)""".stripMargin
+        val dims = Seq(16, 32, 64)
+        val ctes = (rankedCte(64, "ex") +:
+          dims.map(m => rankedCte(m, s"ann$m"))).mkString(",\n")
+        val legs = dims.map { m =>
+          s"""SELECT CAST($m AS BIGINT) AS dims, e.query_id,
+             |    CAST(COUNT(*) AS BIGINT) AS n_exact,
+             |    CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits
+             |  FROM ex e LEFT JOIN ann$m a
+             |    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+             |  GROUP BY 2""".stripMargin
+        }.mkString("\n  UNION ALL\n  ")
+        s"""WITH $ctes, legs AS (
+           |  $legs
+           |)
+           |SELECT dims, query_id, n_exact, n_hits,
+           |  ${r6Sql("CAST(n_hits AS DOUBLE) / n_exact")} AS recall
+           |FROM legs ORDER BY dims, query_id""".stripMargin
+      }),
 
     // LSH-bucketed ANN: 4 deterministic pseudo-random hyperplanes (integer
     // formula, exact in both engines) → 16 buckets; search only the query's
@@ -2984,70 +3150,83 @@ $blockSql
     // sort, no all-pairs anything.
     NamedQuery(
       "text_bm25_retrieval",
+      (s, d) => bm25Ranked(s, d).orderBy(col("rank")),
+      Some(s"""WITH $bm25RankedSql
+             |SELECT rank, doc_id, n_terms, score_micro
+             |FROM lexranked ORDER BY rank""".stripMargin)),
+
+    // Reciprocal-rank fusion of the judged lexical and dense retrievers
+    // (Cormack, Clarke & Buettcher 2009, SIGIR — the standard hybrid-
+    // search combiner): fused score = Σ_systems 1/(60 + rank_s), here in
+    // exact integers as rrf_micro = Σ 1000000 div (60 + rank) — no float
+    // anywhere, the repo's tfidf/bm25 discipline. System L is the judged
+    // BM25 top-10 VERBATIM (one shared bm25Ranked definition, so the
+    // fusion prices exactly the lexical ranking that ships); system D is
+    // the dense cosine top-10 for the doc-0 query embedding under the
+    // family's ranking contract (r6 cosine desc, id tie-break; vec_id ≡
+    // doc_id, the curate embedding contract). A doc in only one list
+    // contributes only that term — RRF's defining property (no score
+    // normalization across systems, rank is the only currency, which is
+    // WHY it survives heterogeneous scorers at scale). Plan: both legs
+    // end in bounded top-10s (TakeOrdered), fusion is a 10×10 full outer
+    // join + integer tail — at 100 TB the legs are the scaling surfaces
+    // (each already judged) and the fusion cost is constant.
+    NamedQuery(
+      "retrieval_rrf_fusion",
       (s, d) => {
-        val w = words(s, d)
-        val lens = w.select(col("doc_id"), size(col("w")).cast("long").as("len"))
-        val totals = lens.agg(sum(col("len")).as("tl"), count(lit(1)).as("n_docs"))
-          .withColumn("g", greatest(lit(1L), expr("tl div 1000000")))
-          .withColumn("tls", expr("tl div g"))
-        val wcounts = w
-          .select(col("doc_id"), explode(col("w")).as("word"))
-          .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
-        val dfreq = wcounts.groupBy(col("word")).agg(count(lit(1)).as("df"))
-        val qterms = dfreq.orderBy(col("df").desc, col("word")).limit(3)
-        wcounts
-          .join(broadcast(qterms), "word")
-          .join(lens, "doc_id")
-          .crossJoin(broadcast(totals))
-          .withColumn("score_micro",
-            expr("((1000000 div df) * 22 * tf * tls) div " +
-              "(10 * tf * tls + 3 * tls + " +
-              "9 * ((len div g) * n_docs + ((len % g) * n_docs) div g))"))
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_terms"), sum(col("score_micro")).as("score_micro"))
-          .orderBy(col("score_micro").desc, col("doc_id")).limit(10)
-          .withColumn("rank", row_number().over(
-            Window.orderBy(col("score_micro").desc, col("doc_id"))))
-          .select(col("rank").cast("long").as("rank"), col("doc_id"),
-            col("n_terms"), col("score_micro"))
-          .orderBy(col("rank"))
+        val lex = bm25Ranked(s, d)
+          .select(col("doc_id"), col("rank").as("lex_rank"))
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding"),
+            vecNorm(col("embedding")).as("norm"))
+        val q = e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("ea"), col("norm").as("norm_a"))
+        val dense = e.filter(col("vec_id") =!= 0)
+          .select(col("vec_id").as("doc_id"), col("embedding").as("eb"),
+            col("norm").as("norm_b"))
+          .crossJoin(broadcast(q))
+          .withColumn("sim",
+            r6(vecDot(col("ea"), col("eb")) / (col("norm_a") * col("norm_b"))))
+          .orderBy(col("sim").desc, col("doc_id")).limit(10)
+          .withColumn("dense_rank", row_number().over(
+            Window.orderBy(col("sim").desc, col("doc_id"))).cast("long"))
+          .select(col("doc_id"), col("dense_rank"))
+        lex.join(dense, Seq("doc_id"), "full_outer")
+          .withColumn("rrf_micro",
+            coalesce(expr("1000000 div (60 + lex_rank)"), lit(0L)) +
+              coalesce(expr("1000000 div (60 + dense_rank)"), lit(0L)))
+          .orderBy(col("rrf_micro").desc, col("doc_id")).limit(10)
+          .withColumn("fused_rank", row_number().over(
+            Window.orderBy(col("rrf_micro").desc, col("doc_id"))).cast("long"))
+          .select(col("fused_rank"), col("doc_id"), col("lex_rank"),
+            col("dense_rank"), col("rrf_micro"))
+          .orderBy(col("fused_rank"))
       },
-      Some("""WITH w AS (
-             |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
-             |), lens AS (
-             |  SELECT doc_id, CAST(len(w) AS BIGINT) AS len FROM w
-             |), totals AS (
-             |  SELECT CAST(SUM(len) AS BIGINT) AS tl,
-             |    CAST(COUNT(*) AS BIGINT) AS n_docs FROM lens
-             |), scaled AS (
-             |  SELECT n_docs, GREATEST(1, tl // 1000000) AS g,
-             |    tl // GREATEST(1, tl // 1000000) AS tls
-             |  FROM totals
-             |), wcounts AS (
-             |  SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf FROM (
-             |    SELECT doc_id, UNNEST(w) AS word FROM w
-             |  ) GROUP BY 1, 2
-             |), dfreq AS (
-             |  SELECT word, CAST(COUNT(*) AS BIGINT) AS df
-             |  FROM wcounts GROUP BY 1
-             |), qterms AS (
-             |  SELECT word, df FROM dfreq ORDER BY df DESC, word LIMIT 3
-             |), scored AS (
-             |  SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
-             |    CAST(SUM(((1000000 // q.df) * 22 * c.tf * t.tls) //
-             |      (10 * c.tf * t.tls + 3 * t.tls +
-             |       9 * ((l.len // t.g) * t.n_docs + ((l.len % t.g) * t.n_docs) // t.g)))
-             |      AS BIGINT) AS score_micro
-             |  FROM wcounts c
-             |  JOIN qterms q USING (word)
-             |  JOIN lens l ON l.doc_id = c.doc_id
-             |  CROSS JOIN scaled t
-             |  GROUP BY 1
-             |)
-             |SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id)
-             |    AS BIGINT) AS rank,
-             |  doc_id, n_terms, score_micro
-             |FROM scored ORDER BY score_micro DESC, doc_id LIMIT 10""".stripMargin)),
+      Some(s"""WITH $bm25RankedSql, q AS (
+              |  SELECT embedding FROM embeddings WHERE vec_id = 0
+              |), densesims AS (
+              |  SELECT e.vec_id AS doc_id,
+              |    ${r6Sql(duckDot("e.embedding", "q.embedding") +
+                s" / (${duckNorm("e.embedding")} * ${duckNorm("q.embedding")})")} AS sim
+              |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+              |), denseranked AS (
+              |  SELECT doc_id, rank AS dense_rank FROM (
+              |    SELECT doc_id, CAST(ROW_NUMBER() OVER (
+              |      ORDER BY sim DESC, doc_id) AS BIGINT) AS rank
+              |    FROM densesims
+              |  ) WHERE rank <= 10
+              |), fused AS (
+              |  SELECT COALESCE(l.doc_id, dn.doc_id) AS doc_id,
+              |    l.rank AS lex_rank, dn.dense_rank,
+              |    COALESCE(1000000 // (60 + l.rank), 0)
+              |      + COALESCE(1000000 // (60 + dn.dense_rank), 0) AS rrf_micro
+              |  FROM lexranked l FULL OUTER JOIN denseranked dn
+              |    ON dn.doc_id = l.doc_id
+              |)
+              |SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf_micro DESC, doc_id)
+              |    AS BIGINT) AS fused_rank,
+              |  doc_id, lex_rank, dense_rank, CAST(rrf_micro AS BIGINT) AS rrf_micro
+              |FROM fused ORDER BY rrf_micro DESC, doc_id LIMIT 10""".stripMargin)),
 
     // Sliding-window chunking with overlap — the context-window prep step
     // (RAG indexing / long-doc training): 32-token chunks at stride 16,

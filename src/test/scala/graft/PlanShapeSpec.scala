@@ -362,6 +362,20 @@ class PlanShapeSpec extends SparkSpec {
       "query side lost the fused rank argmax")
   }
 
+  test("retrieval_rrf_fusion / similarity_matryoshka_recall: bounded legs, pushed bounds") {
+    // the fusion's scaling surfaces are its two retrieval legs — each
+    // must end in a bounded top-10 (TakeOrdered), never a global sort;
+    // the matryoshka calibration's all-pairs join is allowed ONLY
+    // because the query side is the bounded vec_id < 5 sample, pushed
+    // into the scan (the dedup_embedding_recall rule)
+    val p = plan("retrieval_rrf_fusion")
+    assert(p.contains("TakeOrderedAndProject(limit=10"),
+      "fusion legs must be bounded top-10s")
+    val m = plan("similarity_matryoshka_recall")
+    assert("LessThan\\(vec_id,5\\)".r.findFirstIn(m).isDefined,
+      "query-sample bound must reach the scan")
+  }
+
   test("curate_e2e_embedding: banded candidates only, never an all-pairs cartesian") {
     // the product stage rides the same lshBandedPairsOf definition as the
     // judged dedup gates — a survivors×survivors cartesian must never
