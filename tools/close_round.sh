@@ -42,7 +42,13 @@ cd "$(dirname "$0")/.."
 ROUND="${1:?usage: tools/close_round.sh <round-number>}"
 SF_DIR="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}"
 MAX_SWEEPS="${CLOSE_ROUND_MAX_SWEEPS:-6}"
-SWEEP_DIR="$(mktemp -d /tmp/close_round_r${ROUND}_sweeps.XXXX)"
+# CLOSE_ROUND_SWEEP_DIR: reuse one evidence dir across close runs — the
+# mint min-merges per gate, so sweeps from an earlier (stormier) close
+# can only improve the record, never poison it. Stale-build sweeps are
+# harmless: the mint drops any measurement whose plan hash is not the
+# CURRENT committed reference's. Default: a fresh dir per run.
+SWEEP_DIR="${CLOSE_ROUND_SWEEP_DIR:-$(mktemp -d /tmp/close_round_r${ROUND}_sweeps.XXXX)}"
+mkdir -p "$SWEEP_DIR"
 
 # the script's OWN outputs are exempt — a storm-aborted earlier attempt
 # leaves them modified (min-merge makes the retry converge), and that must
@@ -89,17 +95,21 @@ for i in $(seq 1 "$MAX_SWEEPS"); do
   quiet_wait
   # tail -1: the headline is the LAST {-prefixed stdout line — any other
   # JSON-ish sbt line must not poison json parsing (ADVICE r17)
+  # sweep files number PAST any evidence already in the dir (a reused
+  # CLOSE_ROUND_SWEEP_DIR must accumulate, never overwrite)
+  N=$(ls "$SWEEP_DIR"/sweep_*.json 2>/dev/null | wc -l)
+  N=$((N + 1))
   SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_REGEN_BENCH_REFERENCE=1 \
     sbt "runMain graft.Bench" | grep '^{' | tail -n 1 \
-    > "$SWEEP_DIR/headline_$i.json"
-  python3 - "$SWEEP_DIR/headline_$i.json" <<'PY'
+    > "$SWEEP_DIR/headline_$N.json"
+  python3 - "$SWEEP_DIR/headline_$N.json" <<'PY'
 import json, sys
 d = json.load(open(sys.argv[1]))
 assert not d.get("failed"), f"sweep had CRASHED gates: {d.get('failed')} - fix them first"
 print(f"sweep ok: {d['value']:.1f}s raw, steal {d.get('steal_sec', '?')}s, "
       f"contended={d.get('n_contended', 0)}")
 PY
-  cp bench_details.json "$SWEEP_DIR/sweep_$i.json"
+  cp bench_details.json "$SWEEP_DIR/sweep_$N.json"
 
   echo "== step 2.$i mint attempt over $i sweep(s)"
   # the mint reads the JUST-regenerated reference: per-gate quiet
