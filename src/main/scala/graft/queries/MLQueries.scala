@@ -2195,6 +2195,80 @@ $blockSql
               |  CAST(SUM(vec_id % 2147483647) % 2147483647 AS BIGINT) AS id_checksum
               |FROM assigned GROUP BY cell ORDER BY cell""".stripMargin)),
 
+    // The fused RANK argmax judged at production k (round 19 —
+    // ann_assign_fused_k1024's recipe applied to the multi-probe
+    // expression): NearestCentroidRank is oracle-judged at the 8-cell
+    // calibration index, but its reason to exist is the k where the
+    // fan-out cannot plan. Same 1024 synthetic exact-grid centroids as
+    // the k1024 assignment gate (bias arithmetic provably order-safe),
+    // probed at ranks 1 and 2 over the BOUNDED vec_id < 200 sample (the
+    // dedup_embedding_recall bound — a probe calibration is always
+    // sampled; the bound is plan-pinned pushed). Judged output is the
+    // per (probe_rank, cell) census + member checksum — pins BOTH fused
+    // selections of every sampled vector against the oracle's
+    // ROW_NUMBER (csim DESC, cell) ∈ {1, 2}. Plan: TWO one-node rank
+    // argmaxes over one pruned scan, join-free.
+    NamedQuery(
+      "ann_probe_fused_k1024",
+      (s, d) => {
+        val cents = (0L until 1024L).map { c =>
+          (c, Array.tabulate(64) { i0 =>
+            val m = (((i0 + 1).toLong * (c + 7L) * 2654435761L) % 2048L - 1024L)
+            (m.toDouble / 1024.0).toFloat
+          })
+        }
+        def centNorm(v: Array[Float]): Double =
+          math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
+        val ranks = (0 until 2).map(r =>
+          graft.functions.VectorOps.nearestCentroidRank(col("embedding"),
+            cents.map(_._1), cents.map(_._2), cents.map(c => centNorm(c._2)), r))
+        Tables.embeddings(s, d).filter(col("vec_id") < 200)
+          .select(col("vec_id"),
+            posexplode(array(ranks: _*)).as(Seq("pos", "cell")))
+          .select(col("vec_id"), (col("pos") + 1).cast("long").as("probe_rank"),
+            col("cell"))
+          .groupBy(col("probe_rank"), col("cell"))
+          .agg(count(lit(1)).as("n_members"),
+            (sum(col("vec_id") % lit(2147483647L)) % lit(2147483647L))
+              .as("id_checksum"))
+          .orderBy(col("probe_rank"), col("cell"))
+      },
+      Some(s"""WITH cents AS (
+              |  SELECT c.c AS cell, i.i AS dim,
+              |    CAST((CAST(i.i * (c.c + 7) AS BIGINT) * 2654435761) % 2048
+              |      - 1024 AS DOUBLE) / 1024.0 AS v
+              |  FROM (SELECT UNNEST(generate_series(0, 1023)) AS c) c
+              |  CROSS JOIN (SELECT UNNEST(generate_series(1, 64)) AS i) i
+              |), cvec AS (
+              |  SELECT cell, list(v ORDER BY dim) AS cv, sqrt(SUM(v*v)) AS cnorm
+              |  FROM cents GROUP BY cell
+              |), sample AS (
+              |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200
+              |), enorm AS (
+              |  SELECT vec_id, sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              |    list_transform(generate_series(1,64), i ->
+              |      CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),
+              |    (acc, x) -> acc + x)) AS n
+              |  FROM sample
+              |), csims AS (
+              |  SELECT e.vec_id, c.cell,
+              |    FLOOR(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              |      list_transform(generate_series(1,64), i ->
+              |        CAST(e.embedding[i] AS DOUBLE) * c.cv[i])),
+              |      (acc, x) -> acc + x) / (en.n * c.cnorm) * 1000000.0 + 0.5)
+              |      / 1000000.0 AS csim
+              |  FROM sample e JOIN enorm en USING (vec_id) CROSS JOIN cvec c
+              |), probed AS (
+              |  SELECT vec_id, cell, crn FROM (
+              |    SELECT vec_id, cell, ROW_NUMBER() OVER (
+              |      PARTITION BY vec_id ORDER BY csim DESC, cell) AS crn
+              |    FROM csims) WHERE crn <= 2
+              |)
+              |SELECT CAST(crn AS BIGINT) AS probe_rank, CAST(cell AS BIGINT) AS cell,
+              |  CAST(COUNT(*) AS BIGINT) AS n_members,
+              |  CAST(SUM(vec_id % 2147483647) % 2147483647 AS BIGINT) AS id_checksum
+              |FROM probed GROUP BY 1, 2 ORDER BY probe_rank, cell""".stripMargin)),
+
     // Symmetric int8 quantization of the embedding column — the standard
     // vector-compression step before ANN indexing (4× smaller, dot
     // products in integer SIMD). Per vector: amax = max |x_i| (an

@@ -350,6 +350,20 @@ class PlanShapeSpec extends SparkSpec {
       s"k*=256 encode fell out of whole-stage codegen:\n$p")
   }
 
+  test("ann_probe_fused_k1024: join-free two-rank probe at production k, bounded sample pushed") {
+    // the rank expression's production shape: TWO one-node fused rank
+    // argmaxes over one pruned scan — no centroid join, no per-centroid
+    // fan-out — and the calibration's vec_id < 200 sample bound must
+    // reach the parquet scan (at corpus scale the sample is the point)
+    val p = plan("ann_probe_fused_k1024")
+    assert(!p.contains("Join"), "k=1024 probe must not join centroids")
+    val fused = "nearest_centroid_rank".r.findAllIn(p).length
+    assert(fused <= 4, // 2 ranks (+ a generate/project copy each)
+      s"per-centroid fan-out reappeared in the k=1024 probe ($fused nodes)")
+    assert("LessThan\\(vec_id,200\\)".r.findFirstIn(p).isDefined,
+      "sample bound must reach the scan")
+  }
+
   test("similarity_ann_ivf_nprobe2: fused rank argmaxes on the query side, cell equi-join") {
     // the multi-probe knob must stay join-free on the ASSIGNMENT side:
     // two nearest_centroid_rank nodes expand the query to its top-2
