@@ -1269,6 +1269,59 @@ object CurationQueries {
               |    AND nb.cell = qa.cell
               |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
+    // The composed IVF-PQ probe at nprobe=2 (round 19 — completing the
+    // multi-probe lever across the ANN family): the coarse restriction
+    // widens to each query's TOP-2 cells (the judged ivfProbed
+    // definition — rank-0 identical to similarity_ann_ivfpq's one-cell
+    // restriction), the fine ranking stays the judged integer ADC over
+    // the SAME plan-literal LUT, and candidates remain 4-byte codes —
+    // at 100 TB the knob buys back coarse-boundary recall for ~2× the
+    // candidate code reads per query, with zero extra float-vector I/O.
+    // Pairs stay unique (a candidate lives in exactly one cell). Plan:
+    // the same codes-side narrow map + tiny per-cell query fan-out
+    // (driver state: 5 queries × 2 cells), top-5 per query.
+    NamedQuery(
+      "similarity_ann_ivfpq_nprobe2",
+      (s, d) => {
+        val cb = pqCodebook(s, d)
+        val queries = pqQueries(s, d)
+        val lutCol = typedLit(pqAdcLut(queries, cb))
+        val qids = queries.map(_._1)
+        // query → its top-2 cells from the ONE judged multi-probe
+        // definition (≤ 10 driver rows)
+        val qcells = MLQueries.ivfProbed(s, d, 2)
+          .filter(col("vec_id") < 5).select(col("vec_id"), col("cell"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val cells = MLQueries.ivfAssigned(s, d).select(col("vec_id"), col("cell"))
+        val cellToQix: Array[Array[Int]] = Array.tabulate(PqK)(c =>
+          qids.indices.collect {
+            case i if qcells((qids(i), c.toLong)) => i + 1
+          }.toArray)
+        pqCodes(s, d, Some(cb)).filter(col("vec_id") >= 5)
+          .join(cells, "vec_id")
+          .withColumn("qix",
+            explode(element_at(typedLit(cellToQix), (col("cell") + 1).cast("int"))))
+          .withColumn("query_id", element_at(typedLit(qids.toArray), col("qix")))
+          .withColumn("approx_micro", adcApproxCol(lutCol))
+          .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
+            .orderBy(col("approx_micro"), col("vec_id"))))
+          .filter(col("rank") <= 5)
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            col("rank").cast("long").as("rank"), col("approx_micro"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH $pqAdcRankedSql, ${MLQueries.ivfAssignSql},
+              |${MLQueries.ivfProbedSql(2)}
+              |SELECT query_id, neighbor_id, rank, approx_micro FROM (
+              |  SELECT a.query_id, a.neighbor_id, a.approx_micro,
+              |    CAST(ROW_NUMBER() OVER (PARTITION BY a.query_id
+              |      ORDER BY a.approx_micro, a.neighbor_id) AS BIGINT) AS rank
+              |  FROM approx a
+              |  JOIN probed qa ON qa.vec_id = a.query_id
+              |  JOIN assigned nb ON nb.vec_id = a.neighbor_id
+              |    AND nb.cell = qa.cell
+              |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
     // Audio decimation over the REAL PCM16 decode path: keep every 4th
     // frame and emit the DECIMATED stream's per-channel integer energy
     // and zero crossings — the decode → resample stage of the audio

@@ -575,7 +575,7 @@ object MLQueries {
     * production recall knob — recall lost to a hard Voronoi boundary is
     * bought back for nprobe× more candidates per query, never a rescan.
     */
-  private def ivfProbed(s: SparkSession, d: String, nprobe: Int): DataFrame = {
+  private[queries] def ivfProbed(s: SparkSession, d: String, nprobe: Int): DataFrame = {
     val cents = Tables.embeddings(s, d)
       .filter(col("vec_id") < 8).select(col("vec_id"), col("embedding"))
       .collect()
@@ -599,7 +599,7 @@ object MLQueries {
     * ROW_NUMBER itself) — reuses [[ivfAssignSql]]'s `csims`, so splice it
     * AFTER that block in the same WITH.
     */
-  private def ivfProbedSql(nprobe: Int): String =
+  private[queries] def ivfProbedSql(nprobe: Int): String =
     s"""probed AS (
        |  SELECT vec_id, cent_id AS cell, CAST(crn AS BIGINT) AS probe_rank
        |  FROM (

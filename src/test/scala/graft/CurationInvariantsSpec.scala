@@ -386,6 +386,32 @@ class CurationInvariantsSpec extends SparkSpec {
     assert(!plan("similarity_ann_ivfpq").contains("CartesianProduct"))
   }
 
+  test("similarity_ann_ivfpq_nprobe2: widens candidates, never worsens a query's ADC top") {
+    // the nprobe=2 probe sees a SUPERSET of the one-cell candidates, so
+    // per query its rank-1 approx distance is <= the one-cell probe's,
+    // every invariant of the sibling holds, and shared pairs carry the
+    // identical integer ADC distance (one pqAdcLut definition)
+    val one = SparkEntry.queries("similarity_ann_ivfpq")(spark, d).collect()
+    val two = SparkEntry.queries("similarity_ann_ivfpq_nprobe2")(spark, d).collect()
+    assert(two.nonEmpty)
+    def best(rows: Array[org.apache.spark.sql.Row]) = rows
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("approx_micro")).min }
+    val b1 = best(one); val b2 = best(two)
+    assert(b2.keySet === b1.keySet)
+    b2.foreach { case (q, m2) =>
+      assert(m2 <= b1(q), s"query $q: nprobe=2 best $m2 worse than one-cell ${b1(q)}")
+    }
+    two.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq ===
+        (1L to sorted.length).toSeq, s"query $q ranks must be dense from 1")
+      assert(sorted.length <= 5)
+      sorted.foreach(r => assert(r.getAs[Long]("neighbor_id") >= 5L))
+    }
+    assert(!plan("similarity_ann_ivfpq_nprobe2").contains("CartesianProduct"))
+  }
+
   test("multimodal_audio_downsample: frame counts and energy bound the full decode") {
     val dec = SparkEntry.queries("multimodal_audio_downsample")(spark, d).collect()
     assert(dec.nonEmpty)
