@@ -53,6 +53,25 @@ object RecordMint {
     */
   private[graft] val MintQuietOtherCores = 2.0
 
+  /** The per-gate probe-adjusted ratio against the reference row in
+    * force NOW (round 20, ADVICE r19): the sweep's recorded
+    * `vs_ref_probe_adj` was computed against the reference AS IT STOOD
+    * when that sweep ran, and the close loop min-merges the reference
+    * DOWN between sweeps — re-scaling the stale ratio by the final
+    * reference understates adjusted steadies and biases the mint toward
+    * minting. When the sweep carries its whole-sweep machine-speed
+    * ratio (`probe.adj_ratio`), recompute from first principles:
+    * (steady / machineRatio) / refSteadyNow. Legacy sweeps without a
+    * probe fall back to the recorded ratio (the only evidence they
+    * carry). -1 sentinels propagate — absence of evidence adjusts
+    * nothing.
+    */
+  private[graft] def adjVsRef(g: SweepGate, sweepAdj: Option[Double],
+      refSteady: Double): Double =
+    sweepAdj.filter(_ > 0).filter(_ => refSteady > 0)
+      .map(a => (g.steady / a) / refSteady)
+      .getOrElse(g.vsRefProbeAdj)
+
   /** The probe-adjusted fallback (round 19, found during the first
     * minted close): `join_range_views_before_purchase`'s committed
     * reference row (0.309 s, cpu/wall 3.3) is the min-merged ALL-TIME
@@ -66,11 +85,16 @@ object RecordMint {
     * regression fails this test too (the probe measures the machine,
     * not the gate, so the gate's own slowdown survives the adjustment).
     * Unknown samples (-1 on either field) admit nothing — the repo-wide
-    * absence-of-evidence rule.
+    * absence-of-evidence rule. The ratio judged is [[adjVsRef]]'s —
+    * recomputed against the CURRENT reference when the sweep carries a
+    * machine ratio, never a stale recorded one.
     */
-  private[graft] def probeAdjAdmissible(g: SweepGate): Boolean =
+  private[graft] def probeAdjAdmissible(g: SweepGate, sweepAdj: Option[Double],
+      refSteady: Double): Boolean = {
+    val adj = adjVsRef(g, sweepAdj, refSteady)
     g.otherCores >= 0 && g.otherCores < MintQuietOtherCores &&
-      g.vsRefProbeAdj > 0 && g.vsRefProbeAdj <= Bench.InflatedVsRef
+      adj > 0 && adj <= Bench.InflatedVsRef
+  }
 
   /** A measurement qualifies as quiet evidence for the record: the gate
     * ran (crashed gates carry steady null and never reach here), its
@@ -79,21 +103,33 @@ object RecordMint {
     * its window either carried no contention verdict at all or is
     * admissible under the probe-adjusted fallback above.
     */
-  private[graft] def qualifies(g: SweepGate, ref: Option[Bench.RefGate]): Boolean =
+  private[graft] def qualifies(g: SweepGate, ref: Option[Bench.RefGate],
+      sweepAdj: Option[Double]): Boolean =
     ref.exists(_.plan == g.plan) &&
-      ((!g.contended && !g.effDrop) || probeAdjAdmissible(g))
+      ((!g.contended && !g.effDrop) ||
+        ref.exists(r => probeAdjAdmissible(g, sweepAdj, r.steady)))
+
+  /** One parsed sweep artifact: its sf, the whole-sweep machine-speed
+    * ratio its probe pair measured (`probe.adj_ratio`, None on legacy /
+    * probe-less docs), and the per-gate measurements.
+    */
+  private[graft] final case class Sweep(sf: String, adjRatio: Option[Double],
+      gates: Map[String, SweepGate])
 
   /** Parse one bench_details.json document's per-gate map. Returns
     * Left(reason) on a malformed document — the close script feeds only
     * files the bench just wrote, so malformed means a real bug, not a
     * condition to paper over.
     */
-  private[graft] def parseSweep(json: String): Either[String, (String, Map[String, SweepGate])] =
+  private[graft] def parseSweep(json: String): Either[String, Sweep] =
     try {
       val root = new ObjectMapper().readTree(json)
       if (root == null || !root.has("queries"))
         return Left("no queries object")
       val sf = if (root.has("sf")) root.get("sf").asText() else ""
+      val adjRatio = Option(root.get("probe"))
+        .flatMap(p => Option(p.get("adj_ratio")))
+        .filterNot(_.isNull).map(_.asDouble()).filter(_ > 0)
       val qs = root.get("queries")
       val names = {
         val it = qs.fieldNames(); val b = Seq.newBuilder[String]
@@ -116,7 +152,7 @@ object RecordMint {
           effDrop = n.has("eff_drop") && n.get("eff_drop").asBoolean(),
           vsRefProbeAdj = num(n, "vs_ref_probe_adj")))
       }.toMap
-      Right((sf, gates))
+      Right(Sweep(sf, adjRatio, gates))
     } catch { case e: Exception => Left(s"unparseable: ${e.getMessage}") }
 
   /** Min-merge across sweeps: for every registry gate, the minimum
@@ -124,12 +160,13 @@ object RecordMint {
     * providing sweep index). Left lists the gates with NO qualifying
     * measurement yet — the close loop's "run another sweep" signal.
     */
-  private[graft] def merge(sweeps: Seq[Map[String, SweepGate]],
+  private[graft] def merge(sweeps: Seq[Sweep],
       ref: Map[String, Bench.RefGate],
       registry: Set[String]): Either[String, Map[String, Minted]] = {
     val merged = registry.toSeq.sorted.flatMap { k =>
       val cands = sweeps.zipWithIndex.flatMap { case (s, i) =>
-        s.get(k).filter(g => qualifies(g, ref.get(k))).map(g => Minted(g, i))
+        s.gates.get(k).filter(g => qualifies(g, ref.get(k), s.adjRatio))
+          .map(g => Minted(g, i))
       }
       if (cands.isEmpty) None else Some(k -> cands.minBy(_.g.steady))
     }.toMap
@@ -164,7 +201,8 @@ object RecordMint {
     */
   private[graft] def render(merged: Map[String, Minted],
       ref: Map[String, Bench.RefGate], sf: String,
-      nSweeps: Int): Either[String, String] = {
+      nSweeps: Int,
+      sweepAdj: Int => Option[Double]): Either[String, (String, Double)] = {
     val names = merged.keys.toSeq.sorted
     val matched = names.map(k => (merged(k).g.steady, ref(k).steady))
     val rawRatio = Bench.vsReference(matched) match {
@@ -172,19 +210,26 @@ object RecordMint {
       case None =>
         return Left("too few reference-matched gates to price the record")
     }
-    // probe-adjusted total: each gate's adjusted steady is its source
-    // sweep's vs_ref_probe_adj × the reference steady; gates without
-    // adjustment data (a new gate measured before its reference row
-    // existed) contribute their raw steady. Only meaningful when most
-    // gates carry the adjustment — vsReference's ≥20 floor, re-used.
-    val adjPairs = names.map { k =>
+    // probe-adjusted total (round 20, ADVICE r19): each gate's adjusted
+    // steady is its raw steady divided by its SOURCE SWEEP's measured
+    // machine ratio — first-principles, independent of which reference
+    // was in force when the sweep ran (the close loop min-merges the
+    // reference down between sweeps, so re-scaling the sweep's recorded
+    // vs_ref_probe_adj by the final reference understated adjusted
+    // steadies). Legacy sweeps without a probe fall back to the recorded
+    // ratio; gates with neither contribute their raw steady. Only
+    // meaningful when most gates carry the adjustment — vsReference's
+    // ≥20 floor, re-used.
+    def adjSteadyOf(k: String): Option[Double] = {
       val m = merged(k)
-      val adjSteady =
-        if (m.g.vsRefProbeAdj > 0) m.g.vsRefProbeAdj * ref(k).steady
-        else m.g.steady
-      (adjSteady, ref(k).steady)
+      sweepAdj(m.sweep).filter(_ > 0).map(m.g.steady / _)
+        .orElse(Option(m.g.vsRefProbeAdj).filter(_ > 0)
+          .map(_ * ref(k).steady))
     }
-    val nAdj = names.count(merged(_).g.vsRefProbeAdj > 0)
+    val adjPairs = names.map { k =>
+      (adjSteadyOf(k).getOrElse(merged(k).g.steady), ref(k).steady)
+    }
+    val nAdj = names.count(adjSteadyOf(_).isDefined)
     val adjRatio =
       if (nAdj >= 20) Bench.vsReference(adjPairs) else None
     if (rawRatio > Bench.InflatedVsRef
@@ -197,8 +242,10 @@ object RecordMint {
     val qs = names.map { k =>
       val m = merged(k)
       val vsRef = m.g.steady / ref(k).steady
-      val adjF = if (m.g.vsRefProbeAdj > 0)
-        s""","vs_ref_probe_adj":${r2s(m.g.vsRefProbeAdj)}""" else ""
+      // per-gate adjusted ratio recomputed against the FINAL reference
+      // (adjSteady / refSteady), matching the headline's arithmetic
+      val adjF = adjSteadyOf(k).map(a =>
+        s""","vs_ref_probe_adj":${r2s(a / ref(k).steady)}""").getOrElse("")
       s""""$k":{"cold":${m.g.cold},"steady":${m.g.steady},"plan":"${m.g.plan}"""" +
         s""","other_cores":${r2s(m.g.otherCores)},"own_cpu":${r2s(m.g.ownCpu)}""" +
         s""","cpu_wall":${r2s(m.g.cpuWall)},"load1":${r2s(m.g.load1)}""" +
@@ -208,11 +255,11 @@ object RecordMint {
     val coldTotal = names.map(merged(_).g.cold).filter(_ >= 0).sum
     val adjField = adjRatio
       .map(a => s""","vs_reference_probe_adj":${r2s(a)}""").getOrElse("")
-    Right(s"""{"metric":"total","value":$total,"unit":"sec","bench_format":4""" +
+    Right((s"""{"metric":"total","value":$total,"unit":"sec","bench_format":4""" +
       s""","cold_total":$coldTotal,"minted":true,"n_sweeps":$nSweeps""" +
       s""","vs_reference":${r2s(rawRatio)}$adjField""" +
       s""","n_ref_matched":${names.size}""" +
-      s""","queries":$qs,"sf":"$sf"}""")
+      s""","queries":$qs,"sf":"$sf"}""", rawRatio))
   }
 
   def main(args: Array[String]): Unit = {
@@ -228,7 +275,7 @@ object RecordMint {
       case errs => sys.error(s"malformed sweep file(s): ${errs.mkString("; ")}")
     }
     val parsed = docs.collect { case (_, Right(v)) => v }
-    val sfs = parsed.map(_._1).distinct
+    val sfs = parsed.map(_.sf).distinct
     require(sfs.size == 1 && sfs.head.nonEmpty,
       s"sweeps disagree on sf (or carry none): $sfs")
     val sfTail = java.nio.file.Paths.get(sfs.head).getFileName.toString
@@ -239,9 +286,10 @@ object RecordMint {
       s"committed reference is at $refSf but sweeps ran at $sfTail")
     val registry = SparkEntry.queries.keySet
     val result = for {
-      merged <- merge(parsed.map(_._2), refGates, registry)
-      doc <- render(merged, refGates, sfs.head, parsed.size)
-    } yield (merged, doc)
+      merged <- merge(parsed, refGates, registry)
+      rendered <- render(merged, refGates, sfs.head, parsed.size,
+        i => parsed.lift(i).flatMap(_.adjRatio))
+    } yield (merged, rendered)
     // sentinel lines on STDOUT (sbt passes app stdout through raw; it
     // does NOT propagate the forked JVM's exit code, so close_round.sh
     // greps these): MINTED = record written; RETRY = legitimately not
@@ -250,14 +298,24 @@ object RecordMint {
     result match {
       case Left(reason) =>
         println(s"[mint] RETRY: $reason")
-      case Right((merged, doc)) =>
+      case Right((merged, (doc, rawRatio))) =>
         val out = s"bench_r${round}_gates.json"
         java.nio.file.Files.writeString(java.nio.file.Paths.get(out), doc + "\n")
         // a successful mint IS a quiet full-registry measurement of this
         // exact tree — refresh the persisted quiet record so every later
-        // headline cites the CURRENT registry (the r18 verdict's ask #2)
-        java.nio.file.Files.writeString(
-          java.nio.file.Paths.get(Bench.LastQuietPath), doc + "\n")
+        // headline cites the CURRENT registry (the r18 verdict's ask #2).
+        // ONLY when the RAW ratio also clears the bar (round 20, ADVICE
+        // r19): a record minted via the adjusted-only path measured a
+        // slower machine, and bench_last_quiet.json's round-16 contract
+        // is "un-inflated full sweep only" — an adjusted-only mint must
+        // not silently weaken what lastQuietSummary cites.
+        if (rawRatio <= Bench.InflatedVsRef)
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(Bench.LastQuietPath), doc + "\n")
+        else
+          println(f"[mint] record minted via the adjusted-only path (raw " +
+            f"$rawRatio%.2fx > ${Bench.InflatedVsRef}) — bench_last_quiet.json " +
+            "left untouched (its contract is raw-un-inflated sweeps only)")
         val bySweep = merged.values.groupBy(_.sweep).view.mapValues(_.size)
           .toMap.toSeq.sorted.map { case (i, n) => s"sweep$i:$n" }
         println(s"[mint] MINTED $out from ${parsed.size} sweep(s) " +

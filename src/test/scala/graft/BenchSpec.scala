@@ -237,34 +237,56 @@ class BenchSpec extends AnyFunSuite {
         plan: String = "fp", other: Double = 0.1, adj: Double = -1.0) =
       RecordMint.SweepGate(1.1, 1.5, plan, other, 30.0, 27.0, 1.0,
         contended, effDrop, adj)
-    assert(RecordMint.qualifies(g(), ref))
-    assert(!RecordMint.qualifies(g(contended = true), ref))
-    assert(!RecordMint.qualifies(g(effDrop = true), ref))
+    assert(RecordMint.qualifies(g(), ref, None))
+    assert(!RecordMint.qualifies(g(contended = true), ref, None))
+    assert(!RecordMint.qualifies(g(effDrop = true), ref, None))
     // a stale-build measurement (plan differs from the committed
     // reference) prices code this tree does not ship — never evidence
-    assert(!RecordMint.qualifies(g(plan = "other"), ref))
+    assert(!RecordMint.qualifies(g(plan = "other"), ref, None))
     // no reference row at all: the record could not price it — refuse
-    assert(!RecordMint.qualifies(g(), None))
+    assert(!RecordMint.qualifies(g(), None, None))
     // the probe-adjusted fallback: a window flagged ONLY by the
     // eff_drop heuristic, with no foreign-core evidence and a
     // probe-adjusted ratio at/under the inflation bar, is a quiet
     // measurement of a slower machine — admissible (the
     // join_range_views_before_purchase deadlock of the first close)
     assert(RecordMint.qualifies(
-      g(contended = true, effDrop = true, adj = 0.96), ref))
+      g(contended = true, effDrop = true, adj = 0.96), ref, None))
     assert(RecordMint.qualifies(
-      g(contended = true, effDrop = true, adj = Bench.InflatedVsRef), ref))
+      g(contended = true, effDrop = true, adj = Bench.InflatedVsRef), ref, None))
     // ...but a probe-adjusted ratio past the bar is a REAL slowdown
     assert(!RecordMint.qualifies(
-      g(contended = true, effDrop = true, adj = 1.31), ref))
+      g(contended = true, effDrop = true, adj = 1.31), ref, None))
     // ...foreign-core evidence in the window blocks the fallback
     assert(!RecordMint.qualifies(
-      g(contended = true, effDrop = true, other = 5.0, adj = 0.96), ref))
+      g(contended = true, effDrop = true, other = 5.0, adj = 0.96), ref, None))
     // ...and unknown samples (-1) admit nothing
     assert(!RecordMint.qualifies(
-      g(contended = true, effDrop = true, other = -1.0, adj = 0.96), ref))
+      g(contended = true, effDrop = true, other = -1.0, adj = 0.96), ref, None))
     assert(!RecordMint.qualifies(
-      g(contended = true, effDrop = true, adj = -1.0), ref))
+      g(contended = true, effDrop = true, adj = -1.0), ref, None))
+    // round 20 (ADVICE r19): when the sweep carries its machine ratio,
+    // the admissibility ratio is RECOMPUTED against the reference in
+    // force now — steady 1.1 on a 1.0x machine vs ref 1.0 is 1.1
+    // (admissible) even when the RECORDED stale ratio said 1.31, and a
+    // stale-flattering 0.96 cannot launder a real 1.1/0.5/1.0 = 2.2
+    assert(RecordMint.qualifies(
+      g(contended = true, effDrop = true, adj = 1.31), ref, Some(1.0)))
+    assert(!RecordMint.qualifies(
+      g(contended = true, effDrop = true, adj = 0.96), ref, Some(0.5)))
+  }
+
+  test("mint adjVsRef: sweep machine ratio recomputes against the CURRENT reference") {
+    val g = RecordMint.SweepGate(1.2, 1.5, "fp", 0.1, 30.0, 27.0, 1.0,
+      contended = false, effDrop = false, vsRefProbeAdj = 0.8)
+    // sweep measured a 1.5x machine: adjusted steady 0.8 s vs ref 1.0 s
+    assert(math.abs(RecordMint.adjVsRef(g, Some(1.5), 1.0) - 0.8) < 1e-9)
+    // no machine ratio: the recorded (possibly stale) ratio is the only
+    // evidence the sweep carries — fall back to it, never guess
+    assert(RecordMint.adjVsRef(g, None, 1.0) === 0.8)
+    // non-positive machine ratio / reference steady: fall back too
+    assert(RecordMint.adjVsRef(g, Some(0.0), 1.0) === 0.8)
+    assert(RecordMint.adjVsRef(g, Some(1.5), 0.0) === 0.8)
   }
 
   test("mint merge: per-gate min across quiet windows only; a never-quiet gate refuses") {
@@ -272,8 +294,10 @@ class BenchSpec extends AnyFunSuite {
       "b" -> Bench.RefGate(2.0, "fb", 28.0))
     def g(s: Double, plan: String, contended: Boolean = false) =
       RecordMint.SweepGate(s, s, plan, 0.1, 30.0, 27.0, 1.0, contended, false)
-    val s0 = Map("a" -> g(5.0, "fa", contended = true), "b" -> g(2.2, "fb"))
-    val s1 = Map("a" -> g(1.2, "fa"), "b" -> g(2.8, "fb"))
+    val s0 = RecordMint.Sweep("sf",
+      None, Map("a" -> g(5.0, "fa", contended = true), "b" -> g(2.2, "fb")))
+    val s1 = RecordMint.Sweep("sf",
+      None, Map("a" -> g(1.2, "fa"), "b" -> g(2.8, "fb")))
     val merged = RecordMint.merge(Seq(s0, s1), ref, Set("a", "b"))
       .toOption.get
     // a's storm-hit sweep-0 measurement is NOT min'd in; b's sweep-0 IS
@@ -292,8 +316,10 @@ class BenchSpec extends AnyFunSuite {
       RecordMint.Minted(RecordMint.SweepGate(
         steady, steady, s"f$i", 0.1, 30.0, 27.0, 1.0,
         contended = false, effDrop = false), 0)).toMap
-    val doc = RecordMint.render(merged(1.05), ref, "/root/testdata/sf0.1", 3)
-      .toOption.get
+    val (doc, rawOut) = RecordMint.render(merged(1.05), ref,
+      "/root/testdata/sf0.1", 3, _ => None).toOption.get
+    assert(math.abs(rawOut - 1.05) < 0.011,
+      "render must surface the raw ratio (main gates last-quiet refresh on it)")
     val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(doc)
     // exactly the flags the committed-record contract rejects must be absent
     assert(!root.has("failed") && !root.has("contended")
@@ -306,25 +332,42 @@ class BenchSpec extends AnyFunSuite {
       val q = root.get("queries").get(s"g$i")
       assert(!q.get("steady").isNull && q.get("plan").asText === s"f$i")
     }
-    // a successful mint doubles as the persisted quiet record
+    // a successful raw-clean mint doubles as the persisted quiet record
     assert(Bench.lastQuietSummary(doc).isDefined)
     // quiet windows that still measure slow: such a record must NOT mint
-    assert(RecordMint.render(merged(1.5), ref, "sf", 1).isLeft)
+    assert(RecordMint.render(merged(1.5), ref, "sf", 1, _ => None).isLeft)
     // raw-inflated on a probe-measured slow machine: mints, carrying BOTH
-    // numbers (the r18 judge's raw-1.99x/adjusted-1.05x adjudication)
+    // numbers (the r18 judge's raw-1.99x/adjusted-1.05x adjudication),
+    // and render surfaces the raw ratio so main can SKIP the last-quiet
+    // refresh (round 20, ADVICE r19: adjusted-only mints must not weaken
+    // the round-16 raw-un-inflated persistence contract)
     def mergedAdj(steady: Double, adj: Double) = (0 until n).map(i => s"g$i" ->
       RecordMint.Minted(RecordMint.SweepGate(
         steady, steady, s"f$i", 0.1, 30.0, 27.0, 1.0,
         contended = false, effDrop = false, vsRefProbeAdj = adj), 0)).toMap
-    val slowDoc = RecordMint.render(mergedAdj(1.5, 1.02), ref, "sf", 2)
-      .toOption.get
+    val (slowDoc, slowRaw) = RecordMint.render(mergedAdj(1.5, 1.02), ref,
+      "sf", 2, _ => None).toOption.get
+    assert(slowRaw > Bench.InflatedVsRef,
+      "the adjusted-only path must be detectable from the returned raw ratio")
     val slowRoot = new com.fasterxml.jackson.databind.ObjectMapper()
       .readTree(slowDoc)
     assert(math.abs(slowRoot.get("vs_reference").asDouble - 1.5) < 0.011)
     assert(math.abs(slowRoot.get("vs_reference_probe_adj").asDouble - 1.02) < 0.011)
     assert(!slowRoot.has("inflated_vs_reference"))
     // a real regression inflates the ADJUSTED ratio too — refused
-    assert(RecordMint.render(mergedAdj(1.5, 1.45), ref, "sf", 2).isLeft)
+    assert(RecordMint.render(mergedAdj(1.5, 1.45), ref, "sf", 2, _ => None).isLeft)
+    // round 20 (ADVICE r19): with per-sweep machine ratios available the
+    // adjusted total comes from steady/machineRatio against the FINAL
+    // reference — a 1.5x-raw sweep on a measured 1.5x machine adjusts to
+    // 1.0x and mints, regardless of what stale ratio the sweep recorded
+    val (ratioDoc, _) = RecordMint.render(mergedAdj(1.5, -1.0), ref,
+      "sf", 2, _ => Some(1.5)).toOption.get
+    val ratioRoot = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(ratioDoc)
+    assert(math.abs(ratioRoot.get("vs_reference_probe_adj").asDouble - 1.0) < 0.011)
+    // ...and a genuinely regressed 1.5x raw on a 1.0x machine refuses
+    assert(RecordMint.render(mergedAdj(1.5, -1.0), ref, "sf", 2,
+      _ => Some(1.0)).isLeft)
   }
 
   test("mint parseSweep: lifts flags and skips crashed gates; refuses malformed docs") {
@@ -336,13 +379,21 @@ class BenchSpec extends AnyFunSuite {
       |"crashed":{"cold":null,"steady":null,"plan":"err","other_cores":-1,
       |  "own_cpu":-1,"cpu_wall":-1,"load1":1.0}
       |},"sf":"/root/testdata/sf0.1"}""".stripMargin
-    val (sf, gates) = RecordMint.parseSweep(doc).toOption.get
+    val RecordMint.Sweep(sf, adjRatio, gates) =
+      RecordMint.parseSweep(doc).toOption.get
     assert(sf === "/root/testdata/sf0.1")
+    assert(adjRatio.isEmpty, "no probe object → no machine ratio")
     assert(gates.keySet === Set("ok", "storm")) // crashed never parses in
     assert(gates("ok").steady === 1.5 && !gates("ok").contended)
     assert(gates("storm").contended && gates("storm").effDrop)
     assert(RecordMint.parseSweep("not json").isLeft)
     assert(RecordMint.parseSweep("""{"value":1.0}""").isLeft)
+    // the sweep's whole-machine ratio (probe.adj_ratio) is lifted for
+    // the mint's current-reference recompute (round 20, ADVICE r19)
+    val withProbe = doc.replace(""""sf":""",
+      """"probe":{"single_start":0.3,"adj_ratio":1.42},"sf":""")
+    assert(RecordMint.parseSweep(withProbe).toOption.get.adjRatio
+      === Some(1.42))
   }
 
   test("quietRecordEligible: only a clean, uncontended, un-inflated FULL sweep persists") {

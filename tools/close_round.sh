@@ -96,9 +96,13 @@ for i in $(seq 1 "$MAX_SWEEPS"); do
   # tail -1: the headline is the LAST {-prefixed stdout line — any other
   # JSON-ish sbt line must not poison json parsing (ADVICE r17)
   # sweep files number PAST any evidence already in the dir (a reused
-  # CLOSE_ROUND_SWEEP_DIR must accumulate, never overwrite)
-  N=$(ls "$SWEEP_DIR"/sweep_*.json 2>/dev/null | wc -l)
-  N=$((N + 1))
+  # CLOSE_ROUND_SWEEP_DIR must accumulate, never overwrite). Derived
+  # from the MAX existing index, not the file count (ADVICE r19: a dir
+  # with gaps — sweep_1 deleted, sweep_2/3 kept — would count to N=3
+  # and silently overwrite sweep_3's evidence)
+  N=$(ls "$SWEEP_DIR"/sweep_*.json 2>/dev/null \
+    | sed -E 's/.*sweep_([0-9]+)\.json$/\1/' | sort -n | tail -1)
+  N=$(( ${N:-0} + 1 ))
   SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_REGEN_BENCH_REFERENCE=1 \
     sbt "runMain graft.Bench" | grep '^{' | tail -n 1 \
     > "$SWEEP_DIR/headline_$N.json"
