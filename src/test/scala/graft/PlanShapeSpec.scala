@@ -193,6 +193,29 @@ class PlanShapeSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 2)
   }
 
+  test("join_skew_salted: shuffle join keyed by salt, no broadcast, no unsalted hot exchange") {
+    val p = plan("join_skew_salted")
+    // the join is a SHUFFLE join (the both-sides-big posture the gate
+    // models) and its keys CARRY THE SALT — the hot key's rows land on
+    // 8 reducers, never one
+    assert(p.contains("ShuffledHashJoin [skew_key"))
+    assert("ShuffledHashJoin \\[skew_key#\\d+L?, salt#\\d+L?\\]".r
+      .findFirstIn(p).isDefined, s"join not keyed by (skew_key, salt):\n$p")
+    assert(!p.contains("BroadcastHashJoin"))
+    // both join-input exchanges are salted; the only key-only exchange
+    // is the post-pre-agg combine (one row per (key, salt) by then)
+    assert("Exchange hashpartitioning\\(skew_key#\\d+L?, salt#\\d+L?".r
+      .findFirstIn(p).isDefined)
+    assert("Exchange hashpartitioning\\(c_custkey#\\d+L?, salt#\\d+L?".r
+      .findFirstIn(p).isDefined)
+    // pre-aggregation happens per (key, salt) BEFORE the key-only
+    // exchange, so the agg never re-forms the unsplit hot partition
+    assert(p.contains("partial_count"))
+    // dim-side salt replication is the 8-wide array explode of the hot
+    // row only — never a cross join
+    assert(p.contains("Generate explode") && !p.contains("CartesianProduct"))
+  }
+
   test("embedding_kmeans_iter: assignment is a narrow map (no vec_id shuffle)") {
     val p = plan("embedding_kmeans_iter")
     // seed centroids ride INSIDE the one fused nearest_centroid expression
