@@ -2269,6 +2269,128 @@ $blockSql
               |  CAST(SUM(vec_id % 2147483647) % 2147483647 AS BIGINT) AS id_checksum
               |FROM probed GROUP BY 1, 2 ORDER BY probe_rank, cell""".stripMargin)),
 
+    // Production-shape ANN recall judged as a gate (round 20 — the r19
+    // verdict's ask #3: the k=64 / --recall / --nprobe measurements were
+    // CLI-only; SCALE.md's table becomes gate output). The PRODUCT path
+    // end-to-end: AnnIndex.build trains the k=64 coarse quantizer with
+    // one Lloyd round over a BOUNDED sample (vec_id < 512 — k ≈ √N at
+    // the fixture scale, and a recall calibration is always sampled:
+    // its exact side is a cross join), then AnnIndex.recall probes the
+    // 5-query panel at nprobe ∈ {1, 2, 4} — one row per (nprobe, query),
+    // the similarity_recall_calibration honesty pattern at the index
+    // configuration production actually ships. The oracle unrolls the
+    // WHOLE pipeline in SQL — seed selection (the 64 lowest sample
+    // vec_ids), r6-cosine argmax assignment, micro-unit integer mean
+    // update with float32 storage and empty-cell seed carry
+    // (ann_build_two_rounds' contract), multi-rank probe against the
+    // trained float centroids (ivfProbedSql's contract), cell-join
+    // candidate generation, the shared top-3 ranking, and recall vs the
+    // exact brute-force top-3 — so ANY drift in build/probe/recall
+    // arithmetic at k=64 breaks the match. Scale shape: assignment is
+    // one fused 64-dot codegen node per row, the update one (cell,
+    // dim)-keyed agg, the probe a cell equi-join with ~k× candidate cut.
+    NamedQuery(
+      "ann_recall_production_k",
+      (s, d) => {
+        val sample = Tables.embeddings(s, d)
+          .filter(col("vec_id") < 512)
+          .select(col("vec_id"), col("embedding"))
+        val model = AnnIndex.build(sample, k = 64, iters = 1)
+        val qs = Seq(0L, 1L, 2L, 3L, 4L)
+        Seq(1, 2, 4).map { np =>
+          AnnIndex.recall(sample, model, qs, topK = 3, nprobe = np)
+            .select(lit(np.toLong).as("nprobe"), col("query_id"),
+              col("n_exact"), col("n_hits"), col("recall"))
+        }.reduce(_ unionAll _)
+          .orderBy(col("nprobe"), col("query_id"))
+      },
+      Some(s"""WITH pksample AS (
+              |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 512
+              |), pkseeds AS (
+              |  SELECT vec_id, embedding FROM pksample WHERE vec_id < 64
+              |), pkcsims AS (
+              |  SELECT e.vec_id, c.vec_id AS cent_id,
+              |    ${r6Sql(duckDot("e.embedding", "c.embedding") +
+                 s" / (${duckNorm("e.embedding")} * ${duckNorm("c.embedding")})")} AS csim
+              |  FROM pksample e CROSS JOIN pkseeds c
+              |), pkassigned1 AS (
+              |  SELECT vec_id, cent_id AS cell FROM (
+              |    SELECT vec_id, cent_id, ROW_NUMBER() OVER (
+              |      PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS crn
+              |    FROM pkcsims
+              |  ) WHERE crn = 1
+              |), pkexpl AS (
+              |  SELECT a.cell, CAST(i AS BIGINT) AS dim,
+              |    CAST(FLOOR(CAST(e.embedding[i] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS qv
+              |  FROM pkassigned1 a JOIN pksample e USING (vec_id)
+              |  CROSS JOIN generate_series(1, 64) t(i)
+              |), pkseedgrid AS (
+              |  SELECT s.vec_id AS cell, CAST(i AS BIGINT) AS dim,
+              |    CAST(s.embedding[i] AS FLOAT) AS sv
+              |  FROM pkseeds s CROSS JOIN generate_series(1, 64) t(i)
+              |), pkcent AS (
+              |  -- trained model: micro-unit mean stored float32 (the product
+              |  -- keeps Array[Float]); empty cells carry their seed vector
+              |  SELECT g.cell, g.dim, COALESCE(
+              |    CAST(CAST(u.qmean AS DOUBLE) / 1000000.0 AS FLOAT), g.sv) AS v
+              |  FROM pkseedgrid g LEFT JOIN (
+              |    SELECT cell, dim,
+              |      CAST(FLOOR(CAST(SUM(qv) AS DOUBLE) / COUNT(qv) + 0.5) AS BIGINT) AS qmean
+              |    FROM pkexpl GROUP BY 1, 2
+              |  ) u ON u.cell = g.cell AND u.dim = g.dim
+              |), pkenorm AS (
+              |  SELECT vec_id,
+              |    sqrt(SUM(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS n
+              |  FROM pksample CROSS JOIN generate_series(1, 64) t(i) GROUP BY 1
+              |), pkpair AS (
+              |  SELECT e.vec_id, c.cell,
+              |    SUM(CAST(e.embedding[c.dim] AS DOUBLE) * CAST(c.v AS DOUBLE)) AS dot,
+              |    sqrt(SUM(CAST(c.v AS DOUBLE) * CAST(c.v AS DOUBLE))) AS cnorm
+              |  FROM pksample e CROSS JOIN pkcent c GROUP BY 1, 2
+              |), pkranked AS (
+              |  SELECT p.vec_id, p.cell, ROW_NUMBER() OVER (PARTITION BY p.vec_id
+              |    ORDER BY ${r6Sql("p.dot / (en.n * p.cnorm)")} DESC, p.cell) AS crn
+              |  FROM pkpair p JOIN pkenorm en USING (vec_id)
+              |), pknp AS (
+              |  SELECT CAST(UNNEST([1, 2, 4]) AS BIGINT) AS nprobe
+              |), pkannsims AS (
+              |  SELECT n.nprobe, q.vec_id AS query_id, cb.vec_id AS neighbor_id,
+              |    ${r6Sql(duckDot("a.embedding", "b.embedding") +
+                 s" / (${duckNorm("a.embedding")} * ${duckNorm("b.embedding")})")} AS sim
+              |  FROM pkranked q
+              |  CROSS JOIN pknp n
+              |  JOIN pkranked cb ON cb.cell = q.cell AND cb.crn = 1 AND cb.vec_id >= 5
+              |  JOIN pksample a ON a.vec_id = q.vec_id
+              |  JOIN pksample b ON b.vec_id = cb.vec_id
+              |  WHERE q.vec_id < 5 AND q.crn <= n.nprobe
+              |), pkann AS (
+              |  SELECT nprobe, query_id, neighbor_id FROM (
+              |    SELECT nprobe, query_id, neighbor_id, ROW_NUMBER() OVER (
+              |      PARTITION BY nprobe, query_id
+              |      ORDER BY sim DESC, neighbor_id) AS rank
+              |    FROM pkannsims
+              |  ) WHERE rank <= 3
+              |), pkexsims AS (
+              |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+              |    ${r6Sql(duckDot("a.embedding", "b.embedding") +
+                 s" / (${duckNorm("a.embedding")} * ${duckNorm("b.embedding")})")} AS sim
+              |  FROM pksample a JOIN pksample b ON b.vec_id >= 5
+              |  WHERE a.vec_id < 5
+              |), pkex AS (
+              |  SELECT n.nprobe, query_id, neighbor_id FROM (
+              |    SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+              |      PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+              |    FROM pkexsims
+              |  ) CROSS JOIN pknp n WHERE rank <= 3
+              |)
+              |SELECT e.nprobe, e.query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+              |  CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
+              |  ${r6Sql("CAST(COUNT(a.neighbor_id) AS DOUBLE) / COUNT(*)")} AS recall
+              |FROM pkex e LEFT JOIN pkann a
+              |  ON a.nprobe = e.nprobe AND a.query_id = e.query_id
+              |  AND a.neighbor_id = e.neighbor_id
+              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // Symmetric int8 quantization of the embedding column — the standard
     // vector-compression step before ANN indexing (4× smaller, dot
     // products in integer SIMD). Per vector: amax = max |x_i| (an
