@@ -45,7 +45,13 @@ object Bench {
     "stats_", "string_", "topk_", "topn_", "union_", "unit_", "window_")
 
   private[graft] def families(n: String): Set[String] =
-    if (n.startsWith("analyzer_")) Set("analyzer_metrics")
+    // the corpus gate's input is the synthetic QueryInfo corpus, which no
+    // other gate shares — main() materializes it OUTSIDE the timed
+    // windows (QueryInfoCorpus.ensure before the sweep) and the gate's
+    // cold pass then honestly prices listing + scan + parse, which IS
+    // the ingest workload; there is nothing else to warm
+    if (n.startsWith("ingest_")) Set.empty
+    else if (n.startsWith("analyzer_")) Set("analyzer_metrics")
     // containment is the one similarity_* gate built on the documents
     // table (the shingle contract), not embeddings — warm the documents
     // family or a filtered run times it against a cold table open
@@ -667,12 +673,45 @@ object Bench {
     // Steal/PSI counters sampled AFTER the start probe and BEFORE the
     // end probe: the window covers exactly the sweep, so the probes' own
     // all-core burn cannot masquerade as foreign steal/stall pressure.
+    // synthetic QueryInfo corpus (round 20, ingest leg + census gate):
+    // materialized OUTSIDE every timed window — generation is
+    // scaffolding, never workload; idempotent across runs
+    val ingestLegOn = only.isEmpty || sys.env.get("SPARK_GRAFT_INGEST_LEG").contains("1")
+    if (ingestLegOn || selected.exists(_.startsWith("ingest_")))
+      graft.ingest.QueryInfoCorpus.ensure()
+
     val probeOn = only.isEmpty || sys.env.get("SPARK_GRAFT_PROBE").contains("1")
     val probeStart = if (probeOn) Some(Bench.cpuProbe(cpus.toInt)) else None
     val stealStart = stealSec()
     val psiStart = psiSec()
 
     selected.flatMap(Bench.families).distinct.sorted.foreach(run)
+
+    // Ingest leg (round 20 — the r19 verdict's ask #1): docs/sec of the
+    // reference's stage-2 workload at corpus scale — Extract.extract
+    // (wholetext scan → Jackson parse → recursive flatten) through the
+    // gzipped-JSONL sink, cold + steady over the 10k-document synthetic
+    // corpus. Separate from the per-gate totals (the headline "value"
+    // never includes it); skipped on BENCH_ONLY iteration runs unless
+    // SPARK_GRAFT_INGEST_LEG=1 forces it.
+    val ingestField = if (ingestLegOn) {
+      val dir = graft.ingest.QueryInfoCorpus.ensure()
+      val outDir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_bench_ingest_out").getAbsolutePath
+      def pass(): Double = {
+        val t0 = System.nanoTime()
+        graft.ingest.Extract.writeJsonl(
+          graft.ingest.Extract.extract(spark, dir), outDir)
+        (System.nanoTime() - t0) / 1e9
+      }
+      val cold = pass()
+      val warm = pass()
+      val steadyS = math.min(cold, warm)
+      val n = graft.ingest.QueryInfoCorpus.NDocs
+      val dps = math.floor(n / steadyS * 10 + 0.5) / 10
+      s""","ingest":{"n_docs":$n,"cold_sec":${math.floor(cold * 1000 + 0.5) / 1000}""" +
+        s""","steady_sec":${math.floor(steadyS * 1000 + 0.5) / 1000},"docs_per_sec":$dps}"""
+    } else ""
 
     // Two timed passes per gate: COLD (first run after the family warmup)
     // and WARM (immediate re-run, caches still cleared in between). The
@@ -1017,7 +1056,7 @@ object Bench {
     // *_probe_adj sibling.
     val head = s""""metric":"total","value":$steadyTotal,"unit":"sec"""" +
       s""","bench_format":4,"cold_total":$coldTotal$rerunField$contField$refField""" +
-      s"""$lastQuietField$pressureField$probeField"""
+      s"""$lastQuietField$pressureField$probeField$ingestField"""
     val detail = s"""{$head$inputSchemaField,"queries":$qs$failedField,"sf":"$sfDir"}"""
     System.err.println(detail)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_details.json"), detail + "\n")

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.queries.{AnalyzerGates, CoreQueries, CurationQueries, MLQueries, NamedQuery, SketchQueries}
+import graft.queries.{AnalyzerGates, CoreQueries, CurationQueries, IngestQueries, MLQueries, NamedQuery, SketchQueries}
 import graft.tables.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -11,7 +11,7 @@ object SparkEntry {
   /** Registry of all judged queries; families contribute NamedQuery seqs. */
   private def registry: Seq[NamedQuery] =
     CoreQueries.all ++ MLQueries.all ++ CurationQueries.all ++
-      SketchQueries.all ++ AnalyzerGates.all
+      SketchQueries.all ++ AnalyzerGates.all ++ IngestQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q1 shape (the reference's operator_wall aggregation pattern).

@@ -22,7 +22,12 @@ bpe_merges_1k.txt) like the PQ seed contract — this tool documents its
 provenance and regenerates it deterministically from the same inputs;
 the engine never trains at query time.
 
-Usage: python3 tools/train_bpe.py [n_merges] > src/main/resources/bpe_merges_1k.txt
+Usage:
+  python3 tools/train_bpe.py [n_merges] [extra_corpus_root ...] > out.txt
+  # the committed tables:
+  python3 tools/train_bpe.py 1024  > src/main/resources/bpe_merges_1k.txt
+  python3 tools/train_bpe.py 32768 /root/.pyenv/versions/3.11.7/lib/python3.11 \
+    > src/main/resources/bpe_merges_32k.txt
 """
 import collections
 import os
@@ -30,44 +35,56 @@ import re
 import sys
 
 
-def corpus_words(repo_root):
+def corpus_words(roots):
     freq = collections.Counter()
-    for dirpath, dirnames, filenames in sorted(os.walk(repo_root)):
-        dirnames[:] = sorted(
-            d for d in dirnames
-            if d not in (".git", "target", "spark-warehouse", "__pycache__",
-                         "project"))
-        for f in sorted(filenames):
-            if not f.endswith((".scala", ".py", ".md")):
-                continue
-            p = os.path.join(dirpath, f)
-            try:
-                with open(p, encoding="utf-8", errors="ignore") as fh:
-                    text = fh.read()
-            except OSError:
-                continue
-            freq.update(re.findall(r"[a-z]+", text.lower()))
+    for root in roots:
+        for dirpath, dirnames, filenames in sorted(os.walk(root)):
+            dirnames[:] = sorted(
+                d for d in dirnames
+                if d not in (".git", "target", "spark-warehouse", "__pycache__",
+                             "project", "site-packages", "test"))
+            for f in sorted(filenames):
+                if not f.endswith((".scala", ".py", ".md")):
+                    continue
+                p = os.path.join(dirpath, f)
+                try:
+                    with open(p, encoding="utf-8", errors="ignore") as fh:
+                        text = fh.read()
+                except OSError:
+                    continue
+                freq.update(re.findall(r"[a-z]+", text.lower()))
     return freq
 
 
 def train(freq, n_merges):
-    # word -> tuple of symbols, weighted by frequency
+    """Incremental exact learner (round 20): same merge sequence as the
+    original recount-everything loop (most-frequent pair, lexicographic
+    ties), but pair counts are UPDATED per merge over only the words that
+    contain the merged pair — O(affected symbols) per merge instead of
+    O(corpus symbols), which is what makes a 32k-merge table tractable.
+    Equivalence with the naive loop is checked by regenerating the
+    committed 1024-merge table and diffing (byte-identical).
+    """
     words = {w: tuple(w) for w in freq}
+    pairs = collections.Counter()
+    where = collections.defaultdict(set)  # pair -> words containing it
+    for w, sym in words.items():
+        c = freq[w]
+        for i in range(len(sym) - 1):
+            p = (sym[i], sym[i + 1])
+            pairs[p] += c
+            where[p].add(w)
     merges = []
-    while len(merges) < n_merges:
-        pairs = collections.Counter()
-        for w, sym in words.items():
-            c = freq[w]
-            for i in range(len(sym) - 1):
-                pairs[(sym[i], sym[i + 1])] += c
-        if not pairs:
-            break
-        # most frequent; ties lexicographic — deterministic
+    while len(merges) < n_merges and pairs:
+        # most frequent; ties lexicographic — deterministic, identical to
+        # the naive scan (zero/negative counts are pruned on update)
         best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
         merges.append(best)
         a, b = best
         ab = a + b
-        for w, sym in list(words.items()):
+        for w in sorted(where.get(best, ())):
+            sym = words[w]
+            c = freq[w]
             out, i = [], 0
             while i < len(sym):
                 if i < len(sym) - 1 and sym[i] == a and sym[i + 1] == b:
@@ -76,8 +93,24 @@ def train(freq, n_merges):
                 else:
                     out.append(sym[i])
                     i += 1
-            words[w] = tuple(out)
-        if len(merges) % 128 == 0:
+            new = tuple(out)
+            words[w] = new
+            for s in range(len(sym) - 1):
+                p = (sym[s], sym[s + 1])
+                pairs[p] -= c
+                if pairs[p] <= 0:
+                    del pairs[p]
+                    where.pop(p, None)
+                elif p in where:
+                    where[p].discard(w)  # re-added below if still present
+            # every pair of the NEW form re-registers here — including any
+            # old pair the word still contains (so the conservative
+            # discard above cannot lose an occurrence)
+            for s in range(len(new) - 1):
+                p = (new[s], new[s + 1])
+                pairs[p] += c
+                where[p].add(w)
+        if len(merges) % 1024 == 0:
             print(f"# ... {len(merges)} merges", file=sys.stderr)
     return merges
 
@@ -85,12 +118,17 @@ def train(freq, n_merges):
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    freq = corpus_words(root)
+    # extra PUBLIC-text corpus roots (round 20): the repo's own text
+    # saturates at ~9.5k merges; the 32k production table additionally
+    # mines word statistics from the container's Python stdlib sources
+    # (public text; only [a-z]+ word frequencies are used, no code)
+    freq = corpus_words([root] + sys.argv[2:])
     print(f"# corpus: {sum(freq.values())} words, {len(freq)} distinct",
           file=sys.stderr)
     merges = train(freq, n)
+    extra = " + public stdlib text" if len(sys.argv) > 2 else ""
     print("# BPE merge table: trained by tools/train_bpe.py (classic "
-          "Sennrich counting, lexicographic ties) over this repo's text")
+          f"Sennrich counting, lexicographic ties) over this repo's text{extra}")
     print(f"# {len(merges)} merges, one per line: <left> <right>")
     for a, b in merges:
         print(a, b)
