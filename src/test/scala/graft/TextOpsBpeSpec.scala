@@ -143,6 +143,70 @@ class TextOpsBpeSpec extends SparkSpec {
       assert(TextOps.bpeApply(w, ranks).length === 1, s"'$w' not merged"))
   }
 
+  // ---- production-SCALE table (round 20: 32,768 merges) -----------------
+
+  test("the committed 32k-merge table is well-formed at production depth") {
+    val m = TextOps.BpeMerges32k
+    assert(m.size === 32768)
+    m.foreach { case (a, b) =>
+      assert((a + b).forall(c => c >= 'a' && c <= 'z'), s"bad symbol ($a,$b)")
+    }
+    val minted = scala.collection.mutable.Set.empty[String]
+    m.foreach { case (a, b) =>
+      Seq(a, b).foreach(s =>
+        assert(s.length == 1 || minted.contains(s),
+          s"merge ($a,$b) references a symbol no earlier merge minted"))
+      minted += a + b
+    }
+  }
+
+  test("bpeApply equals the 32,768-step table-order chain on the judged vocabulary") {
+    // the sampled-vocabulary equivalence pin the 32k gate's committed
+    // sheet rides on: the sheet is generated BY bpeApply, so the
+    // INDEPENDENT algorithm here (per-rule table-order replay, full 32k
+    // depth) is what makes the fixture-oracle a real differential test
+    val m = TextOps.BpeMerges32k
+    val ranks = ranksOf(m)
+    val corpusWords = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").distinct()
+      .collect().map(_.getString(0)).toSeq
+    (corpusWords ++ adversarial).distinct.foreach { w =>
+      assert(TextOps.bpeApply(w, ranks) === tableOrderScan(w, m),
+        s"'$w' diverges under the 32k table")
+    }
+  }
+
+  test("committed 32k encode sheet equals a fresh rank-scan AND the table-order chain") {
+    val ranks = ranksOf(TextOps.BpeMerges32k)
+    val sheet = spark.read.parquet(
+        s"${graft.queries.CurationQueries.bpe32kFixtureDir}/expected.parquet")
+      .collect()
+      .map(r => (r.getAs[String]("word"), r.getAs[Long]("n_tokens"),
+        r.getAs[String]("toks")))
+    assert(sheet.nonEmpty)
+    sheet.foreach { case (w, n, toks) =>
+      val scan = TextOps.bpeApply(w, ranks)
+      assert(scan.mkString(" ") === toks && scan.length.toLong === n,
+        s"sheet row for '$w' drifted from bpeApply — regenerate: " +
+          "sbt \"Test/runMain graft.Bpe32kSheetFixtureGen\"")
+      assert(tableOrderScan(w, TextOps.BpeMerges32k).mkString(" ") === toks,
+        s"sheet row for '$w' fails the independent chain replay")
+    }
+    // the sheet covers the judged corpora's lexicons (both Verify's and
+    // the bench's scale factor) — a testdata regen that changes the
+    // lexicon must fail HERE, not as an oracle undercount
+    val sheetWords = sheet.map(_._1).toSet
+    for (sf <- Seq("sf0.01", "sf0.1")) {
+      val words = Tables.documents(spark, s"/root/testdata/$sf")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "").distinct()
+        .collect().map(_.getString(0)).toSet
+      assert(words.subsetOf(sheetWords),
+        s"$sf lexicon not covered by the sheet: ${(words -- sheetWords).take(5)}")
+    }
+  }
+
   test("bpeTokens mapPartitions path: doc-level counts match the scan") {
     import spark.implicits._
     val docs = Seq((1L, "s1", "join hash fast table"), (2L, "s2", ""),
