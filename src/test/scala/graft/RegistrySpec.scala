@@ -18,7 +18,7 @@ class RegistrySpec extends AnyFunSuite {
     // the registry only grows — keep this floor EQUAL to the current
     // size when adding gates (no number in this comment to drift), so
     // the guard never carries slack a later removal could hide in
-    assert(queries.size >= 175, s"registry shrank to ${queries.size}")
+    assert(queries.size >= 181, s"registry shrank to ${queries.size}")
   }
 
   test("every registered query classifies into a bench warmup family") {
