@@ -100,7 +100,9 @@ for i in $(seq 1 "$MAX_SWEEPS"); do
   # from the MAX existing index, not the file count (ADVICE r19: a dir
   # with gaps — sweep_1 deleted, sweep_2/3 kept — would count to N=3
   # and silently overwrite sweep_3's evidence)
-  N=$(ls "$SWEEP_DIR"/sweep_*.json 2>/dev/null \
+  # find (not ls): with zero matches ls exits 2 and pipefail kills the
+  # script before its first sweep on a FRESH evidence dir
+  N=$(find "$SWEEP_DIR" -maxdepth 1 -name 'sweep_*.json' \
     | sed -E 's/.*sweep_([0-9]+)\.json$/\1/' | sort -n | tail -1)
   N=$(( ${N:-0} + 1 ))
   SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_REGEN_BENCH_REFERENCE=1 \
