@@ -1118,7 +1118,10 @@ $blockSql
     NamedQuery(
       "dedup_verify_levenshtein",
       (s, d) => {
-        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        // fan the payload side out before the two doc_id joins: the
+        // O(len²) Levenshtein DP per pair then runs across cores instead
+        // of inheriting the one-row-group scan's single partition
+        val docs = fanout(Tables.documents(s, d).select(col("doc_id"), col("text")))
         hammingPairs(s, d)
           .orderBy(col("doc_a"), col("doc_b")).limit(1000)
           .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
@@ -2871,7 +2874,9 @@ $blockSql
     NamedQuery(
       "text_boilerplate_ngrams",
       (s, d) =>
-        words(s, d)
+        // scan fan-out before the trigram explode (one-row-group fixture)
+        fanout(Tables.documents(s, d).select(col("doc_id"), col("text")))
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
           .select(col("doc_id"),
             explode(expr(graft.ml.TextOps.wordNGramsExpr(3))).as("g"))
           .groupBy(col("g"))
