@@ -689,7 +689,7 @@ object Bench {
 
     // Ingest leg (round 20 — the r19 verdict's ask #1): docs/sec of the
     // reference's stage-2 workload at corpus scale — Extract.extract
-    // (wholetext scan → Jackson parse → recursive flatten) through the
+    // (binaryFile scan → gunzip → Jackson parse → recursive flatten) through the
     // gzipped-JSONL sink, cold + steady over the 10k-document synthetic
     // corpus. Separate from the per-gate totals (the headline "value"
     // never includes it); skipped on BENCH_ONLY iteration runs unless

@@ -8,26 +8,57 @@ import graft.model.QuerySummary
   * QueryInfo JSON documents (plain or .gz) → `Dataset[QuerySummary]` →
   * parquet / gzipped JSONL.
   *
-  * Distribution model: `wholetext` text source gives one row per file, so
-  * parsing fans out across executors (the reference is a single-threaded
-  * loop). gzip per-file is fine — each file is small (50-200 kB) and the
-  * unit of parallelism is the file, not the split. At 100 TB of logs the
-  * same plan holds: the scan lists millions of files, Spark assigns them to
-  * tasks, and the output is written as partitioned parquet — analyzers then
-  * read columnar, pruned input instead of re-parsing JSON (SURVEY §4:
+  * Distribution model: one row per FILE, so parsing fans out across
+  * executors (the reference is a single-threaded loop). gzip per-file is
+  * fine — each file is small (50-200 kB) and the unit of parallelism is
+  * the file, not the split. At 100 TB of logs the same plan holds: the
+  * scan lists millions of files, Spark assigns them to tasks, and the
+  * output is written as partitioned parquet — analyzers then read
+  * columnar, pruned input instead of re-parsing JSON (SURVEY §4:
   * "ingest→Parquet once, analyze from Parquet").
+  *
+  * Source choice (r21 optimization round, guide §6): the scan is the
+  * `binaryFile` source with task-side gunzip+decode, replacing the
+  * `wholetext` text source. Measured over the 10k-doc corpus at 32
+  * cores, warm: wholetext scan-only 3.3 s vs binaryFile 0.44 s (~7×) —
+  * the text path pays per-file Hadoop codec/record-reader setup that
+  * dwarfs the actual ~0.2 ms/file gunzip, which a plain
+  * `GZIPInputStream` over the fetched bytes does on the task thread.
+  * Decompression stays extension-keyed (`.gz`), exactly the reference's
+  * rule; a corrupt ARCHIVE now drops the record (the per-file
+  * ValueError catch of `extract.py:204-205`) instead of failing the
+  * task, which is the posture the corrupt-JSON drop class already
+  * documents. The streaming twin (StreamingIngest) keeps the wholetext
+  * source — its cost is watermark/batch-bound, not scan-bound.
   */
 object Extract {
+
+  /** Gunzip (by `.gz` extension — the reference's rule) and UTF-8-decode
+    * one file's bytes; None = corrupt archive, record dropped.
+    */
+  private[graft] def decodeFile(path: String, bytes: Array[Byte]): Option[String] =
+    try {
+      val in: java.io.InputStream =
+        if (path.endsWith(".gz"))
+          new java.util.zip.GZIPInputStream(
+            new java.io.ByteArrayInputStream(bytes), 65536)
+        else new java.io.ByteArrayInputStream(bytes)
+      try Some(new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+      finally in.close()
+    } catch { case _: java.io.IOException => None }
 
   /** Parse every `*.json` / `*.json.gz` under `inputDir`. */
   def extract(spark: SparkSession, inputDir: String, limit: Option[Int] = None): Dataset[QuerySummary] = {
     import spark.implicits._
-    val files = spark.read
-      .option("wholetext", "true")
+    val files = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.json*")
-      .text(inputDir)
+      .load(inputDir)
+      .select(org.apache.spark.sql.functions.col("path"),
+        org.apache.spark.sql.functions.col("content"))
     val limited = limit.map(files.limit).getOrElse(files)
-    limited.as[String].flatMap(QueryInfoParser.parse _)
+    limited.as[(String, Array[Byte])].flatMap { case (path, bytes) =>
+      decodeFile(path, bytes).flatMap(QueryInfoParser.parse)
+    }
   }
 
   /** JSONL.gz sink (`extract.py:189-206`): one JSON object per line. */

@@ -9,7 +9,9 @@ import graft.ingest.{Extract, QueryInfoCorpus}
   * 10-document committed fixture only; this gate runs the REAL
   * `Extract.extract` path — wholetext scan of 10,000 gzipped synthetic
   * QueryInfo documents, Jackson parse, recursive plan flatten, every
-  * drop class — and pins the per-node-type census: node count, distinct
+  * drop class (r21: the scan is the binaryFile source with task-side
+  * gunzip — see Extract's scaladoc for the measured ~7× source win) —
+  * and pins the per-node-type census: node count, distinct
   * query count, a preorder checksum over (dfs_order, depth,
   * subtree_end, fragment_idx), and the CRC32 sum of resolved table
   * names (all five connector-handle shapes at corpus scale).

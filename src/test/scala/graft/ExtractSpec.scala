@@ -157,4 +157,35 @@ class ExtractSpec extends SparkSpec {
     assert(rows.head.getDouble(0) === 2.0) // last LookupJoin wins
     assert(rows.head.getDouble(1) === 3.0)
   }
+
+  // r21: the binaryFile+task-side-gunzip source — gz handling is
+  // extension-keyed (the reference's rule) and a corrupt ARCHIVE drops
+  // the record (extract.py's per-file catch) instead of failing the task
+  test("gz extract: gzipped docs parse; a truncated gz archive drops, not crashes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-gz-extract")
+    try {
+      val src = java.nio.file.Paths.get(resourcePath("queryinfo"), "q1.json")
+      val bytes = java.nio.file.Files.readAllBytes(src)
+      val gz = new java.io.ByteArrayOutputStream()
+      val out = new java.util.zip.GZIPOutputStream(gz)
+      out.write(bytes); out.close()
+      java.nio.file.Files.write(dir.resolve("ok.json.gz"), gz.toByteArray)
+      // truncated archive: valid gzip header, cut mid-stream
+      java.nio.file.Files.write(dir.resolve("bad.json.gz"),
+        gz.toByteArray.take(gz.toByteArray.length / 2))
+      // and a plain (uncompressed) copy — extension-keyed: no gunzip
+      java.nio.file.Files.write(dir.resolve("plain.json"), bytes)
+      val rows = Extract.extract(spark, dir.toString).collect()
+      assert(rows.length === 2) // ok.json.gz + plain.json; bad dropped
+      assert(rows.map(_.query_id).distinct.length === 1)
+      // unit surface: decode is extension-keyed, corrupt archive -> None
+      assert(Extract.decodeFile("x.json", "{}".getBytes("UTF-8")) === Some("{}"))
+      assert(Extract.decodeFile("x.json.gz",
+        gz.toByteArray.take(4)) === None)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
 }
