@@ -115,8 +115,15 @@ final class WorkloadViews private (val summaries: DataFrame) {
   /** One row per operator occurrence (A7). `op_idx` keeps the source array
     * position — the reference's per-node `{op["type"]: op}` dict
     * (`analyze.py:1056`) is last-occurrence-wins, which needs list order.
+    *
+    * `lazy` (r21, like every derived view below): a WorkloadViews is
+    * constructed per analyzer-gate invocation, and roughly half the
+    * analyzers consume only [[base]] — eagerly building the
+    * operators/planNodes/joins plans (two windows + two joins) charged
+    * every base-only gate driver-side plan construction for views it
+    * never ran.
     */
-  val operators: DataFrame = base
+  lazy val operators: DataFrame = base
     .select(col("query_id"), col("ts"), posexplode(col("operators")).as(Seq("op_idx", "op")))
     .select(col("query_id"), col("ts"), col("op_idx"), col("op.*"))
     .withColumn("wall",
@@ -126,7 +133,7 @@ final class WorkloadViews private (val summaries: DataFrame) {
     .cache()
 
   /** One row per plan node (A9/A19, flattened at ingest). */
-  val planNodes: DataFrame = base
+  lazy val planNodes: DataFrame = base
     .select(col("query_id"), explode(col("plan_nodes")).as("n"))
     .select(col("query_id"), col("n.*"))
     .cache()
@@ -135,7 +142,7 @@ final class WorkloadViews private (val summaries: DataFrame) {
     * fragment's node on id collisions (`analyze.py:596,1028-1037`) — mirror
     * with a max-fragment_idx row_number.
     */
-  val nodesDeduped: DataFrame = {
+  lazy val nodesDeduped: DataFrame = {
     import org.apache.spark.sql.expressions.Window
     planNodes.withColumn("rn", row_number().over(
       Window.partitionBy(col("query_id"), col("node_id"))
@@ -156,7 +163,7 @@ final class WorkloadViews private (val summaries: DataFrame) {
   /** Classified join sites (A24, `analyze.py:1040-1080`): per join/semijoin
     * plan node, the probe/build operator pair.
     */
-  val joins: DataFrame = {
+  lazy val joins: DataFrame = {
     val joinNodes = nodesDeduped
       .filter(col("node_type").endsWith("join"))
       .withColumn("probe_type",

@@ -437,7 +437,17 @@ object SketchQueries {
         // the distinct self-join is the expensive subtree; materialize the
         // degree-annotated edge list ONCE (the Components.ckpt pattern) so
         // the three unrolled rounds, the N aggregate, and the rank init
-        // all read the checkpointed rows instead of re-embedding it
+        // all read the checkpointed rows instead of re-embedding it.
+        // Tried and REVERTED (r21): hash-partitioning the ckpt by src
+        // (repartition(src), both AQE-coalescible and explicit-count
+        // forms) hoping the three per-round edges⋈ranks joins would skip
+        // their edge-side exchange — the LogicalRDD a localCheckpoint
+        // produces does not surface a partitioning EnsureRequirements
+        // recognizes here (plan kept all three `Exchange` nodes above the
+        // RDD scans; measured steady min 5.62 s vs 5.36 s baseline — the
+        // extra ckpt-side shuffle is pure cost). At 100 TB the same goal
+        // is met by persisting the edge list bucketed by src (a table
+        // property, not an in-job transform), as the gate scaladoc notes.
         val edges = pairs.select(col("pa").as("src"), col("pb").as("dst"))
           .unionAll(pairs.select(col("pb").as("src"), col("pa").as("dst")))
         val deg0 = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
