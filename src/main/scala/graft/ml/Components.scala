@@ -93,25 +93,46 @@ object Components {
   private lazy val exitSweepHook: Unit = Runtime.getRuntime.addShutdownHook(
     new Thread(() => cleanupScratchCkptDirs(), "graft-ckpt-cleanup"))
 
+  private def reliableOn(s: org.apache.spark.sql.SparkSession): Boolean = {
+    import graft.queries.QueryDsl.boolFlag
+    sys.env.get("SPARK_GRAFT_RELIABLE_CHECKPOINT").exists(boolFlag) ||
+      s.conf.getOption("spark.graft.reliableCheckpoint").exists(boolFlag)
+  }
+
+  private def ensureCkptDir(s: org.apache.spark.sql.SparkSession): Unit =
+    if (s.sparkContext.getCheckpointDir.isEmpty) {
+      // scratch fallback only — registered for JVM-exit cleanup so a
+      // long-lived embedding session doesn't litter the temp volume
+      // (round 13); a production deployment sets an HDFS/S3 dir itself
+      // and owns its lifecycle (we never delete a user-configured dir)
+      val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
+      scratchCkptDirs.add(dir.toFile)
+      exitSweepHook
+      s.sparkContext.setCheckpointDir(dir.toString)
+    }
+
   private[graft] def ckpt(df: DataFrame, eager: Boolean = true): DataFrame = {
     val s = df.sparkSession
-    import graft.queries.QueryDsl.boolFlag
-    val reliable =
-      sys.env.get("SPARK_GRAFT_RELIABLE_CHECKPOINT").exists(boolFlag) ||
-      s.conf.getOption("spark.graft.reliableCheckpoint").exists(boolFlag)
-    if (reliable) {
-      if (s.sparkContext.getCheckpointDir.isEmpty) {
-        // scratch fallback only — registered for JVM-exit cleanup so a
-        // long-lived embedding session doesn't litter the temp volume
-        // (round 13); a production deployment sets an HDFS/S3 dir itself
-        // and owns its lifecycle (we never delete a user-configured dir)
-        val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
-        scratchCkptDirs.add(dir.toFile)
-        exitSweepHook
-        s.sparkContext.setCheckpointDir(dir.toString)
-      }
+    if (reliableOn(s)) {
+      ensureCkptDir(s)
       df.checkpoint(eager)
     } else df.localCheckpoint(eager)
+  }
+
+  /** RDD analogue of [[ckpt]] for the label loop's round boundaries
+    * (always lazy — the next count job materializes it): localCheckpoint
+    * by default, RELIABLE `checkpoint()` under the same opt-in. Returns
+    * its argument; both forms mark the RDD and truncate lineage at first
+    * materialization, which is exactly the lazy-DF-checkpoint contract
+    * the round body had before the r22 RDD rewrite.
+    */
+  private def ckptRdd[T](s: org.apache.spark.sql.SparkSession,
+      rdd: org.apache.spark.rdd.RDD[T]): org.apache.spark.rdd.RDD[T] = {
+    if (reliableOn(s)) {
+      ensureCkptDir(s)
+      rdd.checkpoint()
+    } else rdd.localCheckpoint()
+    rdd
   }
 
   /** SPARK_GRAFT_CC_DEBUG=1: stderr one line per timed phase with its
@@ -157,45 +178,80 @@ object Components {
     minLabelLoop(p, maxRounds)
   }
 
+  /** The fixed-point loop runs on raw RDD[(id, id)] pairs (r22, guide
+    * §5/§7.3): the round-21 decomposition measured 0.6–1.7 s of
+    * DRIVER-side Catalyst work per batched round — every lazy DataFrame
+    * checkpoint pays full analysis + optimization + physical planning of
+    * its round subtree at construction time, and that serialization does
+    * not shrink at 100 TB (the driver is one JVM however many executors
+    * run the data side). The round body is three hash joins and a
+    * min-reduce over (long, long) rows — no expression work for Catalyst
+    * to win on — so the RDD form keeps the identical algorithm (same
+    * neighbor-min ∪ own-label reduce, same pointer jump, same star
+    // contraction, same 2-rounds-per-count batching, bit-identical
+    * labels: ComponentsSpec's union-find oracle + round pins) while a
+    * round build becomes plain lineage construction, microseconds
+    * instead of a Catalyst pass. Shuffle-stage outputs are reused across
+    * the count jobs (skipped stages), and each batch boundary is
+    * lineage-truncated via [[ckptRdd]] exactly like the old lazy DF
+    * checkpoints. Trade accepted knowingly: the per-round joins lose
+    * AQE's runtime skew split — irrelevant here because near-dup
+    * components are near-cliques that contract in O(1) rounds (a giant
+    * component would skew the jump join's comp key at any engine level;
+    * the DF shape had the same hot key).
+    */
   private def minLabelLoop(p: DataFrame, maxRounds: Int): Result = {
-    val edges0 = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionAll(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-    var labels = ckpt(
-      p.select(col("doc_a").as("doc_id")).unionAll(p.select(col("doc_b").as("doc_id")))
-        .distinct().select(col("doc_id"), col("doc_id").as("comp")),
-      eager = false)
-    // one round = neighbor-min step + pointer jump + star contraction,
-    // all lazy checkpoints. comp(x) <= x is invariant (init comp = id;
-    // every step only lowers it), so the jump's parent lookup can
-    // coalesce without a least(). Star contraction: rewrite live edges
-    // between component representatives, drop self-loops. No dedup of
-    // the contracted list: each input edge maps to at most one output
-    // edge per round (the set can only shrink), duplicates change
-    // neither the min-aggregate nor the emptiness test, and a distinct()
-    // would cost a full extra shuffle every round.
-    def round(labelsIn: DataFrame, edgesIn: DataFrame): (DataFrame, DataFrame) = {
-      // min over {own comp} ∪ {neighbor comps} as ONE join + aggregate:
-      // a self-loop per vertex carries its own label through the same
-      // neighbor-min path, replacing the separate least()/left-join
-      // merge step (one fewer join — and broadcast build — per round)
-      val withSelf = edgesIn.unionAll(
-        labelsIn.select(col("doc_id").as("src"), col("doc_id").as("dst")))
-      val stepped = withSelf
-        .join(labelsIn.select(col("doc_id").as("dst"), col("comp").as("nbr_comp")), "dst")
-        .groupBy(col("src")).agg(min(col("nbr_comp")).as("comp"))
-        .select(col("src").as("doc_id"), col("comp"))
-      val parent = stepped.select(col("doc_id").as("p_doc"), col("comp").as("p_comp"))
-      val jumped = ckpt(stepped
-        .join(parent, stepped("comp") === parent("p_doc"), "left")
-        .select(stepped("doc_id"),
-          coalesce(col("p_comp"), stepped("comp")).as("comp")),
-        eager = false)
-      val contracted = ckpt(edgesIn
-        .join(jumped.select(col("doc_id").as("src"), col("comp").as("csrc")), "src")
-        .join(jumped.select(col("doc_id").as("dst"), col("comp").as("cdst")), "dst")
-        .filter(col("csrc") =!= col("cdst"))
-        .select(col("csrc").as("src"), col("cdst").as("dst")),
-        eager = false)
+    val spark = p.sparkSession
+    import org.apache.spark.rdd.RDD
+    // queryExecution.toRdd, NOT .rdd: the Row-conversion layer .rdd adds
+    // compiles a codegen'd deserializer per consuming stage (~0.3-0.4 s
+    // per stage at fixture scale, measured r22); the InternalRow longs
+    // are read directly instead
+    val pairsRdd = p.queryExecution.toRdd.map(r => (r.getLong(0), r.getLong(1)))
+    // partitioner sized by the materialized pair relation itself — at
+    // fixture scale the checkpointed pairs land in a handful of
+    // partitions, at 100 TB the candidate join's output count carries
+    // through, so the loop's parallelism tracks the data with no local
+    // constant baked in
+    val part = new org.apache.spark.HashPartitioner(
+      math.max(1, pairsRdd.getNumPartitions))
+    if (debug) System.err.println(s"[cc] loop partitions: ${part.numPartitions}")
+    val sym: RDD[(Long, Long)] = pairsRdd
+      .flatMap { case (a, b) => Iterator((a, b), (b, a)) } // (src, dst)
+    var labels: RDD[(Long, Long)] = sym // active set: (doc_id, comp = doc_id)
+      .mapValues(_ => ()).reduceByKey(part, (_, _) => ())
+      .mapPartitions(_.map { case (id, _) => (id, id) }, preservesPartitioning = true)
+    // one round = neighbor-min step + pointer jump + star contraction.
+    // comp(x) <= x is invariant (init comp = id; every step only lowers
+    // it), so the jump's parent lookup can getOrElse without a min. Star
+    // contraction: rewrite live edges between component representatives,
+    // drop self-loops. No dedup of the contracted list: each input edge
+    // maps to at most one output edge per round (the set can only
+    // shrink), duplicates change neither the min-reduce nor the
+    // emptiness test, and a distinct would cost a full extra shuffle
+    // every round.
+    def round(labelsIn: RDD[(Long, Long)],
+        edgesIn: RDD[(Long, Long)]): (RDD[(Long, Long)], RDD[(Long, Long)]) = {
+      // min over {own comp} ∪ {neighbor comps} as one reduce: the
+      // labels rows carry each vertex's own comp through the same
+      // min-reduce path the neighbor contributions take (the RDD form
+      // of the old self-loop-union trick, one join cheaper still)
+      val contribs = edgesIn.map { case (src, dst) => (dst, src) }
+        .join(labelsIn, part)
+        .map { case (_, (src, comp)) => (src, comp) }
+      val stepped = contribs.union(labelsIn).reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+      val jumped = ckptRdd(spark, stepped
+        .map { case (id, comp) => (comp, id) }
+        .leftOuterJoin(stepped, part)
+        .map { case (comp, (id, pComp)) => (id, pComp.getOrElse(comp)) }
+        .partitionBy(part))
+      val contracted = ckptRdd(spark, edgesIn
+        .join(jumped, part)
+        .map { case (_, (dst, csrc)) => (dst, csrc) }
+        .join(jumped, part)
+        .flatMap { case (_, (csrc, cdst)) =>
+          if (csrc != cdst) Iterator((csrc, cdst)) else Iterator.empty
+        })
       (jumped, contracted)
     }
     // TWO rounds per convergence count: the count is the only driver
@@ -204,14 +260,15 @@ object Components {
     // wasted (empty-edge, trivially cheap) round. Sound at any batch
     // size: the edge set only shrinks (each round maps each edge to at
     // most one survivor), and the count tests exact emptiness, not a
-    // delta. Lazy checkpoints materialize as persisted blocks mid-job,
-    // so round r+1 reads round r's output instead of recomputing it.
-    var liveEdges = edges0
+    // delta. The lazy checkpoints materialize as persisted blocks inside
+    // the count job, so round r+1 reads round r's blocks instead of
+    // recomputing the chain.
+    var liveEdges = sym
     var live = 1L
     var rounds = 0
     while (live > 0 && rounds < maxRounds) {
-      val r1 = timed(s"round ${rounds + 1} build (lazy ckpts)")(round(labels, liveEdges))
-      val r2 = timed(s"round ${rounds + 2} build (lazy ckpts)")(round(r1._1, r1._2))
+      val r1 = timed(s"round ${rounds + 1} build (rdd lineage)")(round(labels, liveEdges))
+      val r2 = timed(s"round ${rounds + 2} build (rdd lineage)")(round(r1._1, r1._2))
       labels = r2._1
       liveEdges = r2._2
       rounds += 2
@@ -222,30 +279,36 @@ object Components {
     require(live == 0,
       s"connected components did not converge within $rounds rounds ($live live edges)")
     // resolve: pointer-jump member labels to the forest roots — label-only
-    // plans, no edge join, O(log diameter) jumps. Two jumps per count job,
-    // same batching logic; monotonicity makes the certificate exact (if a
-    // double jump changed nothing, the first jump already changed nothing,
-    // so the labels were a fixpoint before the batch).
-    def jump(labelsIn: DataFrame): DataFrame = {
-      val parent = labelsIn.select(col("doc_id").as("p_doc"), col("comp").as("p_comp"))
-      ckpt(labelsIn
-        .join(parent, labelsIn("comp") === parent("p_doc"), "left")
-        .select(labelsIn("doc_id"), coalesce(col("p_comp"), labelsIn("comp")).as("comp")),
-        eager = false)
-    }
+    // lineage, no edge join, O(log diameter) jumps. Two jumps per count
+    // job, same batching logic; monotonicity makes the certificate exact
+    // (if a double jump changed nothing, the first jump already changed
+    // nothing, so the labels were a fixpoint before the batch).
+    def jump(labelsIn: RDD[(Long, Long)]): RDD[(Long, Long)] =
+      ckptRdd(spark, labelsIn
+        .map { case (id, comp) => (comp, id) }
+        .leftOuterJoin(labelsIn, part)
+        .map { case (comp, (id, pComp)) => (id, pComp.getOrElse(comp)) }
+        .partitionBy(part))
     var moved = 1L
     var resolves = 0
     while (moved > 0 && resolves < maxRounds) {
-      val next = timed(s"jump ${resolves + 1}-${resolves + 2} build (lazy ckpts)")(
+      val next = timed(s"jump ${resolves + 1}-${resolves + 2} build (rdd lineage)")(
         jump(jump(labels)))
       moved = timed(s"resolve batch (jumps ${resolves + 1}-${resolves + 2})")(next
-        .join(labels.select(col("doc_id"), col("comp").as("prev")), "doc_id")
-        .filter(col("comp") =!= col("prev")).count())
+        .join(labels, part)
+        .filter { case (_, (comp, prev)) => comp != prev }.count())
       labels = next
       resolves += 2
     }
     require(moved == 0,
       s"component label resolution did not reach a fixpoint within $resolves jumps")
-    Result(labels, rounds, resolves)
+    val out = spark.createDataFrame(
+      labels.map { case (id, comp) => org.apache.spark.sql.Row(id, comp) },
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("comp",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    Result(out, rounds, resolves)
   }
 }
