@@ -845,6 +845,13 @@ object MLQueries {
         // not skew-eligible), and the map-side combine is lost — a
         // straggler exactly at the 100 TB design point this chain
         // targets, for a fixture-scale gain inside measurement noise.
+        // fanout here tried and REVERTED (r22): a 3× alternating A/B read
+        // 1.46-1.60 s without vs 1.93-2.10 s with on dedup_simhash — the
+        // split→explode→md5 map is NOT this chain's bottleneck (the
+        // (doc,wid) aggregate + wid window + 64-accumulator aggregate
+        // after the first exchange already run parallel), so the extra
+        // round-robin exchange is pure cost, same verdict as the r21
+        // blanket-loader A/B.
         val wordCounts = words(s, d)
           .select(col("doc_id"), explode(col("w")).as("word"))
           .select(col("doc_id"), hashId(col("word"), simhashWidMod).as("wid"))

@@ -428,16 +428,33 @@ object SketchQueries {
     NamedQuery(
       "graph_pagerank_iter",
       (s, d) => {
+        // no li.distinct() (r22): lineitem (ok, pk) is near-unique
+        // (599,935 of 600k at sf0.1) and the pair distinct below already
+        // collapses whatever duplicate pair rows duplicated li rows
+        // produce — the same pair SET reaches `edges` with one fewer
+        // 600k-row exchange+aggregate on each self-join side.
         val li = Tables.lineitem(s, d)
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-        val pairs = li.as("a").join(li.as("b"),
+        // shuffle_hash: sort-merge would sort 600k rows on each side of
+        // the self-join; building one side's hash table per partition is
+        // cheaper and spill-safe at this key cardinality (the
+        // hammingPairs precedent, guide §3.1)
+        val pairs = li.as("a").hint("shuffle_hash")
+          .join(li.as("b").hint("shuffle_hash"),
             col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
           .select(col("a.pk").as("pa"), col("b.pk").as("pb")).distinct()
-        // the distinct self-join is the expensive subtree; materialize the
-        // degree-annotated edge list ONCE (the Components.ckpt pattern) so
-        // the three unrolled rounds, the N aggregate, and the rank init
-        // all read the checkpointed rows instead of re-embedding it.
+        // the distinct self-join is the expensive subtree; materialize it
+        // ONCE (the Components.ckpt pattern) so the three unrolled
+        // rounds, the N aggregate, and the rank init all read
+        // checkpointed rows instead of re-embedding it. r22 split: the
+        // EDGE list (2 longs/row) and the NODE-sized degree table are
+        // checkpointed separately instead of one degree-annotated edge
+        // relation — the old shape shipped outdeg on every edge row
+        // (+50% ckpt bytes) and re-derived `deg` per run via a full
+        // 2.4M-row distinct; now `rank div outdeg` is computed on the
+        // node-sized side before each round's edge join, so the big
+        // stream carries exactly (src, dst) and the degree join is
+        // node-sized (broadcast at any scale where nodes ≪ edges).
         // Tried and REVERTED (r21): hash-partitioning the ckpt by src
         // (repartition(src), both AQE-coalescible and explicit-count
         // forms) hoping the three per-round edges⋈ranks joins would skip
@@ -448,18 +465,28 @@ object SketchQueries {
         // extra ckpt-side shuffle is pure cost). At 100 TB the same goal
         // is met by persisting the edge list bucketed by src (a table
         // property, not an in-job transform), as the gate scaladoc notes.
-        val edges = pairs.select(col("pa").as("src"), col("pb").as("dst"))
-          .unionAll(pairs.select(col("pb").as("src"), col("pa").as("dst")))
-        val deg0 = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-        val edgesDeg = graft.ml.Components.ckpt(edges.join(deg0, "src"))
-        val deg = edgesDeg.select(col("src"), col("outdeg")).distinct()
+        // ckpt the 1.2M directed PAIRS, not the 2.4M symmetric edge list:
+        // the union doubling is a narrow projection of the checkpointed
+        // rows, so deriving it per consumer costs two cheap passes while
+        // the checkpoint write (and its storage) halves
+        val pairsCk = graft.ml.Components.timed("pagerank pairs ckpt")(
+          graft.ml.Components.ckpt(pairs))
+        val edgesCk = pairsCk.select(col("pa").as("src"), col("pb").as("dst"))
+          .unionAll(pairsCk.select(col("pb").as("src"), col("pa").as("dst")))
+        val deg = graft.ml.Components.timed("pagerank deg ckpt")(
+          graft.ml.Components.ckpt(
+            edgesCk.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))))
         val nAgg = deg.agg(count(lit(1)).as("n"))
         var ranks = deg.crossJoin(broadcast(nAgg))
           .select(col("src").as("node"),
             expr("CAST(1000000000 AS BIGINT) div n").as("rank"), col("n"))
         for (_ <- 1 to PrIters) {
-          ranks = edgesDeg.join(ranks, edgesDeg("src") === ranks("node"))
-            .select(col("dst"), expr("rank div outdeg").as("contrib"), col("n"))
+          val contribs = ranks.join(deg.hint("shuffle_hash"),
+              ranks("node") === deg("src"))
+            .select(col("node"), expr("rank div outdeg").as("contrib"), col("n"))
+          ranks = edgesCk.join(contribs.hint("shuffle_hash"),
+              edgesCk("src") === contribs("node"))
+            .select(col("dst"), col("contrib"), col("n"))
             .groupBy(col("dst"))
             .agg(sum(col("contrib")).as("inflow"), min(col("n")).as("n"))
             .select(col("dst").as("node"),

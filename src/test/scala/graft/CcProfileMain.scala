@@ -106,3 +106,32 @@ object CcLoopJobsMain {
     spark.stop()
   }
 }
+
+object SimhashProfileMain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def t[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      System.err.println(f"[sh] $label ${(System.nanoTime() - t0) / 1e9}%.3fs")
+      r
+    }
+    for (pass <- 1 to 3) {
+      val nib = t(s"p$pass nib construct (plan only)")(
+        graft.queries.MLQueries.simhashNib(spark, sfDir))
+      t(s"p$pass nib executedPlan")(nib.queryExecution.executedPlan)
+      t(s"p$pass nib noop")(nib.write.format("noop").mode("overwrite").save())
+      t(s"p$pass nib localCheckpoint eager")(nib.localCheckpoint(true))
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}
