@@ -756,12 +756,19 @@ object MLQueries {
     * the LSH gate keeps the full corpus: ONE signature contract either
     * way (per-doc minima depend only on that doc's own shingles).
     */
-  private def minhashPermsFrom(sh0: DataFrame): DataFrame = {
+  /** `extraAggs` (r22): additional per-doc aggregates computed in the
+    * SAME groupBy pass — the calibration gate rides its shingle-set size
+    * on this aggregate instead of a second groupBy over the shingle
+    * relation plus a join.
+    */
+  private def minhashPermsFrom(sh0: DataFrame,
+      extraAggs: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
     val sh = sh0.withColumn("sid", hashId(col("sh"), 2147483647L))
     val mins = (0 until 16).map(k =>
       min((col("sid") * (lit(2654435761L) + lit(k.toLong) * 40503L)
         + lit(17L) + lit(k.toLong) * 131L) % lit(2147483647L)).as(s"mh$k"))
-    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val aggs = mins ++ extraAggs
+    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Oracle twin of [[minhashPerms]]: CTE chain ending in
@@ -1189,37 +1196,41 @@ $blockSql
         // unrestricted universe: 45% SLOWER, 6.45 s vs 4.45 s — cached
         // subplans run without AQE, the persist trap the nib scaladoc
         // records.)
-        import graft.ml.Components.ckpt
-        val pairs = ckpt(hammingPairs(s, d)
+        import graft.ml.Components.{ckpt, timed}
+        val pairs = timed("calibration pairs ckpt")(ckpt(hammingPairs(s, d)
           .orderBy(col("doc_a"), col("doc_b")).limit(1000)
-          .select(col("doc_a"), col("doc_b")))
+          .select(col("doc_a"), col("doc_b"))))
         val batchDocs = pairs.select(col("doc_a").as("doc_id"))
           .unionAll(pairs.select(col("doc_b").as("doc_id"))).distinct()
-        val g = ckpt(shinglesOf(s, d, batchDocs))
-        val perms = minhashPermsFrom(g)
+        val g = timed("calibration shingles ckpt")(ckpt(shinglesOf(s, d, batchDocs)))
+        // ONE aggregate per doc carries the 16 permutation minima AND the
+        // shingle-set size (r22): the old shape ran a second
+        // groupBy(doc_id) over g just for n_sh and re-joined it per pair
+        // side, then joined est⋈exact back together — four shuffles and
+        // two pair-side joins that one fused per-doc relation (and one
+        // fused pair projection) computes identically. Values unchanged:
+        // est, jac, and err are the same r6-rounded expressions over the
+        // same join multiplicities (pair sides are unique per doc_id).
+        val perms = minhashPermsFrom(g, Seq(count(lit(1)).as("n_sh")))
         def side(suffix: String) = perms.select(
           col("doc_id").as(s"doc_$suffix") +:
+            col("n_sh").as(s"n_$suffix") +:
             (0 until 16).map(k => col(s"mh$k").as(s"mh${k}_$suffix")): _*)
         val agree = (0 until 16)
           .map(k => when(col(s"mh${k}_a") === col(s"mh${k}_b"), 1).otherwise(0))
           .reduce(_ + _)
-        val est = pairs.join(side("a"), "doc_a").join(side("b"), "doc_b")
-          .select(col("doc_a"), col("doc_b"),
-            r6(agree.cast("double") / 16.0).as("est"))
-        val sizes = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
         val inter = pairs
           .join(g.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
           .join(g.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
           .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
-        val exact = pairs
-          .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
-          .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+        pairs.join(side("a"), "doc_a").join(side("b"), "doc_b")
           .join(inter, Seq("doc_a", "doc_b"), "left")
           .withColumn("inter", coalesce(col("inter"), lit(0L)))
-          .select(col("doc_a"), col("doc_b"), r6(col("inter").cast("double")
-            / (col("n_a") + col("n_b") - col("inter"))).as("jac"))
-        est.join(exact, Seq("doc_a", "doc_b"))
+          .withColumn("est", r6(agree.cast("double") / 16.0))
+          .withColumn("jac", r6(col("inter").cast("double")
+            / (col("n_a") + col("n_b") - col("inter"))))
           .withColumn("err", r6(abs(col("est") - col("jac"))))
+          .select(col("doc_a"), col("doc_b"), col("est"), col("jac"), col("err"))
           .orderBy(col("err").desc, col("doc_a"), col("doc_b"))
           .limit(20)
       },
