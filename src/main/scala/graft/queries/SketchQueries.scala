@@ -821,6 +821,10 @@ object SketchQueries {
         // means the query already terminated, so cleanup is all that
         // remains
         try graft.streaming.GateStream.withStreamShuffle(s) {
+          // NOT fanned out (r22): the per-row map here is one hash — a
+          // 3x A/B read the extra 100k-row exchange as a +0.4 s loss
+          // (1.95-2.10 s -> 2.37-2.47 s); contrast the count-min twin,
+          // whose per-OCCURRENCE md5 map is ~50x heavier per input row
           val q = hllRegs(evs)
             .writeStream.format("memory").queryName(sink)
             .option("checkpointLocation", ckpt)
@@ -965,7 +969,10 @@ object SketchQueries {
         val rs = typedLit((0 until CmRows).toArray)
         // finally: see the hll twin — no scratch-dir leak on a failed drain
         try graft.streaming.GateStream.withStreamShuffle(s) {
-          val cells = docs
+          // the per-occurrence md5 map is the gate's dominant cost and a
+          // one-split fixture serializes it — fan out (r22, guide §2.5/§2.6)
+          val cells = QueryDsl.fanoutStream(docs,
+              s.read.schema(schema).option("pathGlobFilter", "documents.parquet").parquet(d))
             .select(explode(split(col("text"), " ")).as("word"))
             .select(hash60(col("word")).as("h"), explode(rs).as("r"))
             .withColumn("bucket", cmBucket)
